@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship pricing-summary query at sf0.001.
+`queries()` maps operator names (SURVEY.md §2 inventory + LLM-pipeline
+extensions) to (spark, sf_dir) -> DataFrame callables; `oracle_sql()`
+gives the DuckDB-equivalent SQL for each. Numeric aggregates go
+through DECIMAL casts on BOTH sides so value hashes match
+bit-for-bit (see hive_exporter_spark/functions/aggs.py).
 """
 
 from __future__ import annotations
@@ -12,27 +13,279 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_exporter_spark.functions.aggs import davg_sql, dsum_sql
+from hive_exporter_spark.operators import core, llm, relational, sessions
+from hive_exporter_spark.sources.files import read_table
+
+SF0001 = "/root/testdata/sf0.001"
+
+# Constants shared by Spark queries and oracle SQL.
+Q1_CUTOFF = "1998-09-02"
+BATCH_TAG = "20260101T000000"
+EXISTING_TS_CUTOFF = "2024-01-15"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return relational.pricing_summary(_t(spark, SF0001, "lineitem"), Q1_CUTOFF)
+
+
+# ---------------------------------------------------------------------------
+# queries(): operator name -> (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+def _q1(spark, sf):
+    return relational.pricing_summary(_t(spark, sf, "lineitem"), Q1_CUTOFF)
+
+
+def _q3(spark, sf):
+    return relational.shipping_priority(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    )
+
+
+def _q5(spark, sf):
+    return relational.local_supplier_volume(
+        _t(spark, sf, "region"), _t(spark, sf, "nation"), _t(spark, sf, "customer"),
+        _t(spark, sf, "orders"), _t(spark, sf, "lineitem"), _t(spark, sf, "supplier"),
+    )
+
+
+def _top_orders(spark, sf):
+    return relational.top_orders_per_priority(_t(spark, sf, "orders"), k=3)
+
+
+def _anti_join(spark, sf):
+    return relational.customers_without_orders(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    )
+
+
+def _rollup(spark, sf):
+    return relational.order_rollup(_t(spark, sf, "orders"))
+
+
+def _distinct(spark, sf):
+    return relational.distinct_counts(_t(spark, sf, "lineitem"))
+
+
+def _part_volume(spark, sf):
+    return relational.part_type_volume(_t(spark, sf, "part"), _t(spark, sf, "lineitem"))
+
+
+def _batch_tag(spark, sf):
+    return core.tag_batch(_t(spark, sf, "nation"), BATCH_TAG)
+
+
+def _bounds(spark, sf):
+    lo, hi = core.bounds(_t(spark, sf, "orders"), "o_orderkey")
+    return spark.createDataFrame([(lo, hi)], "lower_bound long, upper_bound long")
+
+
+def _watermark_lookup(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.agg(
+        F.max("event_id").alias("max_event_id"), F.max("ts").alias("max_ts")
+    )
+
+
+def _append_filter(spark, sf):
+    """P5 high-water-mark append: 'existing' = events before the cutoff
+    date; new batch = rows strictly above the discovered watermark."""
+    ev = _t(spark, sf, "events")
+    existing = ev.where(F.col("ts") < F.lit(EXISTING_TS_CUTOFF).cast("timestamp"))
+    hwm = core.high_water_mark(existing, "event_id")
+    return core.newer_than(ev, "event_id", hwm)
+
+
+def _latest_per_key(spark, sf):
+    ev = _t(spark, sf, "events")
+    return core.latest_per_key(ev, ["user_id"], "ts", tiebreakers=["event_id"])
+
+
+def _merge_consolidate(spark, sf):
+    """Union + latest-per-key consolidation over an overlapping base /
+    increment split of events, keyed on the primary key."""
+    ev = _t(spark, sf, "events")
+    n = ev.count()
+    base = ev.where(F.col("event_id") <= int(n * 0.8))
+    increment = ev.where(F.col("event_id") > int(n * 0.6))
+    return core.merge_upsert(base, increment, ["event_id"], "ts")
+
+
+def _soft_delete(spark, sf):
+    """P8 tombstone filter over a derived marker (error events are
+    'deleted'); keeps marker-IS-NULL rows."""
+    ev = _t(spark, sf, "events").withColumn(
+        "deleted", F.when(F.col("event_type") == "error", F.lit(1))
+    )
+    return core.not_soft_deleted(ev, "deleted")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q = {
+        "q1_pricing_summary": _q1,
+        "q3_shipping_priority": _q3,
+        "q5_local_supplier_volume": _q5,
+        "top_orders_per_priority": _top_orders,
+        "customers_without_orders": _anti_join,
+        "order_rollup": _rollup,
+        "distinct_counts": _distinct,
+        "part_type_volume_broadcast": _part_volume,
+        "batch_tag": _batch_tag,
+        "bounds_discovery": _bounds,
+        "watermark_lookup": _watermark_lookup,
+        "incremental_append_filter": _append_filter,
+        "latest_per_key": _latest_per_key,
+        "incremental_merge_consolidate": _merge_consolidate,
+        "soft_delete_filter": _soft_delete,
+    }
+    q.update(sessions.QUERIES)
+    q.update(llm.QUERIES)
+    return q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle_sql(): DuckDB-equivalent ANSI SQL per query
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    rev = "l_extendedprice * (1 - l_discount)"
+    o = {
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   {dsum_sql('l_quantity')} AS sum_qty,
+                   {dsum_sql('l_extendedprice')} AS sum_base_price,
+                   {dsum_sql(rev)} AS sum_disc_price,
+                   {dsum_sql(rev + ' * (1 + l_tax)')} AS sum_charge,
+                   {davg_sql('l_quantity')} AS avg_qty,
+                   {davg_sql('l_extendedprice')} AS avg_price,
+                   {davg_sql('l_discount')} AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": f"""
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   {dsum_sql(rev)} AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "q5_local_supplier_volume": f"""
+            SELECT n_name, {dsum_sql(rev)} AS revenue
+            FROM region
+            JOIN nation ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
+        """,
+        "top_orders_per_priority": """
+            SELECT o_orderpriority, rank_in_priority, o_orderkey, o_totalprice
+            FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS rank_in_priority
+                FROM orders
+            ) WHERE rank_in_priority <= 3
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            )
+        """,
+        "order_rollup": f"""
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   {dsum_sql('o_totalprice')} AS total_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "distinct_counts": """
+            SELECT COUNT(DISTINCT l_orderkey) AS n_orders,
+                   COUNT(DISTINCT l_partkey) AS n_parts,
+                   COUNT(DISTINCT l_suppkey) AS n_suppliers
+            FROM lineitem
+        """,
+        "part_type_volume_broadcast": f"""
+            SELECT p_type,
+                   {dsum_sql('l_quantity')} AS sum_qty,
+                   {davg_sql('l_extendedprice')} AS avg_price,
+                   COUNT(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_type
+            ORDER BY p_type
+        """,
+        "batch_tag": f"""
+            SELECT nation.*, '{BATCH_TAG}' AS dl_ingest_date FROM nation
+        """,
+        "bounds_discovery": """
+            SELECT MIN(o_orderkey) AS lower_bound,
+                   MAX(o_orderkey) AS upper_bound
+            FROM orders
+        """,
+        "watermark_lookup": """
+            SELECT MAX(event_id) AS max_event_id, MAX(ts) AS max_ts FROM events
+        """,
+        "incremental_append_filter": f"""
+            SELECT * FROM events
+            WHERE event_id > (
+                SELECT MAX(event_id) FROM events
+                WHERE ts < TIMESTAMP '{EXISTING_TS_CUTOFF} 00:00:00'
+            )
+        """,
+        "latest_per_key": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id
+                    ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST
+                ) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "incremental_merge_consolidate": """
+            WITH both_batches AS (
+                SELECT * FROM events
+                WHERE event_id <= (SELECT CAST(COUNT(*) * 0.8 AS BIGINT) FROM events)
+                UNION ALL
+                SELECT * FROM events
+                WHERE event_id > (SELECT CAST(COUNT(*) * 0.6 AS BIGINT) FROM events)
+            )
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY event_id ORDER BY ts DESC NULLS LAST
+                ) AS rn
+                FROM both_batches
+            ) WHERE rn = 1
+        """,
+        "soft_delete_filter": """
+            SELECT *, CASE WHEN event_type = 'error' THEN 1 END AS deleted
+            FROM events
+            WHERE (CASE WHEN event_type = 'error' THEN 1 END) IS NULL
+        """,
+    }
+    o.update(sessions.ORACLES)
+    o.update(llm.ORACLES)
+    return o

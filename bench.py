@@ -1,0 +1,61 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from hive_exporter_spark.session import build_session  # noqa: E402
+
+# Headline set: the scan/agg/join/window/dedup/similarity workload mix.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_orders_per_priority",
+    "part_type_volume_broadcast",
+    "latest_per_key",
+    "incremental_merge_consolidate",
+    "sessionize",
+    "daily_event_stats",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "embedding_topk_cosine",
+    "text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+    spark = build_session("bench")
+    queries = entrymod.queries()
+    # Warm the JVM + parquet footers with one tiny action.
+    spark.range(1).count()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""The relational core of the reference, as pure DataFrame→DataFrame
+functions (reference: spark_loaders.py; see SURVEY.md §2.3/2.5/2.6).
+
+Every function here is lazy Column algebra — Catalyst pushes the
+watermark predicates into the scan (parquet row-group skipping / JDBC
+``WHERE``), which is the reference's main scalability lever: only the
+delta crosses the wire (reference spark_loaders.py:157-158,201-208).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Default ingestion-tag column name (reference spark_loaders.py:119-121).
+INGEST_TAG_COLUMN = "dl_ingest_date"
+
+
+def tag_batch(df: DataFrame, batch_tag: str, tag_column: str = INGEST_TAG_COLUMN) -> DataFrame:
+    """P2: append a constant batch-tag column.
+
+    The reference stamps ``datetime.now().strftime('%Y%m%dT%H%M%S')``
+    (spark_loaders.py:121) — a driver-computed constant, NOT a per-row
+    ``current_timestamp()``: one batch must carry exactly one tag or the
+    partitioned sink splinters into per-row partitions. The engine makes
+    the clock injectable: callers pass the tag.
+    """
+    return df.withColumn(tag_column, F.lit(batch_tag))
+
+
+def high_water_mark(df: DataFrame, column: str):
+    """A3: current high-water mark = max(column), as a driver scalar.
+
+    Single-row aggregate — safe at any scale (never collects data rows).
+    Reference: ``select max(col) from db.tbl`` + ``take(1)``
+    (spark_loaders.py:153-155,193-199). Returns None on an empty table.
+    """
+    return df.agg(F.max(F.col(column)).alias("hwm")).first()["hwm"]
+
+
+def newer_than(df: DataFrame, column: str, last_value) -> DataFrame:
+    """P5: strict high-water-mark filter for append-only sources.
+
+    Strict ``>`` — rows tied with the stored max are skipped, matching
+    the reference's documented semantics (spark_loaders.py:157-158).
+    Catalyst pushes this into the source scan.
+    """
+    if last_value is None:
+        return df
+    return df.where(F.col(column) > F.lit(last_value))
+
+
+def newer_or_modified(
+    df: DataFrame,
+    incremental_column: str,
+    last_value,
+    last_modified_column: str | None = None,
+    last_modified: object | None = None,
+) -> DataFrame:
+    """P6: disjunctive high-water-mark filter for merge sources —
+    new rows OR modified rows (reference spark_loaders.py:201-208,
+    including the degenerate single-predicate branches)."""
+    preds: list[Column] = []
+    if last_value is not None:
+        preds.append(F.col(incremental_column) > F.lit(last_value))
+    if last_modified_column is not None and last_modified is not None:
+        preds.append(F.col(last_modified_column) > F.lit(last_modified))
+    if not preds:
+        return df
+    cond = preds[0]
+    for p in preds[1:]:
+        cond = cond | p
+    return df.where(cond)
+
+
+def latest_per_key(
+    df: DataFrame,
+    key_columns: Sequence[str],
+    order_column: str,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """W1: latest-record-per-key dedup — the upsert consolidation.
+
+    ``row_number() OVER (PARTITION BY keys ORDER BY order_col DESC
+    [, tiebreakers DESC])``, keep rank 1 (reference
+    spark_loaders.py:228-237). Two deliberate semantics:
+
+    - Spark's ``desc()`` places NULLs last, so a row with NULL
+      ``order_column`` loses to any non-NULL version — required by the
+      reference's merge test (tests/test_incremental_merge.py:108-118).
+    - The reference orders by ``order_column`` alone, so timestamp ties
+      pick an arbitrary winner; the engine adds deterministic
+      ``tiebreakers`` (SURVEY.md §7.4.4).
+
+    Scale: one shuffle on ``key_columns``; AQE splits skewed keys. This
+    is shuffle-equivalent to the sort-merge join a MERGE INTO would do.
+    """
+    order = [F.col(order_column).desc()] + [F.col(t).desc() for t in tiebreakers]
+    w = Window.partitionBy(*[F.col(k) for k in key_columns]).orderBy(*order)
+    rn = "__rn"
+    return df.withColumn(rn, F.row_number().over(w)).where(F.col(rn) == 1).drop(rn)
+
+
+def not_soft_deleted(df: DataFrame, deleted_column: str) -> DataFrame:
+    """P8: tombstone filter — keep rows whose soft-delete marker is NULL
+    (reference spark_loaders.py:238-239)."""
+    return df.where(F.col(deleted_column).isNull())
+
+
+def merge_upsert(
+    base: DataFrame,
+    increment: DataFrame,
+    key_columns: Sequence[str],
+    order_column: str,
+    tiebreakers: Sequence[str] = (),
+    deleted_column: str | None = None,
+) -> DataFrame:
+    """§2.4: the reference's one conceptual join, kept join-free.
+
+    MERGE expressed as UNION ALL + latest-per-key window (reference
+    spark_loaders.py:222-239) — idiomatic Spark and shuffle-equivalent
+    to a sort-merge join on the keys, but with a single shuffle and no
+    join-side buffering. Column order is aligned by name first
+    (``insertInto`` positional trap, SURVEY.md §7.4.2).
+    """
+    inc = increment.select(*base.columns)
+    merged = latest_per_key(base.unionByName(inc), key_columns, order_column, tiebreakers)
+    if deleted_column is not None:
+        merged = not_soft_deleted(merged, deleted_column)
+    return merged
+
+
+def bounds(df: DataFrame, column: str) -> tuple:
+    """S7: split-bounds discovery — ``min``/``max`` of the partition
+    column as one single-row aggregate (reference spark_loaders.py:89-98
+    runs it as a pushed-down JDBC query; over files Catalyst reads it
+    from parquet statistics where possible)."""
+    row = df.agg(
+        F.min(F.col(column)).alias("lower_bound"),
+        F.max(F.col(column)).alias("upper_bound"),
+    ).first()
+    return row["lower_bound"], row["upper_bound"]
+
+
+def reconcile_counts(source: DataFrame, ingested: DataFrame, destination: DataFrame) -> dict:
+    """A2: the reconciliation triple the reference logs side by side
+    (jdbc_loader_spark2.py:33-47). Returned structured, not printed."""
+    return {
+        "source_count": source.count(),
+        "ingested_count": ingested.count(),
+        "destination_count": destination.count(),
+    }

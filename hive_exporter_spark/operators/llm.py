@@ -1,0 +1,593 @@
+"""LLM-data-pipeline operators over `documents` / `embeddings`:
+deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash),
+similarity search (brute-force cosine top-k, LSH-bucketed ANN),
+text analysis (token stats, language-ID heuristic, quality score,
+fingerprinting). All hot paths are built-in Column algebra (JVM-side,
+whole-stage codegen); nothing collects data rows to the driver.
+
+Scale notes are inline per operator — the guiding rule: anything
+O(n²) (pair generation, brute-force ANN) exists as the small-scale
+oracle-checkable baseline, with an LSH-bucketed variant as the
+100 TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_exporter_spark.functions.vectors import cosine_similarity
+from hive_exporter_spark.sources.files import read_table
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.5
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+FP_MOD = 1_000_000_007
+
+
+def tokens_col(text_col: str = "text") -> F.Column:
+    """Lowercased word tokens (empties filtered), as array<string>."""
+    toks = F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)
+    return F.filter(toks, lambda t: t != "")
+
+
+def exploded_shingles(documents: DataFrame, k: int = SHINGLE_K,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Distinct k-token shingles (word k-grams) as (id, shingle) rows.
+
+    posexplode + window-lead, NOT an array-lambda transform: inside
+    interpreted higher-order functions every `element_at(toks, i)`
+    re-evaluates the whole tokenize expression (no memoization), which
+    measured ~5× slower than exploding. Here the text is tokenized
+    once, and shingle assembly is a lead-window over (doc, pos) — one
+    shuffle on the doc id, linear at any scale.
+    """
+    toks = documents.select(
+        id_col, F.posexplode(tokens_col()).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    return (
+        toks.select(id_col, F.concat_ws(" ", *parts).alias("shingle"),
+                    parts[-1].alias("__last"))
+        .where(F.col("__last").isNotNull())
+        .drop("__last")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+def dedup_exact(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: canonical (lowest-id) row per distinct text.
+
+    Shuffles on a sha2 digest of the text rather than the text itself —
+    at 100 TB the shuffle moves 32-byte keys, not document bodies, and
+    the digest distributes uniformly (no skew from popular boilerplate
+    lengths). Window + row_number keeps the full row without a
+    self-join back.
+    """
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
+    return (
+        documents.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Near-duplicate pairs by word-k-gram Jaccard similarity.
+
+    Inverted-index formulation: explode distinct shingles, self-join on
+    the shingle, count common shingles per pair, compute
+    |A∩B| / (|A|+|B|-|A∩B|). This is the oracle-checkable exact
+    baseline; it is O(sum of per-shingle doc-frequency²) — fine while
+    shingle doc-frequencies are bounded, quadratic on hot shingles. The
+    100 TB path is `minhash_lsh_pairs` (same output contract, candidate
+    pairs only from LSH band buckets).
+    """
+    exploded = exploded_shingles(documents, k)
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jacc = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", jacc)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+# MinHash: k independent hash slots over shingles. Uses xxhash64 (a
+# JVM built-in) re-seeded per slot — there is no DuckDB twin for
+# xxhash64, so these are rows-only checked (driver's weaker gate).
+MINHASH_SLOTS = 32
+LSH_BANDS = 8  # 8 bands × 4 rows: catches Jaccard ≳ 0.5 w.h.p.
+
+
+def minhash_signatures(documents: DataFrame, slots: int = MINHASH_SLOTS) -> DataFrame:
+    """Per-doc MinHash signature: min over shingles of xxhash64(shingle,
+    seed=i) for each slot i.
+
+    Explode + grouped min-aggregation, NOT array_min-over-transform:
+    higher-order functions run interpreted (no codegen, no
+    common-subexpression elimination), so an HOF formulation re-runs
+    the tokenize+shingle pipeline once per slot — measured 25× slower.
+    The explode shape tokenizes once, hashes each shingle `slots`
+    times, and partial-aggregates map-side; the shuffle carries only
+    (doc_id, 32 longs). This is also the shape that scales: min-agg is
+    associative, so 100 TB of shingles collapses before the exchange.
+    """
+    ex = exploded_shingles(documents)
+    mins = ex.groupBy("doc_id").agg(*[
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(slots)
+    ])
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(slots)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    slots: int = MINHASH_SLOTS,
+    bands: int = LSH_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates, verified by signature overlap.
+
+    Band the signature (bands × rows/band), bucket-join on
+    (band_id, band_hash) — only docs sharing a band collide, so the
+    join is linear in the number of true near-dups instead of O(n²).
+    Candidates are then scored by full-signature agreement
+    (estimated Jaccard) and filtered at `threshold`. This is the
+    100 TB dedup path.
+    """
+    rows_per_band = slots // bands
+    sigs = minhash_signatures(documents, slots)
+    banded = sigs.select(
+        "doc_id", "signature",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.hash(*[F.element_at("signature", bi * rows_per_band + r + 1)
+                         for r in range(rows_per_band)]).alias("bucket"),
+            )
+            for bi in range(bands)
+        ])).alias("bb"),
+    ).select("doc_id", "signature", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"), F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+    ))
+    return (
+        cands.withColumn("est_jaccard", agree / F.lit(MINHASH_SLOTS))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash64(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash over word tokens: per-bit majority vote of token
+    xxhash64 hashes.
+
+    Explode + 64 conditional-sum partial aggregates (same reasoning as
+    `minhash_signatures`: HOF-per-bit would re-tokenize 64×; the
+    grouped-sum shape hashes each token once and combines map-side).
+    A bit of the fingerprint is set when more tokens have it set than
+    clear; ties (exactly half) leave it clear.
+    """
+    ex = documents.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    h = F.xxhash64("tok")
+    votes = ex.groupBy("doc_id").agg(*[
+        F.sum(
+            F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1)
+            .otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ])
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("doc_id", fp.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+TOPK = 5
+N_QUERIES = 10
+
+
+def topk_cosine(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set against the
+    corpus, score JVM-side (zip_with/aggregate — no Python), rank per
+    query. The corpus is never shuffled: with Q queries this is one
+    map-side pass over the corpus + a top-k agg, which is exactly the
+    right plan at 100 TB for small Q. For large Q use `topk_cosine_lsh`.
+    """
+    q = F.broadcast(queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ))
+    scored = (
+        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+        .join(q, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", cosine_similarity("qvec", "nvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
+LSH_PLANES = 4
+LSH_TABLES = 8
+
+
+def _rp_buckets(vec_col: str, tables: list[list[list[float]]]) -> F.Column:
+    """Multi-table random-hyperplane bucket ids: for each table, pack
+    one sign bit per plane into an int; returns array<struct<tbl,bucket>>."""
+    entries = []
+    for ti, planes in enumerate(tables):
+        bit_cols = []
+        for i, plane in enumerate(planes):
+            arr = F.array(*[F.lit(x) for x in plane])
+            d = F.aggregate(
+                F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            bit_cols.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        bucket = bit_cols[0]
+        for c in bit_cols[1:]:
+            bucket = bucket + c
+        entries.append(F.struct(F.lit(ti).alias("tbl"), bucket.alias("bucket")))
+    return F.array(*entries)
+
+
+def topk_cosine_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK,
+    dim: int = 64,
+    planes: int = LSH_PLANES,
+    tables: int = LSH_TABLES,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via multi-table random-hyperplane LSH.
+
+    `tables` independent hash tables of `planes` sign bits each; a
+    corpus vector is a candidate if it shares a bucket with the query
+    in ANY table (the standard OR-construction — each table is coarse,
+    recall comes from the union). Scoring then runs only on candidates:
+    ~tables × corpus/2^planes rows per query instead of the full
+    corpus. Recall vs the exact `topk_cosine` is measured in tests.
+
+    100 TB path: materialize the exploded (tbl, bucket, vec) corpus
+    once, partitioned by (tbl, bucket); per-query probes then hit
+    2^planes-fold-pruned partitions only.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    plane_tabs = [
+        [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(planes)]
+        for _ in range(tables)
+    ]
+    buckets = _rp_buckets(vec_col, plane_tabs)
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"),
+        F.explode(buckets).alias("bb"),
+    ).select("neighbor_id", "nvec", "bb.tbl", "bb.bucket")
+    q = F.broadcast(queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        F.explode(buckets).alias("bb"),
+    ).select("query_id", "qvec", "bb.tbl", "bb.bucket"))
+    cands = (
+        corpus.join(q, ["tbl", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qvec", "neighbor_id", "nvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.withColumn("score", cosine_similarity("qvec", "nvec"))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-doc token statistics — all integer-derived, so the oracle
+    comparison is exact."""
+    toks = tokens_col()
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (tok_chars.cast("double") / F.size(toks)).alias("avg_token_len"),
+    )
+
+
+def token_count_bpe(documents: DataFrame) -> DataFrame:
+    """BPE-ish token count: letter runs + digit runs + punctuation."""
+    return documents.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PATTERN), F.lit(0))
+        ).alias("n_bpe_tokens"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language ID: stopword-hit ratio against an English
+    stopword list (the container has no langid lib; the operator shape
+    — per-language token-set scoring — is the real thing)."""
+    toks = tokens_col()
+    sw = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    ratio = hits.cast("double") / F.size(toks)
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        hits.alias("en_stopword_hits"),
+        ratio.alias("en_stopword_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("predicted_lang"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Composite quality score from length + lexical diversity —
+    the standard cheap pre-filter before expensive dedup/training."""
+    toks = tokens_col()
+    n = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    length_score = F.least(n.cast("double") / F.lit(200.0), F.lit(1.0))
+    score = F.round(F.lit(0.5) * length_score + F.lit(0.5) * distinct_ratio, 6)
+    return documents.select(
+        "doc_id", n.alias("n_tokens"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        score.alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Deterministic document fingerprint: polynomial rolling hash
+    (base 31, mod 1e9+7) over the raw character codepoints. Integer
+    arithmetic → exact oracle twin in DuckDB's list_reduce."""
+    return documents.select(
+        "doc_id",
+        F.expr(
+            "aggregate(transform(sequence(1, length(text)),"
+            " i -> cast(ascii(substring(text, i, 1)) as bigint)),"
+            f" cast(0 as bigint), (acc, x) -> (acc * 31 + x) % {FP_MOD})"
+        ).alias("fingerprint"),
+    )
+
+
+# -- driver-contract wiring -------------------------------------------------
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return read_table(spark, sf, "documents")
+
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    return read_table(spark, sf, "embeddings")
+
+
+def _q_dedup_exact(spark, sf):
+    return dedup_exact(_docs(spark, sf))
+
+
+def _q_jaccard(spark, sf):
+    return ngram_jaccard_pairs(_docs(spark, sf))
+
+
+def _q_minhash(spark, sf):
+    return minhash_lsh_pairs(_docs(spark, sf))
+
+
+def _q_simhash(spark, sf):
+    return simhash64(_docs(spark, sf))
+
+
+def _q_topk(spark, sf):
+    emb = _emb(spark, sf)
+    return topk_cosine(emb, emb.where(F.col("vec_id") < N_QUERIES))
+
+
+def _q_topk_lsh(spark, sf):
+    emb = _emb(spark, sf)
+    return topk_cosine_lsh(emb, emb.where(F.col("vec_id") < N_QUERIES))
+
+
+def _q_text_stats(spark, sf):
+    return text_stats(_docs(spark, sf))
+
+
+def _q_bpe(spark, sf):
+    return token_count_bpe(_docs(spark, sf))
+
+
+def _q_lang(spark, sf):
+    return language_id(_docs(spark, sf))
+
+
+def _q_quality(spark, sf):
+    return quality_score(_docs(spark, sf))
+
+
+def _q_fingerprint(spark, sf):
+    return fingerprint(_docs(spark, sf))
+
+
+QUERIES = {
+    "dedup_exact": _q_dedup_exact,
+    "ngram_jaccard_pairs": _q_jaccard,
+    "minhash_lsh_pairs": _q_minhash,
+    "simhash64": _q_simhash,
+    "embedding_topk_cosine": _q_topk,
+    "embedding_topk_cosine_lsh": _q_topk_lsh,
+    "text_stats": _q_text_stats,
+    "token_count_bpe": _q_bpe,
+    "language_id": _q_lang,
+    "quality_score": _q_quality,
+    "doc_fingerprint": _q_fingerprint,
+}
+
+_TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+_SHINGLES_SQL = f"""
+    CASE WHEN len({_TOKS_SQL}) >= {SHINGLE_K}
+         THEN list_distinct(list_transform(
+                  range(1, len({_TOKS_SQL}) - {SHINGLE_K - 2}),
+                  i -> concat_ws(' ', {_TOKS_SQL}[i], {_TOKS_SQL}[i+1], {_TOKS_SQL}[i+2])))
+         ELSE [] END
+"""
+_COS_SQL = """
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(
+        range(1, len(a.qvec) + 1),
+        i -> CAST(a.qvec[i] AS DOUBLE) * CAST(b.nvec[i] AS DOUBLE))), (acc, x) -> acc + x)
+    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(
+          range(1, len(a.qvec) + 1), i -> CAST(a.qvec[i] AS DOUBLE) * CAST(a.qvec[i] AS DOUBLE))),
+          (acc, x) -> acc + x))
+       * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(
+          range(1, len(b.nvec) + 1), i -> CAST(b.nvec[i] AS DOUBLE) * CAST(b.nvec[i] AS DOUBLE))),
+          (acc, x) -> acc + x)))
+"""
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT doc_id, text, lang, source, n_chars FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH sh AS (
+            SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+        ), sizes AS (
+            SELECT doc_id, len({_SHINGLES_SQL}) AS n_sh FROM documents
+        ), common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_common,
+               CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+    """,
+    "embedding_topk_cosine": f"""
+        SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   {_COS_SQL} AS score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {_COS_SQL} DESC, b.vec_id
+                   ) AS rank
+            FROM (SELECT vec_id, embedding AS qvec FROM embeddings WHERE vec_id < {N_QUERIES}) a(vec_id, qvec)
+            JOIN (SELECT vec_id, embedding AS nvec FROM embeddings) b(vec_id, nvec)
+              ON a.vec_id <> b.vec_id
+        ) WHERE rank <= {TOPK}
+    """,
+    "text_stats": f"""
+        SELECT doc_id, length(text) AS n_chars,
+               len({_TOKS_SQL}) AS n_tokens,
+               len(list_distinct({_TOKS_SQL})) AS n_distinct_tokens,
+               CAST(list_reduce(list_prepend(0, list_transform({_TOKS_SQL}, t -> length(t))),
+                    (a, x) -> a + x) AS DOUBLE) / len({_TOKS_SQL}) AS avg_token_len
+        FROM documents
+    """,
+    "token_count_bpe": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS n_bpe_tokens
+        FROM documents
+    """,
+    "language_id": f"""
+        SELECT doc_id,
+               len({_TOKS_SQL}) AS n_tokens,
+               len(list_filter({_TOKS_SQL}, t -> t IN {EN_STOPWORDS})) AS en_stopword_hits,
+               CAST(len(list_filter({_TOKS_SQL}, t -> t IN {EN_STOPWORDS})) AS DOUBLE)
+                   / len({_TOKS_SQL}) AS en_stopword_ratio,
+               CASE WHEN CAST(len(list_filter({_TOKS_SQL}, t -> t IN {EN_STOPWORDS})) AS DOUBLE)
+                         / len({_TOKS_SQL}) >= 0.05
+                    THEN 'en' ELSE 'other' END AS predicted_lang
+        FROM documents
+    """,
+    "quality_score": f"""
+        WITH t AS (
+            SELECT doc_id, len({_TOKS_SQL}) AS n,
+                   len(list_distinct({_TOKS_SQL})) AS nd
+            FROM documents
+        )
+        SELECT doc_id, n AS n_tokens,
+               round(CAST(nd AS DOUBLE) / n, 6) AS distinct_ratio,
+               round(0.5 * least(CAST(n AS DOUBLE) / 200.0, 1.0)
+                     + 0.5 * (CAST(nd AS DOUBLE) / n), 6) AS quality_score,
+               (round(0.5 * least(CAST(n AS DOUBLE) / 200.0, 1.0)
+                      + 0.5 * (CAST(nd AS DOUBLE) / n), 6) >= 0.5) AS keep
+        FROM t
+    """,
+    "doc_fingerprint": f"""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(text) + 1),
+                                      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % {FP_MOD}) AS fingerprint
+        FROM documents
+    """,
+    # minhash_lsh_pairs / simhash64 / embedding_topk_cosine_lsh: xxhash64 /
+    # seeded-hyperplane based — no DuckDB twin; rows-only checked.
+}

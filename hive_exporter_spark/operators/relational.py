@@ -1,0 +1,140 @@
+"""Headline analytical queries over the fixture tables — the engine's
+demonstration that scans, filters, aggregations, joins, windows and
+set ops compose Spark-first (all lazy DataFrame plans; Catalyst picks
+broadcast vs sort-merge joins, pushes filters into the parquet scans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hive_exporter_spark.functions.aggs import davg, dsum
+
+
+def pricing_summary(lineitem: DataFrame, ship_date_cutoff: str = "2024-09-01") -> DataFrame:
+    """Flagship: TPC-H-Q1-style pricing summary.
+
+    GroupBy two low-cardinality columns + 8 aggregates + global sort.
+    Scale shape: map-side partial aggregation collapses ~everything
+    before the shuffle (6 groups), so this is scan-bound at 100 TB —
+    exactly what you want. The cutoff filter and the 10-column
+    projection both push into the parquet scan.
+    """
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit(ship_date_cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def shipping_priority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                      segment: str = "BUILDING") -> DataFrame:
+    """TPC-H-Q3-style: revenue of unshipped orders for one segment.
+
+    Join shape at scale: customer⋈orders shuffles on custkey, then
+    ⋈lineitem shuffles on orderkey; the segment filter prunes customer
+    *before* its shuffle (pushed to the scan). Top-10 via sort+limit —
+    Spark executes it as a TakeOrdered (no global sort materialized).
+    """
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        customer.where(F.col("c_mktsegment") == segment)
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def local_supplier_volume(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                          orders: DataFrame, lineitem: DataFrame, supplier: DataFrame,
+                          region_name: str = "ASIA") -> DataFrame:
+    """TPC-H-Q5-style: revenue by nation where supplier and customer
+    share the nation. region/nation are broadcast (tiny dims); the
+    supplier-nation equality is part of the join condition so Catalyst
+    keeps one shuffle on the fact side."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        F.broadcast(region.where(F.col("r_name") == region_name))
+        .join(F.broadcast(nation), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(customer, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier, (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def top_orders_per_priority(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Grouped top-k (ranking window): highest-value orders per
+    priority. One shuffle on the partition key; no global sort."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank_in_priority", F.row_number().over(w))
+        .where(F.col("rank_in_priority") <= k)
+        .select("o_orderpriority", "rank_in_priority", "o_orderkey", "o_totalprice")
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Anti join: customers that never ordered. Catalyst broadcasts the
+    distinct custkey set when small; at scale AQE picks the strategy."""
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+def order_rollup(orders: DataFrame) -> DataFrame:
+    """ROLLUP aggregate over (status, priority) — subtotal + grand-total
+    rows, single pass with partial aggregation."""
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+    )
+
+
+def distinct_counts(lineitem: DataFrame) -> DataFrame:
+    """Exact distinct aggregates (the oracle-checkable baseline for the
+    approx_count_distinct fast path, see `approx_distinct_counts`)."""
+    return lineitem.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+def part_type_volume(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Broadcast-join demonstration: part (small dim) explicitly
+    broadcast against the lineitem fact — zero shuffle on the fact side
+    for the join; only the 25-group agg shuffles."""
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("p_type")
+    )

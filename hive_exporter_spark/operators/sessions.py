@@ -1,0 +1,150 @@
+"""Event-stream analytics over the `events` fixture: sessionization,
+time-bucketed rollups, pivots, JSON lifting — the batch twins of the
+streaming operators in hive_exporter_spark/streaming/ (the reference's
+'streaming' is micro-batch CDC, SURVEY.md §2.9; these are the
+analytics a real event table needs on top).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_exporter_spark.functions.aggs import davg_sql, dsum, dsum_sql
+from hive_exporter_spark.sources.files import read_table
+
+SESSION_GAP_MINUTES = 30
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to
+    the previous event of the same user exceeds ``gap_minutes``.
+
+    Classic lag + cumulative-sum-over-window formulation: exactly one
+    shuffle on ``user_id`` shared by both windows (same partitioning),
+    so at 100 TB this is a single exchange + per-key sort. The
+    streaming twin is ``F.session_window`` (streaming/ module).
+    """
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(f"INTERVAL {gap_minutes} MINUTES")
+    prev_ts = F.lag("ts").over(by_user)
+    is_new = F.when(prev_ts.isNull() | (F.col("ts") > prev_ts + gap), 1).otherwise(0)
+    session_id = F.sum(is_new).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.withColumn("session_id", session_id)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+def daily_stats(events: DataFrame) -> DataFrame:
+    """Time-bucketed rollup: day × event_type counts and value sums."""
+    return (
+        events.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+def event_type_pivot(events: DataFrame) -> DataFrame:
+    """Pivot: per-user event-type counts as columns. The value list is
+    pinned so the plan is a single pass (no distinct-values pre-query)."""
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+def lift_props(events: DataFrame) -> DataFrame:
+    """Lift the JSON `props` payload to typed columns (schema-on-read:
+    the reference's world is schema-inferred, SURVEY.md §1.2)."""
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+# -- driver-contract wiring -------------------------------------------------
+
+def _q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    return sessionize(read_table(spark, sf, "events"))
+
+
+def _q_daily(spark: SparkSession, sf: str) -> DataFrame:
+    return daily_stats(read_table(spark, sf, "events"))
+
+
+def _q_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    return event_type_pivot(read_table(spark, sf, "events"))
+
+
+def _q_props(spark: SparkSession, sf: str) -> DataFrame:
+    return lift_props(read_table(spark, sf, "events"))
+
+
+QUERIES = {
+    "sessionize": _q_sessionize,
+    "daily_event_stats": _q_daily,
+    "event_type_pivot": _q_pivot,
+    "json_props_lift": _q_props,
+}
+
+ORACLES = {
+    "sessionize": f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts > lag(ts) OVER w + INTERVAL {SESSION_GAP_MINUTES} MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT *, SUM(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+        FROM numbered GROUP BY user_id, session_id
+    """,
+    "daily_event_stats": f"""
+        SELECT date_trunc('day', ts) AS day, event_type,
+               COUNT(*) AS n_events, {dsum_sql('value')} AS total_value,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "event_type_pivot": """
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+               COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+               COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        FROM events GROUP BY user_id
+    """,
+    "json_props_lift": """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        FROM events
+    """,
+}

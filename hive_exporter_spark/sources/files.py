@@ -1,0 +1,53 @@
+"""File-dataset sources (reference: S3 `hive_importer_spark2.py:27`).
+
+The reference reads an exported directory with
+``spark.read.format(fmt).load('file://' + path)``; the engine
+generalizes to any Hadoop-FS URI and any self-describing format.
+Parquet is the default at rest (columnar, predicate pushdown + column
+pruning reach the scan for free via Catalyst).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# The driver-generated TPC-H-ish fixture tables (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
+# reader rejects. With spark.sql.legacy.parquet.nanosAsLong=true they
+# surface as long (epoch nanos); we floor-divide to micros — identical
+# truncation to DuckDB's nanos→micros TIMESTAMP conversion, so oracle
+# comparisons stay exact. Integer `div`, NOT `/` (double division would
+# lose precision on ~1.7e18 nano values).
+NANO_TS_COLUMNS = {"events": ("ts",)}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str, fmt: str = "parquet") -> DataFrame:
+    """Scan one fixture table. Lazy; filters/pruning push into the scan."""
+    path = os.path.join(sf_dir, f"{name}.{ 'parquet' if fmt == 'parquet' else fmt }")
+    df = spark.read.format(fmt).load(path)
+    for col in NANO_TS_COLUMNS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table as a lazy DataFrame keyed by name."""
+    return {name: read_table(spark, sf_dir, name) for name in TESTDATA_TABLES}

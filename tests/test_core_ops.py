@@ -1,0 +1,108 @@
+"""Unit tests for the relational core (SURVEY.md §2.3/2.5/2.6),
+including a replay of the reference's incremental-merge narrative
+(tests/test_incremental_merge.py in the reference) on synthesized
+DataFrames — counts AND winning values (the reference only checked
+counts; SURVEY.md §5)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from hive_exporter_spark.operators import core
+
+SCHEMA = "id int, value string, last_modified timestamp, created timestamp, date string, deleted int"
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_tag_batch_constant(spark):
+    df = spark.range(3)
+    tagged = core.tag_batch(df, "20260101T000000")
+    tags = [r["dl_ingest_date"] for r in tagged.collect()]
+    assert tags == ["20260101T000000"] * 3
+
+
+def test_high_water_mark_and_newer_than(spark):
+    df = spark.range(10).withColumnRenamed("id", "x")
+    assert core.high_water_mark(df, "x") == 9
+    assert core.newer_than(df, "x", 7).count() == 2
+    # None watermark (empty destination) passes everything through
+    assert core.newer_than(df, "x", None).count() == 10
+    empty = df.where(F.col("x") < 0)
+    assert core.high_water_mark(empty, "x") is None
+
+
+def test_newer_or_modified_disjunction(spark):
+    t = datetime(2024, 1, 5)
+    df = _rows(spark, [
+        (1, "a", datetime(2024, 1, 1), t, "d", None),   # old, unmodified
+        (2, "b", datetime(2024, 1, 9), t, "d", None),   # old id, modified
+        (6, "c", None, t, "d", None),                    # new id, NULL last_modified
+    ])
+    out = core.newer_or_modified(df, "id", 5, "last_modified", datetime(2024, 1, 5))
+    got = sorted(r["id"] for r in out.collect())
+    assert got == [2, 6]
+
+
+def test_merge_narrative_counts_and_values(spark):
+    """Reference narrative: 10 rows -> +1 NULL-last_modified row ->
+    update id=3 -> count stays 11 and value 'K' wins."""
+    t0 = datetime(2024, 1, 1)
+    base = _rows(spark, [
+        (i, chr(65 + i), t0, t0, "2024-01-01", None) for i in range(10)
+    ])
+    # new row with NULL last_modified must still be ingested
+    inc1 = _rows(spark, [(11, "X", None, t0, "2024-01-02", None)])
+    m1 = core.merge_upsert(base, inc1, ["id"], "last_modified",
+                           tiebreakers=["created"], deleted_column="deleted")
+    assert m1.count() == 11
+    # update id=3: latest wins
+    t1 = datetime(2024, 2, 1)
+    inc2 = _rows(spark, [(3, "K", t1, t1, "2024-02-01", None)])
+    m2 = core.merge_upsert(m1, inc2, ["id"], "last_modified",
+                           tiebreakers=["created"], deleted_column="deleted")
+    assert m2.count() == 11
+    assert m2.where(F.col("id") == 3).first()["value"] == "K"
+    # NULL last_modified loses to any non-NULL version (desc => nulls last)
+    inc3 = _rows(spark, [(3, "OLD", None, t1, "2024-02-02", None)])
+    m3 = core.merge_upsert(m2, inc3, ["id"], "last_modified",
+                           tiebreakers=["created"], deleted_column="deleted")
+    assert m3.where(F.col("id") == 3).first()["value"] == "K"
+
+
+def test_merge_soft_delete(spark):
+    t0 = datetime(2024, 1, 1)
+    t1 = datetime(2024, 2, 1)
+    base = _rows(spark, [(1, "a", t0, t0, "d", None), (2, "b", t0, t0, "d", None)])
+    tomb = _rows(spark, [(2, "b", t1, t1, "d", 1)])
+    out = core.merge_upsert(base, tomb, ["id"], "last_modified",
+                            deleted_column="deleted")
+    assert [r["id"] for r in out.collect()] == [1]
+
+
+def test_latest_per_key_composite_keys(spark):
+    t0, t1 = datetime(2024, 1, 1), datetime(2024, 2, 1)
+    df = spark.createDataFrame(
+        [(1, "x", t0, "old"), (1, "x", t1, "new"), (1, "y", t0, "other")],
+        "k1 int, k2 string, ts timestamp, v string",
+    )
+    out = core.latest_per_key(df, ["k1", "k2"], "ts")
+    got = {(r["k1"], r["k2"]): r["v"] for r in out.collect()}
+    assert got == {(1, "x"): "new", (1, "y"): "other"}
+
+
+def test_bounds(spark):
+    df = spark.range(5, 42).withColumnRenamed("id", "c")
+    assert core.bounds(df, "c") == (5, 41)
+
+
+def test_reconcile_counts(spark):
+    src = spark.range(10)
+    ing = spark.range(4)
+    dst = spark.range(10)
+    rep = core.reconcile_counts(src, ing, dst)
+    assert rep == {"source_count": 10, "ingested_count": 4, "destination_count": 10}

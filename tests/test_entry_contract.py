@@ -1,0 +1,29 @@
+"""Smoke-check the driver contract: entry() runs with >=0 rows and a
+stable schema; every queries() entry runs at sf0.001; oracle_sql keys
+are a subset of queries keys. (Full DuckDB comparison lives in
+tools/check_oracle.py — run separately, it is the t2 gate stand-in.)"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_runs(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) >= {"l_returnflag", "l_linestatus", "sum_qty", "count_order"}
+
+
+def test_oracle_keys_subset_of_queries():
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert set(o) <= set(q)
+    # the vast majority of queries must be oracle-checked
+    assert len(o) >= 0.75 * len(q)
+
+
+def test_all_queries_run(spark, sf_dir):
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        assert df.columns, name
+        assert df.count() >= 0, name

@@ -1,0 +1,95 @@
+"""Tests for the LLM-pipeline operators: dedup recall, ANN recall vs
+brute force, text stats sanity — the properties the DuckDB oracle
+can't check (approximation quality)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_exporter_spark.operators import llm
+from hive_exporter_spark.sources.files import read_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_dedup_exact_idempotent(spark, docs):
+    once = llm.dedup_exact(docs)
+    assert once.count() == docs.select("text").distinct().count()
+    assert llm.dedup_exact(once).count() == once.count()
+
+
+def test_dedup_exact_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(5, "same"), (2, "same"), (9, "other")], "doc_id long, text string"
+    )
+    got = {r["doc_id"] for r in llm.dedup_exact(df).collect()}
+    assert got == {2, 9}
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    """LSH candidates must recover (almost) all true Jaccard>=0.5 pairs."""
+    exact = {(r["doc_a"], r["doc_b"])
+             for r in llm.ngram_jaccard_pairs(docs).collect()}
+    approx = {(r["doc_a"], r["doc_b"])
+              for r in llm.minhash_lsh_pairs(docs).collect()}
+    assert exact, "fixture should contain near-duplicate docs"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH recall too low: {recall} ({len(approx)} candidates)"
+
+
+def test_simhash_near_dups_close(spark, docs):
+    """Near-dup pairs (by Jaccard) should have small SimHash Hamming distance."""
+    pairs = llm.ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+    sh = llm.simhash64(docs)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"))
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    ham = joined.select(
+        F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("d")
+    )
+    avg_near = ham.agg(F.avg("d")).first()[0]
+    assert avg_near < 16, f"near-dup avg hamming {avg_near} too high"
+
+
+def test_topk_lsh_recall(spark, emb):
+    """Bucketed ANN should find a decent fraction of the true top-5."""
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in llm.topk_cosine(emb, queries).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in llm.topk_cosine_lsh(emb, queries).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"ANN recall {recall} too low"
+
+
+def test_topk_cosine_self_excluded_and_k(spark, emb):
+    out = llm.topk_cosine(emb, emb.where(F.col("vec_id") < 3), k=5).collect()
+    assert len(out) == 15
+    assert all(r["query_id"] != r["neighbor_id"] for r in out)
+    assert all(1 <= r["rank"] <= 5 for r in out)
+    assert all(-1.0 <= r["score"] <= 1.0 for r in out)
+
+
+def test_text_stats_sane(spark, docs):
+    row = llm.text_stats(docs).where(F.col("n_tokens") > 0).first()
+    assert row["n_distinct_tokens"] <= row["n_tokens"]
+    assert row["avg_token_len"] > 0
+
+
+def test_fingerprint_deterministic_and_discriminative(spark, docs):
+    fp1 = llm.fingerprint(docs)
+    n_docs = docs.count()
+    n_fp = fp1.select("fingerprint").distinct().count()
+    n_text = docs.select("text").distinct().count()
+    # same text => same fingerprint; different texts rarely collide
+    assert n_fp <= n_text
+    assert n_fp > 0.95 * min(n_text, n_docs)
