@@ -16,8 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_exporter_spark.functions.aggs import davg_sql, dsum_sql
-from hive_exporter_spark.operators import core, llm, relational, sessions
-from hive_exporter_spark.sources.files import read_table
+from hive_exporter_spark.operators import asof, core, llm, multimodal, relational, sessions
+from hive_exporter_spark.sources.files import TESTDATA_TABLES, read_table
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -128,8 +128,75 @@ def _soft_delete(spark, sf):
     return core.not_soft_deleted(ev, "deleted")
 
 
+def _full_scan_region(spark, sf):
+    """S1/S3 scan parity: identity projection of a whole table."""
+    return _t(spark, sf, "region")
+
+
+def _table_row_counts(spark, sf):
+    """Catalog-style stats snapshot: one row per fixture table with its
+    row count (the DataFrame-native form of the reference's metadata
+    reconciliation; counts are single-row aggregates per table)."""
+    parts = []
+    for name in TESTDATA_TABLES:
+        parts.append(
+            _t(spark, sf, name).agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(F.lit(name).alias("table_name"), "n_rows")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _asof_last_purchase(spark, sf):
+    """As-of join: each event gets the latest same-user purchase at or
+    before its timestamp."""
+    ev = _t(spark, sf, "events")
+    purchases = core.latest_per_key(
+        ev.where(F.col("event_type") == "purchase"),
+        ["user_id", "ts"], "event_id",
+    ).select("user_id", F.col("ts").alias("pts"), F.col("value").alias("pvalue"))
+    return asof.asof_join(
+        ev.select("event_id", "ts", "user_id", "value"),
+        purchases, ["user_id"], "ts", "pts", ["pts", "pvalue"],
+    )
+
+
+def _date_features(spark, sf):
+    return relational.order_date_features(_t(spark, sf, "orders"))
+
+
+def _percentiles(spark, sf):
+    return relational.value_percentiles(_t(spark, sf, "events"))
+
+
+def _approx_stats(spark, sf):
+    return relational.approx_value_stats(_t(spark, sf, "events"))
+
+
+def _intersect(spark, sf):
+    return relational.nations_in_both_segments(
+        _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    )
+
+
+def _except(spark, sf):
+    return relational.nations_only_in_segment(
+        _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
+        "full_scan_region": _full_scan_region,
+        "table_row_counts": _table_row_counts,
+        "asof_last_purchase": _asof_last_purchase,
+        "order_date_features": _date_features,
+        "value_percentiles": _percentiles,
+        "approx_value_stats": _approx_stats,
+        "nations_in_both_segments": _intersect,
+        "nations_only_in_segment": _except,
         "q1_pricing_summary": _q1,
         "q3_shipping_priority": _q3,
         "q5_local_supplier_volume": _q5,
@@ -148,6 +215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     q.update(sessions.QUERIES)
     q.update(llm.QUERIES)
+    q.update(multimodal.QUERIES)
     return q
 
 
@@ -286,6 +354,66 @@ def oracle_sql() -> dict[str, str]:
             WHERE (CASE WHEN event_type = 'error' THEN 1 END) IS NULL
         """,
     }
+    o["full_scan_region"] = "SELECT * FROM region"
+    o["table_row_counts"] = " UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows FROM {t}"
+        for t in TESTDATA_TABLES
+    )
+    o["asof_last_purchase"] = """
+        WITH p AS (
+            SELECT user_id, ts AS pts, value AS pvalue FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id, ts ORDER BY event_id DESC
+                ) AS rn
+                FROM events WHERE event_type = 'purchase'
+            ) WHERE rn = 1
+        )
+        SELECT e.event_id, e.ts, e.user_id, e.value,
+               p.pts AS asof_pts, p.pvalue AS asof_pvalue
+        FROM events e
+        ASOF LEFT JOIN p ON e.user_id = p.user_id AND p.pts <= e.ts
+    """
+    o["order_date_features"] = """
+        SELECT o_orderkey,
+               year(o_orderdate) AS order_year,
+               month(o_orderdate) AS order_month,
+               quarter(o_orderdate) AS order_quarter,
+               day(o_orderdate) AS order_day,
+               date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                   AS days_since_1995,
+               upper(substr(o_orderpriority, 1, 1)) AS priority_code,
+               concat_ws('-', o_orderstatus, o_orderpriority) AS status_priority,
+               length(o_orderpriority) AS priority_len,
+               CASE WHEN o_orderstatus = 'F' THEN 'final' ELSE 'open' END AS status_flag,
+               CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_bucket,
+               o_totalprice * 0.1 AS commission
+        FROM orders
+    """
+    o["value_percentiles"] = """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
+    o["nations_in_both_segments"] = """
+        SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_mktsegment = 'MACHINERY'
+        ORDER BY n_name
+    """
+    o["nations_only_in_segment"] = """
+        SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_mktsegment = 'MACHINERY'
+        ORDER BY n_name
+    """
+    # approx_value_stats: sketch-based (HLL++/KLL) — no DuckDB twin; rows-only.
     o.update(sessions.ORACLES)
     o.update(llm.ORACLES)
+    o.update(multimodal.ORACLES)
     return o

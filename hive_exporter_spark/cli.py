@@ -1,0 +1,160 @@
+"""CLI front-ends preserving the reference's flags and validation
+rules (reference arg surface: spark_loaders.py:15-56 plus the
+per-script parsers in hive_exporter_spark2.py:20-26,
+jdbc_loader_spark2.py:23-27, jdbc_loader_incremental_*_spark2.py).
+
+One `hive-exporter-spark` entry point with subcommands instead of five
+scripts; every subcommand is a thin shim over the library.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from datetime import datetime, timezone
+
+from hive_exporter_spark.catalog import TableName
+from hive_exporter_spark.session import build_session
+
+
+def default_batch_tag() -> str:
+    """F1: the reference's batch tag format `%Y%m%dT%H%M%S`
+    (spark_loaders.py:121) — computed ONCE per invocation."""
+    return datetime.now(timezone.utc).strftime("%Y%m%dT%H%M%S")
+
+
+def _add_jdbc_args(p: argparse.ArgumentParser) -> None:
+    # Mirrors spark_loaders.base_argparser (spark_loaders.py:15-33),
+    # including the -t/-q mutual exclusion and paired partition args.
+    p.add_argument("-j", "--jdbc-url", required=True)
+    p.add_argument("-D", "--driver")
+    p.add_argument("-u", "--user")
+    p.add_argument("-P", "--password")
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("-t", "--table")
+    g.add_argument("-q", "--query")
+    p.add_argument("-p", "--partition-column")
+    p.add_argument("-n", "--num-partitions", type=int)
+    p.add_argument("-F", "--fetch-size", type=int)
+    p.add_argument("-T", "--query-timeout", type=int)
+    p.add_argument("-I", "--session-init-statement")
+    p.add_argument("-o", "--output", required=True, help="destination db.tbl")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    root = argparse.ArgumentParser(prog="hive-exporter-spark")
+    sub = root.add_subparsers(dest="command", required=True)
+
+    exp = sub.add_parser("export", help="export catalog tables to files")
+    exp.add_argument("-f", "--table-list-file", required=True,
+                     help="file with one db.tbl per line")
+    exp.add_argument("-d", "--output-dir", required=True)
+    exp.add_argument("-m", "--format", default="parquet")
+
+    imp = sub.add_parser("import", help="import exported dirs as tables")
+    imp.add_argument("paths", nargs="+")
+    imp.add_argument("-d", "--database", required=True)
+    imp.add_argument("-m", "--format", default="parquet")
+
+    meta = sub.add_parser("export-metadata", help="snapshot DDL of all tables")
+    meta.add_argument("-o", "--output-path", required=True)
+    meta.add_argument("-b", "--databases", nargs="*")
+
+    full = sub.add_parser("full", help="full-refresh ingestion")
+    _add_jdbc_args(full)
+    full.add_argument("--drop-first", action="store_true")
+
+    app = sub.add_parser("append", help="incremental append ingestion")
+    _add_jdbc_args(app)
+    app.add_argument("-i", "--incremental-column", required=True)
+    app.add_argument("-O", "--output-partition", nargs="*",
+                     help="output partition columns (default: ingest tag)")
+
+    mrg = sub.add_parser("merge", help="incremental merge (upsert) ingestion")
+    _add_jdbc_args(mrg)
+    mrg.add_argument("-k", "--key-columns", required=True,
+                     help="comma-separated key columns")
+    mrg.add_argument("-l", "--last-modified-column", required=True)
+    mrg.add_argument("-i", "--incremental-column", required=True)
+    mrg.add_argument("-d", "--deleted-column")
+    return root
+
+
+def _jdbc_source(spark, args):
+    from hive_exporter_spark.sources.jdbc import (
+        JdbcSourceConfig, discover_bounds, reader,
+    )
+
+    cfg = JdbcSourceConfig(
+        url=args.jdbc_url, driver=args.driver, user=args.user,
+        password=args.password, table=args.table, query=args.query,
+        fetch_size=args.fetch_size, query_timeout=args.query_timeout,
+        session_init_statement=args.session_init_statement,
+        partition_column=args.partition_column,
+        num_partitions=args.num_partitions,
+    )
+    if cfg.partition_column:
+        cfg = discover_bounds(spark, cfg)
+    return reader(spark, cfg).load()
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    # Hive support: catalog metadata must survive across CLI invocations
+    # (local Derby metastore; a real deployment points at the shared
+    # Hive metastore, reference README.rst:5-9).
+    spark = build_session("hive-exporter-spark-cli", enable_hive=True)
+    tag = default_batch_tag()
+
+    if args.command == "export":
+        from hive_exporter_spark.sinks import export_tables
+        with open(args.table_list_file) as fh:
+            tables = [ln.strip() for ln in fh if ln.strip()]
+        for t in tables:
+            TableName.parse(t)  # validate up front (reference :34-41)
+        written = export_tables(spark, tables, args.output_dir, args.format)
+        for t, path in written.items():
+            print(f"exported {t} -> {path}")
+        return 0
+
+    if args.command == "import":
+        from hive_exporter_spark.sinks import import_tables
+        created = import_tables(spark, args.paths, args.database,
+                                fmt=args.format)
+        for t in created:
+            print(f"imported {t}")
+        return 0
+
+    if args.command == "export-metadata":
+        from hive_exporter_spark.catalog import snapshot_metadata
+        snap = snapshot_metadata(spark, args.databases or None,
+                                 extract_ts=int(datetime.now(timezone.utc).timestamp()))
+        snap.write.mode("overwrite").parquet(args.output_path)
+        print(f"snapshotted {snap.count()} tables -> {args.output_path}")
+        return 0
+
+    from hive_exporter_spark.operators import ingest
+    dest = TableName.parse(args.output)
+    source = _jdbc_source(spark, args)
+    if args.command == "full":
+        rep = ingest.full_refresh(spark, source, dest, tag,
+                                  drop_first=args.drop_first)
+    elif args.command == "append":
+        rep = ingest.incremental_append(
+            spark, source, dest, args.incremental_column, tag,
+            partition_cols=args.output_partition,
+        )
+    else:  # merge
+        rep = ingest.incremental_merge(
+            spark, source, dest, args.key_columns.split(","),
+            args.last_modified_column, args.incremental_column, tag,
+            deleted_column=args.deleted_column,
+        )
+    # A2 reconciliation triple, logged like the reference loaders do
+    print(f"source={rep.source_count} ingested={rep.ingested_count} "
+          f"destination={rep.destination_count} reconciled={rep.reconciled}")
+    return 0 if rep.reconciled or args.command != "full" else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,165 @@
+"""The three ingestion strategies of the reference, recomposed from
+the core operators and sinks (reference spark_loaders.py:113-265):
+
+- full_refresh          (full_ingestion, :113-137)
+- incremental_append    (incremental_append_ingestion, :139-175)
+- incremental_merge     (incremental_merge_ingestion, :177-265)
+
+Each takes a *source DataFrame* (anything: JDBC relation, file scan,
+test fixture) — the reference hard-wired JDBC; decoupling source from
+strategy is the main structural change. Each returns an IngestReport
+(the reconciliation triple the reference only logged,
+jdbc_loader_spark2.py:33-47).
+
+The batch tag (`dl_ingest_date`) is an injected constant per batch —
+NOT per-row current_timestamp() — so one batch is one partition
+(reference spark_loaders.py:121; SURVEY.md §7.4.6 determinism).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_exporter_spark.catalog import TableName, clone_schema, create_database, drop_table, table_exists
+from hive_exporter_spark.operators import core
+from hive_exporter_spark.sinks import insert_by_name, safe_overwrite, write_partitioned
+
+
+@dataclass(frozen=True)
+class IngestReport:
+    """A2 reconciliation triple, structured."""
+
+    source_count: int
+    ingested_count: int
+    destination_count: int
+
+    @property
+    def reconciled(self) -> bool:
+        return self.source_count == self.destination_count
+
+
+def incremental_table(dest: TableName) -> TableName:
+    """`<tbl>_incremental` CDC log table (spark_loaders.py:188)."""
+    return TableName(dest.db, f"{dest.table}_incremental")
+
+
+def full_refresh(
+    spark: SparkSession,
+    source: DataFrame,
+    dest: TableName,
+    batch_tag: str,
+    fmt: str = "parquet",
+    drop_first: bool = False,
+    tag_column: str = core.INGEST_TAG_COLUMN,
+) -> IngestReport:
+    """Full refresh: tag, persist (the source — e.g. a JDBC relation —
+    must be scanned exactly once; reference spark_loaders.py:123-126),
+    schema-clone, insert-overwrite."""
+    source_count = source.count()
+    tagged = core.tag_batch(source, batch_tag, tag_column).persist()
+    try:
+        ingested_count = tagged.count()  # materializes the cache
+        create_database(spark, dest.db)
+        if drop_first:
+            drop_table(spark, dest)
+        clone_schema(spark, tagged, dest, fmt)
+        insert_by_name(tagged, dest, overwrite=True)
+    finally:
+        tagged.unpersist()
+    return IngestReport(source_count, ingested_count, spark.table(str(dest)).count())
+
+
+def incremental_append(
+    spark: SparkSession,
+    source: DataFrame,
+    dest: TableName,
+    incremental_column: str,
+    batch_tag: str,
+    partition_cols: Sequence[str] | None = None,
+    fmt: str = "parquet",
+    tag_column: str = core.INGEST_TAG_COLUMN,
+) -> IngestReport:
+    """Incremental append for log-like sources: high-water mark from
+    the destination itself (sink-derived state — restart-safe with no
+    external checkpoint), strict `>` filter, tagged partitioned append
+    (reference spark_loaders.py:139-175).
+
+    Scale: the watermark is a single-row aggregate; the filter pushes
+    into the source scan (JDBC WHERE / parquet row-group skip), so
+    only the delta crosses the wire.
+    """
+    source_count = source.count()
+    exists = table_exists(spark, dest)
+    hwm = core.high_water_mark(spark.table(str(dest)), incremental_column) if exists else None
+    delta = core.tag_batch(core.newer_than(source, incremental_column, hwm),
+                           batch_tag, tag_column).persist()
+    try:
+        ingested_count = delta.count()
+        create_database(spark, dest.db)
+        write_partitioned(delta, dest, list(partition_cols or [tag_column]),
+                          fmt, overwrite=not exists)
+    finally:
+        delta.unpersist()
+    return IngestReport(source_count, ingested_count, spark.table(str(dest)).count())
+
+
+def incremental_merge(
+    spark: SparkSession,
+    source: DataFrame,
+    dest: TableName,
+    key_columns: Sequence[str],
+    last_modified_column: str,
+    incremental_column: str,
+    batch_tag: str,
+    deleted_column: str | None = None,
+    fmt: str = "parquet",
+    tag_column: str = core.INGEST_TAG_COLUMN,
+    scratch_db: str = "spark_scratch",
+) -> IngestReport:
+    """Incremental merge (upsert): filter new-or-modified rows, append
+    to the `<tbl>_incremental` CDC log, then consolidate latest-per-key
+    into the destination (reference spark_loaders.py:177-265).
+
+    The consolidation re-reads the log table (lineage break,
+    :225) and must two-phase through a scratch table because it reads
+    what it overwrites (:246-262 → sinks.safe_overwrite). The window
+    dedup orders by last_modified DESC with the batch tag and
+    incremental column as deterministic tiebreakers (the reference had
+    none — tie nondeterminism, SURVEY.md §7.4.4); NULL last_modified
+    loses to any non-NULL version (desc => nulls last), as the
+    reference's merge test requires.
+    """
+    source_count = source.count()
+    inc_tbl = incremental_table(dest)
+    exists = table_exists(spark, inc_tbl)
+    last_mod = last_val = None
+    if exists:
+        log_df = spark.table(str(inc_tbl))
+        last_mod = core.high_water_mark(log_df, last_modified_column)
+        last_val = core.high_water_mark(log_df, incremental_column)
+    delta = core.tag_batch(
+        core.newer_or_modified(source, incremental_column, last_val,
+                               last_modified_column, last_mod),
+        batch_tag, tag_column,
+    ).persist()
+    try:
+        ingested_count = delta.count()
+        create_database(spark, dest.db)
+        write_partitioned(delta, inc_tbl, [tag_column], fmt, overwrite=not exists)
+    finally:
+        delta.unpersist()
+
+    # Consolidate from the full log: latest version per key, tombstones out.
+    log_df = spark.table(str(inc_tbl))
+    consolidated = core.latest_per_key(
+        log_df, key_columns, last_modified_column,
+        tiebreakers=[tag_column, incremental_column],
+    )
+    if deleted_column is not None:
+        consolidated = core.not_soft_deleted(consolidated, deleted_column)
+    safe_overwrite(spark, consolidated, dest, fmt, scratch_db=scratch_db,
+                   scratch_suffix=batch_tag)
+    return IngestReport(source_count, ingested_count, spark.table(str(dest)).count())

@@ -124,6 +124,77 @@ def distinct_counts(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def order_date_features(orders: DataFrame) -> DataFrame:
+    """Scalar-function showcase: date parts, date arithmetic, string
+    ops, CASE, numeric bucketing — all JVM built-ins inside one
+    whole-stage-codegen span (F1-F6 parity and beyond)."""
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .alias("days_since_1995"),
+        F.upper(F.substring("o_orderpriority", 1, 1)).alias("priority_code"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_priority"),
+        F.length("o_orderpriority").alias("priority_len"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("final"))
+        .otherwise(F.lit("open")).alias("status_flag"),
+        F.floor(F.col("o_totalprice") / 50000).cast("long").alias("price_bucket"),
+        # raw double product (not rounded): IEEE multiply is bit-identical
+        # across engines, round(x, 2) on half-way cases is not
+        (F.col("o_totalprice") * 0.1).alias("commission"),
+    )
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles per event_type (sort-based; the
+    approximate fast path is `approx_value_stats`)."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", 0.5), 6).alias("p50"),
+            F.round(F.percentile("value", 0.9), 6).alias("p90"),
+            F.round(F.percentile("value", 0.99), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def approx_value_stats(events: DataFrame) -> DataFrame:
+    """Sketch-based aggregates — approx_count_distinct (HLL++) and
+    percentile_approx (KLL-style) — the at-scale substitutes for the
+    exact forms. No DuckDB twin (different sketches): rows-only
+    checked; the tests bound their error vs the exact values."""
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_p50"),
+    )
+
+
+def nations_in_both_segments(customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """INTERSECT: nations having customers in BUILDING and MACHINERY."""
+    a = (customer.where(F.col("c_mktsegment") == "BUILDING")
+         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+         .select("n_name"))
+    b = (customer.where(F.col("c_mktsegment") == "MACHINERY")
+         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+         .select("n_name"))
+    return a.intersect(b).orderBy("n_name")
+
+
+def nations_only_in_segment(customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """EXCEPT: nations with BUILDING customers but no MACHINERY ones."""
+    a = (customer.where(F.col("c_mktsegment") == "BUILDING")
+         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+         .select("n_name"))
+    b = (customer.where(F.col("c_mktsegment") == "MACHINERY")
+         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+         .select("n_name"))
+    return a.subtract(b).orderBy("n_name")
+
+
 def part_type_volume(part: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Broadcast-join demonstration: part (small dim) explicitly
     broadcast against the lineitem fact — zero shuffle on the fact side

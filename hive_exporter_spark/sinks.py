@@ -1,0 +1,95 @@
+"""Sinks: file export/import and table writes, including the
+scratch-table two-phase overwrite the reference needs to avoid
+Spark's self-overwrite error (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_exporter_spark.catalog import (
+    TableName, clone_schema, create_database, drop_table, table_exists,
+)
+
+
+def export_tables(spark: SparkSession, tables: Iterable[str], out_dir: str,
+                  fmt: str = "parquet") -> dict[str, str]:
+    """K1: export catalog tables to one directory per table, named
+    `db.tbl` (reference hive_exporter_spark2.py:43-51). Unlike the
+    reference, any Hadoop-FS URI works, not just `file://` — exports
+    run executor-side, so this behaves in cluster deploy mode too.
+    """
+    written = {}
+    for qualified in tables:
+        name = TableName.parse(qualified)
+        path = os.path.join(out_dir, str(name))
+        spark.table(str(name)).write.format(fmt).mode("overwrite").save(path)
+        written[qualified] = path
+    return written
+
+
+def import_tables(spark: SparkSession, paths: Iterable[str], db: str,
+                  fmt: str = "parquet", table_fmt: str = "parquet") -> list[str]:
+    """K2: import exported dataset dirs as managed tables; the table
+    name is the dir basename's `db.tbl` with the target db override
+    (reference hive_importer_spark2.py:27-35)."""
+    create_database(spark, db)
+    created = []
+    for path in paths:
+        base = os.path.basename(path.rstrip("/"))
+        table = base.split(".", 1)[1] if "." in base else base
+        dest = TableName(db, table)
+        df = spark.read.format(fmt).load(path)
+        df.write.format(table_fmt).mode("overwrite").saveAsTable(str(dest))
+        created.append(str(dest))
+    return created
+
+
+def insert_by_name(df: DataFrame, dest: TableName, overwrite: bool = True) -> None:
+    """`insertInto` with columns aligned BY NAME first. Spark's
+    insertInto is positional (reference spark_loaders.py:134,261 —
+    a silent-corruption trap, SURVEY.md §7.4.2); aligning the
+    projection to the destination schema first makes it safe."""
+    spark = df.sparkSession
+    dest_cols = [f.name for f in spark.table(str(dest)).schema.fields]
+    df.select(*dest_cols).write.insertInto(str(dest), overwrite=overwrite)
+
+
+def safe_overwrite(spark: SparkSession, df: DataFrame, dest: TableName,
+                   fmt: str = "parquet", scratch_db: str = "spark_scratch",
+                   scratch_suffix: str = "persist") -> None:
+    """K6: two-phase overwrite for plans that READ the destination
+    table (Spark forbids overwriting a path being read — the
+    reference's scratch-table dance at spark_loaders.py:246-262).
+
+    Phase 1 materializes the plan into a scratch table (breaking
+    lineage to the destination); phase 2 clones the schema if needed
+    and insert-overwrites the destination from the scratch table; the
+    scratch is dropped. `scratch_suffix` is injectable — the reference
+    used a random 6-letter name (spark_loaders.py:246), which breaks
+    resumability (SURVEY.md §7.4.6).
+    """
+    create_database(spark, scratch_db)
+    scratch = TableName(scratch_db, f"temp_{dest.table}_{scratch_suffix}")
+    df.write.format(fmt).mode("overwrite").saveAsTable(str(scratch))
+    try:
+        materialized = spark.table(str(scratch))
+        create_database(spark, dest.db)
+        clone_schema(spark, materialized, dest, fmt)
+        insert_by_name(materialized, dest, overwrite=True)
+    finally:
+        drop_table(spark, scratch)
+
+
+def write_partitioned(df: DataFrame, dest: TableName, partition_cols: Sequence[str],
+                      fmt: str = "parquet", overwrite: bool = False) -> None:
+    """K4/K5: partitioned saveAsTable — overwrite on first write,
+    append for subsequent increments (reference spark_loaders.py:
+    165-173,215-223). Partitioning by the ingest batch tag gives
+    partition pruning on re-reads and batch-level rollback."""
+    mode = "overwrite" if overwrite else "append"
+    (df.write.format(fmt).mode(mode).partitionBy(*partition_cols)
+     .saveAsTable(str(dest)))

@@ -1,0 +1,26 @@
+"""Structured Streaming twins of the engine's batch operators.
+
+The reference's 'streaming' is micro-batch CDC with sink-derived
+watermarks (SURVEY.md §2.9) — rebuilt in operators/ingest.py. This
+module provides the true Structured Streaming equivalents for
+event-stream workloads: windowed aggregation with late-data
+watermarks, gap sessionization via session_window, and a foreachBatch
+CDC bridge that reuses the batch merge logic for exactly-once-style
+incremental consolidation.
+"""
+
+from hive_exporter_spark.streaming.streams import (
+    read_events_stream,
+    windowed_event_counts,
+    session_windows,
+    run_to_memory_sink,
+    incremental_append_stream,
+)
+
+__all__ = [
+    "read_events_stream",
+    "windowed_event_counts",
+    "session_windows",
+    "run_to_memory_sink",
+    "incremental_append_stream",
+]

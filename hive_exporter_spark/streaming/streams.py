@@ -1,0 +1,127 @@
+"""Structured Streaming operators over the events table.
+
+Local testing drives these with the file source (one parquet file =
+one micro-batch via Trigger.AvailableNow / processAllAvailable); in
+production the same plans run unchanged on Kafka/Kinesis sources —
+that is the point of declaring them as lazy transformations on a
+readStream DataFrame.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_exporter_spark.operators import core
+
+EVENTS_SCHEMA = (
+    "event_id long, ts_nanos long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events fixture. The fixture stores
+    TIMESTAMP(NANOS) which Spark reads as long under nanosAsLong
+    (sources/files.py); the stream converts to a proper event-time
+    column the same way."""
+    # The file stream source needs a *directory*; point it at sf_dir
+    # and glob-filter to the events file.
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts per event_type with a late-data
+    watermark: state for windows older than `watermark` is evicted —
+    the bounded-state requirement for an unbounded 100 TB/day stream.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Gap sessionization with the native streaming session_window —
+    the streaming twin of operators/sessions.sessionize (same gap
+    semantics; state closes when the watermark passes gap end)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id", "n_events", "total_value",
+        )
+    )
+
+
+def run_to_memory_sink(stream_df: DataFrame, name: str,
+                       output_mode: str = "append") -> DataFrame:
+    """Drive a streaming plan to completion over the currently
+    available input (AvailableNow semantics) into an in-memory table;
+    returns the result as a batch DataFrame. Local smoke-test harness —
+    production would use a durable sink + checkpointLocation."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+def incremental_append_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    dest_table: str,
+    incremental_column: str,
+    tag_prefix: str = "stream",
+) -> object:
+    """foreachBatch CDC bridge: every micro-batch goes through the SAME
+    batch high-water-mark append logic (operators/ingest) — the
+    Structured-Streaming realization of the reference's rerun-the-CLI
+    trigger model (SURVEY.md §2.9 'Trigger'). Returns the started
+    StreamingQuery; caller owns stop()."""
+    from hive_exporter_spark.catalog import TableName
+    from hive_exporter_spark.operators.ingest import incremental_append
+
+    dest = TableName.parse(dest_table)
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        incremental_append(
+            spark, batch_df, dest, incremental_column,
+            batch_tag=f"{tag_prefix}_{epoch_id:06d}",
+        )
+
+    return source.writeStream.foreachBatch(_sink).start()
+
+
+def watermark_filter_stream(events: DataFrame, column: str, last_value) -> DataFrame:
+    """P5 applied to a stream: the same strict `>` predicate works
+    unchanged on a streaming DataFrame (stateless filter)."""
+    return core.newer_than(events, column, last_value)

@@ -1,0 +1,110 @@
+"""Catalog, export/import round-trip, safe_overwrite, metadata
+snapshot, and JDBC option-builder tests."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_exporter_spark.catalog import (
+    TableName, database_exists, snapshot_metadata, table_exists,
+)
+from hive_exporter_spark.sinks import export_tables, import_tables, safe_overwrite
+from hive_exporter_spark.sources.jdbc import JdbcSourceConfig
+
+
+@pytest.fixture()
+def db(spark):
+    name = f"testdb_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {name}")
+    yield name
+    spark.sql(f"DROP DATABASE IF EXISTS {name} CASCADE")
+
+
+def test_tablename_validation():
+    assert str(TableName.parse("db1.tbl_2")) == "db1.tbl_2"
+    for bad in ("justtable", "a.b.c", "db.tbl; drop", "db.", ".tbl", "d b.t"):
+        with pytest.raises(ValueError):
+            TableName.parse(bad)
+
+
+def test_case_insensitive_existence(spark, db):
+    spark.range(3).write.saveAsTable(f"{db}.MyTable")
+    assert table_exists(spark, TableName(db, "mytable"))
+    assert table_exists(spark, TableName(db.upper(), "MYTABLE"))
+    assert not table_exists(spark, TableName(db, "nope"))
+    assert database_exists(spark, db.upper())
+
+
+def test_export_import_roundtrip(spark, db, tmp_path):
+    src = TableName(db, "roundtrip")
+    spark.range(100).withColumn("v", F.col("id") * 2).write.saveAsTable(str(src))
+    out = export_tables(spark, [str(src)], str(tmp_path))
+    assert list(out) == [str(src)]
+    dest_db = f"{db}_imp"
+    try:
+        created = import_tables(spark, out.values(), dest_db)
+        assert created == [f"{dest_db}.roundtrip"]
+        a = spark.table(str(src)).orderBy("id").collect()
+        b = spark.table(created[0]).orderBy("id").collect()
+        assert a == b
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {dest_db} CASCADE")
+
+
+def test_safe_overwrite_self_read(spark, db):
+    """The hazard case: overwrite a table from a plan that reads it."""
+    dest = TableName(db, "selfref")
+    spark.range(10).write.saveAsTable(str(dest))
+    plan = spark.table(str(dest)).where(F.col("id") < 5)
+    safe_overwrite(spark, plan, dest)
+    assert spark.table(str(dest)).count() == 5
+    # scratch table cleaned up
+    assert not table_exists(spark, TableName("spark_scratch", "temp_selfref_persist"))
+
+
+def test_snapshot_metadata(spark, db):
+    spark.range(5).write.saveAsTable(f"{db}.snap_me")
+    snap = snapshot_metadata(spark, [db], extract_ts=1700000000)
+    rows = snap.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["db_name"], r["tbl_name"], r["extract_ts"]) == (db, "snap_me", 1700000000)
+    assert "snap_me" in r["createstmt"]
+    assert snap.columns == ["db_name", "tbl_name", "createstmt", "extract_ts"]
+
+
+def test_jdbc_option_builder():
+    cfg = JdbcSourceConfig(
+        url="jdbc:mysql://host/db", driver="com.mysql.jdbc.Driver",
+        user="u", password="p", table="t", fetch_size=1000,
+        query_timeout=60, partition_column="id", num_partitions=4,
+        lower_bound=0, upper_bound=99, push_down_aggregate=True,
+    )
+    opts = cfg.options()
+    assert opts["dbtable"] == "t"
+    assert opts["partitionColumn"] == "id"
+    assert (opts["lowerBound"], opts["upperBound"], opts["numPartitions"]) == ("0", "99", "4")
+    assert opts["pushDownAggregate"] == "true"
+    assert cfg.bounds_query() == (
+        "SELECT MIN(id) AS lower_bound, MAX(id) AS upper_bound FROM t"
+    )
+
+
+def test_jdbc_oracle_dialect():
+    cfg = JdbcSourceConfig(url="jdbc:oracle:thin:@h:1521/s", table="t")
+    opts = cfg.options()
+    assert opts["oracle.jdbc.mapDateToTimestamp"] == "false"
+    assert "NLS_TIMESTAMP_FORMAT" in opts["sessionInitStatement"]
+
+
+def test_jdbc_validation():
+    with pytest.raises(ValueError):
+        JdbcSourceConfig(url="jdbc:mysql://h/d")  # neither table nor query
+    with pytest.raises(ValueError):
+        JdbcSourceConfig(url="jdbc:mysql://h/d", table="t", query="select 1")
+    with pytest.raises(ValueError):
+        JdbcSourceConfig(url="jdbc:mysql://h/d", query="select 1",
+                         partition_column="id")

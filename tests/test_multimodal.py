@@ -1,0 +1,51 @@
+"""Multimodal plumbing tests: Arrow-batched kernels over binary
+columns — schema, determinism, fan-out shape, stub gating."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_exporter_spark.operators import multimodal
+from hive_exporter_spark.sources.files import read_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents").limit(50).cache()
+
+
+def test_binary_metadata_matches_driver_side(spark, docs):
+    sample = docs.limit(5).collect()
+    got = {r["doc_id"]: r for r in multimodal.binary_metadata(docs).collect()}
+    for row in sample:
+        b = row["text"].encode("utf-8")
+        assert got[row["doc_id"]]["byte_len"] == len(b)
+        assert got[row["doc_id"]]["sha256"] == hashlib.sha256(b).hexdigest()
+
+
+def test_decode_images_fake_deterministic(spark, docs):
+    a = {r["doc_id"]: (r["width"], r["height"], r["n_channels"])
+         for r in multimodal.decode_images(docs).collect()}
+    b = {r["doc_id"]: (r["width"], r["height"], r["n_channels"])
+         for r in multimodal.decode_images(docs).collect()}
+    assert a == b
+    assert all(64 <= w < 256 and 64 <= h < 256 and c in (1, 3)
+               for (w, h, c) in a.values())
+
+
+def test_decode_images_real_path_gated(spark, docs):
+    if multimodal._try_import_pil() is None:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_images(docs, fake=False)
+
+
+def test_frame_sample_fan_out(spark, docs):
+    out = multimodal.frame_sample_plan(docs, every_n=10)
+    n_docs = docs.count()
+    counts = out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    assert counts.count() == n_docs
+    assert out.count() >= n_docs  # at least frame 0 per doc
+    assert out.where(F.col("frame_index") % 10 != 0).count() == 0

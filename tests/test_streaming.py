@@ -1,0 +1,73 @@
+"""Structured Streaming tests: the streaming plans must agree with
+their batch twins when driven over the same (bounded) input."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from hive_exporter_spark.operators.sessions import sessionize
+from hive_exporter_spark.sources.files import read_table
+from hive_exporter_spark.streaming import (
+    read_events_stream, run_to_memory_sink, session_windows,
+    windowed_event_counts,
+)
+
+
+def test_windowed_counts_match_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    out = run_to_memory_sink(
+        windowed_event_counts(stream), f"win_{uuid.uuid4().hex[:8]}"
+    )
+    batch = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got = {(r["window_start"], r["event_type"]): r["n_events"] for r in out.collect()}
+    want = {(r["win"]["start"], r["event_type"]): r["n_events"] for r in batch.collect()}
+    # watermark may hold back the final (open) windows; everything
+    # emitted must match the batch result, and most windows must emit
+    assert got
+    assert all(want.get(k) == v for k, v in got.items())
+    assert len(got) >= 0.8 * len(want)
+
+
+def test_session_window_stream_agrees_with_batch_sessionize(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    out = run_to_memory_sink(
+        session_windows(stream, gap="30 minutes"), f"sess_{uuid.uuid4().hex[:8]}"
+    )
+    batch = sessionize(read_table(spark, sf_dir, "events"), gap_minutes=30)
+    # session_window closes a session gap-after the last event, so
+    # compare (user, session_start, n_events) sets on emitted sessions
+    got = {(r["user_id"], r["session_start"], r["n_events"]) for r in out.collect()}
+    want = {(r["user_id"], r["session_start"], r["n_events"]) for r in batch.collect()}
+    assert got
+    missing = got - want
+    assert not missing, f"streaming sessions disagree with batch: {list(missing)[:3]}"
+
+
+def test_foreach_batch_cdc_bridge(spark, sf_dir, tmp_path):
+    """The foreachBatch bridge must land stream rows in the destination
+    table through the batch append logic."""
+    import time
+
+    from hive_exporter_spark.streaming import incremental_append_stream
+
+    db = f"testdb_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db}")
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        q = incremental_append_stream(spark, stream, f"{db}.events_cdc", "event_id")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        n_src = read_table(spark, sf_dir, "events").count()
+        assert spark.table(f"{db}.events_cdc").count() == n_src
+        tags = spark.table(f"{db}.events_cdc").select("dl_ingest_date").distinct().count()
+        assert tags >= 1
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
