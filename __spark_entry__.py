@@ -187,9 +187,33 @@ def _except(spark, sf):
     )
 
 
+def _left_join_stats(spark, sf):
+    return relational.customer_order_stats(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    )
+
+
+def _semi_join(spark, sf):
+    return relational.customers_with_urgent_orders(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    )
+
+
+def _cube(spark, sf):
+    return relational.order_cube(_t(spark, sf, "orders"))
+
+
+def _top_balance(spark, sf):
+    return relational.top_customers_by_balance(_t(spark, sf, "customer"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "full_scan_region": _full_scan_region,
+        "customer_order_stats": _left_join_stats,
+        "customers_with_urgent_orders": _semi_join,
+        "order_cube": _cube,
+        "top_customers_by_balance": _top_balance,
         "table_row_counts": _table_row_counts,
         "asof_last_purchase": _asof_last_purchase,
         "order_date_features": _date_features,
@@ -355,6 +379,31 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     o["full_scan_region"] = "SELECT * FROM region"
+    o["customer_order_stats"] = f"""
+        SELECT c_custkey, c_name,
+               COUNT(o_orderkey) AS n_orders,
+               COALESCE({dsum_sql('o_totalprice')}, 0.0) AS total_spent
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+    """
+    o["customers_with_urgent_orders"] = """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        )
+    """
+    o["order_cube"] = f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               {dsum_sql('o_totalprice')} AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """
+    o["top_customers_by_balance"] = """
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 20
+    """
     o["table_row_counts"] = " UNION ALL ".join(
         f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows FROM {t}"
         for t in TESTDATA_TABLES

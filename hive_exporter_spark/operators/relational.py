@@ -105,6 +105,51 @@ def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFram
     ).select("c_custkey", "c_name", "c_acctbal")
 
 
+def customer_order_stats(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left outer join + per-customer aggregate, order-less customers
+    kept with zeroed stats."""
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+def customers_with_urgent_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left-semi join: customers having at least one 1-URGENT order.
+    Semi joins ship only the join key of the right side — at scale the
+    distinct-key set is far smaller than the orders fact."""
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def order_cube(orders: DataFrame) -> DataFrame:
+    """CUBE aggregate over (status, priority): all 4 grouping
+    combinations in one pass (grouping-sets expansion happens map-side
+    before the single exchange)."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+    )
+
+
+def top_customers_by_balance(customer: DataFrame, k: int = 20) -> DataFrame:
+    """Global top-k: Spark executes orderBy+limit as TakeOrderedAndProject
+    — per-partition top-k then a driver merge of k·p rows, never a full
+    global sort."""
+    return (
+        customer.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(k)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
 def order_rollup(orders: DataFrame) -> DataFrame:
     """ROLLUP aggregate over (status, priority) — subtotal + grand-total
     rows, single pass with partial aggregation."""

@@ -73,6 +73,29 @@ def event_type_pivot(events: DataFrame) -> DataFrame:
     )
 
 
+def user_value_deltas(events: DataFrame) -> DataFrame:
+    """Analytic lag: per-user consecutive value deltas (the lag/lead
+    family the reference's window surface lacked, SURVEY.md §2.6)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return events.select(
+        "event_id", "user_id", "ts", "value",
+        prev.alias("prev_value"),
+        (F.col("value") - prev).alias("value_delta"),
+    )
+
+
+def event_type_unpivot(events: DataFrame) -> DataFrame:
+    """Unpivot (stack): the wide per-user pivot back to long form —
+    (user_id, event_type, n) including explicit zero rows."""
+    wide = event_type_pivot(events)
+    stack_expr = ", ".join(f"'{t}', {t}" for t in EVENT_TYPES)
+    return wide.selectExpr(
+        "user_id",
+        f"stack({len(EVENT_TYPES)}, {stack_expr}) AS (event_type, n)",
+    )
+
+
 def lift_props(events: DataFrame) -> DataFrame:
     """Lift the JSON `props` payload to typed columns (schema-on-read:
     the reference's world is schema-inferred, SURVEY.md §1.2)."""
@@ -100,11 +123,21 @@ def _q_props(spark: SparkSession, sf: str) -> DataFrame:
     return lift_props(read_table(spark, sf, "events"))
 
 
+def _q_deltas(spark: SparkSession, sf: str) -> DataFrame:
+    return user_value_deltas(read_table(spark, sf, "events"))
+
+
+def _q_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    return event_type_unpivot(read_table(spark, sf, "events"))
+
+
 QUERIES = {
     "sessionize": _q_sessionize,
     "daily_event_stats": _q_daily,
     "event_type_pivot": _q_pivot,
     "json_props_lift": _q_props,
+    "user_value_deltas": _q_deltas,
+    "event_type_unpivot": _q_unpivot,
 }
 
 ORACLES = {
@@ -146,5 +179,22 @@ ORACLES = {
     "json_props_lift": """
         SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         FROM events
+    """,
+    "user_value_deltas": """
+        SELECT event_id, user_id, ts, value,
+               lag(value) OVER w AS prev_value,
+               value - lag(value) OVER w AS value_delta
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "event_type_unpivot": """
+        WITH types(event_type) AS (
+            VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')
+        ), users AS (SELECT DISTINCT user_id FROM events)
+        SELECT u.user_id, t.event_type,
+               COALESCE((SELECT COUNT(*) FROM events e
+                         WHERE e.user_id = u.user_id
+                           AND e.event_type = t.event_type), 0) AS n
+        FROM users u CROSS JOIN types t
     """,
 }

@@ -1,0 +1,86 @@
+"""Plan-quality gates: the physical-plan properties each operator must
+keep for 100 TB viability. A result-correct operator whose plan loses
+pushdown / broadcast / partial aggregation fails HERE."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_exporter_spark import plans
+from hive_exporter_spark.operators import core, llm, relational
+from hive_exporter_spark.sources.files import read_table
+
+
+@pytest.fixture(scope="module")
+def t(spark, sf_dir):
+    return lambda name: read_table(spark, sf_dir, name)
+
+
+def test_q1_pushdown_pruning_partial_agg(t):
+    df = relational.pricing_summary(t("lineitem"))
+    pushed = plans.pushed_filters(df)
+    assert any("l_shipdate" in p and "LessThanOrEqual" in p for p in pushed), pushed
+    (cols,) = plans.scan_read_columns(df)
+    assert "l_orderkey" not in cols and "l_partkey" not in cols, (
+        f"column pruning lost: scan reads {cols}"
+    )
+    assert plans.has_partial_aggregate(df)
+
+
+def test_watermark_filter_pushes_to_scan(t):
+    df = core.newer_than(t("orders"), "o_orderkey", 1000)
+    pushed = plans.pushed_filters(df)
+    assert any("GreaterThan" in p and "o_orderkey" in p for p in pushed), pushed
+
+
+def test_part_volume_joins_broadcast_no_fact_shuffle(t):
+    """The explicit broadcast join must not shuffle the lineitem fact
+    side for the join — only the aggregation exchange remains."""
+    df = relational.part_type_volume(t("part"), t("lineitem"))
+    assert plans.has_broadcast_join(df)
+    assert plans.sort_merge_join_count(df) == 0
+    # one exchange for the groupBy, one for the final orderBy sort
+    assert plans.num_exchanges(df) <= 2, plans.formatted_plan(df)
+
+
+def test_q5_dimension_joins_broadcast(t):
+    df = relational.local_supplier_volume(
+        t("region"), t("nation"), t("customer"), t("orders"),
+        t("lineitem"), t("supplier"),
+    )
+    assert plans.broadcast_join_count(df) >= 2
+
+
+def test_latest_per_key_single_shuffle(t):
+    df = core.latest_per_key(t("events"), ["user_id"], "ts", ["event_id"])
+    assert plans.num_exchanges(df) == 1, plans.formatted_plan(df)
+
+
+def test_merge_upsert_single_shuffle(t):
+    ev = t("events")
+    df = core.merge_upsert(
+        ev.where(F.col("event_id") <= 800), ev.where(F.col("event_id") > 600),
+        ["event_id"], "ts",
+    )
+    assert plans.num_exchanges(df) == 1, plans.formatted_plan(df)
+
+
+def test_scan_projection_prunes_columns(t):
+    df = t("lineitem").select("l_orderkey", "l_quantity")
+    (cols,) = plans.scan_read_columns(df)
+    assert cols == ["l_orderkey", "l_quantity"]
+
+
+def test_topk_cosine_corpus_not_shuffled(t):
+    """Brute-force similarity: queries broadcast, corpus scanned in
+    place; the only exchange is the per-query top-k window."""
+    emb = t("embeddings")
+    df = llm.topk_cosine(emb, emb.where(F.col("vec_id") < 10))
+    assert plans.has_broadcast_join(df)
+    assert plans.num_exchanges(df) <= 1, plans.formatted_plan(df)
+
+
+def test_minhash_partial_aggregation(t):
+    df = llm.minhash_signatures(t("documents"))
+    assert plans.has_partial_aggregate(df)
