@@ -337,6 +337,127 @@ def topk_cosine_lsh(
     )
 
 
+COSINE_DUP_THRESHOLD = 0.45
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact O(n²) baseline:
+    self-join (a < b), score JVM-side, keep pairs above threshold.
+    Oracle-checkable (left-fold arithmetic matches DuckDB list_reduce
+    bit-for-bit). The 100 TB path is `embedding_near_dup_lsh_pairs` —
+    same contract, candidates from LSH buckets only."""
+    a = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("score", cosine_similarity("va", "vb"))
+        .where(F.col("score") >= threshold)
+        .select("vec_a", "vec_b", F.round("score", 6).alias("score"))
+    )
+
+
+def embedding_near_dup_lsh_pairs(
+    embeddings: DataFrame,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    dim: int = 64,
+    planes: int = LSH_PLANES,
+    tables: int = LSH_TABLES,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs via multi-table sign-LSH: only vectors sharing a
+    bucket in some table are scored — linear in true-neighbor count
+    instead of O(n²). Recall vs the exact baseline is measured in
+    tests."""
+    import random
+
+    rnd = random.Random(seed)
+    plane_tabs = [
+        [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(planes)]
+        for _ in range(tables)
+    ]
+    buckets = _rp_buckets(vec_col, plane_tabs)
+    banded = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+        F.explode(buckets).alias("bb"),
+    ).select("vid", "vec", "bb.tbl", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vid") < F.col("b.vid")))
+        .select(F.col("a.vid").alias("vec_a"), F.col("a.vec").alias("va"),
+                F.col("b.vid").alias("vec_b"), F.col("b.vec").alias("vb"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cands.withColumn("score", cosine_similarity("va", "vb"))
+        .where(F.col("score") >= threshold)
+        .select("vec_a", "vec_b", F.round("score", 6).alias("score"))
+    )
+
+
+def topk_cosine_pandas(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k with a vectorized numpy kernel:
+    the query matrix rides into every task as a closure (small Q),
+    each Arrow batch of the corpus is scored with one matmul, and only
+    per-batch top-k survivors leave Python — then a final window picks
+    the global top-k per query.
+
+    This is the documented 'drop to Pandas UDF' case (SURVEY.md §2.10
+    policy): BLAS matmul beats per-element Column folds once dim ×
+    corpus is large. Same output contract as `topk_cosine`; equality
+    is tested. Not oracle-checked itself (numpy's pairwise summation
+    is not bit-identical to a left fold).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()  # small Q by contract
+    q_ids = np.array([r[id_col] for r in q_rows])
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def kernel(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            scores = q_norm @ m.T  # (Q, batch)
+            for qi, qid in enumerate(q_ids):
+                s = scores[qi]
+                mask = ids != qid
+                idx = np.argsort(-s[mask])[: k]
+                sel_ids, sel_s = ids[mask][idx], s[mask][idx]
+                yield pd.DataFrame({
+                    "query_id": np.full(len(sel_ids), qid),
+                    "neighbor_id": sel_ids,
+                    "score": sel_s,
+                })
+
+    partial = embeddings.select(id_col, vec_col).mapInPandas(
+        kernel, "query_id long, neighbor_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -445,6 +566,19 @@ def _q_topk(spark, sf):
     return topk_cosine(emb, emb.where(F.col("vec_id") < N_QUERIES))
 
 
+def _q_near_dup(spark, sf):
+    return embedding_near_dup_pairs(_emb(spark, sf))
+
+
+def _q_near_dup_lsh(spark, sf):
+    return embedding_near_dup_lsh_pairs(_emb(spark, sf))
+
+
+def _q_topk_pandas(spark, sf):
+    emb = _emb(spark, sf)
+    return topk_cosine_pandas(emb, emb.where(F.col("vec_id") < N_QUERIES))
+
+
 def _q_topk_lsh(spark, sf):
     emb = _emb(spark, sf)
     return topk_cosine_lsh(emb, emb.where(F.col("vec_id") < N_QUERIES))
@@ -477,6 +611,9 @@ QUERIES = {
     "simhash64": _q_simhash,
     "embedding_topk_cosine": _q_topk,
     "embedding_topk_cosine_lsh": _q_topk_lsh,
+    "embedding_topk_cosine_pandas": _q_topk_pandas,
+    "embedding_near_dup_pairs": _q_near_dup,
+    "embedding_near_dup_lsh_pairs": _q_near_dup_lsh,
     "text_stats": _q_text_stats,
     "token_count_bpe": _q_bpe,
     "language_id": _q_lang,
@@ -492,6 +629,18 @@ _SHINGLES_SQL = f"""
                   i -> concat_ws(' ', {_TOKS_SQL}[i], {_TOKS_SQL}[i+1], {_TOKS_SQL}[i+2])))
          ELSE [] END
 """
+def _cos_sql(av: str, bv: str) -> str:
+    """DuckDB cosine via left folds (list_reduce) — bit-identical to
+    the engine's F.aggregate left-fold arithmetic."""
+    def fold(x, y):
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform("
+            f"range(1, len({x}) + 1), i -> CAST({x}[i] AS DOUBLE) * "
+            f"CAST({y}[i] AS DOUBLE))), (acc, x) -> acc + x)"
+        )
+    return f"{fold(av, bv)} / (sqrt({fold(av, av)}) * sqrt({fold(bv, bv)}))"
+
+
 _COS_SQL = """
     list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(
         range(1, len(a.qvec) + 1),
@@ -588,6 +737,18 @@ ORACLES = {
                    (acc, x) -> (acc * 31 + x) % {FP_MOD}) AS fingerprint
         FROM documents
     """,
-    # minhash_lsh_pairs / simhash64 / embedding_topk_cosine_lsh: xxhash64 /
-    # seeded-hyperplane based — no DuckDB twin; rows-only checked.
+    "embedding_near_dup_pairs": f"""
+        SELECT vec_a, vec_b, round(score, 6) AS score FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   {_cos_sql('a.va', 'b.vb')} AS score
+            FROM (SELECT vec_id, embedding AS va FROM embeddings) a(vec_id, va)
+            JOIN (SELECT vec_id, embedding AS vb FROM embeddings) b(vec_id, vb)
+              ON a.vec_id < b.vec_id
+        ) WHERE score >= {COSINE_DUP_THRESHOLD}
+    """,
+    # minhash_lsh_pairs / simhash64 / embedding_topk_cosine_lsh /
+    # embedding_topk_cosine_pandas / embedding_near_dup_lsh_pairs:
+    # xxhash64 / seeded-hyperplane / numpy-summation based — no exact
+    # DuckDB twin; rows-only checked (equivalence to their exact
+    # baselines is asserted in tests instead).
 }

@@ -79,6 +79,31 @@ def test_topk_cosine_self_excluded_and_k(spark, emb):
     assert all(-1.0 <= r["score"] <= 1.0 for r in out)
 
 
+def test_topk_pandas_matches_jvm(spark, emb):
+    """The numpy matmul kernel must return the same neighbor sets and
+    ranks as the JVM fold implementation."""
+    from pyspark.sql import functions as F2
+    queries = emb.where(F2.col("vec_id") < 10)
+    jvm = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in llm.topk_cosine(emb, queries).collect()}
+    pnd = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in llm.topk_cosine_pandas(emb, queries).collect()}
+    assert jvm == pnd
+
+
+def test_embedding_near_dup_lsh_recall(spark, emb):
+    exact = {(r["vec_a"], r["vec_b"])
+             for r in llm.embedding_near_dup_pairs(emb).collect()}
+    approx = {(r["vec_a"], r["vec_b"])
+              for r in llm.embedding_near_dup_lsh_pairs(emb).collect()}
+    assert exact, "fixture should contain cosine>=0.45 pairs"
+    assert approx <= exact or not (approx - exact), (
+        "LSH must not invent pairs above threshold"
+    )
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"near-dup LSH recall {recall}"
+
+
 def test_text_stats_sane(spark, docs):
     row = llm.text_stats(docs).where(F.col("n_tokens") > 0).first()
     assert row["n_distinct_tokens"] <= row["n_tokens"]
