@@ -207,6 +207,10 @@ def _top_balance(spark, sf):
     return relational.top_customers_by_balance(_t(spark, sf, "customer"))
 
 
+def _q6(spark, sf):
+    return relational.forecast_revenue(_t(spark, sf, "lineitem"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "full_scan_region": _full_scan_region,
@@ -214,6 +218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_with_urgent_orders": _semi_join,
         "order_cube": _cube,
         "top_customers_by_balance": _top_balance,
+        "q6_forecast_revenue": _q6,
         "table_row_counts": _table_row_counts,
         "asof_last_purchase": _asof_last_purchase,
         "order_date_features": _date_features,
@@ -379,6 +384,15 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     o["full_scan_region"] = "SELECT * FROM region"
+    o["q6_forecast_revenue"] = f"""
+        SELECT {dsum_sql('l_extendedprice * l_discount')} AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """
     o["customer_order_stats"] = f"""
         SELECT c_custkey, c_name,
                COUNT(o_orderkey) AS n_orders,

@@ -111,3 +111,28 @@ def snapshot_metadata(spark: SparkSession, databases: list[str] | None = None,
     return spark.createDataFrame(
         rows, "db_name string, tbl_name string, createstmt string, extract_ts long"
     )
+
+
+def snapshot_to_sqlite(snapshot: DataFrame, sqlite_path: str,
+                       table: str = "exported_tables") -> int:
+    """K7 parity: persist a metadata snapshot into a SQLite file with
+    the reference's exact table shape (hive_metadata_exporter.py:46-57:
+    full delete + insert per run). Metadata is catalog-sized, so a
+    driver-side write through stdlib sqlite3 is appropriate — data
+    tables never take this path."""
+    import sqlite3
+
+    rows = [(r["db_name"], r["tbl_name"], r["createstmt"], r["extract_ts"])
+            for r in snapshot.collect()]
+    con = sqlite3.connect(sqlite_path)
+    try:
+        con.execute(
+            f"CREATE TABLE IF NOT EXISTS {table} ("
+            "db_name TEXT, tbl_name TEXT, createstmt TEXT, extract_ts INTEGER)"
+        )
+        con.execute(f"DELETE FROM {table}")
+        con.executemany(f"INSERT INTO {table} VALUES (?, ?, ?, ?)", rows)
+        con.commit()
+    finally:
+        con.close()
+    return len(rows)

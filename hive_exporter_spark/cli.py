@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
     meta = sub.add_parser("export-metadata", help="snapshot DDL of all tables")
     meta.add_argument("-o", "--output-path", required=True)
     meta.add_argument("-b", "--databases", nargs="*")
+    meta.add_argument("--sqlite", action="store_true",
+                      help="write a SQLite file (reference-compatible "
+                           "exported_tables shape) instead of parquet")
 
     full = sub.add_parser("full", help="full-refresh ingestion")
     _add_jdbc_args(full)
@@ -126,11 +129,15 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "export-metadata":
-        from hive_exporter_spark.catalog import snapshot_metadata
+        from hive_exporter_spark.catalog import snapshot_metadata, snapshot_to_sqlite
         snap = snapshot_metadata(spark, args.databases or None,
                                  extract_ts=int(datetime.now(timezone.utc).timestamp()))
-        snap.write.mode("overwrite").parquet(args.output_path)
-        print(f"snapshotted {snap.count()} tables -> {args.output_path}")
+        if args.sqlite:
+            n = snapshot_to_sqlite(snap, args.output_path)
+        else:
+            snap.write.mode("overwrite").parquet(args.output_path)
+            n = snap.count()
+        print(f"snapshotted {n} tables -> {args.output_path}")
         return 0
 
     from hive_exporter_spark.operators import ingest

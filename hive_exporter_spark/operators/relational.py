@@ -105,6 +105,24 @@ def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFram
     ).select("c_custkey", "c_name", "c_acctbal")
 
 
+def forecast_revenue(lineitem: DataFrame, date_from: str = "1996-01-01",
+                     date_to: str = "1997-01-01") -> DataFrame:
+    """TPC-H-Q6-style: single filtered scan + one global aggregate —
+    the pure scan-throughput query. Every predicate pushes into the
+    parquet scan (row-group min/max skipping); the aggregate is a
+    partial-agg collapse to one row per task."""
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
 def customer_order_stats(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """Left outer join + per-customer aggregate, order-less customers
     kept with zeroed stats."""

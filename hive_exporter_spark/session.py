@@ -31,6 +31,7 @@ def build_session(
     shuffle_partitions: int = 32,
     enable_hive: bool = False,
     extra_conf: dict[str, str] | None = None,
+    log_level: str | None = "WARN",
 ) -> SparkSession:
     """Build (or get) the engine's SparkSession.
 
@@ -61,4 +62,8 @@ def build_session(
         builder = builder.enableHiveSupport()
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if log_level:
+        # O6: log-level management (reference spark_loaders.py:75-78)
+        spark.sparkContext.setLogLevel(log_level)
+    return spark

@@ -1,0 +1,67 @@
+"""Bucketed co-located join: writing both fact tables bucketed on the
+join key removes the join-time shuffle entirely — the SCALE.md
+next-step #1 demonstration, asserted on the physical plan."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_exporter_spark import plans
+from hive_exporter_spark.functions.aggs import dsum
+from hive_exporter_spark.sources.files import read_table
+
+
+@pytest.fixture(scope="module")
+def bucketed_db(spark, sf_dir):
+    db = f"bucketdb_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db}")
+    (read_table(spark, sf_dir, "orders").write
+     .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .saveAsTable(f"{db}.orders_b"))
+    (read_table(spark, sf_dir, "lineitem").write
+     .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+     .saveAsTable(f"{db}.lineitem_b"))
+    yield db
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_db):
+    orders = spark.table(f"{bucketed_db}.orders_b")
+    lineitem = spark.table(f"{bucketed_db}.lineitem_b")
+    # At fixture scale Catalyst prefers broadcast (also shuffle-free);
+    # force sort-merge to prove the bucketed path needs no exchange —
+    # this is the plan shape two 50 TB fact tables would take.
+    joined = orders.hint("merge").join(
+        lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    plan = plans.formatted_plan(joined)
+    assert "SortMergeJoin" in plan, plan
+    assert plans.num_exchanges(joined) == 0, plan
+
+
+def test_bucketed_join_same_result_as_plain(spark, sf_dir, bucketed_db):
+    plain = (
+        read_table(spark, sf_dir, "orders")
+        .join(read_table(spark, sf_dir, "lineitem"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("q"))
+        .first()
+    )
+    bucketed = (
+        spark.table(f"{bucketed_db}.orders_b")
+        .join(spark.table(f"{bucketed_db}.lineitem_b"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("q"))
+        .first()
+    )
+    assert plain == bucketed
+
+
+def test_bucketed_agg_avoids_exchange(spark, bucketed_db):
+    """Aggregation on the bucket key also reuses the bucketing."""
+    lineitem = spark.table(f"{bucketed_db}.lineitem_b")
+    agg = lineitem.groupBy("l_orderkey").agg(dsum("l_quantity").alias("q"))
+    assert plans.num_exchanges(agg) == 0, plans.formatted_plan(agg)

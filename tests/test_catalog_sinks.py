@@ -76,6 +76,23 @@ def test_snapshot_metadata(spark, db):
     assert snap.columns == ["db_name", "tbl_name", "createstmt", "extract_ts"]
 
 
+def test_snapshot_to_sqlite(spark, db, tmp_path):
+    import sqlite3
+
+    from hive_exporter_spark.catalog import snapshot_to_sqlite
+
+    spark.range(5).write.saveAsTable(f"{db}.sq_tbl")
+    snap = snapshot_metadata(spark, [db], extract_ts=1700000000)
+    path = str(tmp_path / "meta.db")
+    assert snapshot_to_sqlite(snap, path) == 1
+    con = sqlite3.connect(path)
+    rows = con.execute(
+        "SELECT db_name, tbl_name, extract_ts FROM exported_tables"
+    ).fetchall()
+    con.close()
+    assert rows == [(db, "sq_tbl", 1700000000)]
+
+
 def test_jdbc_option_builder():
     cfg = JdbcSourceConfig(
         url="jdbc:mysql://host/db", driver="com.mysql.jdbc.Driver",

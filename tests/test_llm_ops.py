@@ -60,6 +60,17 @@ def test_simhash_near_dups_close(spark, docs):
     assert avg_near < 16, f"near-dup avg hamming {avg_near} too high"
 
 
+def test_topk_ivf_recall(spark, emb):
+    """IVF with nprobe=4/16 clusters must recover most true top-5."""
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in llm.topk_cosine(emb, queries).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in llm.topk_cosine_ivf(emb, queries).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall} too low"
+
+
 def test_topk_lsh_recall(spark, emb):
     """Bucketed ANN should find a decent fraction of the true top-5."""
     queries = emb.where(F.col("vec_id") < 10)

@@ -1,0 +1,68 @@
+"""Property-based tests (hypothesis) for the merge/watermark core —
+the invariants that must hold for ANY input, not just the replayed
+reference narratives."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from hive_exporter_spark.operators import core
+
+BASE_TS = datetime(2024, 1, 1)
+
+# (id, version, value): version becomes last_modified = BASE_TS + version
+# days; (id, version) pairs are deduplicated so latest-wins is well-defined.
+rows_strategy = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8), st.integers(0, 100)),
+    min_size=1, max_size=12, unique_by=lambda r: (r[0], r[1]),
+)
+
+SETTINGS = settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _df(spark, rows):
+    data = [(i, BASE_TS + timedelta(days=v), x) for i, v, x in rows]
+    return spark.createDataFrame(data, "id int, last_modified timestamp, value int")
+
+
+@given(base=rows_strategy, inc=rows_strategy)
+@SETTINGS
+def test_merge_key_unique_and_latest_wins(spark, base, inc):
+    merged = core.merge_upsert(_df(spark, base), _df(spark, inc), ["id"],
+                               "last_modified", tiebreakers=["value"])
+    out = merged.collect()
+    ids = [r["id"] for r in out]
+    assert len(ids) == len(set(ids)), "merge must leave one row per key"
+    # the surviving version per key carries the max last_modified seen
+    want = {}
+    for i, v, x in base + inc:
+        if i not in want or v > want[i]:
+            want[i] = v
+    got = {r["id"]: (r["last_modified"] - BASE_TS).days for r in out}
+    assert {k: v for k, v in got.items()} == want
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_merge_idempotent(spark, rows):
+    df = _df(spark, rows)
+    once = core.latest_per_key(df, ["id"], "last_modified", ["value"])
+    twice = core.latest_per_key(once, ["id"], "last_modified", ["value"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@given(rows=rows_strategy, wm=st.integers(-1, 9))
+@SETTINGS
+def test_newer_than_partitions_input(spark, rows, wm):
+    """strict-> filter: kept ∪ dropped == input; kept are all > wm."""
+    df = _df(spark, rows).withColumn("seq", F.col("value"))
+    kept = core.newer_than(df, "seq", wm).collect()
+    assert all(r["seq"] > wm for r in kept)
+    n_dropped = len([r for r in rows if r[2] <= wm])
+    assert len(kept) + n_dropped == len(rows)
