@@ -211,6 +211,66 @@ def _q6(spark, sf):
     return relational.forecast_revenue(_t(spark, sf, "lineitem"))
 
 
+def _q4(spark, sf):
+    return relational.late_shipment_priority_counts(
+        _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    )
+
+
+def _q7(spark, sf):
+    return relational.nation_trade_flows(
+        _t(spark, sf, "nation"), _t(spark, sf, "customer"),
+        _t(spark, sf, "supplier"), _t(spark, sf, "orders"),
+        _t(spark, sf, "lineitem"),
+    )
+
+
+def _q12(spark, sf):
+    return relational.returnflag_priority_counts(
+        _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    )
+
+
+def _q13(spark, sf):
+    return relational.order_count_distribution(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    )
+
+
+def _q14(spark, sf):
+    return relational.promo_revenue(_t(spark, sf, "lineitem"), _t(spark, sf, "part"))
+
+
+def _q15(spark, sf):
+    return relational.top_suppliers_by_revenue(
+        _t(spark, sf, "supplier"), _t(spark, sf, "lineitem")
+    )
+
+
+def _q17(spark, sf):
+    return relational.small_quantity_revenue(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    )
+
+
+def _q18(spark, sf):
+    return relational.large_orders(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    )
+
+
+def _q19(spark, sf):
+    return relational.disjunctive_part_revenue(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    )
+
+
+def _q22(spark, sf):
+    return relational.idle_rich_customers(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "full_scan_region": _full_scan_region,
@@ -219,6 +279,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_cube": _cube,
         "top_customers_by_balance": _top_balance,
         "q6_forecast_revenue": _q6,
+        "q4_late_shipment_priority": _q4,
+        "q7_nation_trade_flows": _q7,
+        "q12_returnflag_priority": _q12,
+        "q13_order_count_distribution": _q13,
+        "q14_promo_revenue": _q14,
+        "q15_top_suppliers": _q15,
+        "q17_small_quantity_revenue": _q17,
+        "q18_large_orders": _q18,
+        "q19_disjunctive_part_revenue": _q19,
+        "q22_idle_rich_customers": _q22,
         "table_row_counts": _table_row_counts,
         "asof_last_purchase": _asof_last_purchase,
         "order_date_features": _date_features,
@@ -392,6 +462,124 @@ def oracle_sql() -> dict[str, str]:
           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
           AND l_discount >= 0.05 AND l_discount <= 0.07
           AND l_quantity < 24
+    """
+    o["q4_late_shipment_priority"] = """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """
+    o["q7_nation_trade_flows"] = f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+               {dsum_sql(rev)} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY supp_nation, cust_nation, ship_year
+        ORDER BY supp_nation, cust_nation, ship_year
+    """
+    o["q12_returnflag_priority"] = """
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity >= 25.0
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """
+    o["q13_order_count_distribution"] = """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """
+    o["q14_promo_revenue"] = f"""
+        SELECT 100.0 * {dsum_sql(
+            "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END"
+        )} / {dsum_sql(rev)} AS promo_revenue_pct,
+               {dsum_sql(rev)} AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    """
+    o["q15_top_suppliers"] = f"""
+        WITH per_supp AS (
+            SELECT l_suppkey, {dsum_sql(rev)} AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM per_supp)
+        ORDER BY s_suppkey
+    """
+    o["q17_small_quantity_revenue"] = f"""
+        WITH brand_lines AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#3'
+        ), avg_qty AS (
+            SELECT l_partkey AS ap_partkey, {davg_sql('l_quantity')} AS avg_qty
+            FROM brand_lines GROUP BY l_partkey
+        )
+        SELECT {dsum_sql('l_extendedprice')} AS total_price,
+               COUNT(*) AS n_small_lines
+        FROM brand_lines JOIN avg_qty ON l_partkey = ap_partkey
+        WHERE l_quantity < avg_qty * 0.5
+    """
+    o["q18_large_orders"] = f"""
+        WITH big AS (
+            SELECT l_orderkey, {dsum_sql('l_quantity')} AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING {dsum_sql('l_quantity')} > 120.0
+        )
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """
+    o["q19_disjunctive_part_revenue"] = f"""
+        SELECT {dsum_sql(rev)} AS revenue, COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+               AND l_quantity BETWEEN 20 AND 30)
+    """
+    o["q22_idle_rich_customers"] = f"""
+        SELECT c_nationkey, COUNT(*) AS n_customers,
+               {dsum_sql('c_acctbal')} AS total_bal
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT {davg_sql('c_acctbal')} FROM customer WHERE c_acctbal > 0
+        )
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
     """
     o["customer_order_stats"] = f"""
         SELECT c_custkey, c_name,

@@ -272,3 +272,227 @@ def part_type_volume(part: DataFrame, lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("p_type")
     )
+
+
+def promo_revenue(lineitem: DataFrame, part: DataFrame,
+                  date_from: str = "1996-01-01", date_to: str = "1996-02-01") -> DataFrame:
+    """TPC-H-Q14-style promo-revenue ratio: conditional aggregation over
+    a broadcast dim join. The CASE-gated numerator and the denominator
+    share one pass; the month filter prunes parquet row groups before
+    the join, so the broadcast probe only sees the window's rows."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.lit(100.0) * dsum(promo) / dsum(rev)).alias("promo_revenue_pct"),
+            dsum(rev).alias("total_revenue"),
+        )
+    )
+
+
+def returnflag_priority_counts(orders: DataFrame, lineitem: DataFrame,
+                               qty_min: float = 25.0) -> DataFrame:
+    """TPC-H-Q12-style conditional counts: fact-fact equi-join, then
+    per-group CASE-gated tallies (high- vs low-priority line counts).
+    Both sides shuffle once on the order key; the quantity filter
+    halves the probe side before the exchange."""
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.where(F.col("l_quantity") >= qty_min)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_priority_lines"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_priority_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def order_count_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H-Q13-style two-level aggregate: orders-per-customer (left
+    join keeps zero-order customers), then customers-per-order-count.
+    The second groupBy reshuffles only one row per customer."""
+    per_cust = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def small_quantity_revenue(lineitem: DataFrame, part: DataFrame,
+                           brand: str = "Brand#3", frac: float = 0.5) -> DataFrame:
+    """TPC-H-Q17-style correlated-average filter: revenue of lines whose
+    quantity is below `frac`× their part's average quantity. The
+    per-part average is a tiny aggregate (one row per part) joined back
+    broadcast — the fact table is scanned twice but never shuffled on
+    the correlation key."""
+    brand_parts = part.where(F.col("p_brand") == brand).select("p_partkey")
+    brand_lines = lineitem.join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_qty = (
+        brand_lines.groupBy("l_partkey")
+        .agg(davg("l_quantity").alias("avg_qty"))
+        .select(F.col("l_partkey").alias("ap_partkey"), "avg_qty")
+    )
+    return (
+        brand_lines.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_partkey"))
+        .where(F.col("l_quantity") < F.col("avg_qty") * frac)
+        .agg(
+            dsum("l_extendedprice").alias("total_price"),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+    )
+
+
+def large_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                 qty_threshold: float = 120.0, k: int = 20) -> DataFrame:
+    """TPC-H-Q18-style HAVING + join-back: orders whose total line
+    quantity exceeds the threshold, joined back to orders and customer
+    for the top-k by price. The HAVING aggregate collapses lineitem to
+    one row per order key BEFORE the three-way join, so the join input
+    is orders-sized, not lineitem-sized."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > qty_threshold)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(k)
+    )
+
+
+def disjunctive_part_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H-Q19-style disjunctive predicates: three OR'd
+    (brand, size-range, quantity-range) arms evaluated on a broadcast
+    part join. Catalyst extracts the common conjuncts (quantity/size
+    bounds) and pushes them below the join; the OR itself stays a
+    single codegen'd predicate — no union-of-three-scans rewrite."""
+    j = lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    arm1 = ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 11))
+    arm2 = ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 20))
+    arm3 = ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(20, 30))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.where(arm1 | arm2 | arm3).agg(
+        dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_lines")
+    )
+
+
+def idle_rich_customers(customer: DataFrame, orders: DataFrame,
+                        priority: str = "1-URGENT") -> DataFrame:
+    """TPC-H-Q22-style: customers with above-average positive balance
+    and no `priority` orders. The global average is a one-row aggregate
+    (broadcast as a scalar via crossJoin — the Spark analogue of an
+    uncorrelated scalar subquery); the no-such-orders test is a
+    left-anti join that ships only distinct customer keys."""
+    avg_bal = customer.where(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    urgent = orders.where(F.col("o_orderpriority") == priority)
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def nation_trade_flows(nation: DataFrame, customer: DataFrame, supplier: DataFrame,
+                       orders: DataFrame, lineitem: DataFrame,
+                       nation_a: str = "NATION_1", nation_b: str = "NATION_2") -> DataFrame:
+    """TPC-H-Q7-style bidirectional trade volume between two nations,
+    grouped by (supplier nation, customer nation, year). Both nation
+    dims broadcast; the disjunctive pair filter ((a,b) or (b,a)) lands
+    on broadcast-joined columns so the fact shuffles only for the
+    final small-group aggregate."""
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = (
+        ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+        | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+    )
+    return (
+        lineitem
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(dsum(rev).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+def top_suppliers_by_revenue(supplier: DataFrame, lineitem: DataFrame,
+                             date_from: str = "1996-01-01",
+                             date_to: str = "1996-04-01") -> DataFrame:
+    """TPC-H-Q15-style argmax: supplier(s) whose quarterly revenue
+    equals the maximum. The window-max over an unpartitioned frame is
+    evaluated on the already-aggregated per-supplier rows (one row per
+    supplier), so the single-partition window is tiny, not fact-sized."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(dsum(rev).alias("total_revenue"))
+    )
+    best = (
+        per_supp.withColumn("max_rev", F.max("total_revenue").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .where(F.col("total_revenue") == F.col("max_rev"))
+        .drop("max_rev")
+    )
+    return (
+        best.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def late_shipment_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H-Q4-style EXISTS + aggregate: orders with at least one line
+    shipped after the order date, counted per priority. The semi join
+    ships only distinct late order keys — at scale that's the
+    cardinality of orders, not lineitem."""
+    late_keys = lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            late_keys,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )

@@ -84,3 +84,47 @@ def test_topk_cosine_corpus_not_shuffled(t):
 def test_minhash_partial_aggregation(t):
     df = llm.minhash_signatures(t("documents"))
     assert plans.has_partial_aggregate(df)
+
+
+def test_q6_all_predicates_push_to_scan(t):
+    df = relational.forecast_revenue(t("lineitem"))
+    pushed = " ".join(plans.pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    (cols,) = plans.scan_read_columns(df)
+    assert set(cols) <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_q14_broadcast_and_month_pushdown(t):
+    df = relational.promo_revenue(t("lineitem"), t("part"))
+    assert plans.has_broadcast_join(df)
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "l_shipdate" in pushed, pushed
+
+
+def test_q18_having_collapses_before_join(t):
+    """The per-order quantity aggregate must sit below the joins, so
+    the join probes one row per order key, not per lineitem row."""
+    df = relational.large_orders(t("customer"), t("orders"), t("lineitem"))
+    assert plans.has_partial_aggregate(df)
+    plan = plans.formatted_plan(df)
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+
+
+def test_q19_disjunctive_arms_stay_single_scan(t):
+    """The OR'd arms must evaluate in one pass over lineitem — exactly
+    one lineitem scan node, no union-of-scans rewrite."""
+    df = relational.disjunctive_part_revenue(t("lineitem"), t("part"))
+    plan = plans.formatted_plan(df)
+    assert plan.count("lineitem.parquet") <= plan.count("Scan parquet"), plan
+    assert plans.has_broadcast_join(df)
+    scans = plans.scan_read_columns(df)
+    assert sum("l_quantity" in cols for cols in scans) == 1, scans
+
+
+def test_q22_scalar_subquery_broadcast_anti_join(t):
+    df = relational.idle_rich_customers(t("customer"), t("orders"))
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
