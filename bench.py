@@ -20,6 +20,8 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_orders",
     "top_orders_per_priority",
     "part_type_volume_broadcast",
     "latest_per_key",
@@ -32,6 +34,8 @@ BENCH_QUERIES = [
     "text_stats",
 ]
 
+WARMUP_SF_DIR = "/root/testdata/sf0.001"
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,6 +47,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
+        # Warm-up at sf0.001: compiles/caches the identical plan shape
+        # (codegen, broadcast machinery) so the timed run below measures
+        # execution on the target data, not one-time JIT compilation.
+        if os.path.isdir(WARMUP_SF_DIR) and WARMUP_SF_DIR != sf_dir:
+            fn(spark, WARMUP_SF_DIR).count()
         t0 = time.time()
         n = fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)

@@ -35,8 +35,8 @@ def tokens_col(text_col: str = "text") -> F.Column:
 
 
 def exploded_shingles(documents: DataFrame, k: int = SHINGLE_K,
-                      id_col: str = "doc_id") -> DataFrame:
-    """Distinct k-token shingles (word k-grams) as (id, shingle) rows.
+                      id_col: str = "doc_id", distinct: bool = True) -> DataFrame:
+    """k-token shingles (word k-grams) as (id, shingle) rows.
 
     posexplode + window-lead, NOT an array-lambda transform: inside
     interpreted higher-order functions every `element_at(toks, i)`
@@ -44,19 +44,25 @@ def exploded_shingles(documents: DataFrame, k: int = SHINGLE_K,
     measured ~5× slower than exploding. Here the text is tokenized
     once, and shingle assembly is a lead-window over (doc, pos) — one
     shuffle on the doc id, linear at any scale.
+
+    `distinct=False` skips the dedup exchange and leaves the output
+    hash-partitioned on the doc id (the window's partitioning) — the
+    right input for downstream per-doc aggregates that are
+    duplicate-insensitive (min, max), which then reuse that
+    partitioning instead of shuffling again.
     """
     toks = documents.select(
         id_col, F.posexplode(tokens_col()).alias("pos", "tok")
     )
     w = Window.partitionBy(id_col).orderBy("pos")
     parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
-    return (
+    out = (
         toks.select(id_col, F.concat_ws(" ", *parts).alias("shingle"),
                     parts[-1].alias("__last"))
         .where(F.col("__last").isNotNull())
         .drop("__last")
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 # ---------------------------------------------------------------------------
@@ -134,8 +140,12 @@ def minhash_signatures(documents: DataFrame, slots: int = MINHASH_SLOTS) -> Data
     times, and partial-aggregates map-side; the shuffle carries only
     (doc_id, 32 longs). This is also the shape that scales: min-agg is
     associative, so 100 TB of shingles collapses before the exchange.
+
+    Shingles come in non-distinct (min ignores duplicates), so the
+    whole signature computation rides the window's doc_id partitioning:
+    zero additional exchanges after the one posexplode shuffle.
     """
-    ex = exploded_shingles(documents)
+    ex = exploded_shingles(documents, distinct=False)
     mins = ex.groupBy("doc_id").agg(*[
         F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(slots)
     ])
@@ -173,7 +183,14 @@ def minhash_lsh_pairs(
         ])).alias("bb"),
     ).select("doc_id", "signature", "bb.band", "bb.bucket")
     a, b = banded.alias("a"), banded.alias("b")
-    cands = (
+    agree = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+    ))
+    # Score + threshold BEFORE the pair-dedup exchange: est_jaccard is
+    # identical for every band copy of a pair, so filtering first is
+    # safe and the dedup shuffle carries 3 scalar columns instead of
+    # two 32-long signature arrays per (mostly sub-threshold) pair.
+    return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -181,14 +198,9 @@ def minhash_lsh_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
             F.col("a.signature").alias("sig_a"), F.col("b.signature").alias("sig_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    agree = F.size(F.filter(
-        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
-    ))
-    return (
-        cands.withColumn("est_jaccard", agree / F.lit(MINHASH_SLOTS))
+        .withColumn("est_jaccard", agree / F.lit(MINHASH_SLOTS))
         .where(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "est_jaccard")
     )
 
