@@ -16,7 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_exporter_spark.functions.aggs import davg_sql, dsum_sql
-from hive_exporter_spark.operators import asof, core, llm, multimodal, relational, sessions
+from hive_exporter_spark.operators import (
+    asof, core, joins, llm, multimodal, relational, sessions,
+)
 from hive_exporter_spark.sources.files import TESTDATA_TABLES, read_table
 
 SF0001 = "/root/testdata/sf0.001"
@@ -271,6 +273,57 @@ def _q22(spark, sf):
     )
 
 
+def _events_scan_pruned_window(spark, sf):
+    """Scan-side timestamp pruning: the [lo, hi) range filters the raw
+    nanos long BEFORE conversion, so the predicate reaches the parquet
+    scan (row-group min/max skipping) instead of sitting above a
+    timestamp_micros() call."""
+    ev = read_table(spark, sf, "events",
+                    ts_range=("2024-01-10", "2024-01-20"))
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.max("ts").alias("last_ts"))
+        .orderBy("event_type")
+    )
+
+
+def _salted_segment_counts(spark, sf):
+    """Skew-proof join: events (big, potentially hot user_ids) salted
+    against the customer dim replicated salt×; result identical to the
+    plain equi-join."""
+    ev = _t(spark, sf, "events")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        joins.salted_join(ev, cust, "user_id", "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+             .alias("total_value"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def _events_in_day_windows(spark, sf):
+    """Range join via bucketing: events falling inside derived
+    [day+6h, day+18h) windows, counted per window."""
+    ev = _t(spark, sf, "events")
+    windows = (
+        ev.select(F.date_trunc("day", "ts").alias("day")).distinct()
+        .select(
+            (F.col("day") + F.expr("INTERVAL 6 HOURS")).alias("win_start"),
+            (F.col("day") + F.expr("INTERVAL 18 HOURS")).alias("win_end"),
+        )
+    )
+    return (
+        joins.range_bucket_join(ev, windows, "ts", "win_start", "win_end",
+                                bucket_width=6 * 3600)
+        .groupBy("win_start")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("win_start")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "full_scan_region": _full_scan_region,
@@ -311,6 +364,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_per_key": _latest_per_key,
         "incremental_merge_consolidate": _merge_consolidate,
         "soft_delete_filter": _soft_delete,
+        "salted_segment_event_counts": _salted_segment_counts,
+        "events_in_day_windows": _events_in_day_windows,
+        "events_scan_pruned_window": _events_scan_pruned_window,
     }
     q.update(sessions.QUERIES)
     q.update(llm.QUERIES)
@@ -662,6 +718,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
         WHERE c_mktsegment = 'MACHINERY'
         ORDER BY n_name
+    """
+    o["events_scan_pruned_window"] = """
+        SELECT event_type, COUNT(*) AS n_events, MAX(ts) AS last_ts
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+        GROUP BY event_type
+        ORDER BY event_type
+    """
+    o["salted_segment_event_counts"] = f"""
+        SELECT c_mktsegment, COUNT(*) AS n_events,
+               {dsum_sql('value')} AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """
+    o["events_in_day_windows"] = """
+        WITH iv AS (
+            SELECT DISTINCT
+                   date_trunc('day', ts) + INTERVAL 6 HOUR  AS win_start,
+                   date_trunc('day', ts) + INTERVAL 18 HOUR AS win_end
+            FROM events
+        )
+        SELECT win_start, COUNT(*) AS n_events
+        FROM events JOIN iv ON ts >= win_start AND ts < win_end
+        GROUP BY win_start
+        ORDER BY win_start
     """
     # approx_value_stats: sketch-based (HLL++/KLL) — no DuckDB twin; rows-only.
     o.update(sessions.ORACLES)

@@ -1,0 +1,101 @@
+"""Scale-hardened join strategies beyond what Catalyst picks on its
+own: salting for shuffle-key skew, and bucketed range joins for
+interval containment (which would otherwise fall back to a broadcast
+nested-loop / cartesian plan).
+
+These complement — not replace — AQE's skew-join splitting: AQE fixes
+skew it can observe in shuffle files at runtime; salting fixes it by
+construction when the skewed key set is known or the operator must
+stay deterministic across reruns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALT = 8
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt: int = DEFAULT_SALT,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with salted keys: the big (skewed) side gets a
+    deterministic per-row salt in [0, salt), the small side is
+    replicated `salt` times, and the join key becomes (key, salt) —
+    splitting each hot key's rows across `salt` shuffle partitions.
+
+    Use when one side has hot keys too large for a single task and the
+    other side is small enough to replicate `salt`× (but too big or
+    too dynamic to broadcast outright). The salt is derived from a
+    hash of the whole big-side row (xxhash64), not rand(), so retries
+    and speculative tasks see identical assignments.
+
+    At 100 TB: `salt` bounds the per-task share of the hottest key at
+    1/salt of its rows; replication multiplies the small-side shuffle
+    by `salt`, so pick salt ≈ (hottest-key rows / target task rows).
+    """
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt)).cast("int")
+    )
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = salted_big.join(
+        salted_small,
+        (F.col(big_key) == F.col(small_key)) & (salted_big["__salt"] == salted_small["__salt"]),
+        how,
+    )
+    return out.drop("__salt")
+
+
+def range_bucket_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join (start <= point < end) via time
+    bucketing: both sides are exploded/keyed to coarse buckets of
+    `bucket_width` seconds, equi-joined on the bucket, then filtered
+    by the exact range predicate.
+
+    A raw `facts.join(intervals, point.between(start, end))` has no
+    equi-key, so Spark plans a broadcast-nested-loop or cartesian —
+    O(|facts|·|intervals|) compares. Bucketing restores a shuffle
+    equi-join: each fact row joins only intervals overlapping its
+    bucket. Cost is interval replication = ceil(span/bucket_width)
+    copies — pick bucket_width near the median interval span so
+    replication stays O(1) per interval.
+
+    Timestamps are compared at epoch-second resolution on the bucket
+    key and full resolution on the exact predicate.
+    """
+    point_s = F.unix_timestamp(F.col(point_col))
+    start_s = F.unix_timestamp(F.col(start_col))
+    end_s = F.unix_timestamp(F.col(end_col))
+
+    f = facts.withColumn("__bucket", (point_s / bucket_width).cast("long"))
+    iv = (
+        intervals.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    (start_s / bucket_width).cast("long"),
+                    (end_s / bucket_width).cast("long"),
+                )
+            ),
+        )
+    )
+    out = f.join(iv, "__bucket", how).where(
+        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+    )
+    return out.drop("__bucket")

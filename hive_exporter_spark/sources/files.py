@@ -38,14 +38,39 @@ TESTDATA_TABLES = (
 NANO_TS_COLUMNS = {"events": ("ts",)}
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str, fmt: str = "parquet") -> DataFrame:
-    """Scan one fixture table. Lazy; filters/pruning push into the scan."""
+def read_table(spark: SparkSession, sf_dir: str, name: str, fmt: str = "parquet",
+               ts_range: tuple[str | None, str | None] | None = None) -> DataFrame:
+    """Scan one fixture table. Lazy; filters/pruning push into the scan.
+
+    `ts_range=(lo, hi)` (ISO timestamps, either end None) range-filters
+    the nano-timestamp column BEFORE the long→timestamp conversion.
+    Predicates on the converted column sit above a function call and
+    can never reach the parquet scan; the equivalent raw-long
+    comparison pushes down and prunes row groups by min/max. This is
+    the scan-side watermark lever for the events table at scale.
+    """
     path = os.path.join(sf_dir, f"{name}.{ 'parquet' if fmt == 'parquet' else fmt }")
     df = spark.read.format(fmt).load(path)
     for col in NANO_TS_COLUMNS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
+            if ts_range is not None:
+                lo, hi = ts_range
+                if lo is not None:
+                    df = df.where(F.col(col) >= _iso_to_nanos(lo))
+                if hi is not None:
+                    df = df.where(F.col(col) < _iso_to_nanos(hi))
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
     return df
+
+
+def _iso_to_nanos(iso_ts: str) -> int:
+    """Epoch nanoseconds of an ISO timestamp string (UTC)."""
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(iso_ts)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp()) * 1_000_000_000 + dt.microsecond * 1_000
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -125,3 +125,45 @@ def watermark_filter_stream(events: DataFrame, column: str, last_value) -> DataF
     """P5 applied to a stream: the same strict `>` predicate works
     unchanged on a streaming DataFrame (stateless filter)."""
     return core.newer_than(events, column, last_value)
+
+
+USER_STATE_SCHEMA = "n_events long, total_value double"
+USER_TOTALS_SCHEMA = "user_id long, n_events long, total_value double"
+
+
+def running_user_totals(events: DataFrame, timeout_minutes: int | None = None) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (event count, value total) maintained across micro-batches.
+
+    This is the escape hatch for stateful semantics the built-in
+    windowed aggregates can't express (cross-batch accumulators,
+    custom eviction). State is one tiny tuple per user key — bounded
+    by key cardinality, not stream length — and lives in the state
+    store (RocksDB in production), so a 100 TB/day stream holds only
+    |users| rows of state. Arrow-batched: each trigger hands the new
+    rows per key to pandas, updates the tuple, emits the running total.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame({
+            "user_id": [key[0]], "n_events": [n], "total_value": [total],
+        })
+
+    timeout = (
+        GroupStateTimeout.NoTimeout if timeout_minutes is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, USER_TOTALS_SCHEMA, USER_STATE_SCHEMA, "update", timeout,
+        )
+    )

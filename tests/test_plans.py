@@ -128,3 +128,15 @@ def test_q22_scalar_subquery_broadcast_anti_join(t):
     df = relational.idle_rich_customers(t("customer"), t("orders"))
     plan = plans.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_events_ts_range_pushes_to_scan(spark, sf_dir):
+    """The ts_range option must land as a raw-long pushed filter in the
+    parquet scan — the converted-timestamp formulation cannot push."""
+    df = read_table(spark, sf_dir, "events", ts_range=("2024-01-10", None))
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "ts" in pushed and "GreaterThanOrEqual" in pushed, pushed
+    unpushed = read_table(spark, sf_dir, "events").where(
+        F.col("ts") >= F.lit("2024-01-10").cast("timestamp")
+    )
+    assert not any("GreaterThanOrEqual" in p for p in plans.pushed_filters(unpushed))

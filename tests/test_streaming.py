@@ -71,3 +71,28 @@ def test_foreach_batch_cdc_bridge(spark, sf_dir, tmp_path):
         assert tags >= 1
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_running_user_totals_stateful_agrees_with_batch(spark, sf_dir):
+    """applyInPandasWithState running totals must equal the batch
+    groupBy after all micro-batches are processed (update mode: take
+    the last emission per user)."""
+    from hive_exporter_spark.streaming.streams import running_user_totals
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_to_memory_sink(
+        running_user_totals(stream), f"tot_{uuid.uuid4().hex[:8]}",
+        output_mode="update",
+    )
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+           for r in out.collect()}
+    batch = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("tv"))
+    )
+    want = {r["user_id"]: (r["n"], round(r["tv"], 6)) for r in batch.collect()}
+    assert set(got) == set(want)
+    mismatches = {u: (got[u], want[u]) for u in want if got[u] != want[u]}
+    assert not mismatches, list(mismatches.items())[:3]
