@@ -638,6 +638,65 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     )
 
 
+def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph: every doc in a
+    component gets `cluster_id` = the component's minimum doc id.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converged when the
+    global label sum stops decreasing (the sum is strictly monotone
+    while any label can still improve, so one quiet round proves the
+    fixpoint). Rounds needed = graph diameter — near-dup components
+    are small and dense (dup clusters, not social graphs), so this is
+    a handful of tiny shuffles over ONLY the paired docs (a vanishing
+    fraction of the corpus). localCheckpoint per round truncates the
+    lineage so the plan doesn't grow with iterations.
+    """
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select("src").distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src").agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_near(documents: DataFrame, pairs: DataFrame,
+               id_col: str = "doc_id") -> DataFrame:
+    """Drop near-duplicates: keep each cluster's canonical (min-id) doc
+    plus every unpaired doc. The removal set (non-canonical cluster
+    members) is tiny relative to the corpus, so the anti join
+    broadcasts it — the corpus itself never shuffles."""
+    clusters = near_dup_clusters(pairs)
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return documents.join(
+        F.broadcast(losers.withColumnRenamed("doc_id", "__loser")),
+        documents[id_col] == F.col("__loser"),
+        "left_anti",
+    )
+
+
 # -- driver-contract wiring -------------------------------------------------
 
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -712,8 +771,19 @@ def _q_fingerprint(spark, sf):
     return fingerprint(_docs(spark, sf))
 
 
+def _q_clusters(spark, sf):
+    return near_dup_clusters(ngram_jaccard_pairs(_docs(spark, sf))).orderBy("doc_id")
+
+
+def _q_dedup_near(spark, sf):
+    docs = _docs(spark, sf)
+    return dedup_near(docs, ngram_jaccard_pairs(docs))
+
+
 QUERIES = {
     "dedup_exact": _q_dedup_exact,
+    "near_dup_clusters": _q_clusters,
+    "dedup_near_duplicates": _q_dedup_near,
     "ngram_jaccard_pairs": _q_jaccard,
     "minhash_lsh_pairs": _q_minhash,
     "simhash64": _q_simhash,
@@ -769,23 +839,7 @@ ORACLES = {
             FROM documents
         ) WHERE rn = 1
     """,
-    "ngram_jaccard_pairs": f"""
-        WITH sh AS (
-            SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
-        ), sizes AS (
-            SELECT doc_id, len({_SHINGLES_SQL}) AS n_sh FROM documents
-        ), common AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        )
-        SELECT doc_a, doc_b, n_common,
-               CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
-        FROM common
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
-    """,
+    "ngram_jaccard_pairs": None,  # filled in below from _NGRAM_PAIRS_SQL
     "embedding_topk_cosine": f"""
         SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM (
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -861,3 +915,53 @@ ORACLES = {
     # DuckDB twin; rows-only checked (equivalence to their exact
     # baselines is asserted in tests instead).
 }
+
+_NGRAM_PAIRS_SQL = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+    ), sizes AS (
+        SELECT doc_id, len({_SHINGLES_SQL}) AS n_sh FROM documents
+    ), common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+"""
+ORACLES["ngram_jaccard_pairs"] = _NGRAM_PAIRS_SQL
+
+# Connected components as a recursive transitive closure (tractable for
+# the oracle because the pair graph is tiny at test scale; the engine
+# side uses min-label propagation, which scales).
+_REACH_SQL = f"""
+    pairs AS (SELECT * FROM ({_NGRAM_PAIRS_SQL})),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+    )
+"""
+ORACLES["near_dup_clusters"] = f"""
+    WITH RECURSIVE {_REACH_SQL}
+    SELECT node AS doc_id, MIN(r) AS cluster_id
+    FROM reach GROUP BY node ORDER BY doc_id
+"""
+ORACLES["dedup_near_duplicates"] = f"""
+    WITH RECURSIVE {_REACH_SQL},
+    losers AS (
+        SELECT node FROM (
+            SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+        ) WHERE node <> cluster_id
+    )
+    SELECT * FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)
+"""

@@ -93,3 +93,21 @@ def write_partitioned(df: DataFrame, dest: TableName, partition_cols: Sequence[s
     mode = "overwrite" if overwrite else "append"
     (df.write.format(fmt).mode(mode).partitionBy(*partition_cols)
      .saveAsTable(str(dest)))
+
+
+def write_bucketed(df: DataFrame, dest: TableName, bucket_cols: Sequence[str],
+                   n_buckets: int = 32, sort_cols: Sequence[str] | None = None,
+                   fmt: str = "parquet", mode: str = "overwrite") -> None:
+    """Bucketed (+ optionally sorted) table write: co-locates rows by
+    hash of the bucket columns at write time, so later equi-joins and
+    groupBys on those columns need no exchange (and with sort_cols, no
+    sort) — see tests/test_bucketing.py for the no-shuffle join plan.
+
+    The 100 TB lever for fact⋈fact joins: bucket both tables on the
+    join key at ingest; every downstream join on that key becomes
+    shuffle-free. Pick n_buckets ≈ table_size / target_task_input so
+    one bucket is one well-sized task."""
+    w = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(str(dest))

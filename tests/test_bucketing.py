@@ -16,14 +16,17 @@ from hive_exporter_spark.sources.files import read_table
 
 @pytest.fixture(scope="module")
 def bucketed_db(spark, sf_dir):
+    from hive_exporter_spark.catalog import TableName
+    from hive_exporter_spark.sinks import write_bucketed
+
     db = f"bucketdb_{uuid.uuid4().hex[:8]}"
     spark.sql(f"CREATE DATABASE {db}")
-    (read_table(spark, sf_dir, "orders").write
-     .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-     .saveAsTable(f"{db}.orders_b"))
-    (read_table(spark, sf_dir, "lineitem").write
-     .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-     .saveAsTable(f"{db}.lineitem_b"))
+    write_bucketed(read_table(spark, sf_dir, "orders"),
+                   TableName(db, "orders_b"), ["o_orderkey"],
+                   n_buckets=8, sort_cols=["o_orderkey"])
+    write_bucketed(read_table(spark, sf_dir, "lineitem"),
+                   TableName(db, "lineitem_b"), ["l_orderkey"],
+                   n_buckets=8, sort_cols=["l_orderkey"])
     yield db
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 

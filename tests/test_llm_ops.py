@@ -129,3 +129,28 @@ def test_fingerprint_deterministic_and_discriminative(spark, docs):
     # same text => same fingerprint; different texts rarely collide
     assert n_fp <= n_text
     assert n_fp > 0.95 * min(n_text, n_docs)
+
+
+def test_near_dup_clusters_transitive(spark):
+    """A~B and B~C must land A, B, C in one cluster labeled min(id),
+    across a chain longer than one propagation hop."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (11, 12)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in llm.near_dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_near_keeps_canonicals_and_singletons(spark, docs):
+    pairs = llm.ngram_jaccard_pairs(docs)
+    kept = llm.dedup_near(docs, pairs)
+    losers = {
+        r["doc_id"]
+        for r in llm.near_dup_clusters(pairs)
+        .where(F.col("doc_id") != F.col("cluster_id")).collect()
+    }
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert kept_ids == all_ids - losers
