@@ -112,6 +112,59 @@ def frame_sample_plan(documents: DataFrame, every_n: int = 10) -> DataFrame:
     return binary.mapInPandas(kernel, "doc_id long, frame_index int")
 
 
+def resize_images(documents: DataFrame, target_w: int = 8, target_h: int = 8) -> DataFrame:
+    """Image-resize plumbing: binary in → (smaller) binary out plus
+    output geometry. The fake kernel synthesizes target_w×target_h
+    deterministic pixel bytes from the payload digest; a real kernel
+    swaps in PIL's resize with identical schema/batching. The binary→
+    binary shape matters: it proves payloads can round-trip through
+    Arrow batches without driver involvement."""
+    binary = with_binary_content(documents)
+    n_px = target_w * target_h
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            digests = pdf["content"].map(lambda b: hashlib.sha256(b).digest())
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "out_width": target_w,
+                "out_height": target_h,
+                "resized": digests.map(
+                    lambda d: (d * (n_px // len(d) + 1))[:n_px]
+                ),
+            })
+
+    return binary.mapInPandas(
+        kernel, "doc_id long, out_width int, out_height int, resized binary"
+    )
+
+
+N_MFCC = 13
+
+
+def audio_features(documents: DataFrame, n_coeff: int = N_MFCC) -> DataFrame:
+    """Audio feature-extraction plumbing: binary in → fixed-length
+    float vector out (MFCC-shaped). The fake kernel derives each
+    coefficient from one digest byte (deterministic, oracle-checkable);
+    a real kernel would swap in librosa with the same schema. The
+    output array<double> column feeds directly into the similarity
+    operators (topk_cosine etc.) — binary → embedding is the
+    multimodal bridge into the vector pipeline."""
+    binary = with_binary_content(documents)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            digests = pdf["content"].map(lambda b: hashlib.sha256(b).digest())
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "mfcc": digests.map(
+                    lambda d: [d[i] / 255.0 for i in range(n_coeff)]
+                ),
+            })
+
+    return binary.mapInPandas(kernel, "doc_id long, mfcc array<double>")
+
+
 # -- driver-contract wiring -------------------------------------------------
 
 def _q_binary_meta(spark, sf):
@@ -119,13 +172,60 @@ def _q_binary_meta(spark, sf):
     return binary_metadata(read_table(spark, sf, "documents"))
 
 
-QUERIES = {"binary_metadata": _q_binary_meta}
+def _q_decode(spark, sf):
+    from hive_exporter_spark.sources.files import read_table
+    return decode_images(read_table(spark, sf, "documents"))
+
+
+def _q_frames(spark, sf):
+    from hive_exporter_spark.sources.files import read_table
+    return frame_sample_plan(read_table(spark, sf, "documents"))
+
+
+def _q_audio(spark, sf):
+    from hive_exporter_spark.sources.files import read_table
+    return audio_features(read_table(spark, sf, "documents"))
+
+
+QUERIES = {
+    "binary_metadata": _q_binary_meta,
+    "decode_images": _q_decode,
+    "frame_sample_plan": _q_frames,
+    "audio_features": _q_audio,
+}
+
+# sha256(text) in DuckDB hashes the same UTF-8 bytes the kernels see;
+# digest byte i is hex pair i, lifted to int via the 0x-prefix cast.
+def _digest_byte_sql(i: int) -> str:
+    return f"CAST(concat('0x', substr(sha256(text), {i * 2 + 1}, 2)) AS INTEGER)"
+
 
 ORACLES = {
     "binary_metadata": """
         SELECT doc_id,
                octet_length(encode(text)) AS byte_len,
                sha256(text) AS sha256
+        FROM documents
+    """,
+    "decode_images": f"""
+        SELECT doc_id,
+               64 + ({_digest_byte_sql(0)} % 192) AS width,
+               64 + ({_digest_byte_sql(1)} % 192) AS height,
+               1 + ({_digest_byte_sql(2)} % 2) * 2 AS n_channels,
+               'fake' AS decode_status
+        FROM documents
+    """,
+    "frame_sample_plan": """
+        SELECT doc_id,
+               CAST(unnest(range(0, octet_length(encode(text)) % 100 + 1, 10))
+                    AS INTEGER) AS frame_index
+        FROM documents
+    """,
+    "audio_features": f"""
+        SELECT doc_id,
+               list_transform(range(0, {N_MFCC}),
+                   i -> CAST(CAST(concat('0x', substr(sha256(text), i * 2 + 1, 2))
+                             AS INTEGER) AS DOUBLE) / 255.0) AS mfcc
         FROM documents
     """,
 }

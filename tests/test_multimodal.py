@@ -49,3 +49,29 @@ def test_frame_sample_fan_out(spark, docs):
     assert counts.count() == n_docs
     assert out.count() >= n_docs  # at least frame 0 per doc
     assert out.where(F.col("frame_index") % 10 != 0).count() == 0
+
+
+def test_resize_images_binary_roundtrip(spark, docs):
+    from hive_exporter_spark.operators.multimodal import resize_images
+
+    out = resize_images(docs, target_w=8, target_h=8)
+    rows = out.limit(5).collect()
+    assert rows
+    for r in rows:
+        assert r["out_width"] == 8 and r["out_height"] == 8
+        assert isinstance(r["resized"], (bytes, bytearray))
+        assert len(r["resized"]) == 64
+
+
+def test_audio_features_feed_similarity(spark, docs):
+    """The binary→embedding bridge: audio_features output must be
+    directly consumable by the vector similarity operators."""
+    from hive_exporter_spark.operators import llm
+    from hive_exporter_spark.operators.multimodal import audio_features
+
+    feats = audio_features(docs).withColumnRenamed("doc_id", "vec_id") \
+        .withColumnRenamed("mfcc", "embedding")
+    topk = llm.topk_cosine(feats, feats.where(F.col("vec_id") < 3), k=2)
+    got = topk.collect()
+    assert len(got) == 6
+    assert all(0.0 <= r["score"] <= 1.0 for r in got)
