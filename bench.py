@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "sessionize",
     "daily_event_stats",
     "dedup_exact",
+    "training_data_prep",
     "minhash_lsh_pairs",
     "embedding_topk_cosine",
     "text_stats",

@@ -682,6 +682,29 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def training_data_prep(documents: DataFrame, min_quality: float = 0.4) -> DataFrame:
+    """Flagship corpus-prep pipeline: quality filter → exact dedup →
+    near-dup dedup, emitting (doc_id, n_tokens, quality_score) for the
+    surviving training set.
+
+    The composition order is the scale order: the cheap quality score
+    (one codegen'd projection) prunes first, exact dedup (digest
+    shuffle) removes byte-identical copies, and only the survivors pay
+    for shingling + pair generation + component clustering. Each stage
+    is independently oracle-checked; this query checks their
+    composition end-to-end.
+    """
+    q = quality_score(documents)
+    kept = documents.select("doc_id", "text").join(
+        q.where(F.col("quality_score") >= min_quality)
+        .select("doc_id", "n_tokens", "quality_score"),
+        "doc_id",
+    )
+    uniq = dedup_exact(kept)
+    final = dedup_near(uniq, ngram_jaccard_pairs(uniq))
+    return final.select("doc_id", "n_tokens", "quality_score").orderBy("doc_id")
+
+
 def dedup_near(documents: DataFrame, pairs: DataFrame,
                id_col: str = "doc_id") -> DataFrame:
     """Drop near-duplicates: keep each cluster's canonical (min-id) doc
@@ -780,10 +803,15 @@ def _q_dedup_near(spark, sf):
     return dedup_near(docs, ngram_jaccard_pairs(docs))
 
 
+def _q_prep(spark, sf):
+    return training_data_prep(_docs(spark, sf))
+
+
 QUERIES = {
     "dedup_exact": _q_dedup_exact,
     "near_dup_clusters": _q_clusters,
     "dedup_near_duplicates": _q_dedup_near,
+    "training_data_prep": _q_prep,
     "ngram_jaccard_pairs": _q_jaccard,
     "minhash_lsh_pairs": _q_minhash,
     "simhash64": _q_simhash,
@@ -916,11 +944,13 @@ ORACLES = {
     # baselines is asserted in tests instead).
 }
 
-_NGRAM_PAIRS_SQL = f"""
+def _ngram_pairs_sql(src: str = "documents") -> str:
+    """DuckDB twin of ngram_jaccard_pairs over any (doc_id, text) source."""
+    return f"""
     WITH sh AS (
-        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM {src}
     ), sizes AS (
-        SELECT doc_id, len({_SHINGLES_SQL}) AS n_sh FROM documents
+        SELECT doc_id, len({_SHINGLES_SQL}) AS n_sh FROM {src}
     ), common AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -933,13 +963,20 @@ _NGRAM_PAIRS_SQL = f"""
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
 """
+
+
+_NGRAM_PAIRS_SQL = _ngram_pairs_sql()
 ORACLES["ngram_jaccard_pairs"] = _NGRAM_PAIRS_SQL
+
 
 # Connected components as a recursive transitive closure (tractable for
 # the oracle because the pair graph is tiny at test scale; the engine
 # side uses min-label propagation, which scales).
-_REACH_SQL = f"""
-    pairs AS (SELECT * FROM ({_NGRAM_PAIRS_SQL})),
+def _reach_sql(src: str = "documents") -> str:
+    """CTE bundle (pairs → edges → reach) for component closure over
+    the near-dup graph of `src`; use inside WITH RECURSIVE."""
+    return f"""
+    pairs AS (SELECT * FROM ({_ngram_pairs_sql(src)})),
     edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION
@@ -951,6 +988,9 @@ _REACH_SQL = f"""
         SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
     )
 """
+
+
+_REACH_SQL = _reach_sql()
 ORACLES["near_dup_clusters"] = f"""
     WITH RECURSIVE {_REACH_SQL}
     SELECT node AS doc_id, MIN(r) AS cluster_id
@@ -964,4 +1004,37 @@ ORACLES["dedup_near_duplicates"] = f"""
         ) WHERE node <> cluster_id
     )
     SELECT * FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)
+"""
+
+ORACLES["training_data_prep"] = f"""
+    WITH RECURSIVE
+    q AS (
+        SELECT doc_id, len({_TOKS_SQL}) AS n,
+               len(list_distinct({_TOKS_SQL})) AS nd
+        FROM documents
+    ),
+    kept AS (
+        SELECT d.doc_id, d.text, q.n AS n_tokens,
+               round(0.5 * least(CAST(q.n AS DOUBLE) / 200.0, 1.0)
+                     + 0.5 * (CAST(q.nd AS DOUBLE) / q.n), 6) AS quality_score
+        FROM documents d JOIN q ON d.doc_id = q.doc_id
+        WHERE round(0.5 * least(CAST(q.n AS DOUBLE) / 200.0, 1.0)
+                    + 0.5 * (CAST(q.nd AS DOUBLE) / q.n), 6) >= 0.4
+    ),
+    uniq AS (
+        SELECT doc_id, text, n_tokens, quality_score FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY sha256(text) ORDER BY doc_id
+            ) AS rn FROM kept
+        ) WHERE rn = 1
+    ),
+    {_reach_sql('uniq')},
+    losers AS (
+        SELECT node FROM (
+            SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+        ) WHERE node <> cluster_id
+    )
+    SELECT doc_id, n_tokens, quality_score FROM uniq
+    WHERE doc_id NOT IN (SELECT node FROM losers)
+    ORDER BY doc_id
 """
