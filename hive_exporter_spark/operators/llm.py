@@ -682,6 +682,96 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def minhash_lsh_pairs_ml(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    num_hash_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via spark.ml's MinHashLSH — the MLlib-native
+    alternative to the hand-rolled `minhash_lsh_pairs`.
+
+    Shingles → HashingTF sparse vectors → MinHashLSH
+    approxSimilarityJoin. Candidates come from OR-amplified hash-table
+    collisions (bucket equi-join under the hood, same linearity as the
+    banded variant); the emitted distance is the EXACT Jaccard on the
+    hashed-feature sets, so results are (doc_a, doc_b, jaccard) with
+    jaccard >= threshold. HashingTF collisions (2^20 bins) can
+    perturb the distance vs raw-shingle Jaccard — tests bound the
+    agreement against `ngram_jaccard_pairs`.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = exploded_shingles(documents).groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shingles")
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 20)
+    feat = tf.transform(sh).where(F.expr("features").isNotNull())
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=num_hash_tables, seed=seed)
+    model = lsh.fit(feat)
+    joined = model.approxSimilarityJoin(feat, feat, 1.0 - threshold, distCol="jd")
+    return (
+        joined.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            (1.0 - F.col("jd")).alias("jaccard"),
+        )
+    )
+
+
+def topk_cosine_brp_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via spark.ml's BucketedRandomProjectionLSH (p-norm
+    bucketing) — the MLlib-native ANN alternative to the sign-LSH and
+    IVF variants. Euclidean NN on L2-normalized vectors has the same
+    ordering as cosine NN (||a-b||² = 2 - 2·cos), so vectors are
+    normalized in a codegen'd projection first, then bucket-joined.
+    Recall vs exact `topk_cosine` is bounded in tests."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    def prep(df):
+        vec = df.select(
+            F.col(id_col),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("raw"),
+        )
+        return Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(vec)
+
+    corpus, qs = prep(embeddings), prep(queries)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=bucket_length, numHashTables=num_hash_tables, seed=seed,
+    )
+    model = lsh.fit(corpus)
+    # Euclidean distance 2.0 on unit vectors = cosine -1 (no pruning by
+    # distance; pruning comes from the hash-bucket candidate join).
+    joined = model.approxSimilarityJoin(qs, corpus, 2.0, distCol="dist")
+    pairs = (
+        joined.where(F.col("datasetA." + id_col) != F.col("datasetB." + id_col))
+        .select(
+            F.col("datasetA." + id_col).alias("query_id"),
+            F.col("datasetB." + id_col).alias("neighbor_id"),
+            (1.0 - F.col("dist") * F.col("dist") / 2.0).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
 def training_data_prep(documents: DataFrame, min_quality: float = 0.4) -> DataFrame:
     """Flagship corpus-prep pipeline: quality filter → exact dedup →
     near-dup dedup, emitting (doc_id, n_tokens, quality_score) for the
@@ -807,6 +897,15 @@ def _q_prep(spark, sf):
     return training_data_prep(_docs(spark, sf))
 
 
+def _q_minhash_ml(spark, sf):
+    return minhash_lsh_pairs_ml(_docs(spark, sf))
+
+
+def _q_topk_brp(spark, sf):
+    emb = _emb(spark, sf)
+    return topk_cosine_brp_lsh(emb, emb.where(F.col("vec_id") < N_QUERIES))
+
+
 QUERIES = {
     "dedup_exact": _q_dedup_exact,
     "near_dup_clusters": _q_clusters,
@@ -814,11 +913,13 @@ QUERIES = {
     "training_data_prep": _q_prep,
     "ngram_jaccard_pairs": _q_jaccard,
     "minhash_lsh_pairs": _q_minhash,
+    "minhash_lsh_pairs_ml": _q_minhash_ml,
     "simhash64": _q_simhash,
     "embedding_topk_cosine": _q_topk,
     "embedding_topk_cosine_lsh": _q_topk_lsh,
     "embedding_topk_cosine_pandas": _q_topk_pandas,
     "embedding_topk_cosine_ivf": _q_topk_ivf,
+    "embedding_topk_cosine_brp_lsh": _q_topk_brp,
     "embedding_near_dup_pairs": _q_near_dup,
     "embedding_near_dup_lsh_pairs": _q_near_dup_lsh,
     "text_stats": _q_text_stats,
@@ -937,11 +1038,11 @@ ORACLES = {
               ON a.vec_id < b.vec_id
         ) WHERE score >= {COSINE_DUP_THRESHOLD}
     """,
-    # minhash_lsh_pairs / simhash64 / embedding_topk_cosine_lsh /
-    # embedding_topk_cosine_pandas / embedding_near_dup_lsh_pairs:
-    # xxhash64 / seeded-hyperplane / numpy-summation based — no exact
-    # DuckDB twin; rows-only checked (equivalence to their exact
-    # baselines is asserted in tests instead).
+    # minhash_lsh_pairs(_ml) / simhash64 / embedding_topk_cosine_lsh
+    # (_brp_lsh, _pandas, _ivf) / embedding_near_dup_lsh_pairs:
+    # xxhash64 / seeded-hyperplane / spark.ml-hash / numpy-summation
+    # based — no exact DuckDB twin; rows-only checked (equivalence to
+    # their exact baselines is asserted in tests instead).
 }
 
 def _ngram_pairs_sql(src: str = "documents") -> str:

@@ -154,3 +154,28 @@ def test_dedup_near_keeps_canonicals_and_singletons(spark, docs):
     kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
     assert kept_ids == all_ids - losers
+
+
+def test_minhash_ml_agrees_with_exact_jaccard(spark, docs):
+    """spark.ml MinHashLSH pairs must cover most exact ngram-Jaccard
+    pairs, with distances close to raw-shingle Jaccard (HashingTF
+    collisions allow slack)."""
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in llm.ngram_jaccard_pairs(docs).collect()}
+    ml = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+          for r in llm.minhash_lsh_pairs_ml(docs).collect()}
+    assert exact, "fixture should contain near-dups"
+    found = set(exact) & set(ml)
+    assert len(found) / len(exact) >= 0.8, (len(found), len(exact))
+    for pair in found:
+        assert abs(exact[pair] - ml[pair]) < 0.05, (pair, exact[pair], ml[pair])
+
+
+def test_topk_brp_lsh_recall(spark, emb):
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in llm.topk_cosine(emb, queries).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in llm.topk_cosine_brp_lsh(emb, queries).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"BRP-LSH recall {recall} too low"
