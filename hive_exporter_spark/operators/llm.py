@@ -901,6 +901,15 @@ def _q_minhash_ml(spark, sf):
     return minhash_lsh_pairs_ml(_docs(spark, sf))
 
 
+def _q_dedup_near_minhash(spark, sf):
+    """The 100 TB dedup path end-to-end: LSH candidates (not O(n²)
+    shingle joins) drive the same component clustering + canonical
+    selection. Rows-only (xxhash64 has no DuckDB twin); agreement with
+    the exact-Jaccard path is asserted in tests."""
+    docs = _docs(spark, sf)
+    return dedup_near(docs, minhash_lsh_pairs(docs))
+
+
 def _q_topk_brp(spark, sf):
     emb = _emb(spark, sf)
     return topk_cosine_brp_lsh(emb, emb.where(F.col("vec_id") < N_QUERIES))
@@ -910,6 +919,7 @@ QUERIES = {
     "dedup_exact": _q_dedup_exact,
     "near_dup_clusters": _q_clusters,
     "dedup_near_duplicates": _q_dedup_near,
+    "dedup_near_minhash": _q_dedup_near_minhash,
     "training_data_prep": _q_prep,
     "ngram_jaccard_pairs": _q_jaccard,
     "minhash_lsh_pairs": _q_minhash,

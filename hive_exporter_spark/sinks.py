@@ -111,3 +111,24 @@ def write_bucketed(df: DataFrame, dest: TableName, bucket_cols: Sequence[str],
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(str(dest))
+
+
+def compact_table(spark: SparkSession, table: TableName, target_files: int,
+                  fmt: str = "parquet", scratch_db: str = "spark_scratch") -> int:
+    """Small-files compaction: rewrite a table into `target_files`
+    output files (two-phase via safe_overwrite, since the rewrite
+    reads the table it replaces). Returns the resulting file count.
+
+    The 100 TB hygiene operator: streaming/incremental appends leave
+    one file per batch-partition-task; scan cost and NameNode pressure
+    grow with file count, not bytes. Compact on a cadence sized so
+    files land near spark.sql.files.maxPartitionBytes (one task per
+    file afterwards). Use coalesce-free repartition (round-robin) so
+    output files are uniformly sized regardless of input skew."""
+    df = spark.table(str(table)).repartition(target_files)
+    safe_overwrite(spark, df, table, fmt, scratch_db=scratch_db,
+                   scratch_suffix="compact")
+    from pyspark.sql import functions as F
+
+    return (spark.table(str(table))
+            .select(F.input_file_name().alias("f")).distinct().count())

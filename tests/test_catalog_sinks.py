@@ -125,3 +125,21 @@ def test_jdbc_validation():
     with pytest.raises(ValueError):
         JdbcSourceConfig(url="jdbc:mysql://h/d", query="select 1",
                          partition_column="id")
+
+
+def test_compact_table(spark, db):
+    from pyspark.sql import functions as F
+
+    from hive_exporter_spark.sinks import compact_table
+
+    (spark.range(10_000).withColumn("v", F.col("id") * 2)
+     .repartition(64).write.saveAsTable(f"{db}.frag"))
+    tbl = TableName(db, "frag")
+    before = (spark.table(f"{db}.frag")
+              .select(F.input_file_name().alias("f")).distinct().count())
+    assert before >= 32
+    total_before = spark.table(f"{db}.frag").agg(F.sum("v")).first()[0]
+    after = compact_table(spark, tbl, target_files=4)
+    assert after <= 8, after
+    assert spark.table(f"{db}.frag").count() == 10_000
+    assert spark.table(f"{db}.frag").agg(F.sum("v")).first()[0] == total_before

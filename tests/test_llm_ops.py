@@ -179,3 +179,17 @@ def test_topk_brp_lsh_recall(spark, emb):
               for r in llm.topk_cosine_brp_lsh(emb, queries).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"BRP-LSH recall {recall} too low"
+
+
+def test_dedup_near_minhash_agrees_with_exact(spark, docs):
+    """The LSH-candidate dedup must keep (almost) the same docs as the
+    exact-Jaccard dedup — identical here because the fixture's
+    near-dups sit well above the LSH detection threshold."""
+    exact_kept = {r["doc_id"] for r in
+                  llm.dedup_near(docs, llm.ngram_jaccard_pairs(docs))
+                  .select("doc_id").collect()}
+    lsh_kept = {r["doc_id"] for r in
+                llm.dedup_near(docs, llm.minhash_lsh_pairs(docs))
+                .select("doc_id").collect()}
+    sym_diff = exact_kept ^ lsh_kept
+    assert len(sym_diff) <= max(2, len(exact_kept) // 50), sym_diff
