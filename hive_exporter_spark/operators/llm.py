@@ -656,11 +656,18 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
+    # Seed each node with min(itself, direct neighbors) — one grouped
+    # aggregate that both enumerates the nodes and completes round 1 of
+    # propagation (pair/star components, the common dup shape, are
+    # already final here).
     labels = (
-        edges.select("src").distinct()
-        .select(F.col("src").alias("node"), F.col("src").alias("label"))
-        .localCheckpoint()
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(F.col("src").alias("node"), F.least("src", "mn").alias("label"))
+        .localCheckpoint(eager=False)
     )
+    # Lazy checkpoints: the convergence-sum action below is the job
+    # that materializes each round — one job per round, not two.
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
         neigh = (
@@ -673,7 +680,7 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 "node",
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
@@ -790,7 +797,11 @@ def training_data_prep(documents: DataFrame, min_quality: float = 0.4) -> DataFr
         .select("doc_id", "n_tokens", "quality_score"),
         "doc_id",
     )
-    uniq = dedup_exact(kept)
+    # Materialize the filtered+deduped survivors once: the pair join
+    # references them four times (two exploded sides, two size sides)
+    # and the final anti-join a fifth — without the checkpoint the
+    # quality join and digest window would re-run per branch.
+    uniq = dedup_exact(kept).localCheckpoint(eager=False)
     final = dedup_near(uniq, ngram_jaccard_pairs(uniq))
     return final.select("doc_id", "n_tokens", "quality_score").orderBy("doc_id")
 
