@@ -273,6 +273,18 @@ def _q22(spark, sf):
     )
 
 
+def _window_analytics(spark, sf):
+    return relational.order_window_analytics(_t(spark, sf, "orders"))
+
+
+def _moving_avg(spark, sf):
+    return relational.daily_revenue_moving_avg(_t(spark, sf, "lineitem"))
+
+
+def _grouping_sets(spark, sf):
+    return relational.order_grouping_sets(_t(spark, sf, "orders"))
+
+
 def _events_scan_pruned_window(spark, sf):
     """Scan-side timestamp pruning: the [lo, hi) range filters the raw
     nanos long BEFORE conversion, so the predicate reaches the parquet
@@ -367,6 +379,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_segment_event_counts": _salted_segment_counts,
         "events_in_day_windows": _events_in_day_windows,
         "events_scan_pruned_window": _events_scan_pruned_window,
+        "order_window_analytics": _window_analytics,
+        "daily_revenue_moving_avg": _moving_avg,
+        "order_grouping_sets": _grouping_sets,
     }
     q.update(sessions.QUERIES)
     q.update(llm.QUERIES)
@@ -718,6 +733,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
         WHERE c_mktsegment = 'MACHINERY'
         ORDER BY n_name
+    """
+    o["order_window_analytics"] = """
+        SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+               DENSE_RANK() OVER w AS order_seq,
+               round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               NTILE(4) OVER w AS quartile,
+               LAG(o_totalprice, 1) OVER w AS prev_price,
+               LEAD(o_totalprice, 1) OVER w AS next_price,
+               FIRST_VALUE(o_orderdate) OVER w AS first_order_date
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """
+    o["daily_revenue_moving_avg"] = f"""
+        WITH daily AS (
+            SELECT date_trunc('day', l_shipdate) AS ship_day,
+                   {dsum_sql(rev)} AS revenue
+            FROM lineitem GROUP BY ship_day
+        )
+        SELECT ship_day, revenue,
+               round(AVG(revenue) OVER (
+                   ORDER BY date_diff('day', DATE '1995-01-01',
+                                      CAST(ship_day AS DATE))
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+               ), 6) AS ma_7d
+        FROM daily ORDER BY ship_day
+    """
+    o["order_grouping_sets"] = f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders, {dsum_sql('o_totalprice')} AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
     """
     o["events_scan_pruned_window"] = """
         SELECT event_type, COUNT(*) AS n_events, MAX(ts) AS last_ts

@@ -496,3 +496,58 @@ def late_shipment_priority_counts(orders: DataFrame, lineitem: DataFrame) -> Dat
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("o_orderpriority")
     )
+
+
+def order_window_analytics(orders: DataFrame) -> DataFrame:
+    """Analytic-window family over one per-customer partition spec:
+    dense_rank / percent_rank / ntile / lag / lead / first_value share
+    ONE window ordering, so Catalyst evaluates all six in a single
+    Window node over a single exchange+sort."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate"), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+        F.dense_rank().over(w).alias("order_seq"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.first("o_orderdate").over(w).alias("first_order_date"),
+    )
+
+
+def daily_revenue_moving_avg(lineitem: DataFrame, days: int = 6) -> DataFrame:
+    """RANGE-frame window: per-day revenue with a trailing (days+1)-day
+    moving average. The frame is a rangeBetween on the day ordinal —
+    after the one-row-per-day aggregate, so the window runs over
+    |days| rows, not |lineitem| rows."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    daily = (
+        lineitem.groupBy(F.date_trunc("day", "l_shipdate").alias("ship_day"))
+        .agg(dsum(rev).alias("revenue"))
+    )
+    day_num = F.datediff(F.col("ship_day"), F.lit("1995-01-01").cast("date"))
+    w = (
+        Window.orderBy(day_num.cast("long"))
+        .rangeBetween(-days, 0)
+    )
+    return (
+        daily.withColumn("ma", F.round(F.avg("revenue").over(w), 6))
+        .select("ship_day", "revenue", F.col("ma").alias(f"ma_{days + 1}d"))
+        .orderBy("ship_day")
+    )
+
+
+def order_grouping_sets(orders: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS ((status), (priority)) — the two
+    single-column subtotals without the cross-combinations CUBE would
+    add; one pass, map-side grouping-set expansion."""
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus", "o_orderpriority",
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             dsum("o_totalprice").alias("total_price"))
+    )

@@ -140,3 +140,18 @@ def test_events_ts_range_pushes_to_scan(spark, sf_dir):
         F.col("ts") >= F.lit("2024-01-10").cast("timestamp")
     )
     assert not any("GreaterThanOrEqual" in p for p in plans.pushed_filters(unpushed))
+
+
+def test_window_analytics_single_exchange(t):
+    """Six analytic functions over one partition spec must share a
+    single exchange (one Window group, not six)."""
+    df = relational.order_window_analytics(t("orders"))
+    assert plans.num_exchanges(df) == 1, plans.formatted_plan(df)
+
+
+def test_moving_avg_window_runs_post_aggregate(t):
+    """The range-frame window must sit above the per-day aggregate —
+    |days| input rows, not |lineitem| rows."""
+    df = relational.daily_revenue_moving_avg(t("lineitem"))
+    plan = plans.formatted_plan(df)
+    assert plan.index("Window") < plan.index("HashAggregate"), plan
