@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from hive_exporter_spark.functions.aggs import davg_sql, dsum_sql
 from hive_exporter_spark.operators import (
-    asof, core, joins, llm, multimodal, relational, sessions,
+    asof, core, joins, llm, multimodal, profile, relational, sessions,
 )
 from hive_exporter_spark.sources.files import TESTDATA_TABLES, read_table
 
@@ -273,6 +273,44 @@ def _q22(spark, sf):
     )
 
 
+def _q8(spark, sf):
+    return relational.nation_market_share(
+        _t(spark, sf, "region"), _t(spark, sf, "nation"),
+        _t(spark, sf, "customer"), _t(spark, sf, "orders"),
+        _t(spark, sf, "lineitem"), _t(spark, sf, "supplier"),
+    )
+
+
+def _q10(spark, sf):
+    return relational.returned_item_report(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders"),
+        _t(spark, sf, "lineitem"), _t(spark, sf, "nation"),
+    )
+
+
+def _q16(spark, sf):
+    return relational.supplier_diversity(
+        _t(spark, sf, "part"), _t(spark, sf, "lineitem")
+    )
+
+
+def _profile_orders(spark, sf):
+    return profile.profile_columns(
+        _t(spark, sf, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
+SAMPLE_FRACTIONS = {"click": 0.1, "view": 0.2, "purchase": 1.0}
+
+
+def _stratified_sample(spark, sf):
+    """Per-stratum downsample; engine-RNG-specific, so rows-only —
+    the fraction/determinism contract is tested in test_core_ops."""
+    ev = _t(spark, sf, "events")
+    return core.stratified_sample(ev, "event_type", SAMPLE_FRACTIONS)
+
+
 def _window_analytics(spark, sf):
     return relational.order_window_analytics(_t(spark, sf, "orders"))
 
@@ -382,6 +420,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_window_analytics": _window_analytics,
         "daily_revenue_moving_avg": _moving_avg,
         "order_grouping_sets": _grouping_sets,
+        "q8_nation_market_share": _q8,
+        "q10_returned_items": _q10,
+        "q16_supplier_diversity": _q16,
+        "profile_orders_columns": _profile_orders,
+        "events_stratified_sample": _stratified_sample,
     }
     q.update(sessions.QUERIES)
     q.update(llm.QUERIES)
@@ -733,6 +776,62 @@ def oracle_sql() -> dict[str, str]:
         SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
         WHERE c_mktsegment = 'MACHINERY'
         ORDER BY n_name
+    """
+    o["q8_nation_market_share"] = f"""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               {dsum_sql("CASE WHEN n2.n_name = 'NATION_3' THEN " + rev + " ELSE 0.0 END")}
+                   / {dsum_sql(rev)} AS market_share,
+               {dsum_sql(rev)} AS total_revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        GROUP BY order_year
+        ORDER BY order_year
+    """
+    o["q10_returned_items"] = f"""
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               {dsum_sql(rev)} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """
+    o["q16_supplier_diversity"] = """
+        SELECT p_brand, p_type, CAST(floor(p_size / 10) AS INTEGER) AS size_bucket,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_type, size_bucket
+        ORDER BY supplier_cnt DESC, p_brand, p_type, size_bucket
+    """
+    o["profile_orders_columns"] = """
+        WITH w AS (
+            SELECT COUNT(*) AS n_rows,
+                   COUNT(o_orderkey) AS k_nn, COUNT(DISTINCT o_orderkey) AS k_nd,
+                   CAST(MIN(o_orderkey) AS VARCHAR) AS k_min, CAST(MAX(o_orderkey) AS VARCHAR) AS k_max,
+                   COUNT(o_custkey) AS c_nn, COUNT(DISTINCT o_custkey) AS c_nd,
+                   CAST(MIN(o_custkey) AS VARCHAR) AS c_min, CAST(MAX(o_custkey) AS VARCHAR) AS c_max,
+                   COUNT(o_orderstatus) AS s_nn, COUNT(DISTINCT o_orderstatus) AS s_nd,
+                   CAST(MIN(o_orderstatus) AS VARCHAR) AS s_min, CAST(MAX(o_orderstatus) AS VARCHAR) AS s_max,
+                   COUNT(o_orderpriority) AS p_nn, COUNT(DISTINCT o_orderpriority) AS p_nd,
+                   CAST(MIN(o_orderpriority) AS VARCHAR) AS p_min, CAST(MAX(o_orderpriority) AS VARCHAR) AS p_max
+            FROM orders
+        )
+        SELECT 'o_orderkey' AS column_name, n_rows, k_nn AS n_nonnull,
+               k_nd AS n_distinct, k_min AS min_value, k_max AS max_value FROM w
+        UNION ALL
+        SELECT 'o_custkey', n_rows, c_nn, c_nd, c_min, c_max FROM w
+        UNION ALL
+        SELECT 'o_orderstatus', n_rows, s_nn, s_nd, s_min, s_max FROM w
+        UNION ALL
+        SELECT 'o_orderpriority', n_rows, p_nn, p_nd, p_min, p_max FROM w
     """
     o["order_window_analytics"] = """
         SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,

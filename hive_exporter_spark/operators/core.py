@@ -152,3 +152,13 @@ def reconcile_counts(source: DataFrame, ingested: DataFrame, destination: DataFr
         "ingested_count": ingested.count(),
         "destination_count": destination.count(),
     }
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict, seed: int = 42) -> DataFrame:
+    """Per-stratum Bernoulli sampling (sampleBy): downsample
+    overrepresented classes without a shuffle — each task filters its
+    own rows against the stratum's fraction. The standard rebalancing
+    step before training-data export; deterministic under a fixed
+    seed (rerun-stable splits)."""
+    return df.sampleBy(strata_col, fractions, seed)

@@ -1,0 +1,46 @@
+"""Data-profiling utility: per-column stats in ONE pass over the data.
+
+The wide-aggregate-then-unpivot shape matters at scale: profiling N
+columns is one scan + one partial-aggregate collapse (a single row
+crosses the shuffle), never N scans. min/max surface as strings so
+heterogeneous column types fit one result schema.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PROFILE_SCHEMA_COLS = ("column_name", "n_rows", "n_nonnull", "n_distinct",
+                       "min_value", "max_value")
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """One row per profiled column: row count, non-null count, exact
+    distinct count, min/max (stringified)."""
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nonnull"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    # Explode one array of per-column structs from the single agg row —
+    # a union of per-column projections would re-run the aggregate (and
+    # the scan) once per branch; this stays one scan, one agg, N rows.
+    entries = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("__rows").alias("n_rows"),
+            F.col(f"{c}__nonnull").alias("n_nonnull"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*entries)).alias("p")).select("p.*")

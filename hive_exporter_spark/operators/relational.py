@@ -551,3 +551,68 @@ def order_grouping_sets(orders: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"),
              dsum("o_totalprice").alias("total_price"))
     )
+
+
+def nation_market_share(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                        orders: DataFrame, lineitem: DataFrame, supplier: DataFrame,
+                        target_nation: str = "NATION_3",
+                        region_name: str = "ASIA") -> DataFrame:
+    """TPC-H-Q8-style market share: the target nation's share of
+    supplier revenue into one region's customers, per year. The share
+    is a conditional-sum / total-sum ratio inside one aggregate — no
+    second pass; dims broadcast, one fact shuffle for the year groups."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n_cust = nation.select(F.col("n_nationkey").alias("cn_key"),
+                           F.col("n_regionkey").alias("cn_region"))
+    n_supp = nation.select(F.col("n_nationkey").alias("sn_key"),
+                           F.col("n_name").alias("supp_nation"))
+    asia = region.where(F.col("r_name") == region_name)
+    return (
+        lineitem
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(asia), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            (dsum(F.when(F.col("supp_nation") == target_nation, rev).otherwise(0.0))
+             / dsum(rev)).alias("market_share"),
+            dsum(rev).alias("total_revenue"),
+        )
+        .orderBy("order_year")
+    )
+
+
+def returned_item_report(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                         nation: DataFrame, k: int = 20) -> DataFrame:
+    """TPC-H-Q10-style: top customers by revenue lost to returns
+    (returnflag = 'R'). The returns filter prunes the fact before both
+    joins; top-k is TakeOrdered."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(rev).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(k)
+    )
+
+
+def supplier_diversity(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H-Q16-style (adapted: supply relation derived from shipped
+    lines — the fixtures carry no partsupp table): distinct suppliers
+    per (brand, type, size-bucket). The distinct-agg dedups
+    (attrs, suppkey) map-side before counting."""
+    size_bucket = (F.col("p_size") / 10).cast("int").alias("size_bucket")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", size_bucket)
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "size_bucket")
+    )

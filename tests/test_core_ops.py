@@ -106,3 +106,27 @@ def test_reconcile_counts(spark):
     dst = spark.range(10)
     rep = core.reconcile_counts(src, ing, dst)
     assert rep == {"source_count": 10, "ingested_count": 4, "destination_count": 10}
+
+
+def test_stratified_sample_fractions_and_determinism(spark, sf_dir):
+    from hive_exporter_spark.operators.core import stratified_sample
+    from hive_exporter_spark.sources.files import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    fr = {"click": 0.1, "view": 0.2, "purchase": 1.0}
+    s1 = stratified_sample(ev, "event_type", fr, seed=42)
+    s2 = stratified_sample(ev, "event_type", fr, seed=42)
+    ids1 = {r["event_id"] for r in s1.select("event_id").collect()}
+    ids2 = {r["event_id"] for r in s2.select("event_id").collect()}
+    assert ids1 == ids2, "same seed must give identical samples"
+    base = {r["event_type"]: r["n"] for r in
+            ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["event_type"]: r["n"] for r in
+           s1.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got.get("purchase") == base["purchase"]
+    for t, frac in (("click", 0.1), ("view", 0.2)):
+        if t in base and base[t] > 100:
+            ratio = got.get(t, 0) / base[t]
+            assert abs(ratio - frac) < 0.1, (t, ratio)
+    others = set(base) - set(fr)
+    assert all(t not in got for t in others)
