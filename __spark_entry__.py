@@ -273,6 +273,37 @@ def _q22(spark, sf):
     )
 
 
+DIFF_CUTOFF = "1999-01-01"
+
+
+def _snapshot_diff(spark, sf):
+    """CDC diff between two derived order snapshots: 'old' = orders
+    before the cutoff; 'new' = all orders with post-cutoff rows
+    re-statused. Yields added (post-cutoff) and changed (re-statused)
+    keys."""
+    orders = _t(spark, sf, "orders")
+    cut = F.lit(DIFF_CUTOFF).cast("timestamp")
+    old = orders.where(F.col("o_orderdate") < cut)
+    new = orders.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderdate") >= cut, F.lit("X"))
+        .otherwise(F.col("o_orderstatus")),
+    )
+    return core.snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    ).orderBy("o_orderkey")
+
+
+def _scd2(spark, sf):
+    """SCD2 validity intervals of each user's event_type over time
+    (consecutive same-type events collapsed)."""
+    ev = _t(spark, sf, "events")
+    return core.scd2_intervals(
+        ev.select("user_id", "ts", "event_type"),
+        ["user_id"], "ts", ["event_type"],
+    ).orderBy("user_id", "valid_from")
+
+
 def _q8(spark, sf):
     return relational.nation_market_share(
         _t(spark, sf, "region"), _t(spark, sf, "nation"),
@@ -425,6 +456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_diversity": _q16,
         "profile_orders_columns": _profile_orders,
         "events_stratified_sample": _stratified_sample,
+        "orders_snapshot_diff": _snapshot_diff,
+        "user_event_scd2": _scd2,
     }
     q.update(sessions.QUERIES)
     q.update(llm.QUERIES)
@@ -776,6 +809,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
         WHERE c_mktsegment = 'MACHINERY'
         ORDER BY n_name
+    """
+    o["orders_snapshot_diff"] = f"""
+        WITH old AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            WHERE o_orderdate < TIMESTAMP '{DIFF_CUTOFF} 00:00:00'
+        ), new AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderdate >= TIMESTAMP '{DIFF_CUTOFF} 00:00:00'
+                        THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+                   o_totalprice
+            FROM orders
+        )
+        SELECT COALESCE(new.o_orderkey, old.o_orderkey) AS o_orderkey,
+               CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                    WHEN new.o_orderkey IS NULL THEN 'removed'
+                    WHEN NOT (old.o_orderstatus IS NOT DISTINCT FROM new.o_orderstatus
+                              AND old.o_totalprice IS NOT DISTINCT FROM new.o_totalprice)
+                    THEN 'changed' END AS change_type
+        FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+        WHERE CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                   WHEN new.o_orderkey IS NULL THEN 'removed'
+                   WHEN NOT (old.o_orderstatus IS NOT DISTINCT FROM new.o_orderstatus
+                             AND old.o_totalprice IS NOT DISTINCT FROM new.o_totalprice)
+                   THEN 'changed' END IS NOT NULL
+        ORDER BY o_orderkey
+    """
+    o["user_event_scd2"] = """
+        WITH dedup AS (
+            SELECT * FROM (
+                SELECT user_id, ts, event_type,
+                       LAG(event_type) OVER w AS prev_type,
+                       ROW_NUMBER() OVER w AS rn
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ) WHERE rn = 1 OR NOT (prev_type IS NOT DISTINCT FROM event_type)
+        )
+        SELECT user_id, event_type, ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+               (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts)) IS NULL AS is_current
+        FROM dedup
+        ORDER BY user_id, valid_from
     """
     o["q8_nation_market_share"] = f"""
         SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,

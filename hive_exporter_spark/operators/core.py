@@ -162,3 +162,72 @@ def stratified_sample(df: DataFrame, strata_col: str,
     step before training-data export; deterministic under a fixed
     seed (rerun-stable splits)."""
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: Sequence[str],
+                  compare_cols: Sequence[str] | None = None) -> DataFrame:
+    """CDC-style diff of two table snapshots keyed on `keys`: one row
+    per changed key with change_type in (added, removed, changed).
+
+    Full outer join on the keys — one co-partitioned shuffle per side,
+    the classic reconciliation shape. Column comparison is
+    null-safe (`<=>`), so NULL→value and value→NULL transitions count
+    as changes. `compare_cols` defaults to every non-key column the
+    snapshots share."""
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c in set(new.columns) and c not in keys]
+    o = old.select(*keys, *compare_cols).alias("o")
+    n = new.select(*keys, *compare_cols).alias("n")
+    cond = [o[k].eqNullSafe(n[k]) for k in keys]
+    joined = o.join(n, cond, "full_outer")
+    old_present = F.col(f"o.{keys[0]}").isNotNull()
+    new_present = F.col(f"n.{keys[0]}").isNotNull()
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    change = (
+        F.when(~old_present, F.lit("added"))
+        .when(~new_present, F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    key_cols = [F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys]
+    return (
+        joined.withColumn("change_type", change)
+        .where(F.col("change_type").isNotNull())
+        .select(*key_cols, "change_type")
+    )
+
+
+def scd2_intervals(changes: DataFrame, keys: Sequence[str], ts_col: str,
+                   attr_cols: Sequence[str]) -> DataFrame:
+    """Type-2 slowly-changing-dimension builder: from a change log,
+    one validity interval [valid_from, valid_to) per attribute version
+    per key; open versions get NULL valid_to and is_current = true.
+
+    One window over (key, ts): valid_to = lead(ts). Consecutive
+    duplicate attribute values are collapsed first (lag comparison,
+    same window partitioning) so intervals describe *changes*, not
+    every observation — all in a single exchange on the key."""
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col))
+    prev_same = F.lit(True)
+    for c in attr_cols:
+        prev_same = prev_same & F.lag(F.col(c)).over(w).eqNullSafe(F.col(c))
+    # The first row per key must always survive — its lag() is NULL,
+    # and eqNullSafe would call an all-NULL first version "same".
+    is_first = F.row_number().over(w) == 1
+    dedup = (
+        changes.withColumn(
+            "__same", F.when(is_first, F.lit(False)).otherwise(prev_same)
+        )
+        .where(~F.col("__same"))
+        .drop("__same")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(F.col(ts_col))
+    return (
+        dedup.select(
+            *keys, *attr_cols,
+            F.col(ts_col).alias("valid_from"),
+            F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

@@ -130,3 +130,40 @@ def test_stratified_sample_fractions_and_determinism(spark, sf_dir):
             assert abs(ratio - frac) < 0.1, (t, ratio)
     others = set(base) - set(fr)
     assert all(t not in got for t in others)
+
+
+def test_snapshot_diff_change_classes(spark):
+    from hive_exporter_spark.operators.core import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (3, "c", 30.0), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    got = {r["k"]: r["change_type"]
+           for r in snapshot_diff(old, new, ["k"]).collect()}
+    # 1 unchanged (absent); 2 changed (s); 3 changed (NULL->30, null-safe);
+    # 4 removed; 5 added
+    assert got == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+
+
+def test_scd2_intervals_collapse_and_current(spark):
+    from hive_exporter_spark.operators.core import scd2_intervals
+
+    rows = [
+        (1, 1, "x"), (1, 2, "x"), (1, 3, "y"), (1, 4, "x"),
+        (2, 1, None), (2, 2, None), (2, 3, "z"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    out = scd2_intervals(df, ["user_id"], "ts", ["event_type"]).collect()
+    by_user = {}
+    for r in sorted(out, key=lambda r: (r["user_id"], r["valid_from"])):
+        by_user.setdefault(r["user_id"], []).append(
+            (r["event_type"], r["valid_from"], r["valid_to"], r["is_current"])
+        )
+    assert by_user[1] == [("x", 1, 3, False), ("y", 3, 4, False), ("x", 4, None, True)]
+    # first version survives even with NULL attribute; NULL run collapses
+    assert by_user[2] == [(None, 1, 3, False), ("z", 3, None, True)]
