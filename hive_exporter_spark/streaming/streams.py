@@ -167,3 +167,16 @@ def running_user_totals(events: DataFrame, timeout_minutes: int | None = None) -
             update, USER_TOTALS_SCHEMA, USER_STATE_SCHEMA, "update", timeout,
         )
     )
+
+
+def dedup_stream(events: DataFrame, keys: list[str] | None = None,
+                 watermark: str = "2 hours", ts_col: str = "ts") -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark keeps one
+    row per key among events whose event times fall within the
+    watermark of each other, then EVICTS the key's state — bounded
+    state on an unbounded stream, unlike plain dropDuplicates which
+    would hold every key forever. The streaming twin of the batch
+    dedup_exact/latest_per_key family for at-least-once sources
+    (replayed deliveries land inside the lateness bound)."""
+    keys = keys or ["event_id"]
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

@@ -96,3 +96,18 @@ def test_running_user_totals_stateful_agrees_with_batch(spark, sf_dir):
     assert set(got) == set(want)
     mismatches = {u: (got[u], want[u]) for u in want if got[u] != want[u]}
     assert not mismatches, list(mismatches.items())[:3]
+
+
+def test_dedup_stream_removes_replayed_rows(spark, sf_dir):
+    """A doubled source (union of the stream with itself) must come out
+    with exactly one row per event_id."""
+    from hive_exporter_spark.streaming.streams import dedup_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    doubled = stream.union(stream)
+    out = run_to_memory_sink(
+        dedup_stream(doubled), f"dedup_{uuid.uuid4().hex[:8]}"
+    )
+    n_src = read_table(spark, sf_dir, "events").count()
+    assert out.count() == n_src
+    assert out.select("event_id").distinct().count() == n_src
