@@ -638,6 +638,63 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     )
 
 
+VOCAB_MIN_COUNT = 5
+PII_EMAIL_PATTERN = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PII_LONG_DIGITS_PATTERN = "[0-9]{7,}"
+
+
+def build_vocab(documents: DataFrame, min_count: int = VOCAB_MIN_COUNT) -> DataFrame:
+    """Corpus vocabulary with total occurrence counts, rare tokens
+    dropped. Explode + count partial-aggregates map-side, so the
+    exchange carries one row per distinct token per partition — the
+    canonical wordcount shape, linear at any corpus size."""
+    return (
+        documents.select(F.explode(tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= min_count)
+        .orderBy(F.col("n_occurrences").desc(), "token")
+    )
+
+
+def token_doc_frequency(documents: DataFrame, min_df: int = 2) -> DataFrame:
+    """Per-(doc, token) term frequency joined with the token's document
+    frequency — the exact-integer core of TF-IDF (the float idf weight
+    is one `ln(N/df)` projection away; kept integral here so the
+    oracle comparison is exact, not tolerance-based).
+
+    The df side is a tiny (token, df) aggregate joined back broadcast;
+    the tf side never reshuffles after its (doc, token) count."""
+    tf = (
+        documents.select("doc_id", F.explode(tokens_col()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    return tf.join(F.broadcast(df_), "token").select("doc_id", "token", "tf", "df")
+
+
+def scrub_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data hygiene: mask email addresses and long digit runs
+    (phone/account numbers) in one codegen'd projection — two chained
+    regexp_replace calls, no Python in the path. Patterns are simple
+    character-class regexes that behave identically across Java regex
+    and RE2, keeping the operator oracle-checkable."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), PII_EMAIL_PATTERN, "<EMAIL>"),
+        PII_LONG_DIGITS_PATTERN, "<NUM>",
+    )
+    return documents.select(
+        "doc_id",
+        scrubbed.alias("scrubbed_text"),
+        (scrubbed != F.col(text_col)).alias("was_scrubbed"),
+    )
+
+
 def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over a near-dup pair graph: every doc in a
     component gets `cluster_id` = the component's minimum doc id.
@@ -895,6 +952,18 @@ def _q_fingerprint(spark, sf):
     return fingerprint(_docs(spark, sf))
 
 
+def _q_vocab(spark, sf):
+    return build_vocab(_docs(spark, sf))
+
+
+def _q_tok_df(spark, sf):
+    return token_doc_frequency(_docs(spark, sf))
+
+
+def _q_scrub(spark, sf):
+    return scrub_pii(_docs(spark, sf))
+
+
 def _q_clusters(spark, sf):
     return near_dup_clusters(ngram_jaccard_pairs(_docs(spark, sf))).orderBy("doc_id")
 
@@ -944,6 +1013,9 @@ QUERIES = {
     "embedding_near_dup_pairs": _q_near_dup,
     "embedding_near_dup_lsh_pairs": _q_near_dup_lsh,
     "text_stats": _q_text_stats,
+    "build_vocab": _q_vocab,
+    "token_doc_frequency": _q_tok_df,
+    "scrub_pii": _q_scrub,
     "token_count_bpe": _q_bpe,
     "language_id": _q_lang,
     "quality_score": _q_quality,
@@ -1089,6 +1161,38 @@ def _ngram_pairs_sql(src: str = "documents") -> str:
 
 _NGRAM_PAIRS_SQL = _ngram_pairs_sql()
 ORACLES["ngram_jaccard_pairs"] = _NGRAM_PAIRS_SQL
+
+ORACLES["build_vocab"] = f"""
+    SELECT token, COUNT(*) AS n_occurrences
+    FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
+    GROUP BY token
+    HAVING COUNT(*) >= {VOCAB_MIN_COUNT}
+    ORDER BY n_occurrences DESC, token
+"""
+
+ORACLES["token_doc_frequency"] = f"""
+    WITH tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents)
+        GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+        HAVING COUNT(*) >= 2
+    )
+    SELECT doc_id, tf.token, tf, df FROM tf JOIN df ON tf.token = df.token
+"""
+
+ORACLES["scrub_pii"] = f"""
+    WITH s AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(text, '{PII_EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                   '{PII_LONG_DIGITS_PATTERN}', '<NUM>', 'g') AS scrubbed_text,
+               text
+        FROM documents
+    )
+    SELECT doc_id, scrubbed_text, (scrubbed_text <> text) AS was_scrubbed FROM s
+"""
 
 
 # Connected components as a recursive transitive closure (tractable for

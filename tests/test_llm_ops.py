@@ -193,3 +193,28 @@ def test_dedup_near_minhash_agrees_with_exact(spark, docs):
                 .select("doc_id").collect()}
     sym_diff = exact_kept ^ lsh_kept
     assert len(sym_diff) <= max(2, len(exact_kept) // 50), sym_diff
+
+
+def test_scrub_pii_masks_emails_and_numbers(spark):
+    df = spark.createDataFrame(
+        [(1, "contact john.doe+x@example.org or call 12345678 now"),
+         (2, "short 123456 stays, 1234567 goes"),
+         (3, "clean text")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["scrubbed_text"], r["was_scrubbed"])
+           for r in llm.scrub_pii(df).collect()}
+    assert got[1] == ("contact <EMAIL> or call <NUM> now", True)
+    assert got[2] == ("short 123456 stays, <NUM> goes", True)
+    assert got[3] == ("clean text", False)
+
+
+def test_vocab_and_doc_frequency_consistency(spark, docs):
+    vocab = {r["token"]: r["n_occurrences"] for r in llm.build_vocab(docs, 1).collect()}
+    tfdf = llm.token_doc_frequency(docs, min_df=1)
+    agg = {r["token"]: (r["total_tf"], r["df"]) for r in
+           tfdf.groupBy("token", "df").agg(F.sum("tf").alias("total_tf"))
+           .select("token", "total_tf", "df").collect()}
+    for tok, (total_tf, df_) in agg.items():
+        assert vocab[tok] == total_tf, tok
+        assert df_ <= total_tf
