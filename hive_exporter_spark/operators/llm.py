@@ -638,6 +638,42 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     )
 
 
+def label_centroids(embeddings: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-label centroid in exploded (label, dim, mean) form: one
+    posexplode + one grouped average. Exploded output (rather than
+    re-collected arrays) keeps the whole computation a plain partial
+    aggregate — |labels|·|dims| rows cross the exchange, and the
+    result is directly joinable for centroid-distance scoring.
+    Means run through the DECIMAL path for oracle-exact results."""
+    from hive_exporter_spark.functions.aggs import davg
+
+    return (
+        embeddings.select(label_col, F.posexplode(vec_col).alias("dim", "val"))
+        .groupBy(label_col, "dim")
+        .agg(davg(F.col("val").cast("double")).alias("mean_val"))
+        .orderBy(label_col, "dim")
+    )
+
+
+def embedding_norms(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Cross-modal join: document text stats alongside the L2 norm of
+    the doc's embedding (doc_id = vec_id in the fixtures). Norm is a
+    JVM fold over the array; the join co-partitions on the shared id."""
+    from hive_exporter_spark.functions.vectors import l2_norm
+
+    emb = embeddings.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(l2_norm("embedding"), 6).alias("l2_norm"),
+        "label",
+    )
+    return (
+        documents.select("doc_id", F.length("text").alias("n_chars"))
+        .join(emb, "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 VOCAB_MIN_COUNT = 5
 PII_EMAIL_PATTERN = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
 PII_LONG_DIGITS_PATTERN = "[0-9]{7,}"
@@ -956,6 +992,14 @@ def _q_vocab(spark, sf):
     return build_vocab(_docs(spark, sf))
 
 
+def _q_centroids(spark, sf):
+    return label_centroids(_emb(spark, sf))
+
+
+def _q_norms(spark, sf):
+    return embedding_norms(_docs(spark, sf), _emb(spark, sf))
+
+
 def _q_tok_df(spark, sf):
     return token_doc_frequency(_docs(spark, sf))
 
@@ -1010,6 +1054,8 @@ QUERIES = {
     "embedding_topk_cosine_pandas": _q_topk_pandas,
     "embedding_topk_cosine_ivf": _q_topk_ivf,
     "embedding_topk_cosine_brp_lsh": _q_topk_brp,
+    "embedding_label_centroids": _q_centroids,
+    "doc_embedding_norms": _q_norms,
     "embedding_near_dup_pairs": _q_near_dup,
     "embedding_near_dup_lsh_pairs": _q_near_dup_lsh,
     "text_stats": _q_text_stats,
@@ -1161,6 +1207,29 @@ def _ngram_pairs_sql(src: str = "documents") -> str:
 
 _NGRAM_PAIRS_SQL = _ngram_pairs_sql()
 ORACLES["ngram_jaccard_pairs"] = _NGRAM_PAIRS_SQL
+
+ORACLES["embedding_label_centroids"] = """
+    SELECT label, u.dim - 1 AS dim,
+           CAST(CAST(SUM(CAST(CAST(u.val AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+                / COUNT(u.val) AS DOUBLE) AS mean_val
+    FROM embeddings,
+         unnest(list_transform(range(1, len(embedding) + 1),
+                i -> {'dim': i, 'val': embedding[i]})) AS t(u)
+    GROUP BY label, u.dim
+    ORDER BY label, dim
+"""
+
+ORACLES["doc_embedding_norms"] = """
+    SELECT d.doc_id, length(d.text) AS n_chars,
+           round(sqrt(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(e.embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (acc, x) -> acc + x)), 6) AS l2_norm,
+           e.label
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ORDER BY d.doc_id
+"""
 
 ORACLES["build_vocab"] = f"""
     SELECT token, COUNT(*) AS n_occurrences
