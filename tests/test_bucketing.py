@@ -68,3 +68,28 @@ def test_bucketed_agg_avoids_exchange(spark, bucketed_db):
     lineitem = spark.table(f"{bucketed_db}.lineitem_b")
     agg = lineitem.groupBy("l_orderkey").agg(dsum("l_quantity").alias("q"))
     assert plans.num_exchanges(agg) == 0, plans.formatted_plan(agg)
+
+
+def test_partitioned_table_prunes_partitions(spark, sf_dir):
+    """A filter on the partition column must become a PartitionFilter
+    (pruned directories), not a post-scan predicate."""
+    import uuid as _uuid
+
+    from hive_exporter_spark.catalog import TableName
+    from hive_exporter_spark.sinks import write_partitioned
+
+    db = f"prunedb_{_uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db}")
+    try:
+        ev = read_table(spark, sf_dir, "events")
+        write_partitioned(ev, TableName(db, "ev_p"), ["event_type"],
+                          overwrite=True)
+        df = spark.table(f"{db}.ev_p").where(F.col("event_type") == "click")
+        plan = plans.formatted_plan(df)
+        import re
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "event_type" in m.group(1), plan
+        n_click = ev.where(F.col("event_type") == "click").count()
+        assert df.count() == n_click
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
