@@ -105,6 +105,71 @@ def lift_props(events: DataFrame) -> DataFrame:
     )
 
 
+
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def conversion_funnel(events: DataFrame,
+                      steps: tuple = FUNNEL_STEPS) -> DataFrame:
+    """Ordered-funnel analysis: how many users reached each step IN
+    ORDER (step k counts only if its first occurrence is at or after
+    step k-1's first occurrence).
+
+    One grouped aggregate computes every step's first timestamp per
+    user (conditional mins share the single exchange); the ordered
+    prefix depth is a pure projection; the final per-step tally is a
+    tiny second aggregate. No joins, no window over raw events."""
+    firsts = events.groupBy("user_id").agg(*[
+        F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"__t{i}")
+        for i, s in enumerate(steps)
+    ])
+    # funnel_depth = longest prefix of steps whose first occurrences
+    # exist and are non-decreasing in time.
+    depth = F.lit(0)
+    prefix_ok = F.lit(True)
+    for i in range(len(steps)):
+        ok = F.col(f"__t{i}").isNotNull()
+        if i > 0:
+            ok = ok & (F.col(f"__t{i}") >= F.col(f"__t{i - 1}"))
+        prefix_ok = prefix_ok & ok
+        depth = F.when(prefix_ok, i + 1).otherwise(depth)
+    per_user = firsts.withColumn("funnel_depth", depth)
+    step_names = F.array(*[F.lit(s) for s in steps])
+    return (
+        # depth-0 users filtered BEFORE sequence(): sequence(1, 0)
+        # would infer a negative step and emit [1, 0], not empty.
+        per_user.where(F.col("funnel_depth") >= 1)
+        .select(F.explode(F.sequence(F.lit(1), F.col("funnel_depth"))).alias("step_no"))
+        .groupBy("step_no")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .withColumn("step_name", F.element_at(step_names, F.col("step_no")))
+        .select("step_no", "step_name", "n_users")
+        .orderBy("step_no")
+    )
+
+
+def retention_cohorts(events: DataFrame, max_offset: int = 14) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted by
+    day-offset of later activity. Two aggregates: per-user cohort day
+    (min), then distinct users per (cohort, offset) — the cohort side
+    is one row per user, broadcast back onto the activity stream."""
+    cohorts = (
+        events.groupBy("user_id")
+        .agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("active_day")
+    ).distinct()
+    return (
+        activity.join(F.broadcast(cohorts), "user_id")
+        .withColumn("day_offset", F.datediff("active_day", "cohort_day"))
+        .where(F.col("day_offset") <= max_offset)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
 # -- driver-contract wiring -------------------------------------------------
 
 def _q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
@@ -131,8 +196,18 @@ def _q_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     return event_type_unpivot(read_table(spark, sf, "events"))
 
 
+def _q_funnel(spark, sf):
+    return conversion_funnel(read_table(spark, sf, "events"))
+
+
+def _q_retention(spark, sf):
+    return retention_cohorts(read_table(spark, sf, "events"))
+
+
 QUERIES = {
     "sessionize": _q_sessionize,
+    "conversion_funnel": _q_funnel,
+    "retention_cohorts": _q_retention,
     "daily_event_stats": _q_daily,
     "event_type_pivot": _q_pivot,
     "json_props_lift": _q_props,
@@ -140,7 +215,52 @@ QUERIES = {
     "event_type_unpivot": _q_unpivot,
 }
 
+_FUNNEL_FIRSTS_SQL = ", ".join(
+    f"MIN(CASE WHEN event_type = '{s}' THEN ts END) AS t{i}"
+    for i, s in enumerate(FUNNEL_STEPS)
+)
+_FUNNEL_DEPTH_SQL = """
+    CASE WHEN t0 IS NOT NULL AND t1 >= t0 AND t2 >= t1 AND t3 >= t2 THEN 4
+         WHEN t0 IS NOT NULL AND t1 >= t0 AND t2 >= t1 THEN 3
+         WHEN t0 IS NOT NULL AND t1 >= t0 THEN 2
+         WHEN t0 IS NOT NULL THEN 1
+         ELSE 0 END
+"""
+
 ORACLES = {
+    "conversion_funnel": f"""
+        WITH firsts AS (
+            SELECT user_id, {_FUNNEL_FIRSTS_SQL}
+            FROM events GROUP BY user_id
+        ), depths AS (
+            SELECT {_FUNNEL_DEPTH_SQL} AS funnel_depth FROM firsts
+        ), steps(step_no, step_name) AS (
+            VALUES {", ".join(f"({i + 1}, '{s}')" for i, s in enumerate(FUNNEL_STEPS))}
+        )
+        SELECT step_no, step_name,
+               (SELECT COUNT(*) FROM depths WHERE funnel_depth >= step_no) AS n_users
+        FROM steps
+        WHERE (SELECT COUNT(*) FROM depths WHERE funnel_depth >= step_no) > 0
+        ORDER BY step_no
+    """,
+    "retention_cohorts": """
+        WITH cohorts AS (
+            SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+            FROM events GROUP BY user_id
+        ), activity AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day
+            FROM events
+        )
+        SELECT cohort_day,
+               date_diff('day', CAST(cohort_day AS DATE),
+                         CAST(active_day AS DATE)) AS day_offset,
+               COUNT(DISTINCT a.user_id) AS n_users
+        FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+        WHERE date_diff('day', CAST(cohort_day AS DATE),
+                        CAST(active_day AS DATE)) <= 14
+        GROUP BY cohort_day, day_offset
+        ORDER BY cohort_day, day_offset
+    """,
     "sessionize": f"""
         WITH flagged AS (
             SELECT user_id, ts, event_id, value,
@@ -198,3 +318,4 @@ ORACLES = {
         FROM users u CROSS JOIN types t
     """,
 }
+
