@@ -304,6 +304,44 @@ def _scd2(spark, sf):
     ).orderBy("user_id", "valid_from")
 
 
+def _histogram(spark, sf):
+    return relational.value_histogram(_t(spark, sf, "events"))
+
+
+def _q1_sql(spark, sf):
+    """The engine's SQL surface: same pricing-summary plan expressed
+    through spark.sql over a registered temp view — Catalyst compiles
+    both to the identical physical plan (the DataFrame API is not a
+    separate engine)."""
+    view = "lineitem_v"
+    _t(spark, sf, "lineitem").createOrReplaceTempView(view)
+    rev = "l_extendedprice * (1 - l_discount)"
+    dec = "decimal(28,6)"
+
+    def dsum_spark_sql(expr):
+        return f"CAST(SUM(CAST(({expr}) AS {dec})) AS DOUBLE)"
+
+    def davg_spark_sql(expr):
+        return (f"CAST(CAST(SUM(CAST(({expr}) AS {dec})) AS DOUBLE)"
+                f" / COUNT({expr}) AS DOUBLE)")
+
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               {dsum_spark_sql('l_quantity')} AS sum_qty,
+               {dsum_spark_sql('l_extendedprice')} AS sum_base_price,
+               {dsum_spark_sql(rev)} AS sum_disc_price,
+               {dsum_spark_sql(rev + ' * (1 + l_tax)')} AS sum_charge,
+               {davg_spark_sql('l_quantity')} AS avg_qty,
+               {davg_spark_sql('l_extendedprice')} AS avg_price,
+               {davg_spark_sql('l_discount')} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM {view}
+        WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """)
+
+
 def _q8(spark, sf):
     return relational.nation_market_share(
         _t(spark, sf, "region"), _t(spark, sf, "nation"),
@@ -413,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_cube": _cube,
         "top_customers_by_balance": _top_balance,
         "q6_forecast_revenue": _q6,
+        "q1_pricing_summary_sql": _q1_sql,
         "q4_late_shipment_priority": _q4,
         "q7_nation_trade_flows": _q7,
         "q12_returnflag_priority": _q12,
@@ -458,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stratified_sample": _stratified_sample,
         "orders_snapshot_diff": _snapshot_diff,
         "user_event_scd2": _scd2,
+        "value_histogram": _histogram,
     }
     q.update(sessions.QUERIES)
     q.update(llm.QUERIES)
@@ -601,6 +641,19 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     o["full_scan_region"] = "SELECT * FROM region"
+    o["q1_pricing_summary_sql"] = o["q1_pricing_summary"]
+    o["value_histogram"] = """
+        WITH b AS (
+            SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+            WHERE value IS NOT NULL
+        )
+        SELECT CAST(least(floor((value - lo) / ((hi - lo) / 20.0)), 19) AS INTEGER) AS bin,
+               COUNT(*) AS n
+        FROM events, b
+        WHERE value IS NOT NULL
+        GROUP BY bin
+        ORDER BY bin
+    """
     o["q6_forecast_revenue"] = f"""
         SELECT {dsum_sql('l_extendedprice * l_discount')} AS revenue,
                COUNT(*) AS n_lines

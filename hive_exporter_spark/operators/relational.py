@@ -616,3 +616,27 @@ def supplier_diversity(part: DataFrame, lineitem: DataFrame) -> DataFrame:
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "size_bucket")
     )
+
+
+def value_histogram(events: DataFrame, n_bins: int = 20,
+                    value_col: str = "value") -> DataFrame:
+    """Equal-width histogram: bounds from a one-row aggregate broadcast
+    back as scalars (crossJoin of a single row — the uncorrelated
+    scalar-subquery shape), then a floor-bucket groupBy. Two passes
+    over the column, both scan-bound; the histogram itself is
+    n_bins rows."""
+    bounds = events.where(F.col(value_col).isNotNull()).agg(
+        F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    bucket = F.least(
+        F.floor((F.col(value_col) - F.col("__lo")) / width),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    return (
+        events.where(F.col(value_col).isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bin")
+    )
