@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 
 from hive_exporter_spark.functions.aggs import davg_sql, dsum_sql
 from hive_exporter_spark.operators import (
-    asof, core, joins, llm, multimodal, profile, relational, sessions,
+    asof, core, joins, llm, multimodal, pipeline, profile, relational,
+    sessions,
 )
 from hive_exporter_spark.sources.files import TESTDATA_TABLES, read_table
 
@@ -267,6 +268,13 @@ def _q19(spark, sf):
     )
 
 
+def _q21(spark, sf):
+    return relational.waiting_suppliers(
+        _t(spark, sf, "orders"), _t(spark, sf, "lineitem"),
+        _t(spark, sf, "supplier"), _t(spark, sf, "nation"),
+    )
+
+
 def _q22(spark, sf):
     return relational.idle_rich_customers(
         _t(spark, sf, "customer"), _t(spark, sf, "orders")
@@ -461,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": _q17,
         "q18_large_orders": _q18,
         "q19_disjunctive_part_revenue": _q19,
+        "q21_waiting_suppliers": _q21,
         "q22_idle_rich_customers": _q22,
         "table_row_counts": _table_row_counts,
         "asof_last_purchase": _asof_last_purchase,
@@ -502,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(sessions.QUERIES)
     q.update(llm.QUERIES)
     q.update(multimodal.QUERIES)
+    q.update(pipeline.QUERIES)
     return q
 
 
@@ -768,6 +778,30 @@ def oracle_sql() -> dict[str, str]:
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
                AND l_quantity BETWEEN 20 AND 30)
     """
+    o["q21_waiting_suppliers"] = """
+        WITH li AS (
+            SELECT l_orderkey, l_suppkey,
+                   (l_shipdate > o_orderdate) AS is_late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+        ), per_order AS (
+            SELECT l_orderkey,
+                   COUNT(DISTINCT l_suppkey) AS n_supp,
+                   COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+            FROM li GROUP BY l_orderkey
+        ), blamed AS (
+            SELECT DISTINCT li.l_orderkey, l_suppkey
+            FROM li JOIN per_order USING (l_orderkey)
+            WHERE n_supp > 1 AND n_late_supp = 1 AND is_late
+        )
+        SELECT s_name, n_name, COUNT(*) AS numwait
+        FROM blamed
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY s_name, n_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """
     o["q22_idle_rich_customers"] = f"""
         SELECT c_nationkey, COUNT(*) AS n_customers,
                {dsum_sql('c_acctbal')} AS total_bal
@@ -1022,4 +1056,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(sessions.ORACLES)
     o.update(llm.ORACLES)
     o.update(multimodal.ORACLES)
+    o.update(pipeline.ORACLES)
     return o

@@ -1,0 +1,416 @@
+"""Training-data pipeline utilities over the `documents` / `events`
+fixtures: deterministic dataset splits, quality-signal filters
+(Gopher-style), context-window sequence packing, calendar gap-fill,
+language-balanced sampling, and benchmark-contamination checks.
+
+These extend the reference's ingestion surface (it moves tables;
+SURVEY.md §2) with the dataset-curation operators a 100 TB training
+pipeline needs. Every operator here is pure DataFrame algebra —
+JVM-side, shuffle-light, no Python UDFs — and each has an exact
+DuckDB oracle (deterministic hashes instead of engine RNG).
+
+Determinism note: "random" assignment uses a Knuth multiplicative
+hash ``(id * 2654435761) % M`` — identical arithmetic in Spark and
+DuckDB, stable across runs/partitionings, and well-mixed enough for
+splits. At 100 TB this beats engine RNG: re-runs and backfills land
+every row in the same split/sample without storing assignments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_exporter_spark.functions.aggs import dsum, dsum_sql
+from hive_exporter_spark.sources.files import read_table
+
+KNUTH = 2654435761  # 2^32 * (golden ratio - 1), classic multiplicative hash
+
+
+def _hash_bucket(id_col: str, mod: int) -> F.Column:
+    """Deterministic bucket in [0, mod): Knuth multiplicative hash.
+
+    Pure bigint arithmetic (no overflow for ids < ~3.4e9 with
+    mod ≤ 2^20), bit-identical between Spark and DuckDB.
+    """
+    return (F.col(id_col).cast("long") * F.lit(KNUTH)) % F.lit(mod)
+
+
+def _hash_bucket_sql(id_col: str, mod: int) -> str:
+    return f"(CAST({id_col} AS BIGINT) * {KNUTH}) % {mod}"
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test split
+# ---------------------------------------------------------------------------
+
+SPLIT_PCTS = (80, 10, 10)  # train / val / test
+
+
+def train_val_test_split(documents: DataFrame,
+                         id_col: str = "doc_id",
+                         pcts: tuple[int, int, int] = SPLIT_PCTS) -> DataFrame:
+    """Assign every document to train/val/test by deterministic hash.
+
+    Narrow map-only projection — no shuffle, no RNG, no stored
+    assignment table: any job (or backfill, at any scale) recomputes
+    the same split from the id alone. The standard alternative,
+    ``df.randomSplit``, is neither stable across reruns nor
+    expressible as an oracle.
+    """
+    train_hi, val_hi = pcts[0], pcts[0] + pcts[1]
+    b = _hash_bucket(id_col, 100)
+    split = (
+        F.when(b < train_hi, F.lit("train"))
+        .when(b < val_hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return documents.select(id_col, "lang", "source", split.alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality signals
+# ---------------------------------------------------------------------------
+
+MIN_WORDS, MAX_WORDS = 40, 100_000
+MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN = 2.0, 12.0
+MAX_DUP_WORD_FRAC = 0.9
+
+
+def gopher_quality_signals(documents: DataFrame) -> DataFrame:
+    """Per-document quality signals in the style of the Gopher /
+    MassiveText filters (Rae et al. 2021, arXiv:2112.11446 §A1):
+    word count, mean word length, duplicate-word fraction, plus the
+    pass/fail verdict under the classic thresholds.
+
+    One narrow projection over the text column — all string/array
+    built-ins, whole-stage codegen, scan-bound at any scale.
+    """
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    n_letters = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    mean_wl = F.round(n_letters.cast("double") / n_words, 6)
+    dup_frac = F.round(
+        F.lit(1.0) - n_distinct.cast("double") / n_words, 6
+    )
+    passes = (
+        (n_words >= MIN_WORDS) & (n_words <= MAX_WORDS)
+        & (mean_wl >= MIN_MEAN_WORD_LEN) & (mean_wl <= MAX_MEAN_WORD_LEN)
+        & (dup_frac <= MAX_DUP_WORD_FRAC)
+    )
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        mean_wl.alias("mean_word_len"),
+        dup_frac.alias("dup_word_frac"),
+        passes.alias("passes_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (context-window fill)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 512  # tokens per pack
+
+
+def pack_sequences(documents: DataFrame,
+                   budget: int = PACK_BUDGET) -> DataFrame:
+    """Assign documents to fixed token-budget packs (context-window
+    fill for LLM pretraining): within each source, documents are taken
+    in doc_id order and a document starts in pack
+    ``floor(preceding_tokens / budget)``.
+
+    One shuffle (window on source) — the running sum is per-partition
+    sequential but each source packs independently, so 1000 executors
+    pack 1000+ sources concurrently. Deterministic: no RNG, stable
+    order key.
+    """
+    w = (
+        Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    with_cum = documents.select(
+        "doc_id", "source", n_tokens.alias("n_tokens")
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return with_cum.select(
+        "doc_id", "source", "n_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / budget)
+        .alias("pack_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar gap-fill (date spine)
+# ---------------------------------------------------------------------------
+
+def fill_missing_days(events: DataFrame) -> DataFrame:
+    """Daily event rollup with missing calendar days zero-filled.
+
+    The spine is generated from the table's own min/max day — a
+    single-row aggregate exploded into |days| rows, then the daily
+    aggregate is joined back. The spine side is O(days) (tiny), so
+    Catalyst broadcasts it; the big side is one grouped aggregate.
+    """
+    daily = (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum("value").alias("total_value"))
+    )
+    spine = (
+        events.agg(
+            F.date_trunc("day", F.min("ts")).alias("lo"),
+            F.date_trunc("day", F.max("ts")).alias("hi"),
+        )
+        .select(F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"))
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-balanced sampling
+# ---------------------------------------------------------------------------
+
+def lang_balanced_sample(documents: DataFrame) -> DataFrame:
+    """Downsample so every language contributes equally: cap each
+    language at the size of the smallest one, picking survivors by
+    deterministic hash order (stable across runs — the domain-mixing
+    primitive for controlling language proportions in a training mix).
+
+    Plan: per-lang counts (tiny agg) → global min (single row,
+    broadcast) → one window shuffle on lang to rank docs → filter.
+    The only full-data exchange is the rank window.
+    """
+    cap = (
+        documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("cap"))
+    )
+    rank_w = Window.partitionBy("lang").orderBy(
+        _hash_bucket("doc_id", 1 << 20), "doc_id"
+    )
+    ranked = documents.select("doc_id", "lang", "source").withColumn(
+        "rn", F.row_number().over(rank_w)
+    )
+    return (
+        ranked.join(F.broadcast(cap))
+        .where(F.col("rn") <= F.col("cap"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination check
+# ---------------------------------------------------------------------------
+
+SHINGLE_LEN = 20
+SHINGLE_STRIDE = 5
+BENCH_SOURCE = "src0"  # stand-in benchmark corpus
+
+
+def _char_shingles(documents: DataFrame) -> DataFrame:
+    """Strided character shingles, md5-keyed (md5 is bit-identical in
+    Spark and DuckDB; fixed-width join keys regardless of text size)."""
+    pos = F.explode(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.length("text") - (SHINGLE_LEN - 1), F.lit(1)),
+            F.lit(SHINGLE_STRIDE),
+        )
+    ).alias("pos")
+    return (
+        documents.select("doc_id", "source", "text", pos)
+        .select(
+            "doc_id", "source",
+            F.md5(F.expr(f"substring(text, pos, {SHINGLE_LEN})")).alias("h"),
+        )
+    )
+
+
+def ngram_contamination(documents: DataFrame) -> DataFrame:
+    """Flag training documents that share character shingles with a
+    benchmark corpus (decontamination, as in GPT-3 appx C / PaLM §C:
+    n-gram overlap against eval sets).
+
+    The benchmark side (here: ``source = BENCH_SOURCE``) is distinct
+    shingle hashes — small by construction (eval suites are MBs, not
+    TBs) — and is broadcast; the training side streams through one
+    shuffle-free semi-join probe per shingle, then one aggregate per
+    doc. Training-side dedup of shingles happens inside the per-doc
+    aggregate (count distinct), not as a separate exchange.
+    """
+    shingles = _char_shingles(documents)
+    bench = (
+        shingles.where(F.col("source") == BENCH_SOURCE)
+        .select("h").distinct()
+        .withColumn("in_bench", F.lit(1))
+    )
+    train = shingles.where(F.col("source") != BENCH_SOURCE)
+    return (
+        train.join(F.broadcast(bench), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_shingles"),
+            F.countDistinct(F.when(F.col("in_bench") == 1, F.col("h")))
+            .alias("n_contaminated"),
+        )
+        .select(
+            "doc_id", "n_shingles", "n_contaminated",
+            F.round(F.col("n_contaminated").cast("double")
+                    / F.col("n_shingles"), 6).alias("contamination_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# -- driver-contract wiring -------------------------------------------------
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return read_table(spark, sf, "documents")
+
+
+def _q_split(spark, sf):
+    return train_val_test_split(_docs(spark, sf))
+
+
+def _q_gopher(spark, sf):
+    return gopher_quality_signals(_docs(spark, sf))
+
+
+def _q_pack(spark, sf):
+    return pack_sequences(_docs(spark, sf))
+
+
+def _q_fill_days(spark, sf):
+    return fill_missing_days(read_table(spark, sf, "events"))
+
+
+def _q_lang_balance(spark, sf):
+    return lang_balanced_sample(_docs(spark, sf))
+
+
+def _q_contamination(spark, sf):
+    return ngram_contamination(_docs(spark, sf))
+
+
+QUERIES = {
+    "train_val_test_split": _q_split,
+    "gopher_quality_signals": _q_gopher,
+    "pack_sequences": _q_pack,
+    "fill_missing_days": _q_fill_days,
+    "lang_balanced_sample": _q_lang_balance,
+    "ngram_contamination": _q_contamination,
+}
+
+_SPLIT_BUCKET = _hash_bucket_sql("doc_id", 100)
+
+ORACLES = {
+    "train_val_test_split": f"""
+        SELECT doc_id, lang, source,
+               CASE WHEN {_SPLIT_BUCKET} < {SPLIT_PCTS[0]} THEN 'train'
+                    WHEN {_SPLIT_BUCKET} < {SPLIT_PCTS[0] + SPLIT_PCTS[1]} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    "gopher_quality_signals": f"""
+        WITH sig AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_words,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+                   round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                         / len(string_split(text, ' ')), 6) AS mean_word_len,
+                   round(1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                         / len(string_split(text, ' ')), 6) AS dup_word_frac
+            FROM documents
+        )
+        SELECT doc_id, n_words, n_distinct_words, mean_word_len, dup_word_frac,
+               (n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS}
+                AND mean_word_len >= {MIN_MEAN_WORD_LEN}
+                AND mean_word_len <= {MAX_MEAN_WORD_LEN}
+                AND dup_word_frac <= {MAX_DUP_WORD_FRAC}) AS passes_quality
+        FROM sig
+    """,
+    "pack_sequences": f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, source, n_tokens,
+               CAST(floor((SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS pack_id
+        FROM toks
+    """,
+    "fill_missing_days": f"""
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS day,
+                   COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+            FROM events GROUP BY 1
+        ), bounds AS (
+            SELECT date_trunc('day', MIN(ts)) AS lo,
+                   date_trunc('day', MAX(ts)) AS hi
+            FROM events
+        ), spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+            FROM bounds
+        )
+        SELECT s.day,
+               COALESCE(d.n_events, 0) AS n_events,
+               COALESCE(d.total_value, 0.0) AS total_value
+        FROM spine s LEFT JOIN daily d ON s.day = d.day
+        ORDER BY s.day
+    """,
+    "lang_balanced_sample": f"""
+        WITH cap AS (
+            SELECT MIN(n) AS cap FROM (
+                SELECT COUNT(*) AS n FROM documents GROUP BY lang
+            )
+        ), ranked AS (
+            SELECT doc_id, lang, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY {_hash_bucket_sql("doc_id", 1 << 20)}, doc_id
+                   ) AS rn
+            FROM documents
+        )
+        SELECT doc_id, lang, source
+        FROM ranked, cap WHERE rn <= cap
+    """,
+    "ngram_contamination": f"""
+        WITH shingles AS (
+            SELECT doc_id, source,
+                   md5(substr(text, CAST(i AS INTEGER), {SHINGLE_LEN})) AS h
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(
+                     1, GREATEST(length(text) - {SHINGLE_LEN - 1}, 1),
+                     {SHINGLE_STRIDE})) AS i)
+        ), bench AS (
+            SELECT DISTINCT h FROM shingles WHERE source = '{BENCH_SOURCE}'
+        )
+        SELECT doc_id,
+               COUNT(DISTINCT h) AS n_shingles,
+               COUNT(DISTINCT CASE WHEN h IN (SELECT h FROM bench)
+                                   THEN h END) AS n_contaminated,
+               round(CAST(COUNT(DISTINCT CASE WHEN h IN (SELECT h FROM bench)
+                                              THEN h END) AS DOUBLE)
+                     / COUNT(DISTINCT h), 6) AS contamination_rate
+        FROM shingles
+        WHERE source <> '{BENCH_SOURCE}'
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+}

@@ -640,3 +640,60 @@ def value_histogram(events: DataFrame, n_bins: int = 20,
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("bin")
     )
+
+
+def waiting_suppliers(orders: DataFrame, lineitem: DataFrame,
+                      supplier: DataFrame, nation: DataFrame) -> DataFrame:
+    """TPC-H-Q21-style "sole late supplier": for finalized orders with
+    more than one supplier, blame the supplier whose lines were the
+    ONLY late ones (late = shipped after the order date; the fixture
+    lineitem has no commit/receipt dates, reference surface has no
+    dates at all).
+
+    Q21's correlated EXISTS / NOT EXISTS pair is re-expressed as one
+    grouped aggregate per order (distinct suppliers, distinct late
+    suppliers) — the idiomatic Spark formulation: the lineitem⋈orders
+    join, the per-order aggregate, and the blame semi-join all share
+    the o_orderkey shuffle key, so AQE plans ONE exchange of the fact
+    side; supplier and nation joins broadcast.
+    """
+    li = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            orders.where(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey", "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate")).alias("is_late"),
+        )
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey")))
+        .alias("n_late_supp"),
+    )
+    sole = per_order.where(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    ).select("l_orderkey")
+    blamed = (
+        li.where(F.col("is_late"))
+        .join(sole, "l_orderkey", "left_semi")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        blamed.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

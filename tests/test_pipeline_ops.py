@@ -1,0 +1,131 @@
+"""Tests for the training-data pipeline operators (operators/pipeline.py):
+determinism of hash splits, packing invariants, gap-fill completeness,
+balance guarantees, contamination semantics — the properties beyond
+the DuckDB value-hash oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_exporter_spark.operators import pipeline
+from hive_exporter_spark.sources.files import read_table
+
+
+def _docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents")
+
+
+def test_split_deterministic_and_complete(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = pipeline.train_val_test_split(docs)
+    b = pipeline.train_val_test_split(docs)
+    # Same assignment on re-run (no RNG), every doc exactly once.
+    assert a.exceptAll(b).count() == 0
+    assert a.count() == docs.count()
+    splits = dict(
+        a.groupBy("split").count().rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    assert set(splits) <= {"train", "val", "test"}
+    # Train must dominate under the 80/10/10 hash split.
+    assert splits["train"] > splits.get("val", 0)
+    assert splits["train"] > splits.get("test", 0)
+
+
+def test_split_is_disjoint_partition_by_id(spark, sf_dir):
+    a = pipeline.train_val_test_split(_docs(spark, sf_dir))
+    assert (
+        a.groupBy("doc_id").count().where(F.col("count") > 1).count() == 0
+    )
+
+
+def test_pack_sequences_respects_budget_start(spark, sf_dir):
+    """A doc's pack is determined by tokens strictly before it, so pack k
+    starts only after k*budget tokens; per-pack totals overshoot by at
+    most one document (contiguous fill semantics)."""
+    packed = pipeline.pack_sequences(_docs(spark, sf_dir), budget=100)
+    per_pack = (
+        packed.groupBy("source", "pack_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx"))
+    )
+    # Every pack except possibly the last per source holds >= budget... the
+    # invariant that always holds: tot - mx < budget (remove the doc that
+    # crossed the line and you are back under budget).
+    assert per_pack.where(F.col("tot") - F.col("mx") >= 100).count() == 0
+
+
+def test_pack_ids_dense_from_zero(spark, sf_dir):
+    packed = pipeline.pack_sequences(_docs(spark, sf_dir))
+    stats = (
+        packed.groupBy("source")
+        .agg(F.min("pack_id").alias("lo"),
+             F.max("pack_id").alias("hi"),
+             F.countDistinct("pack_id").alias("n"))
+    )
+    assert stats.where(F.col("lo") != 0).count() == 0
+    # Contiguous fill never skips a pack id.
+    assert stats.where(F.col("n") != F.col("hi") + 1).count() == 0
+
+
+def test_fill_missing_days_spine_complete(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    filled = pipeline.fill_missing_days(ev)
+    days = filled.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    expected = (days["hi"] - days["lo"]).days + 1
+    assert days["n"] == expected
+    # Zero-filled rows only on days with no events.
+    real_days = ev.select(F.date_trunc("day", "ts").alias("day")).distinct()
+    zero_rows = filled.where(F.col("n_events") == 0)
+    assert zero_rows.join(real_days, "day", "left_semi").count() == 0
+
+
+def test_lang_balanced_sample_equal_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    sampled = pipeline.lang_balanced_sample(docs)
+    counts = sampled.groupBy("lang").count().select("count").distinct()
+    assert counts.count() == 1  # every language equally represented
+    cap = counts.first()[0]
+    min_lang = (
+        docs.groupBy("lang").count().agg(F.min("count")).first()[0]
+    )
+    assert cap == min_lang
+
+
+def test_gopher_signals_ranges(spark, sf_dir):
+    sig = pipeline.gopher_quality_signals(_docs(spark, sf_dir))
+    bad = sig.where(
+        (F.col("dup_word_frac") < 0) | (F.col("dup_word_frac") > 1)
+        | (F.col("n_distinct_words") > F.col("n_words"))
+        | (F.col("mean_word_len") <= 0)
+    )
+    assert bad.count() == 0
+
+
+def test_contamination_flags_benchmark_copy(spark):
+    """A training doc that IS a benchmark doc must be fully contaminated;
+    a disjoint-alphabet doc must be clean."""
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    clean_text = "zz qq xx vv ww kk jj pp " * 8
+    df = spark.createDataFrame(
+        [
+            (1, bench_text, "en", pipeline.BENCH_SOURCE, len(bench_text)),
+            (2, bench_text, "en", "train_src", len(bench_text)),
+            (3, clean_text, "en", "train_src", len(clean_text)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in pipeline.ngram_contamination(df).collect()}
+    assert set(got) == {2, 3}
+    assert got[2]["contamination_rate"] == 1.0
+    assert got[3]["n_contaminated"] == 0
+
+
+def test_contamination_no_shuffle_on_probe_side(spark, sf_dir):
+    """The benchmark side must broadcast: no shuffle exchange feeding the
+    join (scan → explode → broadcast-hash-join on the training side)."""
+    plan = pipeline.ngram_contamination(
+        _docs(spark, sf_dir)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
