@@ -40,16 +40,28 @@ def high_water_mark(df: DataFrame, column: str):
     return df.agg(F.max(F.col(column)).alias("hwm")).first()["hwm"]
 
 
-def newer_than(df: DataFrame, column: str, last_value) -> DataFrame:
+def newer_than(df: DataFrame, column: str, last_value, *,
+               rewind=None) -> DataFrame:
     """P5: strict high-water-mark filter for append-only sources.
 
     Strict ``>`` — rows tied with the stored max are skipped, matching
     the reference's documented semantics (spark_loaders.py:157-158).
     Catalyst pushes this into the source scan.
+
+    ``rewind`` is the allowed-lateness option the reference lacks
+    (SURVEY.md §2.9: late rows below the watermark are silently lost):
+    the watermark is pulled back by that amount — a number for numeric
+    columns, an ``"INTERVAL ..."`` expression string for timestamps —
+    and the filter becomes inclusive, re-ingesting the late window.
+    Downstream merge/dedup (latest_per_key) collapses the re-read
+    overlap, so rewind trades a bounded re-scan for no data loss.
     """
     if last_value is None:
         return df
-    return df.where(F.col(column) > F.lit(last_value))
+    if rewind is None:
+        return df.where(F.col(column) > F.lit(last_value))
+    delta = F.expr(rewind) if isinstance(rewind, str) else F.lit(rewind)
+    return df.where(F.col(column) >= F.lit(last_value) - delta)
 
 
 def newer_or_modified(

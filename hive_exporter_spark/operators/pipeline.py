@@ -275,6 +275,84 @@ def ngram_contamination(documents: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher's other filter axis)
+# ---------------------------------------------------------------------------
+
+def repetition_signals(documents: DataFrame) -> DataFrame:
+    """Per-document repetition: fraction of word bigrams taken by the
+    single most frequent bigram (the Gopher/MassiveText repetition
+    filter axis — high top-n-gram fraction marks boilerplate/spam).
+
+    Reuses the exploded-shingle pipeline (posexplode + lead window,
+    llm.exploded_shingles): one shuffle to build bigrams, then the
+    (doc, bigram) count and the per-doc max/sum aggregates — shuffle
+    keys all prefixed by doc_id, so AQE/partitioning reuse applies.
+    Documents with fewer than two tokens have no bigrams and drop out
+    (same on the oracle side).
+    """
+    from hive_exporter_spark.operators.llm import exploded_shingles
+
+    bigrams = exploded_shingles(documents, k=2, distinct=False)
+    per_bigram = bigrams.groupBy("doc_id", "shingle").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_bigram.groupBy("doc_id")
+        .agg(F.sum("n").alias("n_bigrams"),
+             F.max("n").alias("top_bigram_count"))
+        .select(
+            "doc_id", "n_bigrams", "top_bigram_count",
+            F.round(F.col("top_bigram_count").cast("double")
+                    / F.col("n_bigrams"), 6).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Epoch mixing (per-source up/down-sampling)
+# ---------------------------------------------------------------------------
+
+EPOCH_WEIGHTS = {"src0": 2.5, "src1": 0.5}  # sources not listed get 1.0
+
+
+def epoch_mix(documents: DataFrame,
+              weights: dict[str, float] = EPOCH_WEIGHTS,
+              default: float = 1.0) -> DataFrame:
+    """Materialize a training mix with per-source epoch weights
+    (e.g. wiki×2.5, crawl×0.5 — the data-recipe repeat factors of
+    LLaMA-style pretraining): weight w emits floor(w) copies of every
+    doc plus one more for a deterministic hash-selected frac(w) of
+    them.
+
+    Map-only: the weight is a CASE over source, the extra-copy pick is
+    the Knuth hash, and the fan-out is explode(sequence) — no shuffle,
+    no RNG, reproducible at any scale. Downsampling (w < 1) is the
+    n_copies = 0 case.
+    """
+    wt = F.lit(float(default))
+    for s, v in sorted(weights.items()):
+        wt = F.when(F.col("source") == s, F.lit(float(v))).otherwise(wt)
+    frac_target = (wt - F.floor(wt)) * 1000
+    n_copies = (
+        F.floor(wt).cast("long")
+        + (_hash_bucket("doc_id", 1000) < frac_target).cast("long")
+    )
+    return (
+        documents.select("doc_id", "source", n_copies.alias("n_copies"))
+        # sequence(1, 0) would emit [1, 0] (inferred negative step), so
+        # zero-copy docs must be filtered before the explode.
+        .where(F.col("n_copies") >= 1)
+        .select(
+            "doc_id", "source",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_copies"))
+            ).alias("copy_id"),
+        )
+    )
+
+
 # -- driver-contract wiring -------------------------------------------------
 
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -305,6 +383,14 @@ def _q_contamination(spark, sf):
     return ngram_contamination(_docs(spark, sf))
 
 
+def _q_repetition(spark, sf):
+    return repetition_signals(_docs(spark, sf))
+
+
+def _q_epoch_mix(spark, sf):
+    return epoch_mix(_docs(spark, sf))
+
+
 QUERIES = {
     "train_val_test_split": _q_split,
     "gopher_quality_signals": _q_gopher,
@@ -312,9 +398,18 @@ QUERIES = {
     "fill_missing_days": _q_fill_days,
     "lang_balanced_sample": _q_lang_balance,
     "ngram_contamination": _q_contamination,
+    "repetition_signals": _q_repetition,
+    "epoch_mix": _q_epoch_mix,
 }
 
 _SPLIT_BUCKET = _hash_bucket_sql("doc_id", 100)
+
+# DuckDB twin of llm.tokens_col (lowercased alnum tokens).
+_TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+_EPOCH_WT_SQL = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {float(v)}" for s, v in sorted(EPOCH_WEIGHTS.items())
+) + " ELSE 1.0 END"
 
 ORACLES = {
     "train_val_test_split": f"""
@@ -412,5 +507,33 @@ ORACLES = {
         WHERE source <> '{BENCH_SOURCE}'
         GROUP BY doc_id
         ORDER BY doc_id
+    """,
+    "repetition_signals": f"""
+        WITH bg AS (
+            SELECT doc_id, concat_ws(' ', toks[i], toks[i + 1]) AS bigram
+            FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+                 LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+        ), per_bigram AS (
+            SELECT doc_id, bigram, COUNT(*) AS n
+            FROM bg GROUP BY doc_id, bigram
+        )
+        SELECT doc_id, SUM(n) AS n_bigrams, MAX(n) AS top_bigram_count,
+               round(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_bigram_frac
+        FROM per_bigram
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    "epoch_mix": f"""
+        WITH c AS (
+            SELECT doc_id, source,
+                   CAST(floor({_EPOCH_WT_SQL}) AS BIGINT)
+                   + CASE WHEN {_hash_bucket_sql("doc_id", 1000)}
+                              < ({_EPOCH_WT_SQL} - floor({_EPOCH_WT_SQL})) * 1000
+                          THEN 1 ELSE 0 END AS n_copies
+            FROM documents
+        )
+        SELECT doc_id, source,
+               unnest(generate_series(1, n_copies)) AS copy_id
+        FROM c WHERE n_copies >= 1
     """,
 }

@@ -129,3 +129,58 @@ def test_contamination_no_shuffle_on_probe_side(spark, sf_dir):
         _docs(spark, sf_dir)
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_signals_flags_boilerplate(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now", "en", "s", 30),
+            (2, "one two three four five six seven", "en", "s", 33),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in pipeline.repetition_signals(df).collect()}
+    # doc 1: bigrams of 8 tokens = 7, 'buy now' appears 4 times.
+    assert got[1]["n_bigrams"] == 7
+    assert got[1]["top_bigram_count"] == 4
+    assert got[2]["top_bigram_count"] == 1
+
+
+def test_epoch_mix_copy_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    mixed = pipeline.epoch_mix(docs, {"src0": 3.0, "src1": 0.0}, default=1.0)
+    per_source = dict(
+        mixed.groupBy("source").count().rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    n_src0 = docs.where(F.col("source") == "src0").count()
+    n_other = docs.where(~F.col("source").isin("src0", "src1")).count()
+    assert per_source["src0"] == 3 * n_src0  # integer weight: exact 3 copies
+    assert "src1" not in per_source          # zero weight drops the source
+    assert sum(v for k, v in per_source.items() if k != "src0") == n_other
+    # Deterministic on re-run, including fractional weights.
+    a = pipeline.epoch_mix(docs)
+    assert a.exceptAll(pipeline.epoch_mix(docs)).count() == 0
+
+
+def test_newer_than_rewind_reingests_late_window(spark):
+    from hive_exporter_spark.operators import core
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 11)], "id long, v double"
+    )
+    strict = core.newer_than(df, "id", 7)
+    assert {r["id"] for r in strict.collect()} == {8, 9, 10}
+    rewound = core.newer_than(df, "id", 7, rewind=2)
+    assert {r["id"] for r in rewound.collect()} == {5, 6, 7, 8, 9, 10}
+
+
+def test_newer_than_rewind_interval_on_timestamps(spark):
+    from hive_exporter_spark.operators import core
+
+    df = spark.createDataFrame(
+        [(i, f"2024-01-0{i} 00:00:00") for i in range(1, 8)],
+        "id long, ts string",
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+    wm = df.agg(F.max("ts")).first()[0]
+    out = core.newer_than(df, "ts", wm, rewind="INTERVAL 2 DAYS")
+    assert {r["id"] for r in out.collect()} == {5, 6, 7}
