@@ -170,6 +170,48 @@ def retention_cohorts(events: DataFrame, max_offset: int = 14) -> DataFrame:
     )
 
 
+def daily_distinct_users_hll(events: DataFrame) -> DataFrame:
+    """Per (day, event_type) distinct users via HLL++ sketches
+    (Datasketches HllSketch, F.hll_sketch_agg). Same single-exchange
+    shape as an exact count-distinct, but the partial state is a
+    fixed-size sketch instead of a hash set — at 100 TB/day the
+    per-group state stays KBs regardless of cardinality."""
+    return (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .select(
+            "day", "event_type",
+            F.hll_sketch_estimate("sk").cast("long").alias("est_users"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+def rolling_distinct_users(events: DataFrame) -> DataFrame:
+    """Sketch re-aggregation: merge the per-day HLL sketches into an
+    all-time distinct per event_type (hll_union_agg).
+
+    THE pre-aggregation pattern for 100 TB: materialize the tiny
+    (day, type, sketch) table once, then answer any coarser distinct
+    (week/month/all-time, any day subset) by merging sketches —
+    never rescanning raw events. Merging is lossless: the union of
+    daily sketches estimates exactly what one sketch over the raw
+    stream would (asserted in tests/test_sketches.py)."""
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(F.hll_union_agg("sk").alias("sk"),
+             F.count(F.lit(1)).alias("n_days"))
+        .select(
+            "event_type", "n_days",
+            F.hll_sketch_estimate("sk").cast("long").alias("est_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # -- driver-contract wiring -------------------------------------------------
 
 def _q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
@@ -204,6 +246,14 @@ def _q_retention(spark, sf):
     return retention_cohorts(read_table(spark, sf, "events"))
 
 
+def _q_daily_hll(spark, sf):
+    return daily_distinct_users_hll(read_table(spark, sf, "events"))
+
+
+def _q_rolling_hll(spark, sf):
+    return rolling_distinct_users(read_table(spark, sf, "events"))
+
+
 QUERIES = {
     "sessionize": _q_sessionize,
     "conversion_funnel": _q_funnel,
@@ -213,6 +263,10 @@ QUERIES = {
     "json_props_lift": _q_props,
     "user_value_deltas": _q_deltas,
     "event_type_unpivot": _q_unpivot,
+    # rows-only (sketch-based, no DuckDB twin; exactness asserted in
+    # tests against exact count-distinct and the unmerged sketch):
+    "daily_distinct_users_hll": _q_daily_hll,
+    "rolling_distinct_users_hll": _q_rolling_hll,
 }
 
 _FUNNEL_FIRSTS_SQL = ", ".join(

@@ -15,6 +15,7 @@ from hive_exporter_spark.streaming.streams import (
     session_windows,
     run_to_memory_sink,
     incremental_append_stream,
+    post_purchase_activity_stream,
 )
 
 __all__ = [
@@ -23,4 +24,5 @@ __all__ = [
     "session_windows",
     "run_to_memory_sink",
     "incremental_append_stream",
+    "post_purchase_activity_stream",
 ]

@@ -180,3 +180,43 @@ def dedup_stream(events: DataFrame, keys: list[str] | None = None,
     (replayed deliveries land inside the lateness bound)."""
     keys = keys or ["event_id"]
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def post_purchase_activity_stream(events: DataFrame,
+                                  horizon: str = "1 HOUR",
+                                  watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream self-join: each purchase is joined to the same
+    user's click/view activity in the `horizon` after it.
+
+    Both sides carry watermarks and the join condition bounds a_ts to
+    [p_ts, p_ts + horizon], so the state store holds only `watermark +
+    horizon` of each side — the bounded-state requirement for an
+    unbounded stream (without the time bound Spark would rightly
+    refuse to plan an inner stream-stream join with growing state).
+    """
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event_id"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    activity = (
+        events.where(F.col("event_type").isin("click", "view"))
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("ts").alias("a_ts"),
+            F.col("event_id").alias("a_event_id"),
+            F.col("event_type").alias("a_type"),
+        )
+        .withWatermark("a_ts", watermark)
+    )
+    return purchases.join(
+        activity,
+        (F.col("p_user") == F.col("a_user"))
+        & (F.col("a_ts") > F.col("p_ts"))
+        & (F.col("a_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    )

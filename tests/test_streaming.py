@@ -111,3 +111,36 @@ def test_dedup_stream_removes_replayed_rows(spark, sf_dir):
     n_src = read_table(spark, sf_dir, "events").count()
     assert out.count() == n_src
     assert out.select("event_id").distinct().count() == n_src
+
+
+def test_stream_stream_join_agrees_with_batch(spark, sf_dir):
+    """The watermarked stream-stream self-join must produce the same
+    matches as the equivalent batch interval join (the fixture is
+    bounded, so no rows are held back once all batches drain)."""
+    from hive_exporter_spark.streaming.streams import (
+        post_purchase_activity_stream,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_to_memory_sink(
+        post_purchase_activity_stream(stream),
+        f"ssj_{uuid.uuid4().hex[:8]}",
+    )
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event_id"),
+    )
+    activity = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts"),
+        F.col("event_id").alias("a_event_id"),
+    )
+    batch = purchases.join(
+        activity,
+        (F.col("p_user") == F.col("a_user"))
+        & (F.col("a_ts") > F.col("p_ts"))
+        & (F.col("a_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    got = {(r["p_event_id"], r["a_event_id"]) for r in out.collect()}
+    want = {(r["p_event_id"], r["a_event_id"]) for r in batch.collect()}
+    assert got == want
