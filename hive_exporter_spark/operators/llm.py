@@ -914,6 +914,40 @@ def dedup_near(documents: DataFrame, pairs: DataFrame,
     )
 
 
+CHUNK_TOKENS = 50
+
+
+def chunk_documents(documents: DataFrame,
+                    chunk_tokens: int = CHUNK_TOKENS) -> DataFrame:
+    """Split each document into fixed-size token chunks (context-window
+    / RAG-passage prep): chunk k holds tokens [k*N, (k+1)*N).
+
+    posexplode assigns stable positions, then one grouped aggregate per
+    (doc, chunk) reassembles text via array_sort(collect_list(struct))
+    — deterministic despite collect_list's arbitrary arrival order,
+    because the position rides inside the struct. One shuffle on
+    (doc_id, chunk_id); chunk assembly is per-group, linear at any
+    corpus size.
+    """
+    toks = documents.select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos", "tok")
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "tok")))
+    return (
+        toks.groupBy(
+            "doc_id",
+            F.floor(F.col("pos") / chunk_tokens).alias("chunk_id"),
+        )
+        .agg(
+            F.array_join(
+                F.transform(ordered, lambda s: s["tok"]), " "
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
 # -- driver-contract wiring -------------------------------------------------
 
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -1039,7 +1073,12 @@ def _q_topk_brp(spark, sf):
     return topk_cosine_brp_lsh(emb, emb.where(F.col("vec_id") < N_QUERIES))
 
 
+def _q_chunk(spark, sf):
+    return chunk_documents(_docs(spark, sf))
+
+
 QUERIES = {
+    "chunk_documents": _q_chunk,
     "dedup_exact": _q_dedup_exact,
     "near_dup_clusters": _q_clusters,
     "dedup_near_duplicates": _q_dedup_near,
@@ -1332,4 +1371,18 @@ ORACLES["training_data_prep"] = f"""
     SELECT doc_id, n_tokens, quality_score FROM uniq
     WHERE doc_id NOT IN (SELECT node FROM losers)
     ORDER BY doc_id
+"""
+ORACLES["chunk_documents"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           array_to_string(t[(i * {CHUNK_TOKENS} + 1):((i + 1) * {CHUNK_TOKENS})], ' ')
+               AS chunk_text,
+           least(len(t) - i * {CHUNK_TOKENS}, {CHUNK_TOKENS}) AS n_tokens
+    FROM toks,
+         LATERAL (SELECT unnest(range(0,
+             CAST(ceil(len(t) / {CHUNK_TOKENS}.0) AS BIGINT))) AS i)
+    WHERE len(t) > 0
+    ORDER BY doc_id, chunk_id
 """

@@ -218,3 +218,19 @@ def test_vocab_and_doc_frequency_consistency(spark, docs):
     for tok, (total_tf, df_) in agg.items():
         assert vocab[tok] == total_tf, tok
         assert df_ <= total_tf
+
+
+def test_chunk_documents_reassembles_text(spark):
+    from hive_exporter_spark.operators.llm import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(120))
+    df = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    chunks = chunk_documents(df, chunk_tokens=50).collect()
+    assert [r["chunk_id"] for r in chunks] == [0, 1, 2]
+    assert [r["n_tokens"] for r in chunks] == [50, 50, 20]
+    # Concatenating chunks in order recovers the tokenized document.
+    joined = " ".join(r["chunk_text"] for r in chunks)
+    assert joined == text
