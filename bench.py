@@ -33,6 +33,12 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "embedding_topk_cosine",
     "text_stats",
+    "q21_waiting_suppliers",
+    "ngram_contamination",
+    "chunk_documents",
+    "repetition_signals",
+    "epoch_mix",
+    "rolling_distinct_users_hll",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -650,12 +650,12 @@ def waiting_suppliers(orders: DataFrame, lineitem: DataFrame,
     lineitem has no commit/receipt dates, reference surface has no
     dates at all).
 
-    Q21's correlated EXISTS / NOT EXISTS pair is re-expressed as one
-    grouped aggregate per order (distinct suppliers, distinct late
-    suppliers) — the idiomatic Spark formulation: the lineitem⋈orders
-    join, the per-order aggregate, and the blame semi-join all share
-    the o_orderkey shuffle key, so AQE plans ONE exchange of the fact
-    side; supplier and nation joins broadcast.
+    Q21's correlated EXISTS / NOT EXISTS pair is re-expressed as
+    per-order distinct-supplier counts computed by a window over the
+    SAME rows that are then filtered — one lineitem⋈orders join and
+    one o_orderkey exchange total (a groupBy+semi-join formulation
+    re-runs the fact join per branch; the window shares it); supplier
+    and nation joins broadcast.
     """
     li = (
         lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -669,17 +669,18 @@ def waiting_suppliers(orders: DataFrame, lineitem: DataFrame,
             (F.col("l_shipdate") > F.col("o_orderdate")).alias("is_late"),
         )
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey")))
-        .alias("n_late_supp"),
+    w = Window.partitionBy("l_orderkey")
+    n_supp = F.size(F.collect_set("l_suppkey").over(w))
+    n_late_supp = F.size(
+        F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)
     )
-    sole = per_order.where(
-        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
-    ).select("l_orderkey")
     blamed = (
-        li.where(F.col("is_late"))
-        .join(sole, "l_orderkey", "left_semi")
+        li.withColumn("n_supp", n_supp)
+        .withColumn("n_late_supp", n_late_supp)
+        .where(
+            F.col("is_late")
+            & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+        )
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )

@@ -155,3 +155,38 @@ def test_moving_avg_window_runs_post_aggregate(t):
     df = relational.daily_revenue_moving_avg(t("lineitem"))
     plan = plans.formatted_plan(df)
     assert plan.index("Window") < plan.index("HashAggregate"), plan
+
+
+def test_split_and_epoch_mix_are_map_only(t):
+    """The curation projections must stay shuffle-free: deterministic
+    hash assignment is a map-side expression, not a repartition."""
+    from hive_exporter_spark.operators import pipeline
+
+    docs = t("documents")
+    assert plans.num_exchanges(pipeline.train_val_test_split(docs)) == 0
+    assert plans.num_exchanges(pipeline.epoch_mix(docs)) == 0
+
+
+def test_gopher_signals_single_scan_no_exchange(t):
+    from hive_exporter_spark.operators import pipeline
+
+    df = pipeline.gopher_quality_signals(t("documents"))
+    assert plans.num_exchanges(df) == 0, plans.formatted_plan(df)
+
+
+def test_q21_dims_broadcast(t):
+    """supplier/nation joins must broadcast; the fact side shuffles
+    only on the shared o_orderkey prefix."""
+    df = relational.waiting_suppliers(
+        t("orders"), t("lineitem"), t("supplier"), t("nation")
+    )
+    assert plans.broadcast_join_count(df) >= 2, plans.formatted_plan(df)
+
+
+def test_fill_missing_days_spine_broadcast(t):
+    """The date spine (O(days) rows) must be on the broadcast side —
+    the daily aggregate must not shuffle for the join."""
+    from hive_exporter_spark.operators import pipeline
+
+    df = pipeline.fill_missing_days(t("events"))
+    assert plans.has_broadcast_join(df), plans.formatted_plan(df)
