@@ -9,6 +9,7 @@ import os
 from typing import Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hive_exporter_spark.catalog import (
     TableName, clone_schema, create_database, drop_table, table_exists,
@@ -128,7 +129,28 @@ def compact_table(spark: SparkSession, table: TableName, target_files: int,
     df = spark.table(str(table)).repartition(target_files)
     safe_overwrite(spark, df, table, fmt, scratch_db=scratch_db,
                    scratch_suffix="compact")
-    from pyspark.sql import functions as F
-
     return (spark.table(str(table))
             .select(F.input_file_name().alias("f")).distinct().count())
+
+
+def write_clustered(df: DataFrame, path: str, cluster_cols: Sequence[str],
+                    n_files: int, fmt: str = "parquet") -> None:
+    """Range-clustered write: repartitionByRange + sortWithinPartitions
+    on `cluster_cols`, so each output file covers a disjoint key range
+    and parquet footers carry tight min/max stats.
+
+    The data-skipping layout for 100 TB: a later scan filtered on the
+    cluster columns prunes whole files/row-groups from the footer
+    stats alone (no partition directories needed, works for
+    high-cardinality columns where partitionBy would explode into
+    millions of dirs). Range partitioning samples the key distribution
+    (rangepartitioning exchange), so skewed keys still yield
+    balanced files. The in-file sort makes row-group stats tight, not
+    just file stats.
+    """
+    cols = [F.col(c) for c in cluster_cols]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.format(fmt).mode("overwrite").save(path)
+    )

@@ -4,6 +4,7 @@ next-step #1 demonstration, asserted on the physical plan."""
 
 from __future__ import annotations
 
+import os
 import uuid
 
 import pytest
@@ -93,3 +94,34 @@ def test_partitioned_table_prunes_partitions(spark, sf_dir):
         assert df.count() == n_click
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_write_clustered_files_range_disjoint(spark, sf_dir, tmp_path):
+    """Clustered files must cover disjoint key ranges with tight
+    footer stats — the property file-level data skipping relies on."""
+    import pyarrow.parquet as pq
+
+    from hive_exporter_spark.sinks import write_clustered
+    from hive_exporter_spark.sources.files import read_table
+
+    out = str(tmp_path / "events_clustered")
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "ts_long", F.col("ts").cast("long")
+    )
+    write_clustered(ev.select("event_id", "ts_long", "user_id", "value"),
+                    out, ["ts_long"], n_files=8)
+    ranges = []
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(out, f))
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(1)  # ts_long
+            los.append(col.statistics.min)
+            his.append(col.statistics.max)
+        ranges.append((min(los), max(his)))
+    assert len(ranges) >= 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
