@@ -431,6 +431,14 @@ def _salted_segment_counts(spark, sf):
     )
 
 
+def _fuzzy_customer_pairs(spark, sf):
+    """Blocked fuzzy self-match over customer names (entity
+    resolution): Levenshtein <= 1 within a prefix block."""
+    return joins.blocked_fuzzy_pairs(
+        _t(spark, sf, "customer"), "c_custkey", "c_name"
+    )
+
+
 def _events_in_day_windows(spark, sf):
     """Range join via bucketing: events falling inside derived
     [day+6h, day+18h) windows, counted per window."""
@@ -494,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_merge_consolidate": _merge_consolidate,
         "soft_delete_filter": _soft_delete,
         "salted_segment_event_counts": _salted_segment_counts,
+        "fuzzy_customer_pairs": _fuzzy_customer_pairs,
         "events_in_day_windows": _events_in_day_windows,
         "events_scan_pruned_window": _events_scan_pruned_window,
         "order_window_analytics": _window_analytics,
@@ -1039,6 +1048,17 @@ def oracle_sql() -> dict[str, str]:
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
+    """
+    o["fuzzy_customer_pairs"] = """
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               a.c_name AS name_a, b.c_name AS name_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        FROM customer a JOIN customer b
+          ON substr(a.c_name, 1, length(a.c_name) - 2)
+             = substr(b.c_name, 1, length(b.c_name) - 2)
+         AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+        ORDER BY id_a, id_b
     """
     o["events_in_day_windows"] = """
         WITH iv AS (

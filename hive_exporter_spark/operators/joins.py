@@ -99,3 +99,38 @@ def range_bucket_join(
         (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
     )
     return out.drop("__bucket")
+
+
+def blocked_fuzzy_pairs(df: DataFrame, id_col: str, name_col: str,
+                        max_dist: int = 1, block_suffix: int = 2) -> DataFrame:
+    """Entity-resolution fuzzy self-match: candidate pairs from a
+    blocking key (the name minus its last `block_suffix` chars), scored
+    with exact Levenshtein distance, kept at <= `max_dist`.
+
+    Blocking is what makes fuzzy matching feasible at scale: the
+    all-pairs O(n²) comparison collapses to an equi-join on the block
+    key — shuffle-partitioned like any join, per-block work bounded by
+    block size (here <= alphabet^suffix), independent of table size.
+    Levenshtein runs only on within-block candidates. The same shape
+    with phonetic/soundex or q-gram blocking keys covers the standard
+    record-linkage recipes; Catalyst treats the substring expressions
+    as ordinary equi-join keys.
+    """
+    block = F.expr(
+        f"substring({name_col}, 1, length({name_col}) - {block_suffix})"
+    )
+    a = df.select(F.col(id_col).alias("id_a"),
+                  F.col(name_col).alias("name_a"),
+                  block.alias("__block_a"))
+    b = df.select(F.col(id_col).alias("id_b"),
+                  F.col(name_col).alias("name_b"),
+                  block.alias("__block_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, (F.col("__block_a") == F.col("__block_b"))
+               & (F.col("id_a") < F.col("id_b")))
+        .where(dist <= max_dist)
+        .select("id_a", "id_b", "name_a", "name_b",
+                dist.cast("long").alias("dist"))
+        .orderBy("id_a", "id_b")
+    )

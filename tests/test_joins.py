@@ -70,3 +70,21 @@ def test_range_bucket_join_is_equi_join(spark, sf_dir):
     df = joins.range_bucket_join(ev, windows, "ts", "win_start", "win_end")
     plan = plans.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_blocked_fuzzy_pairs_semantics(spark):
+    from hive_exporter_spark.operators.joins import blocked_fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [(1, "Acme Corp 01"), (2, "Acme Corp 02"), (3, "Acme Corp 99"),
+         (4, "Zeta Ltd. 01")],
+        "id long, name string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in blocked_fuzzy_pairs(df, "id", "name").collect()}
+    # 01~02 differ in one trailing char; 99 is two edits from both;
+    # Zeta sits in a different block entirely.
+    assert got == {(1, 2): 1}
+    wide = {(r["id_a"], r["id_b"])
+            for r in blocked_fuzzy_pairs(df, "id", "name", max_dist=2).collect()}
+    assert wide == {(1, 2), (1, 3), (2, 3)}
