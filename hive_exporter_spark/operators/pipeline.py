@@ -353,6 +353,50 @@ def epoch_mix(documents: DataFrame,
     )
 
 
+# ---------------------------------------------------------------------------
+# Composed curation pipeline
+# ---------------------------------------------------------------------------
+
+MAX_CONTAMINATION = 0.2
+
+
+def curation_pipeline(documents: DataFrame,
+                      max_contamination: float = MAX_CONTAMINATION,
+                      budget: int = PACK_BUDGET) -> DataFrame:
+    """End-to-end curation: Gopher quality filter ∧ deterministic
+    train split ∧ benchmark decontamination, survivors packed into
+    context windows — the composition a pretraining data job runs.
+
+    Composition order is the scale order: the quality and split
+    predicates are map-only projections that prune before anything
+    shuffles; decontamination probes a broadcast benchmark set; only
+    survivors pay for the packing window. The inner join with the
+    contamination side also drops the benchmark source itself from
+    the training mix (contamination is only defined for non-benchmark
+    docs). Each stage is independently oracle-checked; this query
+    checks their composition.
+    """
+    quality_ids = (
+        gopher_quality_signals(documents)
+        .where(F.col("passes_quality")).select("doc_id")
+    )
+    train_ids = (
+        train_val_test_split(documents)
+        .where(F.col("split") == "train").select("doc_id")
+    )
+    clean_ids = (
+        ngram_contamination(documents)
+        .where(F.col("contamination_rate") <= max_contamination)
+        .select("doc_id")
+    )
+    kept = (
+        documents.join(quality_ids, "doc_id")
+        .join(train_ids, "doc_id")
+        .join(clean_ids, "doc_id")
+    )
+    return pack_sequences(kept, budget).orderBy("doc_id")
+
+
 # -- driver-contract wiring -------------------------------------------------
 
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -391,6 +435,10 @@ def _q_epoch_mix(spark, sf):
     return epoch_mix(_docs(spark, sf))
 
 
+def _q_curation(spark, sf):
+    return curation_pipeline(_docs(spark, sf))
+
+
 QUERIES = {
     "train_val_test_split": _q_split,
     "gopher_quality_signals": _q_gopher,
@@ -400,6 +448,7 @@ QUERIES = {
     "ngram_contamination": _q_contamination,
     "repetition_signals": _q_repetition,
     "epoch_mix": _q_epoch_mix,
+    "curation_pipeline": _q_curation,
 }
 
 _SPLIT_BUCKET = _hash_bucket_sql("doc_id", 100)
@@ -537,3 +586,33 @@ ORACLES = {
         FROM c WHERE n_copies >= 1
     """,
 }
+
+# Composed pipeline oracle: each stage's oracle inlined as a subquery
+# over the same `documents` view, so the composition is checked with
+# the exact single-stage semantics.
+ORACLES["curation_pipeline"] = f"""
+    WITH quality_ids AS (
+        SELECT doc_id FROM ({ORACLES["gopher_quality_signals"]})
+        WHERE passes_quality
+    ), train_ids AS (
+        SELECT doc_id FROM ({ORACLES["train_val_test_split"]})
+        WHERE split = 'train'
+    ), clean_ids AS (
+        SELECT doc_id FROM ({ORACLES["ngram_contamination"]})
+        WHERE contamination_rate <= {MAX_CONTAMINATION}
+    ), kept AS (
+        SELECT d.doc_id, d.source,
+               len(string_split(d.text, ' ')) AS n_tokens
+        FROM documents d
+        JOIN quality_ids USING (doc_id)
+        JOIN train_ids USING (doc_id)
+        JOIN clean_ids USING (doc_id)
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS pack_id
+    FROM kept
+    ORDER BY doc_id
+"""

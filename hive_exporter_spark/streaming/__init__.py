@@ -16,6 +16,7 @@ from hive_exporter_spark.streaming.streams import (
     run_to_memory_sink,
     incremental_append_stream,
     post_purchase_activity_stream,
+    enrich_stream,
 )
 
 __all__ = [
@@ -25,4 +26,5 @@ __all__ = [
     "run_to_memory_sink",
     "incremental_append_stream",
     "post_purchase_activity_stream",
+    "enrich_stream",
 ]

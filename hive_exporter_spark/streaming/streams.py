@@ -220,3 +220,19 @@ def post_purchase_activity_stream(events: DataFrame,
         & (F.col("a_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {horizon}")),
         "inner",
     )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame,
+                  stream_key: str, dim_key: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream
+    joins against the (batch) dimension table — no watermark needed,
+    no state store; Spark re-plans the static side per micro-batch, so
+    a broadcast-sized dim never shuffles the stream.
+
+    The standard shape for decorating a 100 TB/day event stream with
+    slowly-changing reference data; pair with the SCD2 operators when
+    point-in-time correctness matters (a stream-static join always
+    sees the dimension's CURRENT rows).
+    """
+    return events.join(F.broadcast(dim),
+                       events[stream_key] == dim[dim_key], "left")

@@ -144,3 +144,26 @@ def test_stream_stream_join_agrees_with_batch(spark, sf_dir):
     got = {(r["p_event_id"], r["a_event_id"]) for r in out.collect()}
     want = {(r["p_event_id"], r["a_event_id"]) for r in batch.collect()}
     assert got == want
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    from hive_exporter_spark.streaming.streams import enrich_stream
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    stream = read_events_stream(spark, sf_dir)
+    out = run_to_memory_sink(
+        enrich_stream(stream, cust, "user_id", "c_custkey")
+        .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")),
+        f"enr_{uuid.uuid4().hex[:8]}",
+        output_mode="complete",
+    )
+    batch = (
+        read_table(spark, sf_dir, "events")
+        .join(cust, F.col("user_id") == F.col("c_custkey"), "left")
+        .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {r["c_mktsegment"]: r["n"] for r in out.collect()}
+    want = {r["c_mktsegment"]: r["n"] for r in batch.collect()}
+    assert got == want
