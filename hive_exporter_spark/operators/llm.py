@@ -914,6 +914,36 @@ def dedup_near(documents: DataFrame, pairs: DataFrame,
     )
 
 
+PCA_K = 8
+
+
+def embedding_pca(embeddings: DataFrame, k: int = PCA_K) -> DataFrame:
+    """Project embeddings to their top-k principal components
+    (spark.ml PCA) — the standard dimensionality reduction ahead of
+    ANN indexing: a dim→k projection shrinks every downstream distance
+    computation and LSH table while keeping most cosine structure.
+
+    fit() computes the covariance spectrum with one distributed pass
+    (O(dim²) driver state, independent of row count); transform() is a
+    map-only matrix multiply per row. Rows-only checked (eigenvector
+    sign/order is implementation-defined); variance ordering and
+    distance preservation are asserted in tests.
+    """
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = embeddings.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>"))
+        .alias("features"),
+    )
+    model = PCA(k=k, inputCol="features", outputCol="pca").fit(vecs)
+    return (
+        model.transform(vecs)
+        .select("vec_id", vector_to_array("pca").alias("pca_embedding"))
+    )
+
+
 CHUNK_TOKENS = 50
 
 
@@ -1077,8 +1107,14 @@ def _q_chunk(spark, sf):
     return chunk_documents(_docs(spark, sf))
 
 
+def _q_pca(spark, sf):
+    """Rows-only: eigenvector sign/order is implementation-defined."""
+    return embedding_pca(_emb(spark, sf))
+
+
 QUERIES = {
     "chunk_documents": _q_chunk,
+    "embedding_pca": _q_pca,
     "dedup_exact": _q_dedup_exact,
     "near_dup_clusters": _q_clusters,
     "dedup_near_duplicates": _q_dedup_near,

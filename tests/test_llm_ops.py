@@ -234,3 +234,30 @@ def test_chunk_documents_reassembles_text(spark):
     # Concatenating chunks in order recovers the tokenized document.
     joined = " ".join(r["chunk_text"] for r in chunks)
     assert joined == text
+
+
+def test_embedding_pca_projects_and_preserves_structure(spark, emb):
+    import numpy as np
+
+    from hive_exporter_spark.operators.llm import embedding_pca
+
+    out = embedding_pca(emb, k=8).collect()
+    assert all(len(r["pca_embedding"]) == 8 for r in out)
+    assert len(out) == emb.count()
+    # Spark's PCA maximizes UNCENTERED second moment (it does not
+    # mean-center), so the contracts to pin are: per-component energy
+    # decreasing, and the k-dim projection retaining at least its
+    # proportional share (k/dim) of the total energy — PCA is the
+    # energy-optimal linear projection, so it can only beat the
+    # isotropic share (tiny tolerance for fixture noise).
+    mat = np.array([r["pca_embedding"] for r in out])
+    energy = (mat ** 2).mean(axis=0)
+    assert all(energy[i] >= energy[i + 1] - 1e-9
+               for i in range(len(energy) - 1))
+    orig = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    dim = orig.shape[1]
+    share = 8 / dim
+    assert energy.sum() >= 0.95 * share * (orig ** 2).mean(axis=0).sum()
