@@ -114,24 +114,40 @@ def snapshot_metadata(spark: SparkSession, databases: list[str] | None = None,
 
 
 def snapshot_to_sqlite(snapshot: DataFrame, sqlite_path: str,
-                       table: str = "exported_tables") -> int:
+                       table: str = "exported_tables",
+                       mode: str = "overwrite") -> int:
     """K7 parity: persist a metadata snapshot into a SQLite file with
-    the reference's exact table shape (hive_metadata_exporter.py:46-57:
-    full delete + insert per run). Metadata is catalog-sized, so a
-    driver-side write through stdlib sqlite3 is appropriate — data
-    tables never take this path."""
+    the reference's exact table shape (hive_metadata_exporter.py:46-57).
+    Metadata is catalog-sized, so a driver-side write through stdlib
+    sqlite3 is appropriate — data tables never take this path.
+
+    Modes mirror the reference's two behaviors:
+    - ``overwrite``: full delete + insert (fresh snapshot each run).
+    - ``upsert``: INSERT OR REPLACE keyed on (db_name, tbl_name) — the
+      reference's per-table update path (hive_metadata_exporter.py:85-86)
+      that refreshes a subset without discarding rows for tables not in
+      this snapshot.
+    """
     import sqlite3
 
+    if mode not in ("overwrite", "upsert"):
+        raise ValueError(f"mode must be overwrite|upsert, got {mode!r}")
     rows = [(r["db_name"], r["tbl_name"], r["createstmt"], r["extract_ts"])
             for r in snapshot.collect()]
     con = sqlite3.connect(sqlite_path)
     try:
         con.execute(
             f"CREATE TABLE IF NOT EXISTS {table} ("
-            "db_name TEXT, tbl_name TEXT, createstmt TEXT, extract_ts INTEGER)"
+            "db_name TEXT, tbl_name TEXT, createstmt TEXT, extract_ts INTEGER, "
+            "PRIMARY KEY (db_name, tbl_name))"
         )
-        con.execute(f"DELETE FROM {table}")
-        con.executemany(f"INSERT INTO {table} VALUES (?, ?, ?, ?)", rows)
+        if mode == "overwrite":
+            con.execute(f"DELETE FROM {table}")
+            con.executemany(f"INSERT INTO {table} VALUES (?, ?, ?, ?)", rows)
+        else:
+            con.executemany(
+                f"INSERT OR REPLACE INTO {table} VALUES (?, ?, ?, ?)", rows
+            )
         con.commit()
     finally:
         con.close()

@@ -188,12 +188,15 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: Sequence[str],
     snapshots share."""
     if compare_cols is None:
         compare_cols = [c for c in old.columns if c in set(new.columns) and c not in keys]
-    o = old.select(*keys, *compare_cols).alias("o")
-    n = new.select(*keys, *compare_cols).alias("n")
+    # Literal presence markers, NOT keys[0] IS NOT NULL: a row whose first
+    # key column is legitimately NULL (the join is eqNullSafe, so NULL keys
+    # do match) would otherwise be misclassified as added/removed.
+    o = old.select(*keys, *compare_cols).withColumn("__op", F.lit(1)).alias("o")
+    n = new.select(*keys, *compare_cols).withColumn("__np", F.lit(1)).alias("n")
     cond = [o[k].eqNullSafe(n[k]) for k in keys]
     joined = o.join(n, cond, "full_outer")
-    old_present = F.col(f"o.{keys[0]}").isNotNull()
-    new_present = F.col(f"n.{keys[0]}").isNotNull()
+    old_present = F.col("o.__op").isNotNull()
+    new_present = F.col("n.__np").isNotNull()
     same = F.lit(True)
     for c in compare_cols:
         same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))

@@ -46,9 +46,13 @@ def salted_join(
     salted_small = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
+    # Dataframe-qualified key refs: with identical key names on both sides
+    # an unqualified F.col(key) == F.col(key) is ambiguous (or silently
+    # self-compares); qualifying matches the __salt comparison's style.
     out = salted_big.join(
         salted_small,
-        (F.col(big_key) == F.col(small_key)) & (salted_big["__salt"] == salted_small["__salt"]),
+        (salted_big[big_key] == salted_small[small_key])
+        & (salted_big["__salt"] == salted_small["__salt"]),
         how,
     )
     return out.drop("__salt")
@@ -83,14 +87,17 @@ def range_bucket_join(
     start_s = F.unix_timestamp(F.col(start_col))
     end_s = F.unix_timestamp(F.col(end_col))
 
-    f = facts.withColumn("__bucket", (point_s / bucket_width).cast("long"))
+    # floor(), not cast("long"): casting truncates toward zero, so for
+    # pre-1970 (negative-epoch) timestamps a fact and its containing
+    # interval could land in different buckets and silently miss.
+    f = facts.withColumn("__bucket", F.floor(point_s / bucket_width).cast("long"))
     iv = (
         intervals.withColumn(
             "__bucket",
             F.explode(
                 F.sequence(
-                    (start_s / bucket_width).cast("long"),
-                    (end_s / bucket_width).cast("long"),
+                    F.floor(start_s / bucket_width).cast("long"),
+                    F.floor(end_s / bucket_width).cast("long"),
                 )
             ),
         )
@@ -116,8 +123,12 @@ def blocked_fuzzy_pairs(df: DataFrame, id_col: str, name_col: str,
     record-linkage recipes; Catalyst treats the substring expressions
     as ordinary equi-join keys.
     """
+    # greatest(..., 1): names shorter than block_suffix+1 would collapse
+    # to an empty-string block, lumping every short name into one
+    # quadratic bucket and cross-matching unrelated strings. Keeping at
+    # least the first char routes short names to per-prefix blocks.
     block = F.expr(
-        f"substring({name_col}, 1, length({name_col}) - {block_suffix})"
+        f"substring({name_col}, 1, greatest(length({name_col}) - {block_suffix}, 1))"
     )
     a = df.select(F.col(id_col).alias("id_a"),
                   F.col(name_col).alias("name_a"),

@@ -357,10 +357,25 @@ def _kmeans_centroids(embeddings: DataFrame, k: int, seed: int,
                       id_col: str, vec_col: str, sample_cap: int = 10_000):
     """Fit spherical k-means centroids on a bounded driver-side sample
     (cap keeps driver memory O(sample·dim) regardless of corpus size).
-    Lloyd iterations on normalized vectors; deterministic via seed."""
+    Lloyd iterations on normalized vectors; deterministic via seed.
+
+    Sampling uses a seeded Bernoulli `df.sample`, NOT `.limit`: limit
+    without ordering takes whichever partitions answer first, so on a
+    corpus sorted by label the sample would be one label's vectors and
+    the centroids would be biased. Bernoulli sampling draws uniformly
+    across all partitions. The fraction is estimated from a cheap
+    count; `.limit(sample_cap)` after the sample only trims overshoot
+    of an already-uniform draw."""
     import numpy as np
 
-    sample = embeddings.select(vec_col).limit(sample_cap).collect()
+    n = embeddings.count()
+    if n <= sample_cap:
+        sample = embeddings.select(vec_col).collect()
+    else:
+        # Oversample 1.2x so the post-sample limit rarely undershoots.
+        frac = min(1.0, 1.2 * sample_cap / n)
+        sample = (embeddings.select(vec_col).sample(fraction=frac, seed=seed)
+                  .limit(sample_cap).collect())
     m = np.array([r[vec_col] for r in sample], dtype=np.float64)
     m = m / np.linalg.norm(m, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)

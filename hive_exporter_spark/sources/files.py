@@ -50,6 +50,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str, fmt: str = "parquet"
     the scan-side watermark lever for the events table at scale.
     """
     path = os.path.join(sf_dir, f"{name}.{ 'parquet' if fmt == 'parquet' else fmt }")
+    # Self-sufficient under ANY caller's session (not just build_session's):
+    # parquet TIMESTAMP(NANOS) columns need the legacy nanos-as-long conf or
+    # the vectorized reader throws PARQUET_TYPE_ILLEGAL at the scan. The conf
+    # is runtime-settable and per-session sticky; setting it when already set
+    # is a no-op.
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.format(fmt).load(path)
     for col in NANO_TS_COLUMNS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":

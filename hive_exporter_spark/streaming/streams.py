@@ -27,6 +27,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP(NANOS) which Spark reads as long under nanosAsLong
     (sources/files.py); the stream converts to a proper event-time
     column the same way."""
+    # Self-sufficient under any caller's session (see sources/files.py):
+    # the nanos columns need the legacy conf even with an explicit schema.
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The file stream source needs a *directory*; point it at sf_dir
     # and glob-filter to the events file.
     raw = (

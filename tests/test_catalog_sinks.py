@@ -143,3 +143,30 @@ def test_compact_table(spark, db):
     assert after <= 8, after
     assert spark.table(f"{db}.frag").count() == 10_000
     assert spark.table(f"{db}.frag").agg(F.sum("v")).first()[0] == total_before
+
+
+def test_snapshot_to_sqlite_upsert(spark, db, tmp_path):
+    """Upsert mode (reference hive_metadata_exporter.py:85-86): a
+    re-export of a subset replaces matching (db, tbl) rows and leaves
+    the rest untouched."""
+    import sqlite3
+
+    from hive_exporter_spark.catalog import snapshot_to_sqlite
+
+    path = str(tmp_path / "meta_upsert.db")
+    first = spark.createDataFrame(
+        [("d1", "t1", "CREATE t1 v1", 100), ("d1", "t2", "CREATE t2 v1", 100)],
+        "db_name string, tbl_name string, createstmt string, extract_ts long",
+    )
+    assert snapshot_to_sqlite(first, path) == 2
+    refresh = spark.createDataFrame(
+        [("d1", "t2", "CREATE t2 v2", 200)],
+        "db_name string, tbl_name string, createstmt string, extract_ts long",
+    )
+    assert snapshot_to_sqlite(refresh, path, mode="upsert") == 1
+    con = sqlite3.connect(path)
+    rows = sorted(con.execute(
+        "SELECT tbl_name, createstmt, extract_ts FROM exported_tables"
+    ).fetchall())
+    con.close()
+    assert rows == [("t1", "CREATE t1 v1", 100), ("t2", "CREATE t2 v2", 200)]

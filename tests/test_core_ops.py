@@ -167,3 +167,19 @@ def test_scd2_intervals_collapse_and_current(spark):
     assert by_user[1] == [("x", 1, 3, False), ("y", 3, 4, False), ("x", 4, None, True)]
     # first version survives even with NULL attribute; NULL run collapses
     assert by_user[2] == [(None, 1, 3, False), ("z", 3, None, True)]
+
+
+def test_snapshot_diff_null_first_key(spark):
+    """A NULL in the first key column must not be misread as row
+    absence (ADVICE r1): presence comes from literal markers, so a
+    NULL-keyed row present in both snapshots but changed is 'changed',
+    not 'added'."""
+    from hive_exporter_spark.operators.core import snapshot_diff
+
+    old = spark.createDataFrame([(None, 1, "x"), (2, 2, "y")],
+                                "k1 int, k2 int, v string")
+    new = spark.createDataFrame([(None, 1, "CHANGED"), (2, 2, "y")],
+                                "k1 int, k2 int, v string")
+    got = {(r["k1"], r["k2"]): r["change_type"]
+           for r in snapshot_diff(old, new, ["k1", "k2"]).collect()}
+    assert got == {(None, 1): "changed"}

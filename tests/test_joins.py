@@ -88,3 +88,48 @@ def test_blocked_fuzzy_pairs_semantics(spark):
     wide = {(r["id_a"], r["id_b"])
             for r in blocked_fuzzy_pairs(df, "id", "name", max_dist=2).collect()}
     assert wide == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_salted_join_same_key_name_both_sides(spark):
+    """Identical key column names on both sides must not be ambiguous:
+    the join condition qualifies keys per-dataframe (ADVICE r1)."""
+    big = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k int, v string")
+    dim = spark.createDataFrame([(1, "one"), (2, "two")], "k int, label string")
+    out = joins.salted_join(big, dim, "k", "k", salt=4)
+    got = sorted((r["v"], r["label"]) for r in out.collect())
+    assert got == [("a", "one"), ("b", "one"), ("c", "two")]
+
+
+def test_range_bucket_join_pre_1970(spark):
+    """Negative-epoch timestamps: truncation-toward-zero bucketing would
+    put a fact and its containing interval in different buckets; floor()
+    keeps them together (ADVICE r1)."""
+    facts = spark.createDataFrame(
+        [(1, "1969-12-31 23:30:00")], "fid int, ts string"
+    ).select("fid", F.col("ts").cast("timestamp").alias("ts"))
+    ivs = spark.createDataFrame(
+        [("1969-12-31 23:00:00", "1970-01-01 01:00:00")], "s string, e string"
+    ).select(F.col("s").cast("timestamp").alias("win_start"),
+             F.col("e").cast("timestamp").alias("win_end"))
+    out = joins.range_bucket_join(facts, ivs, "ts", "win_start", "win_end",
+                                  bucket_width=3600)
+    assert out.count() == 1
+
+
+def test_blocked_fuzzy_pairs_short_names(spark):
+    """Names shorter than block_suffix+1 must not all collapse into one
+    empty-string block (ADVICE r1): unrelated short names stay apart,
+    while identical-prefix shorts still match."""
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "xy"), (3, "ac")], "id long, name string"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           blocked_fuzzy_pairs_import(df).collect()}
+    # 'ab' and 'ac' share block 'a' and are 1 edit apart; 'xy' is in
+    # block 'x' and never compared against them.
+    assert got == {(1, 3)}
+
+
+def blocked_fuzzy_pairs_import(df):
+    from hive_exporter_spark.operators.joins import blocked_fuzzy_pairs
+    return blocked_fuzzy_pairs(df, "id", "name", max_dist=1, block_suffix=1)

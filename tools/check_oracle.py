@@ -36,7 +36,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
                 ts = ts.dt.tz_localize(None)
             df[c] = ts.astype("datetime64[ns]")
         elif s.dtype == object:
-            df[c] = s.astype(str)
+            # DuckDB hands LIST columns back as numpy arrays, Spark as
+            # Python lists; unify before stringifying or identical
+            # values compare unequal ("[0.1, 0.2]" vs "[0.1 0.2]").
+            df[c] = s.map(
+                lambda x: x.tolist() if isinstance(x, np.ndarray) else x
+            ).astype(str)
         elif pd.api.types.is_bool_dtype(s):
             df[c] = s.astype(bool)
         elif pd.api.types.is_integer_dtype(s):
@@ -74,9 +79,19 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = build_session("oracle-check")
+    argv = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    if vanilla:
+        # Reproduce the driver harness: a default SparkSession with NONE of
+        # build_session's confs — catches any hidden session dependency.
+        from pyspark.sql import SparkSession
+
+        spark = (SparkSession.builder.master("local[8]")
+                 .appName("oracle-check-vanilla").getOrCreate())
+    else:
+        spark = build_session("oracle-check")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
