@@ -39,6 +39,13 @@ BENCH_QUERIES = [
     "repetition_signals",
     "epoch_mix",
     "rolling_distinct_users_hll",
+    # r2 additions: events analytics (red in r1's harness) + graph /
+    # pipeline ops, so regressions in those families show up per-round.
+    "asof_last_purchase",
+    "salted_segment_event_counts",
+    "events_in_day_windows",
+    "near_dup_clusters",
+    "curation_pipeline",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -17,6 +17,18 @@ from pyspark.sql import functions as F
 DEFAULT_SALT = 8
 
 
+def _salt_col(df: DataFrame, salt: int):
+    """Per-row salt in [0, salt): xxhash64 over the row's columns MIXED
+    with monotonically_increasing_id, so fully-duplicate rows (which a
+    pure row-hash would co-locate — the pathological duplicate-heavy
+    hot key) still spread across all salt partitions. The mono id is
+    partition-id << 33 | row-offset — deterministic for a stable scan,
+    so retries and speculative tasks still agree."""
+    return F.pmod(
+        F.xxhash64(F.monotonically_increasing_id(), *df.columns), F.lit(salt)
+    ).cast("int")
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -40,9 +52,7 @@ def salted_join(
     1/salt of its rows; replication multiplies the small-side shuffle
     by `salt`, so pick salt ≈ (hottest-key rows / target task rows).
     """
-    salted_big = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt)).cast("int")
-    )
+    salted_big = big.withColumn("__salt", _salt_col(big, salt))
     salted_small = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )

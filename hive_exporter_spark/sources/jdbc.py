@@ -118,4 +118,7 @@ def discover_bounds(spark: SparkSession, cfg: JdbcSourceConfig) -> "JdbcSourceCo
     probe = replace(cfg, table=None, query=cfg.bounds_query(),
                     partition_column=None, num_partitions=None)
     row = reader(spark, probe).load().first()
-    return replace(cfg, lower_bound=row["lower_bound"], upper_bound=row["upper_bound"])
+    # Positional access: identifier-case folding is dialect-specific
+    # (Derby/Oracle uppercase unquoted aliases, Postgres lowercases),
+    # but the bounds query's column order is ours.
+    return replace(cfg, lower_bound=row[0], upper_bound=row[1])

@@ -1,0 +1,151 @@
+"""Live JDBC execution against embedded Derby (in the Spark JVM).
+
+Round 1 only option-asserted the JDBC reader; these tests EXECUTE it:
+create + populate a real table over JDBC, scan it back (S4 table mode,
+S5 query mode), discover bounds on the source DB (S7), range-partition
+the scan (S6), push an aggregate down (S8), and run a full
+`incremental_append` ingest with a JDBC source — the reference's core
+use case (spark_loaders.py:58-109, exercised against live MySQL by
+tests/test_incremental_append.py:36-51).
+
+Derby notes: unquoted identifiers fold to uppercase, and Spark's JDBC
+writer quotes column names verbatim — so everything is seeded with
+UPPERCASE names to keep raw SQL (bounds query, pushdown query)
+resolvable. `jdbc:derby:memory:` keeps the DB inside the test JVM;
+in local mode executors share it, so partitioned reads work.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_exporter_spark.sources import jdbc
+from hive_exporter_spark.sources.files import read_table
+
+URL = "jdbc:derby:memory:livetest;create=true"
+DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@pytest.fixture(scope="module")
+def seeded(spark, sf_dir):
+    """Seed Derby with 100 orders rows (uppercase columns) via the
+    Spark JDBC writer; returns the expected rows."""
+    src = (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("OKEY"),
+            F.col("o_custkey").alias("CKEY"),
+            F.col("o_totalprice").alias("PRICE"),
+        )
+        .orderBy("OKEY")
+        .limit(100)
+    )
+    (src.write.format("jdbc")
+     .option("url", URL).option("driver", DRIVER)
+     .option("dbtable", "ORDERS_SRC").mode("overwrite").save())
+    return {(r["OKEY"], r["CKEY"]) for r in src.collect()}
+
+
+def test_s4_table_scan(spark, seeded):
+    cfg = jdbc.JdbcSourceConfig(url=URL, driver=DRIVER, table="ORDERS_SRC")
+    got = jdbc.reader(spark, cfg).load()
+    assert {(r["OKEY"], r["CKEY"]) for r in got.collect()} == seeded
+
+
+def test_s5_query_scan(spark, seeded):
+    cfg = jdbc.JdbcSourceConfig(
+        url=URL, driver=DRIVER,
+        query="SELECT OKEY, PRICE FROM ORDERS_SRC WHERE OKEY <= 50",
+    )
+    got = jdbc.reader(spark, cfg).load().collect()
+    assert all(r["OKEY"] <= 50 for r in got)
+    assert len(got) == sum(1 for k, _ in seeded if k <= 50)
+
+
+def test_s7_bounds_discovery_on_source(spark, seeded):
+    cfg = jdbc.JdbcSourceConfig(url=URL, driver=DRIVER, table="ORDERS_SRC",
+                                partition_column="OKEY", num_partitions=4)
+    bounded = jdbc.discover_bounds(spark, cfg)
+    keys = sorted(k for k, _ in seeded)
+    assert bounded.lower_bound == keys[0]
+    assert bounded.upper_bound == keys[-1]
+
+
+def test_s6_range_partitioned_scan(spark, seeded):
+    cfg = jdbc.discover_bounds(
+        spark,
+        jdbc.JdbcSourceConfig(url=URL, driver=DRIVER, table="ORDERS_SRC",
+                              partition_column="OKEY", num_partitions=4),
+    )
+    df = jdbc.reader(spark, cfg).load()
+    # Sqoop-style split: numPartitions parallel range queries.
+    assert df.rdd.getNumPartitions() == 4
+    assert {(r["OKEY"], r["CKEY"]) for r in df.collect()} == seeded
+
+
+def test_s8_filter_pushdown_reaches_source(spark, seeded):
+    """The delta filter must execute ON the database (JDBC WHERE), not
+    in Spark — at scale only the delta crosses the wire."""
+    cfg = jdbc.JdbcSourceConfig(url=URL, driver=DRIVER, table="ORDERS_SRC")
+    df = jdbc.reader(spark, cfg).load().where(F.col("OKEY") > 90)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(OKEY" in plan, plan
+    assert df.count() == sum(1 for k, _ in seeded if k > 90)
+
+
+def test_s8_count_pushdown(spark, seeded):
+    cfg = jdbc.JdbcSourceConfig(
+        url=URL, driver=DRIVER,
+        query="SELECT COUNT(*) AS N FROM ORDERS_SRC",
+    )
+    row = jdbc.reader(spark, cfg).load().first()
+    assert row["N"] == len(seeded)
+
+
+def test_incremental_append_over_jdbc(spark, sf_dir, tmp_path):
+    """End-to-end reference flow: JDBC source -> watermark from the
+    destination -> strict-> filter -> tagged partitioned append
+    (spark_loaders.py:139-175)."""
+    from hive_exporter_spark.catalog import TableName, drop_table, table_exists
+    from hive_exporter_spark.operators import ingest
+
+    events = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            F.col("event_id").alias("EID"),
+            F.col("user_id").alias("UID"),
+            F.col("value").alias("VAL"),
+        )
+        .orderBy("EID")
+    )
+    first, second = events.limit(600), events.limit(1000)
+
+    (first.write.format("jdbc")
+     .option("url", URL).option("driver", DRIVER)
+     .option("dbtable", "EVENTS_SRC").mode("overwrite").save())
+
+    dest = TableName("jdbc_ingest_db", "events_dst")
+    if table_exists(spark, dest):
+        drop_table(spark, dest)
+    cfg = jdbc.JdbcSourceConfig(url=URL, driver=DRIVER, table="EVENTS_SRC")
+
+    r1 = ingest.incremental_append(
+        spark, jdbc.reader(spark, cfg).load(), dest, "EID", batch_tag="b1"
+    )
+    assert (r1.source_count, r1.ingested_count, r1.destination_count) == (600, 600, 600)
+
+    # Second batch arrives at the source; re-ingest picks up ONLY the delta.
+    (second.write.format("jdbc")
+     .option("url", URL).option("driver", DRIVER)
+     .option("dbtable", "EVENTS_SRC").mode("overwrite").save())
+    r2 = ingest.incremental_append(
+        spark, jdbc.reader(spark, cfg).load(), dest, "EID", batch_tag="b2"
+    )
+    assert (r2.source_count, r2.ingested_count, r2.destination_count) == (1000, 400, 1000)
+
+    out = spark.table(str(dest))
+    assert out.where(F.col("dl_ingest_date") == "b2").count() == 400
+    expected = {r["EID"] for r in second.collect()}
+    assert {r["EID"] for r in out.collect()} == expected
+    drop_table(spark, dest)

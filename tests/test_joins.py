@@ -31,7 +31,22 @@ def test_salted_join_splits_hot_key(spark):
     out = joins.salted_join(hot, dim, "k", "dk", salt=8)
     assert out.count() == 4000
     salts = (
-        hot.withColumn("__salt", F.pmod(F.xxhash64("k", "id"), F.lit(8)))
+        hot.withColumn("__salt", joins._salt_col(hot, 8))
+        .select("__salt").distinct().count()
+    )
+    assert salts == 8
+
+
+def test_salted_join_splits_fully_duplicate_rows(spark):
+    """Pathological duplicate-heavy key: 4000 IDENTICAL rows must still
+    spread across all salt partitions (a pure row-hash would give them
+    all the same salt — r1 verdict minor)."""
+    dup = spark.range(4000).select(F.lit(7).alias("k"), F.lit("same").alias("v"))
+    out = joins.salted_join(dup, spark.createDataFrame([(7, "hot")], "dk int, label string"),
+                            "k", "dk", salt=8)
+    assert out.count() == 4000
+    salts = (
+        dup.withColumn("__salt", joins._salt_col(dup, 8))
         .select("__salt").distinct().count()
     )
     assert salts == 8

@@ -261,3 +261,23 @@ def test_embedding_pca_projects_and_preserves_structure(spark, emb):
     dim = orig.shape[1]
     share = 8 / dim
     assert energy.sum() >= 0.95 * share * (orig ** 2).mean(axis=0).sum()
+
+
+def test_topk_ivf_recall_adversarial_order(spark, emb):
+    """Centroid fitting must not be order-biased (r1 advice): on a
+    corpus SORTED so early partitions hold one corner of the space, a
+    limit()-based sample would fit centroids to that corner only; the
+    seeded Bernoulli sample keeps recall intact."""
+    sorted_emb = (
+        emb.orderBy(F.element_at("embedding", 1)).coalesce(4).cache()
+    )
+    try:
+        queries = emb.where(F.col("vec_id") < 10)
+        exact = {(r["query_id"], r["neighbor_id"])
+                 for r in llm.topk_cosine(sorted_emb, queries).collect()}
+        approx = {(r["query_id"], r["neighbor_id"])
+                  for r in llm.topk_cosine_ivf(sorted_emb, queries).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.5, f"IVF recall {recall} under sorted corpus"
+    finally:
+        sorted_emb.unpersist()
