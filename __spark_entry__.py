@@ -371,6 +371,36 @@ def _q16(spark, sf):
     )
 
 
+def _q2_min_cost_supplier(spark, sf):
+    return relational.min_cost_supplier(
+        _t(spark, sf, "part"), _t(spark, sf, "supplier"),
+        _t(spark, sf, "nation"), _t(spark, sf, "region"),
+        _t(spark, sf, "lineitem"),
+    )
+
+
+def _q9_nation_product_profit(spark, sf):
+    return relational.nation_product_profit(
+        _t(spark, sf, "part"), _t(spark, sf, "supplier"),
+        _t(spark, sf, "nation"), _t(spark, sf, "orders"),
+        _t(spark, sf, "lineitem"),
+    )
+
+
+def _q11_important_parts(spark, sf):
+    return relational.important_parts(
+        _t(spark, sf, "supplier"), _t(spark, sf, "nation"),
+        _t(spark, sf, "lineitem"),
+    )
+
+
+def _q20_dominant_share_suppliers(spark, sf):
+    return relational.dominant_share_suppliers(
+        _t(spark, sf, "part"), _t(spark, sf, "supplier"),
+        _t(spark, sf, "nation"), _t(spark, sf, "lineitem"),
+    )
+
+
 def _profile_orders(spark, sf):
     return profile.profile_columns(
         _t(spark, sf, "orders"),
@@ -546,6 +576,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_nation_market_share": _q8,
         "q10_returned_items": _q10,
         "q16_supplier_diversity": _q16,
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
+        "q9_nation_product_profit": _q9_nation_product_profit,
+        "q11_important_parts": _q11_important_parts,
+        "q20_dominant_share_suppliers": _q20_dominant_share_suppliers,
         "profile_orders_columns": _profile_orders,
         "events_stratified_sample": _stratified_sample,
         "orders_snapshot_diff": _snapshot_diff,
@@ -1108,6 +1142,74 @@ def oracle_sql() -> dict[str, str]:
         FROM events JOIN iv ON ts >= win_start AND ts < win_end
         GROUP BY win_start
         ORDER BY win_start
+    """
+    o["q2_min_cost_supplier"] = """
+        WITH catalog AS (
+            SELECT p_partkey, p_type, s_suppkey, s_name, s_acctbal, n_name,
+                   CAST(MIN(CAST(l_extendedprice / l_quantity AS DECIMAL(28,6)))
+                        AS DOUBLE) AS supply_cost
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+            GROUP BY p_partkey, p_type, s_suppkey, s_name, s_acctbal, n_name
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_type, supply_cost
+        FROM catalog c
+        WHERE supply_cost = (SELECT MIN(supply_cost) FROM catalog m
+                             WHERE m.p_partkey = c.p_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """
+    o["q9_nation_product_profit"] = f"""
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               {dsum_sql(rev)} AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_name LIKE '%blue%'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY n_name, o_year
+        ORDER BY nation, o_year DESC
+    """
+    o["q11_important_parts"] = f"""
+        WITH per_part AS (
+            SELECT l_partkey AS p_partkey,
+                   {dsum_sql('l_extendedprice')} AS part_value
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+            GROUP BY l_partkey
+        )
+        SELECT p_partkey, part_value FROM per_part
+        WHERE part_value > (
+            SELECT CAST(SUM(CAST(part_value AS DECIMAL(28,6))) / COUNT(*) * 1.5
+                        AS DOUBLE)
+            FROM per_part)
+        ORDER BY part_value DESC, p_partkey
+    """
+    o["q20_dominant_share_suppliers"] = f"""
+        WITH per_ps AS (
+            SELECT l_partkey, l_suppkey, {dsum_sql('l_quantity')} AS supp_qty
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_partkey, l_suppkey
+        ), per_part AS (
+            SELECT l_partkey AS tp_partkey,
+                   CAST(SUM(CAST(supp_qty AS DECIMAL(28,6))) AS DOUBLE) AS part_qty
+            FROM per_ps GROUP BY l_partkey
+        )
+        SELECT DISTINCT s_suppkey, s_name, n_name
+        FROM per_ps
+        JOIN per_part ON l_partkey = tp_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE supp_qty > part_qty * 0.5
+        ORDER BY s_suppkey
     """
     # approx_value_stats: sketch-based (HLL++/KLL) — no DuckDB twin; rows-only.
     o.update(sessions.ORACLES)

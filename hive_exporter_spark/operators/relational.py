@@ -698,3 +698,154 @@ def waiting_suppliers(orders: DataFrame, lineitem: DataFrame,
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+def min_cost_supplier(part: DataFrame, supplier: DataFrame, nation: DataFrame,
+                      region: DataFrame, lineitem: DataFrame,
+                      region_name: str = "EUROPE", type_kw: str = "STANDARD",
+                      k: int = 100) -> DataFrame:
+    """TPC-H-Q2-shaped min-cost supplier, adapted to the fixture schema
+    (no partsupp table): the observed supply catalog is the distinct
+    (part, supplier) pairs that actually shipped, and a part's cost
+    from a supplier is its minimum observed unit price
+    (l_extendedprice / l_quantity).
+
+    The Q2 shape is the point: an aggregated per-group minimum joined
+    back on (group, min) — the classic correlated-subquery
+    decorrelation. The per-part min is one row per part (broadcast);
+    the catalog aggregation shuffles on (part, supplier) once.
+    Region/nation/part filters are pushed below the catalog join so the
+    fact scan prunes early."""
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).cast("decimal(28,6)")
+    europe_supp = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.where(F.col("r_name") == region_name)),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    typed_parts = part.where(F.col("p_type") == type_kw).select("p_partkey", "p_type")
+    catalog = (
+        lineitem.join(F.broadcast(typed_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(europe_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_type", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(unit).cast("double").alias("supply_cost"))
+    )
+    per_part_min = (
+        catalog.groupBy(F.col("p_partkey").alias("mp_partkey"))
+        .agg(F.min("supply_cost").alias("min_cost"))
+    )
+    return (
+        catalog.join(
+            F.broadcast(per_part_min),
+            (F.col("p_partkey") == F.col("mp_partkey"))
+            & (F.col("supply_cost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "supply_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(k)
+    )
+
+
+def nation_product_profit(part: DataFrame, supplier: DataFrame, nation: DataFrame,
+                          orders: DataFrame, lineitem: DataFrame,
+                          name_kw: str = "blue") -> DataFrame:
+    """TPC-H-Q9-shaped product-type profit by nation and year, adapted:
+    without partsupp's ps_supplycost, profit is the discounted revenue
+    of lines whose part name contains `name_kw`.
+
+    Shape: substring-filtered dimension broadcast into the fact scan,
+    supplier→nation broadcast chain, order-date year derivation, then
+    one (nation, year) aggregate — the fact table shuffles once on the
+    tiny grouping key."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    kw_parts = part.where(F.col("p_name").contains(name_kw)).select("p_partkey")
+    supp_nation = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        lineitem.join(F.broadcast(kw_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(rev).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def important_parts(supplier: DataFrame, nation: DataFrame, lineitem: DataFrame,
+                    nation_name: str = "NATION_7", multiple: float = 1.5) -> DataFrame:
+    """TPC-H-Q11-shaped important-stock scan, adapted: a part's value
+    is the total shipped value (extendedprice summed) from suppliers of
+    one nation; keep parts whose value exceeds `multiple` × the mean
+    per-part value. (Q11 thresholds on a fraction of the grand total;
+    a mean-relative multiple keeps the result non-degenerate across
+    scale factors, since part count grows with SF.)
+
+    The global threshold is a single-row aggregate crossJoined in
+    (broadcast of one scalar row — the same decorrelated-scalar shape
+    as Q11's HAVING subquery). Per-part values shuffle once on
+    l_partkey; the threshold compare is map-side."""
+    nat_supp = (
+        supplier.join(
+            F.broadcast(nation.where(F.col("n_name") == nation_name)),
+            F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    nat_lines = lineitem.join(F.broadcast(nat_supp),
+                              F.col("l_suppkey") == F.col("s_suppkey"))
+    per_part = nat_lines.groupBy("l_partkey").agg(
+        dsum("l_extendedprice").alias("part_value"))
+    total = per_part.agg(
+        (F.sum(F.col("part_value").cast("decimal(28,6)"))
+         / F.count(F.lit(1)) * F.lit(multiple))
+        .cast("double").alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("part_value") > F.col("threshold"))
+        .select(F.col("l_partkey").alias("p_partkey"), "part_value")
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+def dominant_share_suppliers(part: DataFrame, supplier: DataFrame, nation: DataFrame,
+                             lineitem: DataFrame, name_kw: str = "red",
+                             share: float = 0.5,
+                             date_from: str = "1996-01-01",
+                             date_to: str = "1997-01-01") -> DataFrame:
+    """TPC-H-Q20-shaped promotion-capacity probe, adapted: suppliers
+    who shipped more than `share` of some keyword-part's total volume
+    in a window — without partsupp, \"availqty\" is the supplier's own
+    shipped quantity and the Q20 nested-subquery chain becomes
+    per-(part,supplier) volume vs per-part total.
+
+    Shape: one (part, supplier) aggregate, a per-part rollup broadcast
+    back, ratio filter, then a distinct-supplier semi-join — exactly
+    Q20's EXISTS chain, decorrelated. No fact-table shuffle happens
+    more than once."""
+    kw_parts = part.where(F.col("p_name").contains(name_kw)).select("p_partkey")
+    window_lines = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp")))
+        .join(F.broadcast(kw_parts), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    per_ps = window_lines.groupBy("l_partkey", "l_suppkey").agg(
+        dsum("l_quantity").alias("supp_qty"))
+    per_part = per_ps.groupBy(F.col("l_partkey").alias("tp_partkey")).agg(
+        F.sum(F.col("supp_qty").cast("decimal(28,6)")).cast("double").alias("part_qty"))
+    dominant = (
+        per_ps.join(F.broadcast(per_part), F.col("l_partkey") == F.col("tp_partkey"))
+        .where(F.col("supp_qty") > F.col("part_qty") * share)
+        .select("l_suppkey").distinct()
+    )
+    return (
+        dominant.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
