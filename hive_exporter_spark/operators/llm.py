@@ -993,6 +993,131 @@ def chunk_documents(documents: DataFrame,
     )
 
 
+DF_CAP = 50
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def ngram_jaccard_pairs_capped(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    k: int = SHINGLE_K,
+    df_cap: int = DF_CAP,
+) -> DataFrame:
+    """Exact-Jaccard near-dup pairs with doc-frequency-capped candidate
+    generation — the scalable EXACT middle ground between the O(df²)
+    `ngram_jaccard_pairs` baseline and the probabilistic
+    `minhash_lsh_pairs`.
+
+    Candidates are pairs sharing at least one *rare* shingle
+    (document frequency <= df_cap); their Jaccard is then computed over
+    the FULL shingle sets (standard CCNet-style trick). Hot shingles
+    ("the quick brown") generate no candidates, so the self-join cost
+    is bounded by sum(df² | df <= cap) — linear-ish at any corpus size
+    — while per-candidate scoring is |candidates| × doc shingle count.
+    True near-dups at threshold >= 0.5 virtually always share a rare
+    shingle, so at practical caps the output equals the exact baseline;
+    the semantics ("pairs sharing a rare shingle") are deterministic
+    and oracle-checkable either way.
+    """
+    ex = exploded_shingles(documents, k).localCheckpoint(eager=False)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    rare = (
+        ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= df_cap)
+        .select("shingle")
+    )
+    rex = ex.join(rare, "shingle")
+    ra, rb = rex.alias("ra"), rex.alias("rb")
+    cand = (
+        ra.join(rb, (F.col("ra.shingle") == F.col("rb.shingle"))
+                & (F.col("ra.doc_id") < F.col("rb.doc_id")))
+        .select(F.col("ra.doc_id").alias("doc_a"), F.col("rb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Exact |A∩B| for candidates only: hang both docs' full shingle
+    # sets off the pair and count matches — cost |cand| × shingles/doc.
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(b, (F.col("doc_b") == F.col("b.doc_id"))
+              & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jacc = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", jacc)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def normalize_text(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical text normalization for dedup/fingerprint pipelines:
+    lowercase, collapse all whitespace runs to single spaces, trim.
+    One codegen'd projection (three chained JVM string expressions) —
+    map-only, no Python, no shuffle; at 100 TB this is scan-bound."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return documents.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("norm_chars"),
+        (norm != F.col(text_col)).alias("was_changed"),
+    )
+
+
+def bm25_scores(documents: DataFrame, query_terms: list[str] | None = None,
+                k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """BM25 relevance of every document against a bag of query terms —
+    the retrieval scorer for corpus curation (e.g. "rank training docs
+    by closeness to a quality seed query").
+
+    Classic Robertson/Lucene BM25:
+        idf(t)   = ln(1 + (N - df + 0.5)/(df + 0.5))
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
+
+    Spark shape: one posexplode of the corpus into (doc, term) counts
+    (the same shuffle the vocab build uses), filtered to the broadcast
+    query-term list BEFORE the aggregate — so the per-term join is a
+    map-side hash probe of a handful of terms, and corpus statistics
+    (N, avgdl, df) are single-row / per-term aggregates broadcast back.
+    Per-term scores are rounded to 6 dp and summed through DECIMAL so
+    the result is order-independent and oracle-stable."""
+    terms = query_terms if query_terms is not None else ["spark", "hash", "join"]
+    toks = documents.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = documents.count()
+    avgdl = dl.agg((F.sum(F.col("dl").cast("decimal(28,6)")) / F.count(F.lit(1)))
+                   .cast("double").alias("avgdl"))
+    tf = (
+        toks.where(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_score = (
+        F.col("idf") * F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(df_.withColumn("idf", idf)), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn("term_score", F.round(term_score, 6))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("term_score").cast("decimal(28,6)")).cast("double")
+            .alias("bm25"),
+            F.count(F.lit(1)).alias("n_matched_terms"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+    )
+
+
 # -- driver-contract wiring -------------------------------------------------
 
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -1009,6 +1134,18 @@ def _q_dedup_exact(spark, sf):
 
 def _q_jaccard(spark, sf):
     return ngram_jaccard_pairs(_docs(spark, sf))
+
+
+def _q_jaccard_capped(spark, sf):
+    return ngram_jaccard_pairs_capped(_docs(spark, sf))
+
+
+def _q_normalize(spark, sf):
+    return normalize_text(_docs(spark, sf))
+
+
+def _q_bm25(spark, sf):
+    return bm25_scores(_docs(spark, sf))
 
 
 def _q_minhash(spark, sf):
@@ -1136,6 +1273,9 @@ QUERIES = {
     "dedup_near_minhash": _q_dedup_near_minhash,
     "training_data_prep": _q_prep,
     "ngram_jaccard_pairs": _q_jaccard,
+    "ngram_jaccard_pairs_capped": _q_jaccard_capped,
+    "normalize_text": _q_normalize,
+    "bm25_scores": _q_bm25,
     "minhash_lsh_pairs": _q_minhash,
     "minhash_lsh_pairs_ml": _q_minhash_ml,
     "simhash64": _q_simhash,
@@ -1297,6 +1437,69 @@ def _ngram_pairs_sql(src: str = "documents") -> str:
 
 _NGRAM_PAIRS_SQL = _ngram_pairs_sql()
 ORACLES["ngram_jaccard_pairs"] = _NGRAM_PAIRS_SQL
+
+ORACLES["ngram_jaccard_pairs_capped"] = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+    ), sizes AS (
+        SELECT doc_id, len({_SHINGLES_SQL}) AS n_sh FROM documents
+    ), rare AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {DF_CAP}
+    ), rex AS (
+        SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM rex a JOIN rex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ), common AS (
+        SELECT doc_a, doc_b, COUNT(*) AS n_common
+        FROM cand
+        JOIN sh a ON a.doc_id = doc_a
+        JOIN sh b ON b.doc_id = doc_b AND a.shingle = b.shingle
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+          >= {JACCARD_THRESHOLD}
+"""
+
+ORACLES["normalize_text"] = r"""
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+           length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_chars,
+           (trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> text) AS was_changed
+    FROM documents
+"""
+
+ORACLES["bm25_scores"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), nd AS (SELECT COUNT(*) AS n FROM documents),
+    avgdl AS (
+        SELECT CAST(SUM(CAST(dl AS DECIMAL(28,6))) / COUNT(*) AS DOUBLE) AS avgdl
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        WHERE tok IN ('spark', 'hash', 'join') GROUP BY doc_id, tok
+    ), idf AS (
+        SELECT tok, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf
+        FROM (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok), nd
+    )
+    SELECT doc_id,
+           CAST(SUM(CAST(round(
+               idf * tf * ({BM25_K1} + 1)
+               / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl)), 6)
+               AS DECIMAL(28,6))) AS DOUBLE) AS bm25,
+           COUNT(*) AS n_matched_terms
+    FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id), avgdl
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+"""
 
 ORACLES["embedding_label_centroids"] = """
     SELECT label, u.dim - 1 AS dim,

@@ -281,3 +281,34 @@ def test_topk_ivf_recall_adversarial_order(spark, emb):
         assert recall >= 0.5, f"IVF recall {recall} under sorted corpus"
     finally:
         sorted_emb.unpersist()
+
+
+def test_capped_jaccard_equals_exact_on_fixture(spark, docs):
+    """df-capped candidate generation must recover every exact pair on
+    the fixture corpus (near-dups share rare shingles)."""
+    exact = {(r["doc_a"], r["doc_b"], r["n_common"])
+             for r in llm.ngram_jaccard_pairs(docs).collect()}
+    capped = {(r["doc_a"], r["doc_b"], r["n_common"])
+              for r in llm.ngram_jaccard_pairs_capped(docs).collect()}
+    assert capped == exact
+
+
+def test_normalize_text_idempotent(spark, docs):
+    once = llm.normalize_text(docs)
+    twice = llm.normalize_text(
+        once.select("doc_id", F.col("norm_text").alias("text")))
+    assert twice.where(F.col("was_changed")).count() == 0
+
+
+def test_bm25_scores_ranking_sane(spark):
+    """A doc repeating a query term must outscore one mentioning it
+    once (same length); docs without query terms are absent."""
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark spark alpha beta"),
+         (2, "spark alpha beta gamma delta epsilon"),
+         (3, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["bm25"] for r in llm.bm25_scores(docs).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1] > rows[2] > 0
