@@ -109,6 +109,28 @@ def reader(spark: SparkSession, cfg: JdbcSourceConfig) -> DataFrameReader:
     return spark.read.format("jdbc").options(**cfg.options())
 
 
+def writer(df, cfg: JdbcSourceConfig, mode: str = "append",
+           batch_size: int | None = None):
+    """Build a JDBC writer for `cfg.table` (the return-path twin of
+    :func:`reader` — the reference only read over JDBC, but a complete
+    engine round-trips: exporting curated/consolidated tables back to
+    an RDBMS is the natural last hop of an ingest pipeline).
+
+    Scale: each input partition opens one connection and writes
+    `batchSize`-row batches; `df.repartition(n)` upstream controls
+    write parallelism against the DB's connection budget. Dialect
+    options (Oracle session init etc.) apply exactly as on the read
+    side."""
+    if not cfg.table:
+        raise ValueError("JDBC writes require table mode")
+    opts = {k: v for k, v in cfg.options().items()
+            if k not in ("partitionColumn", "numPartitions",
+                         "lowerBound", "upperBound", "pushDownAggregate")}
+    if batch_size is not None:
+        opts["batchsize"] = str(batch_size)
+    return df.write.format("jdbc").options(**opts).mode(mode)
+
+
 def discover_bounds(spark: SparkSession, cfg: JdbcSourceConfig) -> "JdbcSourceConfig":
     """Run the bounds query on the source DB and return a config with
     lower/upper bounds filled in (reference spark_loaders.py:92-102:

@@ -149,3 +149,59 @@ def test_incremental_append_over_jdbc(spark, sf_dir, tmp_path):
     expected = {r["EID"] for r in second.collect()}
     assert {r["EID"] for r in out.collect()} == expected
     drop_table(spark, dest)
+
+
+def test_jdbc_writer_roundtrip(spark, sf_dir):
+    """The writer twin: export a DataFrame to Derby, read it back
+    byte-identical through the configured reader."""
+    nat = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("NKEY"), F.col("n_name").alias("NNAME"))
+    cfg = jdbc.JdbcSourceConfig(url=URL, driver=DRIVER, table="NATION_RT")
+    jdbc.writer(nat, cfg, mode="overwrite", batch_size=500).save()
+    back = jdbc.reader(spark, cfg).load()
+    assert {(r["NKEY"], r["NNAME"]) for r in back.collect()} == \
+           {(r["NKEY"], r["NNAME"]) for r in nat.collect()}
+
+
+def test_incremental_merge_over_jdbc(spark, sf_dir):
+    """The reference's upsert flow with a LIVE JDBC source
+    (spark_loaders.py:177-265): batch 1 seeds, batch 2 carries one
+    modified row (same key, newer last_modified) and one new row; the
+    consolidated destination holds exactly latest-per-key."""
+    from hive_exporter_spark.catalog import TableName, drop_table, table_exists
+    from hive_exporter_spark.operators import ingest
+
+    rows1 = [(1, 100, "v1"), (2, 100, "v1"), (3, 100, "v1")]
+    rows2 = [(2, 200, "v2"), (4, 200, "v1")]  # id 2 modified, id 4 new
+    schema = "ID INT, LAST_MOD INT, PAYLOAD STRING"
+    cfg = jdbc.JdbcSourceConfig(url=URL, driver=DRIVER, table="MERGE_SRC")
+
+    dest = TableName("jdbc_merge_db", "merged_dst")
+    for t in (dest, ingest.incremental_table(dest)):
+        if table_exists(spark, t):
+            drop_table(spark, t)
+
+    jdbc.writer(spark.createDataFrame(rows1, schema), cfg,
+                mode="overwrite").save()
+    r1 = ingest.incremental_merge(
+        spark, jdbc.reader(spark, cfg).load(), dest,
+        key_columns=["ID"], last_modified_column="LAST_MOD",
+        incremental_column="ID", batch_tag="m1",
+    )
+    assert r1.ingested_count == 3 and r1.destination_count == 3
+
+    # Source now holds batch 2's rows (union view of the live table).
+    jdbc.writer(spark.createDataFrame(rows2, schema), cfg,
+                mode="overwrite").save()
+    r2 = ingest.incremental_merge(
+        spark, jdbc.reader(spark, cfg).load(), dest,
+        key_columns=["ID"], last_modified_column="LAST_MOD",
+        incremental_column="ID", batch_tag="m2",
+    )
+    assert r2.ingested_count == 2
+    got = {r["ID"]: (r["LAST_MOD"], r["PAYLOAD"])
+           for r in spark.table(str(dest)).collect()}
+    assert got == {1: (100, "v1"), 2: (200, "v2"),
+                   3: (100, "v1"), 4: (200, "v1")}
+    for t in (dest, ingest.incremental_table(dest)):
+        drop_table(spark, t)
