@@ -190,3 +190,38 @@ def test_fill_missing_days_spine_broadcast(t):
 
     df = pipeline.fill_missing_days(t("events"))
     assert plans.has_broadcast_join(df), plans.formatted_plan(df)
+
+
+def test_q2_catalog_broadcasts_dims(t):
+    """Adapted Q2: part/supplier/nation/region dims broadcast into the
+    fact scan; the per-part min joins back broadcast (no second
+    fact-sized shuffle)."""
+    df = relational.min_cost_supplier(
+        t("part"), t("supplier"), t("nation"), t("region"), t("lineitem"))
+    assert plans.broadcast_join_count(df) >= 3, plans.formatted_plan(df)
+
+
+def test_q9_single_fact_shuffle(t):
+    """Adapted Q9: all dims broadcast; the only sort-merge join allowed
+    is lineitem⋈orders (two fact tables)."""
+    df = relational.nation_product_profit(
+        t("part"), t("supplier"), t("nation"), t("orders"), t("lineitem"))
+    assert plans.broadcast_join_count(df) >= 2
+    assert plans.sort_merge_join_count(df) <= 1, plans.formatted_plan(df)
+
+
+def test_q11_threshold_is_broadcast_scalar(t):
+    """Adapted Q11: the global threshold must be a broadcast single-row
+    join, never a shuffled cartesian."""
+    df = relational.important_parts(t("supplier"), t("nation"), t("lineitem"))
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or plans.has_broadcast_join(df), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q20_no_repeat_fact_shuffle(t):
+    """Adapted Q20: per-(part,supplier) and per-part aggregates must
+    reuse one fact shuffle; the rollup side joins back broadcast."""
+    df = relational.dominant_share_suppliers(
+        t("part"), t("supplier"), t("nation"), t("lineitem"))
+    assert plans.broadcast_join_count(df) >= 2, plans.formatted_plan(df)
