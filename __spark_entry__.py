@@ -401,6 +401,10 @@ def _q20_dominant_share_suppliers(spark, sf):
     )
 
 
+def _key_skew_profile(spark, sf):
+    return profile.key_skew_profile(_t(spark, sf, "events"), "user_id")
+
+
 def _profile_orders(spark, sf):
     return profile.profile_columns(
         _t(spark, sf, "orders"),
@@ -580,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_nation_product_profit": _q9_nation_product_profit,
         "q11_important_parts": _q11_important_parts,
         "q20_dominant_share_suppliers": _q20_dominant_share_suppliers,
+        "events_key_skew_profile": _key_skew_profile,
         "profile_orders_columns": _profile_orders,
         "events_stratified_sample": _stratified_sample,
         "orders_snapshot_diff": _snapshot_diff,
@@ -1210,6 +1215,18 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation ON s_nationkey = n_nationkey
         WHERE supp_qty > part_qty * 0.5
         ORDER BY s_suppkey
+    """
+    o["events_key_skew_profile"] = """
+        WITH counts AS (
+            SELECT CAST(user_id AS VARCHAR) AS key_value, COUNT(*) AS n_rows
+            FROM events GROUP BY 1
+        )
+        SELECT key_value, n_rows,
+               round(CAST(n_rows AS DOUBLE)
+                     / (SELECT SUM(n_rows) FROM counts), 6) AS row_share
+        FROM counts
+        ORDER BY n_rows DESC, key_value
+        LIMIT 20
     """
     # approx_value_stats: sketch-based (HLL++/KLL) — no DuckDB twin; rows-only.
     o.update(sessions.ORACLES)

@@ -1438,6 +1438,10 @@ def _ngram_pairs_sql(src: str = "documents") -> str:
 _NGRAM_PAIRS_SQL = _ngram_pairs_sql()
 ORACLES["ngram_jaccard_pairs"] = _NGRAM_PAIRS_SQL
 
+# The numpy kernel is rank-pinned to the JVM fold (tests), and scores
+# are rounded to 6 dp on both sides — the same oracle applies.
+ORACLES["embedding_topk_cosine_pandas"] = ORACLES["embedding_topk_cosine"]
+
 ORACLES["ngram_jaccard_pairs_capped"] = f"""
     WITH sh AS (
         SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents

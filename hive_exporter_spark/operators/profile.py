@@ -44,3 +44,26 @@ def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         for c in cols
     ]
     return wide.select(F.explode(F.array(*entries)).alias("p")).select("p.*")
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
+    """Shuffle-skew diagnostic: the `top_n` hottest values of a
+    prospective join/group key with their row share — the number you
+    need before choosing broadcast vs salting vs AQE for a 100 TB
+    shuffle (a key holding >1/partitions of the rows will straggle).
+
+    One grouped count (map-side combined) + a single-row total
+    crossJoined broadcast; top-n via TakeOrdered — no global sort. NULL
+    keys count too (they hash to one partition like any hot key)."""
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key_value")).agg(
+        F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key_value", "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("row_share"),
+        )
+        .orderBy(F.col("n_rows").desc(), "key_value")
+        .limit(top_n)
+    )

@@ -16,34 +16,56 @@ from hive_exporter_spark.catalog import (
 )
 
 
+# Sensible per-format defaults so csv/json survive a round-trip
+# (header for column names; csv needs explicit schema on read anyway).
+FORMAT_WRITE_OPTIONS: dict[str, dict[str, str]] = {
+    "csv": {"header": "true"},
+}
+FORMAT_READ_OPTIONS: dict[str, dict[str, str]] = {
+    "csv": {"header": "true", "inferSchema": "true"},
+}
+
+
 def export_tables(spark: SparkSession, tables: Iterable[str], out_dir: str,
-                  fmt: str = "parquet") -> dict[str, str]:
+                  fmt: str = "parquet",
+                  options: dict[str, str] | None = None) -> dict[str, str]:
     """K1: export catalog tables to one directory per table, named
     `db.tbl` (reference hive_exporter_spark2.py:43-51). Unlike the
     reference, any Hadoop-FS URI works, not just `file://` — exports
     run executor-side, so this behaves in cluster deploy mode too.
+    Any self-describing or text format Spark writes (parquet/orc/
+    json/csv) is accepted; per-format defaults keep csv round-trippable.
     """
+    opts = {**FORMAT_WRITE_OPTIONS.get(fmt, {}), **(options or {})}
     written = {}
     for qualified in tables:
         name = TableName.parse(qualified)
         path = os.path.join(out_dir, str(name))
-        spark.table(str(name)).write.format(fmt).mode("overwrite").save(path)
+        (spark.table(str(name)).write.format(fmt).options(**opts)
+         .mode("overwrite").save(path))
         written[qualified] = path
     return written
 
 
 def import_tables(spark: SparkSession, paths: Iterable[str], db: str,
-                  fmt: str = "parquet", table_fmt: str = "parquet") -> list[str]:
+                  fmt: str = "parquet", table_fmt: str = "parquet",
+                  options: dict[str, str] | None = None,
+                  schema: str | None = None) -> list[str]:
     """K2: import exported dataset dirs as managed tables; the table
     name is the dir basename's `db.tbl` with the target db override
-    (reference hive_importer_spark2.py:27-35)."""
+    (reference hive_importer_spark2.py:27-35). `schema` pins text
+    formats (csv/json) whose files don't self-describe types."""
     create_database(spark, db)
+    opts = {**FORMAT_READ_OPTIONS.get(fmt, {}), **(options or {})}
     created = []
     for path in paths:
         base = os.path.basename(path.rstrip("/"))
         table = base.split(".", 1)[1] if "." in base else base
         dest = TableName(db, table)
-        df = spark.read.format(fmt).load(path)
+        reader = spark.read.format(fmt).options(**opts)
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.load(path)
         df.write.format(table_fmt).mode("overwrite").saveAsTable(str(dest))
         created.append(str(dest))
     return created

@@ -170,3 +170,27 @@ def test_snapshot_to_sqlite_upsert(spark, db, tmp_path):
     ).fetchall())
     con.close()
     assert rows == [("t1", "CREATE t1 v1", 100), ("t2", "CREATE t2 v2", 200)]
+
+
+@pytest.mark.parametrize("fmt", ["orc", "json", "csv"])
+def test_export_import_format_matrix(spark, db, tmp_path, fmt):
+    """S3/K1/K2 beyond parquet: every built-in format must round-trip
+    table contents (csv/json via an explicit import schema, since text
+    files don't carry types)."""
+    src = TableName(db, f"fmt_{fmt}")
+    (spark.range(50)
+     .withColumn("v", F.col("id") * 2.5)
+     .withColumn("s", F.concat(F.lit("row-"), F.col("id")))
+     .write.mode("overwrite").saveAsTable(str(src)))
+    out = export_tables(spark, [str(src)], str(tmp_path / fmt), fmt=fmt)
+    dest_db = f"{db}_imp_{fmt}"
+    schema = None if fmt == "orc" else "id long, v double, s string"
+    try:
+        created = import_tables(spark, out.values(), dest_db, fmt=fmt,
+                                schema=schema)
+        a = [tuple(r) for r in spark.table(str(src)).orderBy("id").collect()]
+        b = [tuple(r) for r in spark.table(created[0])
+             .select("id", "v", "s").orderBy("id").collect()]
+        assert a == b
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {dest_db} CASCADE")
