@@ -125,6 +125,26 @@ def incremental_append_stream(
     return source.writeStream.foreachBatch(_sink).start()
 
 
+def jdbc_sink_stream(source: DataFrame, cfg, tag_column: str = "epoch_id") -> object:
+    """foreachBatch → RDBMS bridge: every micro-batch appends to a JDBC
+    table through the batch writer (sources/jdbc.writer), stamped with
+    its epoch id so replays are identifiable (Structured Streaming
+    guarantees at-least-once into foreachBatch; dedup on
+    (epoch_id, key) downstream — or an epoch-keyed DELETE before
+    insert — upgrades to effectively-once). This is the last hop of a
+    CDC pipeline: stream → curate → serve back to an operational DB.
+    Returns the started StreamingQuery; caller owns stop()."""
+    from pyspark.sql import functions as F2
+
+    from hive_exporter_spark.sources.jdbc import writer
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        writer(batch_df.withColumn(tag_column, F2.lit(epoch_id)),
+               cfg, mode="append").save()
+
+    return source.writeStream.foreachBatch(_sink).start()
+
+
 def watermark_filter_stream(events: DataFrame, column: str, last_value) -> DataFrame:
     """P5 applied to a stream: the same strict `>` predicate works
     unchanged on a streaming DataFrame (stateless filter)."""

@@ -205,3 +205,29 @@ def test_incremental_merge_over_jdbc(spark, sf_dir):
                    3: (100, "v1"), 4: (200, "v1")}
     for t in (dest, ingest.incremental_table(dest)):
         drop_table(spark, t)
+
+
+def test_streaming_jdbc_sink(spark, sf_dir):
+    """Stream → Derby composition: the events file stream drains into a
+    JDBC table via foreachBatch + the batch writer; the table ends up
+    holding every event exactly once, epoch-stamped."""
+    from hive_exporter_spark.streaming import jdbc_sink_stream, read_events_stream
+
+    cfg = jdbc.JdbcSourceConfig(url=URL, driver=DRIVER, table="EVENTS_STREAMED")
+    # Pre-create empty so the appends have a table (fresh every run).
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("EID"), F.col("event_type").alias("ETYPE"))
+    jdbc.writer(ev.limit(0).withColumn("epoch_id", F.lit(0).cast("long")),
+                cfg, mode="overwrite").save()
+
+    stream = read_events_stream(spark, sf_dir).select(
+        F.col("event_id").alias("EID"), F.col("event_type").alias("ETYPE"))
+    q = jdbc_sink_stream(stream, cfg)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = jdbc.reader(spark, cfg).load()
+    assert back.count() == ev.count()
+    assert back.select("EID").distinct().count() == ev.count()
+    assert back.where(F.col("epoch_id").isNull()).count() == 0
