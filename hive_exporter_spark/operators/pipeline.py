@@ -399,6 +399,50 @@ def curation_pipeline(documents: DataFrame,
 
 # -- driver-contract wiring -------------------------------------------------
 
+def source_mix_rebalance(documents: DataFrame,
+                         targets: dict[str, float] | None = None,
+                         group_col: str = "source") -> DataFrame:
+    """Mix-rebalancing plan: per-group document share vs a target mix,
+    with the Bernoulli sampling factor that realizes the target — the
+    planning step before `df.sampleBy(group, fractions)` in a corpus
+    build ("make web 60%, code 20%, books 20%").
+
+    `targets` maps group -> desired share (defaults to uniform over
+    observed groups; un-listed groups get target 0). The factor is
+    normalized so the LARGEST required up-weight becomes 1.0 (sampling
+    can only discard, never mint rows — every other group is
+    down-sampled relative to the binding constraint; factors round to
+    6 dp). One grouped count + a single-row total broadcast: the plan
+    is dimension-sized regardless of corpus size."""
+    counts = documents.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("__total"),
+                       F.count(F.lit(1)).alias("__groups"))
+    w = counts.crossJoin(F.broadcast(total))
+    if targets is None:
+        target_share = F.lit(1.0) / F.col("__groups")
+    else:
+        target_share = F.lit(0.0)
+        for grp, share in sorted(targets.items()):
+            target_share = F.when(F.col("grp") == grp, F.lit(share)) \
+                .otherwise(target_share)
+    w = w.select(
+        "grp", "n_docs",
+        F.round(F.col("n_docs") / F.col("__total"), 6).alias("observed_share"),
+        F.round(target_share, 6).alias("target_share"),
+        (target_share / (F.col("n_docs") / F.col("__total"))).alias("__raw"),
+    )
+    max_raw = w.agg(F.max("__raw").alias("__max_raw"))
+    return (
+        w.crossJoin(F.broadcast(max_raw))
+        .select(
+            "grp", "n_docs", "observed_share", "target_share",
+            F.round(F.col("__raw") / F.col("__max_raw"), 6).alias("sample_factor"),
+        )
+        .orderBy("grp")
+    )
+
+
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
     return read_table(spark, sf, "documents")
 
@@ -435,6 +479,10 @@ def _q_epoch_mix(spark, sf):
     return epoch_mix(_docs(spark, sf))
 
 
+def _q_source_mix(spark, sf):
+    return source_mix_rebalance(_docs(spark, sf))
+
+
 def _q_curation(spark, sf):
     return curation_pipeline(_docs(spark, sf))
 
@@ -448,6 +496,7 @@ QUERIES = {
     "ngram_contamination": _q_contamination,
     "repetition_signals": _q_repetition,
     "epoch_mix": _q_epoch_mix,
+    "source_mix_rebalance": _q_source_mix,
     "curation_pipeline": _q_curation,
 }
 
@@ -590,6 +639,24 @@ ORACLES = {
 # Composed pipeline oracle: each stage's oracle inlined as a subquery
 # over the same `documents` view, so the composition is checked with
 # the exact single-stage semantics.
+ORACLES["source_mix_rebalance"] = """
+    WITH counts AS (
+        SELECT source AS grp, COUNT(*) AS n_docs FROM documents GROUP BY 1
+    ), w AS (
+        SELECT grp, n_docs,
+               CAST(n_docs AS DOUBLE) / (SELECT SUM(n_docs) FROM counts)
+                   AS obs,
+               1.0 / (SELECT COUNT(*) FROM counts) AS tgt
+        FROM counts
+    )
+    SELECT grp, n_docs, round(obs, 6) AS observed_share,
+           round(tgt, 6) AS target_share,
+           round((tgt / obs) / (SELECT MAX(tgt / obs) FROM w), 6)
+               AS sample_factor
+    FROM w
+    ORDER BY grp
+"""
+
 ORACLES["curation_pipeline"] = f"""
     WITH quality_ids AS (
         SELECT doc_id FROM ({ORACLES["gopher_quality_signals"]})

@@ -184,3 +184,27 @@ def test_newer_than_rewind_interval_on_timestamps(spark):
     wm = df.agg(F.max("ts")).first()[0]
     out = core.newer_than(df, "ts", wm, rewind="INTERVAL 2 DAYS")
     assert {r["id"] for r in out.collect()} == {5, 6, 7}
+
+
+def test_source_mix_rebalance_targets(spark):
+    """Explicit targets: the binding (most up-weighted) group gets
+    factor 1.0; others are down-sampled so realized shares match the
+    target ratios. Unlisted groups get target 0."""
+    from hive_exporter_spark.operators.pipeline import source_mix_rebalance
+
+    docs = spark.createDataFrame(
+        [(i, "web" if i < 60 else ("code" if i < 80 else "books"))
+         for i in range(100)],
+        "doc_id long, source string",
+    )
+    rows = {r["grp"]: r for r in source_mix_rebalance(
+        docs, targets={"web": 0.25, "code": 0.75}).collect()}
+    # code: observed 0.20, target 0.75 -> raw 3.75 (binding, factor 1.0)
+    # web: observed 0.60, target 0.25 -> raw 0.4167 -> factor 0.1111
+    assert rows["code"]["sample_factor"] == 1.0
+    assert abs(rows["web"]["sample_factor"] - (0.25 / 0.6) / 3.75) < 1e-6
+    assert rows["books"]["sample_factor"] == 0.0
+    # realized shares: apply factors to counts and renormalize
+    realized_web = 60 * rows["web"]["sample_factor"]
+    realized_code = 20 * rows["code"]["sample_factor"]
+    assert abs(realized_web / (realized_web + realized_code) - 0.25) < 1e-4
