@@ -166,6 +166,21 @@ def _asof_last_purchase(spark, sf):
     )
 
 
+def _asof_next_purchase(spark, sf):
+    """Forward as-of join: each event gets the earliest same-user
+    purchase at or after its timestamp."""
+    ev = _t(spark, sf, "events")
+    purchases = core.latest_per_key(
+        ev.where(F.col("event_type") == "purchase"),
+        ["user_id", "ts"], "event_id",
+    ).select("user_id", F.col("ts").alias("pts"), F.col("value").alias("pvalue"))
+    return asof.asof_join(
+        ev.select("event_id", "ts", "user_id", "value"),
+        purchases, ["user_id"], "ts", "pts", ["pts", "pvalue"],
+        direction="forward",
+    )
+
+
 def _date_features(spark, sf):
     return relational.order_date_features(_t(spark, sf, "orders"))
 
@@ -585,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_parts": _q11_important_parts,
         "q20_dominant_share_suppliers": _q20_dominant_share_suppliers,
         "events_key_skew_profile": _key_skew_profile,
+        "asof_next_purchase": _asof_next_purchase,
         "profile_orders_columns": _profile_orders,
         "events_stratified_sample": _stratified_sample,
         "orders_snapshot_diff": _snapshot_diff,
@@ -942,6 +958,20 @@ def oracle_sql() -> dict[str, str]:
                p.pts AS asof_pts, p.pvalue AS asof_pvalue
         FROM events e
         ASOF LEFT JOIN p ON e.user_id = p.user_id AND p.pts <= e.ts
+    """
+    o["asof_next_purchase"] = """
+        WITH p AS (
+            SELECT user_id, ts AS pts, value AS pvalue FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id, ts ORDER BY event_id DESC
+                ) AS rn
+                FROM events WHERE event_type = 'purchase'
+            ) WHERE rn = 1
+        )
+        SELECT e.event_id, e.ts, e.user_id, e.value,
+               p.pts AS asof_pts, p.pvalue AS asof_pvalue
+        FROM events e
+        ASOF LEFT JOIN p ON e.user_id = p.user_id AND p.pts >= e.ts
     """
     o["order_date_features"] = """
         SELECT o_orderkey,

@@ -30,12 +30,21 @@ def asof_join(
     right_ts: str,
     payload_cols: Sequence[str],
     payload_prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join. Right rows tied with a left row's timestamp ARE
     visible to it (`<=` semantics, matching DuckDB/kdb asof). Right
     side must be unique per (keys, right_ts) — dedup upstream,
     otherwise the winner among equal timestamps is undefined.
+
+    `direction="backward"` (default) attaches the LATEST right row at
+    or before the left timestamp; `"forward"` the EARLIEST right row
+    at or after it (`>=`) — the lookahead form ("next maintenance
+    after each failure"). Forward is the same single-shuffle plan with
+    the per-key sort reversed, not a second algorithm.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     payload = F.struct(*[F.col(c) for c in payload_cols]).alias("__payload")
     r = right.select(
         *[F.col(k) for k in keys],
@@ -50,9 +59,12 @@ def asof_join(
         F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
+    # Forward scans time descending, so "last non-null up to current"
+    # is the nearest right row at-or-after; __side keeps ties visible.
+    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*[F.col(k) for k in keys])
-        .orderBy("__ts", "__side")
+        .orderBy(ts_order, "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn(

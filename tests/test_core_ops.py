@@ -183,3 +183,22 @@ def test_snapshot_diff_null_first_key(spark):
     got = {(r["k1"], r["k2"]): r["change_type"]
            for r in snapshot_diff(old, new, ["k1", "k2"]).collect()}
     assert got == {(None, 1): "changed"}
+
+
+def test_asof_join_directions(spark):
+    """Backward takes the latest right row <= left ts; forward the
+    earliest >= — ties visible in both; no match -> NULL payload."""
+    from hive_exporter_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 10), (2, "k", 20), (3, "k", 35)],
+        "lid int, k string, lts int")
+    right = spark.createDataFrame(
+        [("k", 10, "r10"), ("k", 30, "r30")], "k string, rts int, tag string")
+    back = {r["lid"]: r["asof_tag"] for r in asof_join(
+        left, right, ["k"], "lts", "rts", ["tag"]).collect()}
+    fwd = {r["lid"]: r["asof_tag"] for r in asof_join(
+        left, right, ["k"], "lts", "rts", ["tag"],
+        direction="forward").collect()}
+    assert back == {1: "r10", 2: "r10", 3: "r30"}
+    assert fwd == {1: "r10", 2: "r30", 3: None}
