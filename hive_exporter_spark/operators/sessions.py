@@ -212,6 +212,29 @@ def rolling_distinct_users(events: DataFrame) -> DataFrame:
     )
 
 
+def cumulative_distinct_users(events: DataFrame) -> DataFrame:
+    """EXACT running distinct-user count by day — the exact twin of the
+    HLL rolling sketch, via the first-seen trick: a user contributes to
+    the cumulative count exactly on their first-ever day, so
+    cumulative_distinct(day) = running_sum(new_users(day)).
+
+    Two key-partitioned aggregates (user -> first day, day -> new-user
+    count) plus a window over the tiny per-day table — no
+    count(distinct) over an expanding window (which would rescan
+    O(days²) rows). This exact form costs one shuffle on user_id at any
+    scale; the HLL twin answers arbitrary day-subset unions instead."""
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day"))
+    daily_new = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    return (
+        daily_new.withColumn("cum_users", F.sum("new_users").over(w))
+        .orderBy("day")
+    )
+
+
 # -- driver-contract wiring -------------------------------------------------
 
 def _q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
@@ -254,6 +277,10 @@ def _q_rolling_hll(spark, sf):
     return rolling_distinct_users(read_table(spark, sf, "events"))
 
 
+def _q_cum_distinct(spark, sf):
+    return cumulative_distinct_users(read_table(spark, sf, "events"))
+
+
 QUERIES = {
     "sessionize": _q_sessionize,
     "conversion_funnel": _q_funnel,
@@ -263,6 +290,7 @@ QUERIES = {
     "json_props_lift": _q_props,
     "user_value_deltas": _q_deltas,
     "event_type_unpivot": _q_unpivot,
+    "cumulative_distinct_users": _q_cum_distinct,
     # rows-only (sketch-based, no DuckDB twin; exactness asserted in
     # tests against exact count-distinct and the unmerged sketch):
     "daily_distinct_users_hll": _q_daily_hll,
@@ -373,3 +401,17 @@ ORACLES = {
     """,
 }
 
+ORACLES["cumulative_distinct_users"] = """
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('day', MIN(ts)) AS first_day
+        FROM events GROUP BY user_id
+    ), daily_new AS (
+        SELECT first_day AS day, COUNT(*) AS new_users
+        FROM first_seen GROUP BY 1
+    )
+    SELECT day, new_users,
+           SUM(new_users) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+    FROM daily_new
+    ORDER BY day
+"""
