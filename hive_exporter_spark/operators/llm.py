@@ -38,30 +38,31 @@ def exploded_shingles(documents: DataFrame, k: int = SHINGLE_K,
                       id_col: str = "doc_id", distinct: bool = True) -> DataFrame:
     """k-token shingles (word k-grams) as (id, shingle) rows.
 
-    posexplode + window-lead, NOT an array-lambda transform: inside
-    interpreted higher-order functions every `element_at(toks, i)`
-    re-evaluates the whole tokenize expression (no memoization), which
-    measured ~5× slower than exploding. Here the text is tokenized
-    once, and shingle assembly is a lead-window over (doc, pos) — one
-    shuffle on the doc id, linear at any scale.
+    MAP-ONLY assembly: tokenize into an array column in its own
+    projection, build the shingle array with one `transform` pass, and
+    explode — no shuffle, no sort. The earlier window-lead formulation
+    paid a full exchange+sort of the token stream just to see adjacent
+    tokens; at 100 TB that shuffle IS the cost of the operator.
 
-    `distinct=False` skips the dedup exchange and leaves the output
-    hash-partitioned on the doc id (the window's partitioning) — the
-    right input for downstream per-doc aggregates that are
-    duplicate-insensitive (min, max), which then reuse that
-    partitioning instead of shuffling again.
+    The HOF-re-evaluation trap is dodged deliberately: the lambda
+    references the materialized `__toks` column several times
+    statically, so CollapseProject refuses to inline the (non-cheap)
+    tokenize expression into the interpreted lambda — tokenization
+    runs once per row in codegen, only shingle concatenation is
+    interpreted. (A naive single-reference formulation re-tokenizes
+    per element: measured ~5× slower.) Short docs (< k tokens) yield
+    no shingles via the size guard — `sequence(1, 0)` would otherwise
+    step backward and emit bogus indices.
     """
-    toks = documents.select(
-        id_col, F.posexplode(tokens_col()).alias("pos", "tok")
+    d2 = documents.select(id_col, tokens_col().alias("__toks"))
+    parts = ", ".join(f"__toks[i-1+{j}]" for j in range(k))
+    sh_arr = F.expr(
+        f"CASE WHEN size(__toks) >= {k} THEN "
+        f"transform(sequence(1, size(__toks) - {k - 1}), "
+        f"i -> concat_ws(' ', {parts})) "
+        f"ELSE array() END"
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
-    out = (
-        toks.select(id_col, F.concat_ws(" ", *parts).alias("shingle"),
-                    parts[-1].alias("__last"))
-        .where(F.col("__last").isNotNull())
-        .drop("__last")
-    )
+    out = d2.select(id_col, F.explode(sh_arr).alias("shingle"))
     return out.distinct() if distinct else out
 
 
