@@ -312,3 +312,29 @@ def test_bm25_scores_ranking_sane(spark):
     rows = {r["doc_id"]: r["bm25"] for r in llm.bm25_scores(docs).collect()}
     assert set(rows) == {1, 2}
     assert rows[1] > rows[2] > 0
+
+
+def test_quantize_embeddings_preserves_ranking(spark, emb):
+    """int8 quantization must preserve cosine top-k ranking: top-5
+    neighbor sets from quantized vectors overlap the float top-5 at
+    >= 80% (the 4x-storage trade documented in SCALE.md)."""
+    import math
+
+    q = llm.quantize_embeddings(emb)
+    deq = q.select(
+        "vec_id",
+        F.transform(
+            F.col("qvec"),
+            lambda v: v.cast("double") * F.col("scale") / llm.QUANT_LEVELS,
+        ).alias("embedding"),
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    qqueries = deq.where(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in llm.topk_cosine(emb, queries).collect()}
+    quant = {(r["query_id"], r["neighbor_id"])
+             for r in llm.topk_cosine(deq, qqueries).collect()}
+    overlap = len(exact & quant) / len(exact)
+    assert overlap >= 0.8, f"int8 ranking overlap {overlap}"
+    # scale column sane: nonnegative, zero only for zero vectors
+    assert q.where(F.col("scale") < 0).count() == 0
