@@ -146,9 +146,11 @@ def minhash_signatures(documents: DataFrame, slots: int = MINHASH_SLOTS) -> Data
     (doc_id, 32 longs). This is also the shape that scales: min-agg is
     associative, so 100 TB of shingles collapses before the exchange.
 
-    Shingles come in non-distinct (min ignores duplicates), so the
-    whole signature computation rides the window's doc_id partitioning:
-    zero additional exchanges after the one posexplode shuffle.
+    Shingles come in non-distinct (min ignores duplicates) from the
+    map-only assembly in exploded_shingles, so the whole signature
+    computation costs exactly ONE exchange: the doc_id groupBy, with
+    its map-side partial min already collapsing each task's shingles
+    to 32 longs per doc.
     """
     ex = exploded_shingles(documents, distinct=False)
     mins = ex.groupBy("doc_id").agg(*[
