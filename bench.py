@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "events_in_day_windows",
     "near_dup_clusters",
     "curation_pipeline",
+    # r2 text/embedding additions.
+    "bm25_scores",
+    "quantize_embeddings",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
