@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
                      help="file with one db.tbl per line")
     exp.add_argument("-d", "--output-dir", required=True)
     exp.add_argument("-m", "--format", default="parquet")
+    exp.add_argument("-w", "--parallel", type=int, default=1,
+                     help="concurrent table-write jobs (for many small tables)")
 
     imp = sub.add_parser("import", help="import exported dirs as tables")
     imp.add_argument("paths", nargs="+")
@@ -115,7 +117,8 @@ def main(argv: list[str] | None = None) -> int:
             tables = [ln.strip() for ln in fh if ln.strip()]
         for t in tables:
             TableName.parse(t)  # validate up front (reference :34-41)
-        written = export_tables(spark, tables, args.output_dir, args.format)
+        written = export_tables(spark, tables, args.output_dir, args.format,
+                                parallelism=args.parallel)
         for t, path in written.items():
             print(f"exported {t} -> {path}")
         return 0

@@ -28,23 +28,38 @@ FORMAT_READ_OPTIONS: dict[str, dict[str, str]] = {
 
 def export_tables(spark: SparkSession, tables: Iterable[str], out_dir: str,
                   fmt: str = "parquet",
-                  options: dict[str, str] | None = None) -> dict[str, str]:
+                  options: dict[str, str] | None = None,
+                  parallelism: int = 1) -> dict[str, str]:
     """K1: export catalog tables to one directory per table, named
     `db.tbl` (reference hive_exporter_spark2.py:43-51). Unlike the
     reference, any Hadoop-FS URI works, not just `file://` — exports
     run executor-side, so this behaves in cluster deploy mode too.
     Any self-describing or text format Spark writes (parquet/orc/
     json/csv) is accepted; per-format defaults keep csv round-trippable.
+
+    `parallelism > 1` submits table writes from a driver thread pool:
+    Spark schedules concurrent jobs, so many SMALL tables (the typical
+    metadata-export workload — the reference looped serially, leaving
+    the cluster idle between jobs) keep every executor busy. One big
+    table already parallelizes via its own partitions; use this knob
+    for table COUNT, not table size. Names are validated up front so a
+    bad entry fails before any write starts.
     """
     opts = {**FORMAT_WRITE_OPTIONS.get(fmt, {}), **(options or {})}
-    written = {}
-    for qualified in tables:
-        name = TableName.parse(qualified)
+    parsed = [(q, TableName.parse(q)) for q in tables]
+
+    def _write(qualified: str, name: TableName) -> tuple[str, str]:
         path = os.path.join(out_dir, str(name))
         (spark.table(str(name)).write.format(fmt).options(**opts)
          .mode("overwrite").save(path))
-        written[qualified] = path
-    return written
+        return qualified, path
+
+    if parallelism <= 1:
+        return dict(_write(q, n) for q, n in parsed)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=parallelism) as pool:
+        return dict(pool.map(lambda qn: _write(*qn), parsed))
 
 
 def import_tables(spark: SparkSession, paths: Iterable[str], db: str,

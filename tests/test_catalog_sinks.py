@@ -194,3 +194,16 @@ def test_export_import_format_matrix(spark, db, tmp_path, fmt):
         assert a == b
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {dest_db} CASCADE")
+
+
+def test_export_tables_parallel(spark, db, tmp_path):
+    """Thread-pooled export: all tables land, contents intact, same
+    return shape as the serial path."""
+    names = []
+    for i in range(3):
+        spark.range(20 + i).write.saveAsTable(f"{db}.par_{i}")
+        names.append(f"{db}.par_{i}")
+    out = export_tables(spark, names, str(tmp_path), parallelism=3)
+    assert sorted(out) == sorted(names)
+    for i, name in enumerate(names):
+        assert spark.read.parquet(out[name]).count() == 20 + i
