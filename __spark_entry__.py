@@ -522,7 +522,7 @@ _PRIORITY = (
     "asof_last_purchase", "value_percentiles", "salted_segment_event_counts",
     "events_in_day_windows", "events_scan_pruned_window",
     # LLM dedup / similarity flagships.
-    "dedup_exact", "ngram_jaccard_pairs", "minhash_lsh_pairs",
+    "dedup_exact", "segment_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
     "simhash64", "near_dup_clusters", "dedup_near_duplicates",
     "training_data_prep", "curation_pipeline",
     "embedding_topk_cosine", "embedding_near_dup_pairs",

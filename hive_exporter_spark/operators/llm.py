@@ -1107,6 +1107,48 @@ def normalize_text(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+SEGMENT_WORDS = 10
+
+
+def segment_dedup(documents: DataFrame, seg_words: int = SEGMENT_WORDS,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Sub-document (segment-level) exact dedup: CCNet/RefinedWeb-style
+    line dedup, generalized to fixed `seg_words`-word windows because
+    the fixture corpus has no newline structure. Every later corpus-wide
+    occurrence of a duplicated segment is dropped (first occurrence =
+    lowest (doc_id, seg_idx)); each document is reassembled from its
+    surviving segments in order. Documents whose every segment was seen
+    earlier disappear entirely — same contract as document-level
+    `dedup_exact`, applied at boilerplate granularity.
+
+    Spark shape: segment assembly is MAP-ONLY (one `transform` over the
+    word array + posexplode — same no-shuffle pattern as
+    `exploded_shingles`). Winner selection is a row_number window keyed
+    on sha2(segment) — the hash only *partitions*; dedup equality is on
+    the digest, which at 256 bits is collision-free in practice.
+    Reassembly regroups by doc_id. Two exchanges total, and the second
+    (regroup by doc) is inherent to reassembly at any scale; segment
+    text crosses the wire exactly once.
+    """
+    d2 = documents.select(id_col, F.split(F.col(text_col), " ").alias("__w"))
+    seg_arr = F.expr(
+        f"transform(sequence(0, cast(ceil(size(__w) / {seg_words}.0) as int) - 1), "
+        f"i -> concat_ws(' ', slice(__w, i * {seg_words} + 1, {seg_words})))"
+    )
+    segs = d2.select(id_col, F.posexplode(seg_arr).alias("seg_idx", "seg"))
+    win = Window.partitionBy(F.sha2(F.col("seg"), 256)).orderBy(id_col, "seg_idx")
+    kept = (
+        segs.withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") == 1)
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("seg_idx", "seg")))
+    return kept.groupBy(id_col).agg(
+        F.array_join(F.transform(ordered, lambda s: s["seg"]), " ")
+        .alias("dedup_text"),
+        F.count(F.lit(1)).alias("n_segments_kept"),
+    )
+
+
 def bm25_scores(documents: DataFrame, query_terms: list[str] | None = None,
                 k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
     """BM25 relevance of every document against a bag of query terms —
@@ -1179,6 +1221,10 @@ def _q_jaccard_capped(spark, sf):
 
 def _q_normalize(spark, sf):
     return normalize_text(_docs(spark, sf))
+
+
+def _q_segment_dedup(spark, sf):
+    return segment_dedup(_docs(spark, sf))
 
 
 def _q_bm25(spark, sf):
@@ -1316,6 +1362,7 @@ QUERIES = {
     "ngram_jaccard_pairs": _q_jaccard,
     "ngram_jaccard_pairs_capped": _q_jaccard_capped,
     "normalize_text": _q_normalize,
+    "segment_dedup": _q_segment_dedup,
     "bm25_scores": _q_bm25,
     "quantize_embeddings": _q_quantize,
     "minhash_lsh_pairs": _q_minhash,
@@ -1378,6 +1425,25 @@ ORACLES = {
             SELECT *, ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
             FROM documents
         ) WHERE rn = 1
+    """,
+    "segment_dedup": f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        segs AS (
+            SELECT doc_id, CAST(t.i AS INT) AS seg_idx,
+                   array_to_string(list_slice(ws, t.i * {SEGMENT_WORDS} + 1,
+                                              (t.i + 1) * {SEGMENT_WORDS}), ' ') AS seg
+            FROM w, unnest(range(0, CAST(ceil(len(ws) / {SEGMENT_WORDS}.0) AS BIGINT))) AS t(i)
+        ),
+        kept AS (
+            SELECT doc_id, seg_idx, seg FROM (
+                SELECT doc_id, seg_idx, seg,
+                       ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+                FROM segs
+            ) WHERE rn = 1
+        )
+        SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS dedup_text,
+               COUNT(*) AS n_segments_kept
+        FROM kept GROUP BY doc_id
     """,
     "ngram_jaccard_pairs": None,  # filled in below from _NGRAM_PAIRS_SQL
     "embedding_topk_cosine": f"""

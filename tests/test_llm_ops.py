@@ -35,6 +35,34 @@ def test_dedup_exact_keeps_lowest_id(spark):
     assert got == {2, 9}
 
 
+def test_segment_dedup_drops_repeated_segment(spark):
+    """A 10-word segment repeated verbatim in a later doc is removed
+    there but kept at its first occurrence; unique text survives."""
+    seg = " ".join(f"w{i}" for i in range(10))
+    tail = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, seg), (2, f"{seg} {tail}"), (3, tail)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in llm.segment_dedup(df).collect()}
+    assert rows[1]["dedup_text"] == seg
+    assert rows[2]["dedup_text"] == tail          # lost the duplicated head
+    assert rows[2]["n_segments_kept"] == 1
+    assert 3 not in rows                          # fully duplicated -> dropped
+
+
+def test_segment_dedup_idempotent_and_lossless_on_unique(spark, docs):
+    """On already-unique segments the op must reassemble text exactly."""
+    out = llm.segment_dedup(llm.segment_dedup(docs)
+                            .select(F.col("doc_id"),
+                                    F.col("dedup_text").alias("text")))
+    # second pass changes nothing: every surviving segment is unique
+    first = llm.segment_dedup(docs).select("doc_id", "dedup_text")
+    again = out.select("doc_id", "dedup_text")
+    assert first.exceptAll(again).count() == 0
+    assert again.exceptAll(first).count() == 0
+
+
 def test_minhash_lsh_recall_vs_exact(spark, docs):
     """LSH candidates must recover (almost) all true Jaccard>=0.5 pairs."""
     exact = {(r["doc_a"], r["doc_b"])
