@@ -22,6 +22,7 @@ from dataclasses import dataclass
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hive_exporter_spark.catalog import TableName, clone_schema, create_database, drop_table, table_exists
 from hive_exporter_spark.operators import core
@@ -44,6 +45,43 @@ class IngestReport:
 def incremental_table(dest: TableName) -> TableName:
     """`<tbl>_incremental` CDC log table (spark_loaders.py:188)."""
     return TableName(dest.db, f"{dest.table}_incremental")
+
+
+def conform_to_schema(df: DataFrame, target, use_try_cast: bool = True) -> DataFrame:
+    """Align a drifting source to a target schema before insert.
+
+    Long-running incremental pipelines outlive their source schemas:
+    columns get added, dropped, or retyped upstream, and the reference's
+    by-name insert (`hive_importer_spark2.py` INSERT ... SELECT) simply
+    breaks. This resolves the drift declaratively:
+
+    - target column present in the source (case-insensitive, like
+      Spark's own by-name resolution): kept, cast to the target type if
+      it differs — `try_cast` by default so a bad value becomes NULL
+      instead of failing the whole batch mid-write;
+    - target column missing: typed NULL placeholder;
+    - source column not in the target: dropped.
+
+    Output column order is the target order, so positional writers work
+    too. Map-only projection — no shuffle, no Python; Catalyst folds
+    the casts into the scan projection.
+
+    `target` is a StructType or a DataFrame (its schema is used).
+    """
+    schema = target.schema if isinstance(target, DataFrame) else target
+    by_lower = {c.lower(): c for c in df.columns}
+    cols = []
+    for field in schema.fields:
+        src = by_lower.get(field.name.lower())
+        if src is None:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+        elif df.schema[src].dataType == field.dataType:
+            cols.append(F.col(src).alias(field.name))
+        elif use_try_cast:
+            cols.append(F.col(src).try_cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.col(src).cast(field.dataType).alias(field.name))
+    return df.select(*cols)
 
 
 def full_refresh(

@@ -83,3 +83,46 @@ def _iso_to_nanos(iso_ts: str) -> int:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture table as a lazy DataFrame keyed by name."""
     return {name: read_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_tolerant(spark: SparkSession, path: str, schema, fmt: str = "json",
+                  options: dict[str, str] | None = None
+                  ) -> tuple[DataFrame, DataFrame]:
+    """Quarantine-style semi-structured scan: returns (good, bad).
+
+    At 100 TB of scraped json/csv, malformed rows are a statistical
+    certainty and FAILFAST (one bad line kills an 800k-task job) is not
+    an option — but silently dropping them (DROPMALFORMED) loses data
+    with no audit trail. PERMISSIVE mode + an explicit corrupt-record
+    column splits the scan into clean rows and a quarantine stream the
+    pipeline can persist for replay/inspection.
+
+    Both returned frames are projections of ONE scan relation; a
+    caller persisting both pays one read. The schema must be supplied
+    (schema inference would scan twice and race the corrupt column);
+    the corrupt column is appended automatically.
+
+    `good` carries the declared columns only. `bad` is the quarantine:
+    the raw offending text as `raw_record` plus whatever fields DID
+    parse — which also satisfies Spark's rule that a scan may not
+    reference *only* the internal corrupt-record column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN).
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    if not isinstance(schema, StructType):  # DDL string accepted
+        schema = StructType.fromDDL(schema)
+    data_fields = list(schema.fields)  # StructType.add mutates; keep a copy
+    full = StructType(data_fields + [StructField(CORRUPT_COL, StringType())])
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL,
+            **(options or {})}
+    df = spark.read.format(fmt).options(**opts).schema(full).load(path)
+    good = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.where(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_record"),
+        *[F.col(f.name) for f in data_fields],
+    )
+    return good, bad

@@ -112,3 +112,49 @@ def test_incremental_merge_soft_delete(spark, db):
                             deleted_column="deleted")
     assert rep.destination_count == 1
     assert [r["id"] for r in spark.table(str(dest)).collect()] == [1]
+
+
+def test_conform_to_schema_handles_drift(spark):
+    from hive_exporter_spark.operators.ingest import conform_to_schema
+
+    target = spark.createDataFrame([], "id bigint, value string, score double")
+    # drifted source: ID case-flipped + int, score is a stringy number,
+    # value missing entirely, extra col present
+    src = spark.createDataFrame(
+        [(1, "0.5", "junk"), (2, "oops", "junk")],
+        "ID int, score string, extra string",
+    )
+    out = conform_to_schema(src, target)
+    assert out.columns == ["id", "value", "score"]
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint", "string", "double"]
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["score"] == 0.5
+    assert rows[2]["score"] is None        # try_cast: bad value -> NULL
+    assert rows[1]["value"] is None        # missing column -> typed NULL
+
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        # strict mode propagates the cast failure
+        conform_to_schema(src, target, use_try_cast=False).collect()
+
+
+def test_read_tolerant_quarantines_bad_rows(spark, tmp_path):
+    from hive_exporter_spark.sources.files import read_tolerant
+
+    p = tmp_path / "data.json"
+    p.write_text(
+        '{"id": 1, "v": "a"}\n'
+        "THIS IS NOT JSON\n"
+        '{"id": 2, "v": "b"}\n'
+        '{"id": "x", "v": "c"}\n'
+    )
+    good, bad = read_tolerant(spark, str(p), "id bigint, v string")
+    assert sorted((r["id"], r["v"]) for r in good.collect()) == [(1, "a"), (2, "b")]
+    quarantined = bad.collect()
+    assert len(quarantined) == 2
+    raws = {r["raw_record"] for r in quarantined}
+    assert "THIS IS NOT JSON" in raws
+    # partially-parsed fields survive alongside the raw record
+    partial = next(r for r in quarantined if r["raw_record"] != "THIS IS NOT JSON")
+    assert partial["v"] == "c" and partial["id"] is None
