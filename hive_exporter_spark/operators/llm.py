@@ -1197,6 +1197,131 @@ def bm25_scores(documents: DataFrame, query_terms: list[str] | None = None,
     )
 
 
+def incremental_dedup(new_docs: DataFrame, corpus: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Dedup a fresh batch against an existing corpus — the ongoing-
+    crawl shape: every new snapshot must drop documents already held,
+    then dedup within itself, WITHOUT rescanning corpus text bodies.
+
+    Spark shape: the corpus collapses to its distinct sha2 digests
+    (32-byte keys — at 100 TB this pre-aggregated digest set is the
+    only thing shuffled from the corpus side, and in a real deployment
+    it is materialized once and reused per batch), the new batch
+    left-anti joins on digest, and the survivors run the same
+    lowest-id-wins exact dedup as `dedup_exact`. Output column set ==
+    the new batch's columns.
+    """
+    digest = F.sha2(F.col(text_col), 256)
+    seen = corpus.select(digest.alias("__digest")).distinct()
+    fresh = (
+        new_docs.withColumn("__digest", digest)
+        .join(seen, "__digest", "left_anti")
+        .drop("__digest")
+    )
+    return dedup_exact(fresh, text_col=text_col, id_col=id_col)
+
+
+TFIDF_TOPK = 3
+
+
+def tfidf_topk_terms(documents: DataFrame, k: int = TFIDF_TOPK,
+                     min_df: int = 1) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF — the keyword-
+    extraction / doc-representation primitive (sklearn-style smoothing:
+    idf = ln((1+N)/(1+df)) + 1).
+
+    Spark shape: one explode → (doc, term) count agg (the vocab-build
+    shuffle), df via a window over the term partition (reuses the agg
+    output, no second scan of the corpus), then a per-doc top-k window.
+    Weights are rounded to 6 dp before ranking so Spark and the DuckDB
+    oracle order ties identically (weight desc, then term asc).
+    """
+    n_docs = documents.count()
+    tf = (
+        documents.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    wdf = Window.partitionBy("term")
+    idf = F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(wdf))
+        .where(F.col("df") >= min_df)
+        .withColumn("weight", F.round(F.col("tf") * idf, 6))
+    )
+    wtop = Window.partitionBy("doc_id").orderBy(
+        F.col("weight").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wtop))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "weight", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+SEMANTIC_DUP_THRESHOLD = COSINE_DUP_THRESHOLD
+
+
+def semantic_dedup(documents: DataFrame, embeddings: DataFrame,
+                   threshold: float = SEMANTIC_DUP_THRESHOLD,
+                   n_clusters: int = IVF_CLUSTERS, seed: int = 42,
+                   id_col: str = "doc_id", vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    2303.09540): k-means-cluster document embeddings, then inside each
+    cluster drop any document whose cosine to a LOWER-id cluster-mate
+    exceeds `threshold`. Catches paraphrases exact/MinHash dedup
+    misses, while only comparing within clusters — O(Σ cluster²), not
+    O(n²).
+
+    Spark shape: centroids fit on a bounded seeded sample (same
+    `_kmeans_centroids` as the IVF index), broadcast into an
+    Arrow-batched assignment kernel (one matmul per batch, no shuffle);
+    the intra-cluster self-join shuffles on the cluster id, so the
+    quadratic blowup is bounded by the largest cluster — at 100 TB
+    raise `n_clusters` so clusters stay task-sized (SemDeDup itself
+    runs k≈10⁵ on web corpora for exactly this reason). Loser ids
+    collapse to a distinct digest-sized set before the anti-join back
+    against the full documents table.
+
+    Rows-only for the driver gate (centroids are not SQL-expressible);
+    tests replay the exact same seeded pipeline in numpy and assert
+    set-equality of survivors.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent = _kmeans_centroids(embeddings, n_clusters, seed, "vec_id", vec_col)
+
+    def assign_kernel(batches):
+        for pdf in batches:
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            yield pd.DataFrame({
+                "vid": pdf["vec_id"],
+                "vec": pdf[vec_col],
+                "cluster": np.argmax(m @ cent.T, axis=1).astype("int32"),
+            })
+
+    assigned = embeddings.select("vec_id", vec_col).mapInPandas(
+        assign_kernel, "vid long, vec array<float>, cluster int"
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    losers = (
+        a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+               & (F.col("b.vid") < F.col("a.vid")))
+        .withColumn("score", cosine_similarity("a.vec", "b.vec"))
+        .where(F.col("score") >= threshold)
+        .select(F.col("a.vid").alias(id_col))
+        .distinct()
+    )
+    kept = assigned.select(F.col("vid").alias(id_col), "cluster").join(
+        losers, id_col, "left_anti")
+    return (
+        documents.join(kept, id_col)
+        .select(*documents.columns, "cluster")
+        .orderBy(id_col)
+    )
+
+
 # -- driver-contract wiring -------------------------------------------------
 
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -1346,6 +1471,28 @@ def _q_chunk(spark, sf):
     return chunk_documents(_docs(spark, sf))
 
 
+# Fixture split for the incremental story: src0-src9 are "already
+# ingested", src10+ arrive as the new crawl batch. (Lazy: Column
+# construction needs an active SparkContext.)
+_CORPUS_PRED_SQL = "CAST(substring(source, 4, 10) AS INT) < 10"
+
+
+def _q_incremental_dedup(spark, sf):
+    docs = _docs(spark, sf)
+    pred = F.expr(_CORPUS_PRED_SQL)
+    return incremental_dedup(docs.where(~pred), docs.where(pred))
+
+
+def _q_tfidf_topk(spark, sf):
+    return tfidf_topk_terms(_docs(spark, sf))
+
+
+def _q_semantic_dedup(spark, sf):
+    """Rows-only: k-means centroids have no SQL twin; numpy replay in
+    tests asserts survivor-set equality."""
+    return semantic_dedup(_docs(spark, sf), _emb(spark, sf))
+
+
 def _q_pca(spark, sf):
     """Rows-only: eigenvector sign/order is implementation-defined."""
     return embedding_pca(_emb(spark, sf))
@@ -1385,6 +1532,9 @@ QUERIES = {
     "language_id": _q_lang,
     "quality_score": _q_quality,
     "doc_fingerprint": _q_fingerprint,
+    "incremental_dedup": _q_incremental_dedup,
+    "tfidf_topk_terms": _q_tfidf_topk,
+    "semantic_dedup": _q_semantic_dedup,
 }
 
 _TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
@@ -1753,6 +1903,40 @@ ORACLES["training_data_prep"] = f"""
     SELECT doc_id, n_tokens, quality_score FROM uniq
     WHERE doc_id NOT IN (SELECT node FROM losers)
     ORDER BY doc_id
+"""
+ORACLES["incremental_dedup"] = """
+    WITH newd AS (
+        SELECT * FROM documents WHERE CAST(substr(source, 4, 10) AS INT) >= 10
+    ), corpus AS (
+        SELECT * FROM documents WHERE CAST(substr(source, 4, 10) AS INT) < 10
+    )
+    SELECT n.* FROM newd n
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)
+      AND NOT EXISTS (
+          SELECT 1 FROM newd n2
+          WHERE n2.text = n.text AND n2.doc_id < n.doc_id
+            AND NOT EXISTS (SELECT 1 FROM corpus c2 WHERE c2.text = n2.text)
+      )
+"""
+ORACLES["tfidf_topk_terms"] = f"""
+    WITH tf AS (
+        SELECT doc_id, tok AS term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents)
+        GROUP BY doc_id, tok
+    ), nd AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT doc_id, term, tf,
+               COUNT(*) OVER (PARTITION BY term) AS df,
+               round(tf * (ln((1.0 + n) / (1.0 + COUNT(*) OVER (PARTITION BY term)))
+                           + 1.0), 6) AS weight
+        FROM tf, nd
+    )
+    SELECT doc_id, term, tf, df, weight, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY weight DESC, term
+        ) AS rank FROM scored
+    ) WHERE rank <= {TFIDF_TOPK}
+    ORDER BY doc_id, rank
 """
 ORACLES["chunk_documents"] = f"""
     WITH toks AS (

@@ -366,3 +366,81 @@ def test_quantize_embeddings_preserves_ranking(spark, emb):
     assert overlap >= 0.8, f"int8 ranking overlap {overlap}"
     # scale column sane: nonnegative, zero only for zero vectors
     assert q.where(F.col("scale") < 0).count() == 0
+
+
+def test_incremental_dedup_drops_corpus_and_batch_dups(spark):
+    corpus = spark.createDataFrame(
+        [(1, "held doc"), (2, "other held")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "held doc"),       # exact dup of corpus -> dropped
+         (11, "fresh one"),      # genuinely new -> kept
+         (12, "fresh two"),      # first of an in-batch pair -> kept
+         (13, "fresh two")],     # in-batch dup -> dropped
+        "doc_id long, text string")
+    got = {r["doc_id"] for r in llm.incremental_dedup(new, corpus).collect()}
+    assert got == {11, 12}
+
+
+def test_incremental_dedup_disjoint_from_corpus(spark, docs):
+    """Survivors of the fixture split share no text with the corpus
+    half and are unique within themselves."""
+    pred = F.expr("CAST(substring(source, 4, 10) AS INT) < 10")
+    out = llm.incremental_dedup(docs.where(~pred), docs.where(pred)).cache()
+    assert out.count() == out.select("text").distinct().count()
+    assert out.join(docs.where(pred), "text").count() == 0
+
+
+def test_tfidf_topk_terms_hand_computed(spark):
+    """3 docs, hand-checkable: 'rare' appears in one doc only and must
+    outweigh the everywhere-term 'common' there."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "common rare"), (2, "common common"), (3, "common")],
+        "doc_id long, text string")
+    rows = llm.tfidf_topk_terms(df, k=2)
+    by_doc = {}
+    for r in rows.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: rare (df=1) ranks above common (df=3)
+    assert [r["term"] for r in by_doc[1]] == ["rare", "common"]
+    w_rare = round(1 * (math.log(4 / 2) + 1.0), 6)
+    assert by_doc[1][0]["weight"] == pytest.approx(w_rare, abs=1e-6)
+    # doc 2: tf=2 doubles the common weight
+    w_common2 = round(2 * (math.log(4 / 4) + 1.0), 6)
+    assert by_doc[2][0]["weight"] == pytest.approx(w_common2, abs=1e-6)
+    assert all(r["rank"] <= 2 for rs in by_doc.values() for r in rs)
+
+
+def test_semantic_dedup_matches_numpy_replay(spark, docs, emb):
+    """Full numpy replay of the seeded pipeline (same centroid fit,
+    same assignment, same lower-id-wins rule) must produce the same
+    survivor set; survivors are a subset of docs with cluster ids."""
+    import numpy as np
+
+    out = llm.semantic_dedup(docs, emb).cache()
+    n_docs = docs.count()
+    assert out.count() <= n_docs
+    assert set(out.columns) == set(docs.columns) | {"cluster"}
+
+    cent = llm._kmeans_centroids(emb, llm.IVF_CLUSTERS, 42, "vec_id", "embedding")
+    rows = sorted(emb.select("vec_id", "embedding").collect(),
+                  key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    clusters = np.argmax(mn @ cent.T, axis=1)
+    survivors = []
+    for i in range(len(ids)):
+        dup = False
+        for j in range(len(ids)):
+            if clusters[j] == clusters[i] and ids[j] < ids[i]:
+                a, b = np.asarray(m[i]), np.asarray(m[j])
+                cos = float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+                if cos >= llm.SEMANTIC_DUP_THRESHOLD:
+                    dup = True
+                    break
+        if not dup:
+            survivors.append(int(ids[i]))
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == set(survivors)
