@@ -1,0 +1,104 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering for
+data-skipping writes.
+
+A parquet lake prunes row groups by per-column min/max stats, but a
+sort on (a, b) only clusters the FIRST column — predicates on `b`
+alone still scan everything. Interleaving the bits of rank-bucketed
+columns into one Morton key and range-partitioning + sorting on it
+gives every interleaved column locality, so min/max pruning works on
+each dimension (the technique behind Delta/Iceberg OPTIMIZE ZORDER;
+public description in the Morton-order literature).
+
+Scale shape: one tiny min/max aggregate (broadcast back as a scalar
+row — no collect in the job graph), then a map-only bucket+interleave
+projection, then ONE range shuffle (`repartitionByRange` samples
+boundaries) with an in-partition sort that feeds the writer. Nothing
+here is quadratic and nothing concentrates on the driver.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ZORDER_BITS = 8
+
+
+def bucket_sql(col: str, lo: str, hi: str, bits: int) -> str:
+    """SQL fragment mapping `col` into [0, 2^bits) by linear range
+    binning against scalar bounds columns `lo`/`hi`. Plain-ANSI
+    arithmetic (floor/least/greatest, IEEE doubles, identical
+    evaluation order) so the same fragment runs on Spark and DuckDB —
+    the oracle twin is literally this string."""
+    n = 1 << bits
+    # greatest(width, 1e-12): a constant column would otherwise make
+    # the bin width 0 and 0/0 = NaN, which ANSI-mode Spark refuses to
+    # cast to BIGINT. With the floor, every constant value lands in
+    # bucket 0 on both engines.
+    return (
+        f"least(greatest(CAST(floor((CAST({col} AS DOUBLE) - {lo}) "
+        f"/ (greatest({hi} - {lo}, 1e-12) / {n}.0)) AS BIGINT), 0), {n - 1})"
+    )
+
+
+def interleave_sql(bucket_cols: Sequence[str], bits: int) -> str:
+    """SQL fragment interleaving the low `bits` bits of each bucket
+    column into one Morton key: column i owns bit positions
+    b*len(cols)+i. Shift-right/&/multiply only — portable SQL."""
+    terms = []
+    for b in range(bits):
+        for i, c in enumerate(bucket_cols):
+            weight = 1 << (b * len(bucket_cols) + i)
+            terms.append(f"((({c} >> {b}) & 1) * {weight})")
+    return " + ".join(terms)
+
+
+def zorder_index(df: DataFrame, cols: Sequence[str],
+                 bits: int = ZORDER_BITS) -> DataFrame:
+    """Append per-column bucket ids (``__b0``, ``__b1``, …) and the
+    Morton key ``__z`` for `cols`. Bounds come from one min/max
+    aggregate broadcast back as a literal single row — the whole op is
+    scan → map, no wide shuffle."""
+    bounds = df.agg(*[f(c).cast("double").alias(f"__{n}_{i}")
+                      for i, c in enumerate(cols)
+                      for n, f in (("lo", F.min), ("hi", F.max))])
+    out = df.crossJoin(F.broadcast(bounds))
+    bcols = []
+    for i, c in enumerate(cols):
+        bcols.append(f"__b{i}")
+        out = out.withColumn(
+            f"__b{i}", F.expr(bucket_sql(c, f"__lo_{i}", f"__hi_{i}", bits)))
+    out = out.withColumn("__z", F.expr(interleave_sql(bcols, bits)))
+    return out.drop(*[f"__{n}_{i}" for i in range(len(cols))
+                      for n in ("lo", "hi")])
+
+
+def zorder_layout(df: DataFrame, cols: Sequence[str],
+                  bits: int = ZORDER_BITS,
+                  n_partitions: int | None = None) -> DataFrame:
+    """Cluster `df` for writing: Z-index, range-partition on the
+    Morton key, sort within partitions. Feeding this straight to a
+    parquet writer yields files whose min/max stats are tight on EVERY
+    interleaved column, so later point/range scans on any of them
+    prune most files."""
+    out = zorder_index(df, cols, bits)
+    n = n_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    out = out.repartitionByRange(int(n), "__z").sortWithinPartitions("__z")
+    return out.drop(*[f"__b{i}" for i in range(len(cols))])
+
+
+def skipping_effectiveness(df: DataFrame, zcol_parts: DataFrame,
+                           col: str) -> DataFrame:
+    """Diagnostic: per output partition, the min/max span of `col` —
+    the quantity parquet stats pruning keys off. Narrower spans =>
+    fewer partitions overlap a given predicate => more skipping."""
+    return (
+        zcol_parts.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(F.min(col).alias("lo"), F.max(col).alias("hi"),
+             F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("__pid")
+    )

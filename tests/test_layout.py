@@ -1,0 +1,78 @@
+"""Z-order layout: Morton-key correctness and the data-skipping
+property it exists for (per-partition min/max spans shrink on BOTH
+interleaved columns vs a single-column sort)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_exporter_spark.operators import layout
+from hive_exporter_spark.sources.files import read_table
+
+
+def test_interleave_known_values(spark):
+    """2-bit Morton codes of the 4x4 grid corners, checked by hand:
+    z = x0 + 2*y0 + 4*x1 + 8*y1 (x owns even bits, y odd)."""
+    df = spark.createDataFrame(
+        [(0, 0), (3, 0), (0, 3), (3, 3), (1, 2)], "x int, y int")
+    out = df.withColumn("z", F.expr(layout.interleave_sql(["x", "y"], 2)))
+    got = {(r["x"], r["y"]): r["z"] for r in out.collect()}
+    assert got == {(0, 0): 0, (3, 0): 5, (0, 3): 10, (3, 3): 15, (1, 2): 9}
+
+
+def test_zorder_index_buckets_span_range(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    out = layout.zorder_index(ev, ["user_id", "value"], bits=4).cache()
+    stats = out.agg(
+        F.min("__b0"), F.max("__b0"), F.min("__b1"), F.max("__b1"),
+        F.min("__z"), F.max("__z")).first()
+    assert stats[0] == 0 and stats[1] == 15      # buckets cover [0, 2^bits)
+    assert stats[2] == 0 and stats[3] == 15
+    assert 0 <= stats[4] and stats[5] <= 255     # z in [0, 4^bits)
+    assert out.count() == ev.count()
+
+
+def test_zorder_index_constant_column_is_bucket_zero(spark):
+    df = spark.createDataFrame([(i, 7.0) for i in range(10)],
+                               "a long, c double")
+    out = layout.zorder_index(df, ["a", "c"], bits=4)
+    assert out.where(F.col("__b1") != 0).count() == 0
+
+
+def test_zorder_layout_improves_second_column_clustering(spark, sf_dir):
+    """The point of Z-order: after range-partitioning on the Morton
+    key, the per-partition span of the SECOND column is far narrower
+    than under a first-column-only sort, while the first column stays
+    well clustered. Compare average `value` spans across equal
+    partition counts."""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    n_parts = 8
+
+    z = layout.zorder_layout(ev, ["user_id", "value"], bits=8,
+                             n_partitions=n_parts)
+    naive = ev.repartitionByRange(n_parts, "user_id")
+
+    def avg_span(df, col):
+        spans = (df.withColumn("__pid", F.spark_partition_id())
+                 .groupBy("__pid")
+                 .agg((F.max(col) - F.min(col)).alias("span")))
+        return spans.agg(F.avg("span")).first()[0]
+
+    z_span = avg_span(z, "value")
+    naive_span = avg_span(naive, "value")
+    # A user_id-only layout leaves each partition spanning ~the whole
+    # value range; Z-order must cut the average span at least in half.
+    assert z_span < 0.5 * naive_span
+
+    # And user_id clustering survives: partitions don't all span the
+    # full user range the way a value-only sort would leave them.
+    full_span = ev.agg(F.max("user_id") - F.min("user_id")).first()[0]
+    assert avg_span(z, "user_id") < 0.75 * full_span
+
+
+def test_skipping_effectiveness_reports_partitions(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    z = layout.zorder_layout(ev, ["user_id", "value"], n_partitions=4)
+    rep = layout.skipping_effectiveness(ev, z, "value").collect()
+    assert len(rep) == 4
+    assert sum(r["n_rows"] for r in rep) == ev.count()
