@@ -49,6 +49,11 @@ BENCH_QUERIES = [
     # r2 text/embedding additions.
     "bm25_scores",
     "quantize_embeddings",
+    # r2 dedup/layout additions.
+    "incremental_dedup",
+    "semantic_dedup",
+    "tfidf_topk_terms",
+    "events_zorder_index",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -118,6 +118,54 @@ def range_bucket_join(
     return out.drop("__bucket")
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str, l_end: str,
+    r_start: str, r_end: str,
+    bucket_width: int = 3600,
+) -> DataFrame:
+    """Interval×interval overlap join (half-open: l_start < r_end AND
+    r_start < l_end) via the same time-bucketing trick as
+    `range_bucket_join` — restoring an equi-key where Spark would
+    otherwise plan a cartesian nested-loop.
+
+    Both sides explode to the coarse buckets their span covers and
+    equi-join on the bucket. A pair overlapping several buckets would
+    match once per shared bucket; instead of a costly DISTINCT over
+    the joined width, each pair is kept only in its canonical bucket —
+    the bucket containing greatest(l_start, r_start), the overlap's
+    first instant, which both sides provably cover. Replication per
+    interval = ceil(span/bucket_width), so pick `bucket_width` near
+    the median span; the join itself is an ordinary shuffle hash join
+    on the bucket key.
+    """
+    def b(col):
+        return F.floor(F.unix_timestamp(F.col(col)) / bucket_width).cast("long")
+
+    lf = left.withColumn(
+        "__bucket",
+        F.explode(F.sequence(b(l_start), b(l_end))),
+    )
+    rf = right.withColumn(
+        "__bucket",
+        F.explode(F.sequence(b(r_start), b(r_end))),
+    )
+    canonical = F.floor(
+        F.greatest(F.unix_timestamp(F.col(l_start)), F.unix_timestamp(F.col(r_start)))
+        / bucket_width
+    ).cast("long")
+    return (
+        lf.join(rf, "__bucket")
+        .where(
+            (F.col(l_start) < F.col(r_end))
+            & (F.col(r_start) < F.col(l_end))
+            & (F.col("__bucket") == canonical)
+        )
+        .drop("__bucket")
+    )
+
+
 def blocked_fuzzy_pairs(df: DataFrame, id_col: str, name_col: str,
                         max_dist: int = 1, block_suffix: int = 2) -> DataFrame:
     """Entity-resolution fuzzy self-match: candidate pairs from a

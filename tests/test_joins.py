@@ -148,3 +148,69 @@ def test_blocked_fuzzy_pairs_short_names(spark):
 def blocked_fuzzy_pairs_import(df):
     from hive_exporter_spark.operators.joins import blocked_fuzzy_pairs
     return blocked_fuzzy_pairs(df, "id", "name", max_dist=1, block_suffix=1)
+
+
+def test_interval_overlap_join_matches_naive(spark, sf_dir):
+    """Bucketed interval×interval overlap == the naive theta-join, with
+    no duplicate pairs from multi-bucket overlaps."""
+    ev = read_table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.min("ts").alias("s_start"),
+             (F.max("ts") + F.expr("INTERVAL 1 SECOND")).alias("s_end"))
+    )
+    windows = (
+        ev.select(F.date_trunc("day", "ts").alias("day")).distinct()
+        .select((F.col("day") + F.expr("INTERVAL 6 HOURS")).alias("win_start"),
+                (F.col("day") + F.expr("INTERVAL 18 HOURS")).alias("win_end"))
+    )
+    naive = sess.join(
+        windows,
+        (F.col("s_start") < F.col("win_end")) & (F.col("win_start") < F.col("s_end")),
+    )
+    bucketed = joins.interval_overlap_join(
+        sess, windows, "s_start", "s_end", "win_start", "win_end",
+        bucket_width=6 * 3600)
+    cols = ["user_id", "day", "win_start"]
+    assert _rows(bucketed, cols) == _rows(naive, cols)
+
+
+def test_interval_overlap_join_long_interval_no_dups(spark):
+    """An interval spanning MANY buckets still pairs exactly once with
+    each overlapping partner (canonical-bucket dedup)."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-03 00:00:00")],
+        "lid int, s string, e string",
+    ).select("lid", F.col("s").cast("timestamp").alias("s"),
+             F.col("e").cast("timestamp").alias("e"))
+    right = spark.createDataFrame(
+        [(10, "2024-01-01 05:00:00", "2024-01-02 07:00:00"),   # overlaps
+         (11, "2024-01-02 23:00:00", "2024-01-04 00:00:00"),   # overlaps
+         (12, "2024-01-03 00:00:00", "2024-01-05 00:00:00")],  # touches only (half-open: no)
+        "rid int, s2 string, e2 string",
+    ).select("rid", F.col("s2").cast("timestamp").alias("s2"),
+             F.col("e2").cast("timestamp").alias("e2"))
+    got = sorted(
+        (r["lid"], r["rid"]) for r in joins.interval_overlap_join(
+            left, right, "s", "e", "s2", "e2", bucket_width=3600).collect())
+    assert got == [(1, 10), (1, 11)]
+
+
+def test_interval_overlap_join_is_equi_join(spark, sf_dir):
+    from hive_exporter_spark import plans
+
+    ev = read_table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.min("ts").alias("s_start"),
+             (F.max("ts") + F.expr("INTERVAL 1 SECOND")).alias("s_end"))
+    )
+    windows = (
+        ev.select(F.date_trunc("day", "ts").alias("day")).distinct()
+        .select((F.col("day") + F.expr("INTERVAL 6 HOURS")).alias("win_start"),
+                (F.col("day") + F.expr("INTERVAL 18 HOURS")).alias("win_end"))
+    )
+    df = joins.interval_overlap_join(sess, windows, "s_start", "s_end",
+                                     "win_start", "win_end")
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
