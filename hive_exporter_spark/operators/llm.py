@@ -1258,6 +1258,67 @@ def tfidf_topk_terms(documents: DataFrame, k: int = TFIDF_TOPK,
     )
 
 
+HH_CAPACITY = 256
+HH_TOPK = 20
+
+
+def heavy_hitters(documents: DataFrame, k: int = HH_TOPK,
+                  capacity: int = HH_CAPACITY,
+                  text_col: str = "text") -> DataFrame:
+    """Approximate most-frequent terms via per-partition space-saving
+    summaries (Metwally et al. 2005) merged by summation — the
+    bounded-memory path for when the vocabulary dwarfs executor memory
+    and an exact `groupBy(term)` would shuffle billions of distinct
+    keys.
+
+    Per partition, at most `capacity` counters are kept; evicting the
+    minimum counter charges its count as the newcomer's overestimation
+    error. Summing (est, err) across partitions preserves the
+    guarantees (mergeable-summaries result, Agarwal et al. 2012):
+    est >= true count >= est - err for every reported term, and any
+    term with true count > n_tokens/capacity survives somewhere.
+
+    The kernel is Arrow-batched and iterates per UNIQUE term of each
+    batch's value_counts — not per token — so the Python work is
+    O(distinct per batch), the summary shuffled is capacity rows per
+    partition, and the final top-k agg is over a tiny frame. Output:
+    (term, est_count, err_upper), est desc. Rows-only for the driver
+    (partition-dependent approximation); the bound vs exact counts is
+    asserted in tests."""
+    import pandas as pd
+
+    toks = documents.select(F.explode(tokens_col(text_col)).alias("term"))
+
+    def ss_kernel(batches):
+        counters: dict[str, list[int]] = {}
+        for pdf in batches:
+            for t, c in pdf["term"].value_counts().items():
+                c = int(c)
+                if t in counters:
+                    counters[t][0] += c
+                elif len(counters) < capacity:
+                    counters[t] = [c, 0]
+                else:
+                    # Deterministic eviction: min count, ties by term.
+                    mt = min(counters, key=lambda x: (counters[x][0], x))
+                    mc = counters[mt][0]
+                    del counters[mt]
+                    counters[t] = [mc + c, mc]
+        if counters:
+            yield pd.DataFrame(
+                [(t, v[0], v[1]) for t, v in counters.items()],
+                columns=["term", "est", "err"],
+            )
+
+    summaries = toks.mapInPandas(ss_kernel, "term string, est long, err long")
+    return (
+        summaries.groupBy("term")
+        .agg(F.sum("est").alias("est_count"), F.sum("err").alias("err_upper"))
+        .orderBy(F.col("est_count").desc(), "term")
+        .limit(k)
+    )
+
+
 SEMANTIC_DUP_THRESHOLD = COSINE_DUP_THRESHOLD
 
 
@@ -1493,6 +1554,12 @@ def _q_semantic_dedup(spark, sf):
     return semantic_dedup(_docs(spark, sf), _emb(spark, sf))
 
 
+def _q_heavy_hitters(spark, sf):
+    """Rows-only: the summary depends on partition boundaries; the
+    space-saving error bound vs exact counts is asserted in tests."""
+    return heavy_hitters(_docs(spark, sf))
+
+
 def _q_pca(spark, sf):
     """Rows-only: eigenvector sign/order is implementation-defined."""
     return embedding_pca(_emb(spark, sf))
@@ -1535,6 +1602,7 @@ QUERIES = {
     "incremental_dedup": _q_incremental_dedup,
     "tfidf_topk_terms": _q_tfidf_topk,
     "semantic_dedup": _q_semantic_dedup,
+    "heavy_hitters_terms": _q_heavy_hitters,
 }
 
 _TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"

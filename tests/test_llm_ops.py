@@ -444,3 +444,33 @@ def test_semantic_dedup_matches_numpy_replay(spark, docs, emb):
             survivors.append(int(ids[i]))
     got = {r["doc_id"] for r in out.collect()}
     assert got == set(survivors)
+
+
+def test_heavy_hitters_exact_when_capacity_suffices(spark, docs):
+    """With capacity >= per-partition distinct terms, no counter is
+    ever evicted: est == exact count and err == 0 for every term."""
+    exact = {
+        r["term"]: r["n"]
+        for r in docs.select(F.explode(llm.tokens_col()).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = llm.heavy_hitters(docs, k=10, capacity=100_000).collect()
+    top_exact = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["term"], r["est_count"]) for r in got] == top_exact
+    assert all(r["err_upper"] == 0 for r in got)
+
+
+def test_heavy_hitters_bounds_under_pressure(spark, docs):
+    """With a tiny capacity the space-saving guarantee must still hold
+    for every reported term: est >= true >= est - err."""
+    exact = {
+        r["term"]: r["n"]
+        for r in docs.select(F.explode(llm.tokens_col()).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = llm.heavy_hitters(docs, k=20, capacity=16).collect()
+    assert len(got) > 0
+    for r in got:
+        true = exact.get(r["term"], 0)
+        assert r["est_count"] >= true, r
+        assert r["est_count"] - r["err_upper"] <= true, r
