@@ -165,6 +165,86 @@ def audio_features(documents: DataFrame, n_coeff: int = N_MFCC) -> DataFrame:
     return binary.mapInPandas(kernel, "doc_id long, mfcc array<double>")
 
 
+PHASH_BANDS = 8
+
+
+def phash64(documents: DataFrame, fake: bool = True) -> DataFrame:
+    """64-bit perceptual image hash (pHash): resample to 8×8
+    luminance, 2-D DCT-II, threshold the low-frequency block at its
+    median — visually-similar images land within a few Hamming bits.
+
+    The fake path derives the 8×8 matrix from the payload digest
+    (identical payloads → identical hashes), so the distributed shape
+    — Arrow-batched kernel doing one small matmul per image, emitting
+    one long per row — is real; a PIL kernel swaps in behind the same
+    schema. Output: (doc_id, phash long)."""
+    import numpy as np
+
+    binary = with_binary_content(documents)
+    pil = _try_import_pil()
+    if not fake and pil is None:
+        raise NotImplementedError(
+            "real pHash needs PIL/Pillow, not present in this container"
+        )
+    # DCT-II matrix, fixed and tiny — computed once per task.
+    n = 8
+    dct = np.cos(np.pi / n * (np.arange(n)[:, None] + 0.5) * np.arange(n)[None, :]).T
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(content: bytes) -> int:
+            d = hashlib.sha256(content).digest()
+            d = d + hashlib.sha256(d).digest()          # 64 deterministic bytes
+            px = np.frombuffer(d, dtype=np.uint8).astype(np.float64).reshape(n, n)
+            coef = dct @ px @ dct.T
+            bits = (coef >= np.median(coef)).flatten()
+            return int(sum(1 << i for i, b in enumerate(bits) if b) - (1 << 63))
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "phash": pdf["content"].map(one).astype("int64"),
+            })
+
+    return binary.mapInPandas(kernel, "doc_id long, phash long")
+
+
+def image_near_dup_pairs(hashes: DataFrame, max_hamming: int = PHASH_BANDS - 1,
+                         bands: int = PHASH_BANDS) -> DataFrame:
+    """Image near-dup pairs by pHash Hamming distance, banded so the
+    join is an equi-join, never all-pairs: the 64-bit hash splits into
+    `bands` sub-keys; by pigeonhole, any pair within `max_hamming` <
+    `bands` differing bits agrees exactly on SOME band, so bucketing
+    on (band index, band value) has PERFECT recall while only
+    comparing per-bucket candidates. Hamming is computed JVM-side
+    (xor + bit_count); duplicate discoveries across bands collapse via
+    distinct over three scalar columns."""
+    if max_hamming >= bands:
+        raise ValueError("recall guarantee needs max_hamming < bands")
+    width = 64 // bands
+    band = F.explode(F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col("phash"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
+        ) for i in range(bands)
+    ])).alias("b")
+    banded = hashes.select("doc_id", "phash", band).select(
+        "doc_id", "phash", "b.band", "b.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .where(ham <= max_hamming)
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                ham.cast("int").alias("hamming"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # -- driver-contract wiring -------------------------------------------------
 
 def _q_binary_meta(spark, sf):
@@ -187,11 +267,19 @@ def _q_audio(spark, sf):
     return audio_features(read_table(spark, sf, "documents"))
 
 
+def _q_phash_pairs(spark, sf):
+    """Rows-only: the DCT/median pipeline has no tractable SQL twin;
+    recall vs brute-force Hamming is asserted in tests."""
+    from hive_exporter_spark.sources.files import read_table
+    return image_near_dup_pairs(phash64(read_table(spark, sf, "documents")))
+
+
 QUERIES = {
     "binary_metadata": _q_binary_meta,
     "decode_images": _q_decode,
     "frame_sample_plan": _q_frames,
     "audio_features": _q_audio,
+    "image_phash_near_dups": _q_phash_pairs,
 }
 
 # sha256(text) in DuckDB hashes the same UTF-8 bytes the kernels see;

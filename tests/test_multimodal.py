@@ -75,3 +75,47 @@ def test_audio_features_feed_similarity(spark, docs):
     got = topk.collect()
     assert len(got) == 6
     assert all(0.0 <= r["score"] <= 1.0 for r in got)
+
+
+def test_phash_deterministic_and_identical_payloads_collide(spark):
+    from hive_exporter_spark.operators.multimodal import phash64
+
+    df = spark.createDataFrame(
+        [(1, "same body"), (2, "same body"), (3, "different body")],
+        "doc_id long, text string")
+    h = {r["doc_id"]: r["phash"] for r in phash64(df).collect()}
+    assert h[1] == h[2]
+    assert h[1] != h[3]
+    h2 = {r["doc_id"]: r["phash"] for r in phash64(df).collect()}
+    assert h == h2
+
+
+def test_image_near_dup_pairs_perfect_recall_vs_brute_force(spark, sf_dir):
+    """Banded bucketing must find EVERY pair within max_hamming — the
+    pigeonhole guarantee, checked against the all-pairs baseline."""
+    from hive_exporter_spark.operators.multimodal import (
+        image_near_dup_pairs, phash64)
+    from hive_exporter_spark.sources.files import read_table
+
+    hashes = phash64(read_table(spark, sf_dir, "documents")).cache()
+    a, b = hashes.alias("a"), hashes.alias("b")
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    brute = {
+        (r["da"], r["db"]) for r in
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(ham <= 7)
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .collect()
+    }
+    banded = {(r["doc_a"], r["doc_b"])
+              for r in image_near_dup_pairs(hashes, max_hamming=7).collect()}
+    assert banded == brute
+
+
+def test_image_near_dup_pairs_rejects_bad_bands(spark):
+    from hive_exporter_spark.operators.multimodal import (
+        image_near_dup_pairs, phash64)
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        image_near_dup_pairs(phash64(df), max_hamming=8, bands=8)
