@@ -15,6 +15,7 @@ from hive_exporter_spark.streaming.streams import (
     session_windows,
     run_to_memory_sink,
     incremental_append_stream,
+    corpus_dedup_stream,
     jdbc_sink_stream,
     post_purchase_activity_stream,
     enrich_stream,
@@ -26,6 +27,7 @@ __all__ = [
     "session_windows",
     "run_to_memory_sink",
     "incremental_append_stream",
+    "corpus_dedup_stream",
     "jdbc_sink_stream",
     "post_purchase_activity_stream",
     "enrich_stream",

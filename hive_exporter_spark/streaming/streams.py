@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hive_exporter_spark.operators import core
 
@@ -123,6 +124,62 @@ def incremental_append_stream(
         )
 
     return source.writeStream.foreachBatch(_sink).start()
+
+
+def corpus_dedup_stream(
+    docs_stream: DataFrame,
+    digest_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> object:
+    """Continuous-crawl dedup: each micro-batch of documents is
+    deduped within itself (lowest id wins), anti-joined against the
+    persistent digest table of everything ever kept, written to
+    `out_dir`, and its surviving digests appended to `digest_dir` —
+    so later batches (and later runs) never re-admit a document.
+
+    This is the streaming face of `llm.incremental_dedup`: state is
+    NOT in the streaming state store (a digest set the size of the
+    corpus would blow executor state at 100 TB) but in a parquet
+    digest table — 32 bytes/doc, partition-pruned by the anti-join's
+    digest shuffle, shared by every ingest job. foreachBatch gives
+    at-least-once: a retried batch may re-append digests (harmless —
+    anti-join semantics are set-based) and re-write survivors (dedup
+    on doc_id downstream, or flip `out_dir` writes to an
+    epoch-keyed overwrite for effectively-once).
+
+    Returns the started StreamingQuery; caller owns stop().
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy("__digest").orderBy(F.col(id_col))
+        fresh = (
+            batch_df.withColumn("__digest", F.sha2(F.col(text_col), 256))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            seen = spark.read.parquet(digest_dir).select("__digest")
+        except AnalysisException:
+            seen = None  # first batch: no digest table yet
+        if seen is not None:
+            fresh = fresh.join(seen, "__digest", "left_anti")
+        # Materialize ONCE: survivors feed two writes; without this the
+        # digest append would re-read its own output through the scan.
+        fresh = fresh.localCheckpoint()
+        fresh.drop("__digest").write.mode("append").parquet(out_dir)
+        fresh.select("__digest").write.mode("append").parquet(digest_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
 
 
 def jdbc_sink_stream(source: DataFrame, cfg, tag_column: str = "epoch_id") -> object:

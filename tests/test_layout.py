@@ -76,3 +76,15 @@ def test_skipping_effectiveness_reports_partitions(spark, sf_dir):
     rep = layout.skipping_effectiveness(ev, z, "value").collect()
     assert len(rep) == 4
     assert sum(r["n_rows"] for r in rep) == ev.count()
+
+
+def test_write_zordered_roundtrip(spark, sf_dir, tmp_path):
+    from hive_exporter_spark.sinks import write_zordered
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = str(tmp_path / "events_z")
+    write_zordered(ev, out, ["user_id", "value"], n_files=4)
+    back = spark.read.parquet(out)
+    assert sorted(back.columns) == sorted(ev.columns)   # no layout cols leak
+    assert back.count() == ev.count()
+    assert len(back.inputFiles()) == 4

@@ -167,3 +167,52 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir):
     got = {r["c_mktsegment"]: r["n"] for r in out.collect()}
     want = {r["c_mktsegment"]: r["n"] for r in batch.collect()}
     assert got == want
+
+
+def test_corpus_dedup_stream_across_batches_and_restarts(spark, tmp_path):
+    """Two micro-batches with overlapping texts: batch 2's repeats of
+    batch 1 (and in-batch dups) must be dropped; a LATER run over a
+    third file must still see the digest table and drop re-sends."""
+    from hive_exporter_spark.streaming.streams import corpus_dedup_stream
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    digest_dir = str(tmp_path / "digests")
+    out_dir = str(tmp_path / "kept")
+
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(10, "beta"), (11, "gamma")], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    def run(checkpoint: str):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+        q = corpus_dedup_stream(stream, digest_dir, out_dir,
+                                str(tmp_path / checkpoint))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run("chk1")
+    kept = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    # 3 dropped (in-batch dup of 1), 10 dropped (cross-batch dup of 2)
+    assert kept == {1, 2, 11}
+
+    # A later arrival replaying old text: still dropped, new text kept.
+    spark.createDataFrame(
+        [(20, "gamma"), (21, "delta")], schema
+    ).coalesce(1).write.parquet(str(src / "f3"))
+    run("chk1")
+    kept = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert kept == {1, 2, 11, 21}
+    # digest table holds exactly the distinct kept texts
+    n_digests = spark.read.parquet(digest_dir).distinct().count()
+    assert n_digests == 4
