@@ -225,3 +225,65 @@ def test_q20_no_repeat_fact_shuffle(t):
     df = relational.dominant_share_suppliers(
         t("part"), t("supplier"), t("nation"), t("lineitem"))
     assert plans.broadcast_join_count(df) >= 2, plans.formatted_plan(df)
+
+
+def test_semantic_dedup_no_cartesian(t):
+    """The intra-cluster self-join must be an equi-join on the cluster
+    id, never a cartesian/BNLJ over the corpus."""
+    df = llm.semantic_dedup(t("documents"), t("embeddings"))
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_incremental_dedup_shuffles_digests_not_text(t):
+    """The corpus side of the anti-join must be the aggregated digest
+    projection: its scan reads ONLY the text column (for hashing), and
+    the join itself is hash-based, not nested-loop."""
+    pred = F.expr("CAST(substring(source, 4, 10) AS INT) < 10")
+    docs = t("documents")
+    df = llm.incremental_dedup(docs.where(~pred), docs.where(pred))
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftAnti" in plan, plan
+    # one of the scans (the corpus side) must be pruned to the hash
+    # input (text) + the split predicate column only
+    assert any(set(cols) <= {"source", "text"}
+               for cols in plans.scan_read_columns(df)), (
+        plans.scan_read_columns(df))
+
+
+def test_tfidf_partial_aggregation_and_pruning(t):
+    df = llm.tfidf_topk_terms(t("documents"))
+    assert plans.has_partial_aggregate(df)
+    (cols,) = plans.scan_read_columns(df)
+    assert set(cols) == {"doc_id", "text"}, cols
+
+
+def test_heavy_hitters_single_merge_exchange(t):
+    """Space-saving summaries are built map-side in the Arrow kernel;
+    the only wide ops after it are the merge agg + final top-k sort."""
+    df = llm.heavy_hitters(t("documents"))
+    assert plans.num_exchanges(df) <= 2, plans.formatted_plan(df)
+    assert plans.has_partial_aggregate(df)
+
+
+def test_image_phash_pairs_equi_join(t):
+    from hive_exporter_spark.operators import multimodal
+
+    df = multimodal.image_near_dup_pairs(multimodal.phash64(t("documents")))
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_zorder_index_map_only_after_bounds(t):
+    """Beyond the single-row bounds agg (broadcast back), the z-value
+    projection adds NO wide exchange of the fact table."""
+    from hive_exporter_spark.operators import layout
+
+    df = layout.zorder_index(t("events"), ["user_id", "value"])
+    # exchanges: only the bounds aggregate's (partial->final) pair on
+    # a single-row side; the events side itself is never repartitioned.
+    assert plans.num_exchanges(df) <= 2, plans.formatted_plan(df)
+    assert plans.has_broadcast_join(df)
