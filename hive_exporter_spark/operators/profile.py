@@ -67,3 +67,32 @@ def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), "key_value")
         .limit(top_n)
     )
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a plan (bytes) — file sizes for
+    scans, propagated through projections/filters. The same number AQE
+    and the broadcast-threshold planner consult; surfacing it lets
+    pipeline code make the decisions Catalyst can't (partition counts
+    for a WRITE, salting factors) from the same statistics."""
+    return int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+
+
+def suggest_shuffle_partitions(
+    df: DataFrame,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+    min_partitions: int = 1,
+    max_partitions: int = 100_000,
+) -> int:
+    """Partition count putting ~`target_partition_bytes` in each task
+    — the number to feed repartition()/repartitionByRange before a
+    wide op or write so tasks neither spill (too big) nor drown the
+    scheduler in empty tasks (too many). Pure planning call: reads
+    Catalyst statistics, runs NO job. At 100 TB the difference between
+    this and a static spark.sql.shuffle.partitions is the difference
+    between 800k sensible tasks and 200 multi-GB spilling ones."""
+    size = plan_size_bytes(df)
+    n = (size + target_partition_bytes - 1) // target_partition_bytes
+    return int(min(max(n, min_partitions), max_partitions))

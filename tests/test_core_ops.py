@@ -202,3 +202,20 @@ def test_asof_join_directions(spark):
         direction="forward").collect()}
     assert back == {1: "r10", 2: "r10", 3: "r30"}
     assert fwd == {1: "r10", 2: "r30", 3: None}
+
+
+def test_plan_size_and_partition_advisor(spark, sf_dir):
+    from hive_exporter_spark.operators.profile import (
+        plan_size_bytes, suggest_shuffle_partitions)
+    from hive_exporter_spark.sources.files import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    size = plan_size_bytes(li)
+    assert size > 0
+    # tiny target -> many partitions, scaled to the estimate
+    n = suggest_shuffle_partitions(li, target_partition_bytes=1024)
+    assert n == (size + 1023) // 1024
+    # huge target -> clamps to the floor
+    assert suggest_shuffle_partitions(li, target_partition_bytes=1 << 40) == 1
+    # column pruning shrinks the estimate the advisor sees
+    assert plan_size_bytes(li.select("l_orderkey")) < size
