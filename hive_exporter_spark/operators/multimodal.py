@@ -269,9 +269,17 @@ def _q_audio(spark, sf):
 
 def _q_phash_pairs(spark, sf):
     """Rows-only: the DCT/median pipeline has no tractable SQL twin;
-    recall vs brute-force Hamming is asserted in tests."""
+    recall vs brute-force Hamming is asserted in tests. The fixture's
+    sf0.01 slice has no duplicate payloads (sha-derived fake hashes
+    only collide for identical bytes), so the query unions in replicas
+    of the first 5 documents under shifted ids — each must pair with
+    its original, making the expected output non-empty and
+    deterministic at every scale."""
     from hive_exporter_spark.sources.files import read_table
-    return image_near_dup_pairs(phash64(read_table(spark, sf, "documents")))
+    docs = read_table(spark, sf, "documents")
+    replicas = (docs.where(F.col("doc_id") < 5)
+                .withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    return image_near_dup_pairs(phash64(docs.unionByName(replicas)))
 
 
 QUERIES = {
