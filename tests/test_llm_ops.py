@@ -431,17 +431,15 @@ def test_semantic_dedup_matches_numpy_replay(spark, docs, emb):
     mn = m / np.linalg.norm(m, axis=1, keepdims=True)
     clusters = np.argmax(mn @ cent.T, axis=1)
     survivors = []
-    for i in range(len(ids)):
-        dup = False
-        for j in range(len(ids)):
-            if clusters[j] == clusters[i] and ids[j] < ids[i]:
-                a, b = np.asarray(m[i]), np.asarray(m[j])
-                cos = float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
-                if cos >= llm.SEMANTIC_DUP_THRESHOLD:
-                    dup = True
-                    break
-        if not dup:
-            survivors.append(int(ids[i]))
+    # Same math as the engine's prune kernel: normalized gram matrix
+    # per cluster, loser = any lower-id mate with sim >= tau.
+    for c in set(clusters.tolist()):
+        members = np.where(clusters == c)[0]
+        members = members[np.argsort(ids[members])]
+        sub = mn[members]
+        sims = sub @ sub.T
+        losers = (np.triu(sims, k=1) >= llm.SEMANTIC_DUP_THRESHOLD).any(axis=0)
+        survivors.extend(int(i) for i in ids[members][~losers])
     got = {r["doc_id"] for r in out.collect()}
     assert got == set(survivors)
 
