@@ -92,13 +92,23 @@ def zorder_layout(df: DataFrame, cols: Sequence[str],
 
 def skipping_effectiveness(df: DataFrame, zcol_parts: DataFrame,
                            col: str) -> DataFrame:
-    """Diagnostic: per output partition, the min/max span of `col` —
-    the quantity parquet stats pruning keys off. Narrower spans =>
+    """Diagnostic: per output partition of `zcol_parts`, the min/max
+    span of `col` — the quantity parquet stats pruning keys off —
+    plus `span_frac`, that span as a fraction of the FULL table's
+    range in `df` (the unclustered baseline). Narrower fractions =>
     fewer partitions overlap a given predicate => more skipping."""
+    full = df.agg(
+        (F.max(col) - F.min(col)).cast("double").alias("__full_span"))
     return (
         zcol_parts.withColumn("__pid", F.spark_partition_id())
         .groupBy("__pid")
         .agg(F.min(col).alias("lo"), F.max(col).alias("hi"),
              F.count(F.lit(1)).alias("n_rows"))
+        .crossJoin(F.broadcast(full))
+        .withColumn(
+            "span_frac",
+            F.round((F.col("hi") - F.col("lo")).cast("double")
+                    / F.greatest(F.col("__full_span"), F.lit(1e-12)), 6))
+        .drop("__full_span")
         .orderBy("__pid")
     )

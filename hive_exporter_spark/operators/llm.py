@@ -1233,20 +1233,26 @@ def tfidf_topk_terms(documents: DataFrame, k: int = TFIDF_TOPK,
     Spark shape: one explode → (doc, term) count agg (the vocab-build
     shuffle), df via a window over the term partition (reuses the agg
     output, no second scan of the corpus), then a per-doc top-k window.
-    Weights are rounded to 6 dp before ranking so Spark and the DuckDB
-    oracle order ties identically (weight desc, then term asc).
+    N rides along as a broadcast single-row aggregate — NOT an eager
+    `.count()`, which would run a whole extra scan job at plan-build
+    time. Weights are rounded to 6 dp before ranking so Spark and the
+    DuckDB oracle order ties identically (weight desc, then term asc).
     """
-    n_docs = documents.count()
+    n_docs = documents.agg(
+        F.count(F.lit(1)).cast("double").alias("__n_docs"))
     tf = (
         documents.select("doc_id", F.explode(tokens_col()).alias("term"))
         .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     )
     wdf = Window.partitionBy("term")
-    idf = F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    idf = (F.log((F.lit(1.0) + F.col("__n_docs")) / (F.lit(1.0) + F.col("df")))
+           + F.lit(1.0))
     scored = (
         tf.withColumn("df", F.count(F.lit(1)).over(wdf))
         .where(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(n_docs))
         .withColumn("weight", F.round(F.col("tf") * idf, 6))
+        .drop("__n_docs")
     )
     wtop = Window.partitionBy("doc_id").orderBy(
         F.col("weight").desc(), F.col("term"))
@@ -1279,31 +1285,48 @@ def heavy_hitters(documents: DataFrame, k: int = HH_TOPK,
     term with true count > n_tokens/capacity survives somewhere.
 
     The kernel is Arrow-batched and iterates per UNIQUE term of each
-    batch's value_counts — not per token — so the Python work is
-    O(distinct per batch), the summary shuffled is capacity rows per
+    batch's value_counts — not per token — with a lazy-deletion
+    min-heap for eviction, so the Python work is O(distinct per batch
+    · log capacity), the summary shuffled is capacity rows per
     partition, and the final top-k agg is over a tiny frame. Output:
     (term, est_count, err_upper), est desc. Rows-only for the driver
     (partition-dependent approximation); the bound vs exact counts is
     asserted in tests."""
+    import heapq
+
     import pandas as pd
 
     toks = documents.select(F.explode(tokens_col(text_col)).alias("term"))
 
     def ss_kernel(batches):
         counters: dict[str, list[int]] = {}
+        # Lazy-deletion heap of (count, term): stale entries (count no
+        # longer current, or term evicted) are skipped at pop time, so
+        # eviction finds the true minimum — same (count, term) order a
+        # full scan would pick — in O(log capacity) amortized.
+        heap: list[tuple[int, str]] = []
+
+        def pop_min() -> tuple[str, int]:
+            while True:
+                c, t = heapq.heappop(heap)
+                cur = counters.get(t)
+                if cur is not None and cur[0] == c:
+                    del counters[t]
+                    return t, c
+
         for pdf in batches:
             for t, c in pdf["term"].value_counts().items():
                 c = int(c)
                 if t in counters:
                     counters[t][0] += c
+                    heapq.heappush(heap, (counters[t][0], t))
                 elif len(counters) < capacity:
                     counters[t] = [c, 0]
+                    heapq.heappush(heap, (c, t))
                 else:
-                    # Deterministic eviction: min count, ties by term.
-                    mt = min(counters, key=lambda x: (counters[x][0], x))
-                    mc = counters[mt][0]
-                    del counters[mt]
+                    _, mc = pop_min()
                     counters[t] = [mc + c, mc]
+                    heapq.heappush(heap, (mc + c, t))
         if counters:
             yield pd.DataFrame(
                 [(t, v[0], v[1]) for t, v in counters.items()],

@@ -181,10 +181,15 @@ def phash64(documents: DataFrame, fake: bool = True) -> DataFrame:
     import numpy as np
 
     binary = with_binary_content(documents)
-    pil = _try_import_pil()
-    if not fake and pil is None:
+    if not fake:
+        # The real kernel (PIL decode → grayscale resize → same DCT
+        # path) is not implemented in this container; refusing — even
+        # when PIL happens to be importable — beats silently returning
+        # sha-derived fabrications a caller can't tell from real
+        # pHashes.
         raise NotImplementedError(
-            "real pHash needs PIL/Pillow, not present in this container"
+            "real pHash kernel not implemented (container has no "
+            "imaging stack); only the deterministic fake path exists"
         )
     # DCT-II matrix, fixed and tiny — computed once per task.
     n = 8

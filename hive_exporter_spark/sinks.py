@@ -194,17 +194,19 @@ def write_clustered(df: DataFrame, path: str, cluster_cols: Sequence[str],
 
 
 def write_zordered(df: DataFrame, path: str, zorder_cols: Sequence[str],
-                   n_files: int, bits: int = 8, fmt: str = "parquet") -> None:
+                   n_files: int, bits: int | None = None,
+                   fmt: str = "parquet") -> None:
     """Z-order-clustered write: Morton-interleave `zorder_cols`
     (operators/layout), range-partition into `n_files`, sort within
     partitions, write. Unlike `write_clustered` — which only truly
     clusters its FIRST column — every interleaved column gets tight
     per-file min/max stats, so single-column predicates on ANY of them
     prune files. Use for the 2-3 highest-selectivity scan columns."""
-    from hive_exporter_spark.operators.layout import zorder_layout
+    from hive_exporter_spark.operators.layout import ZORDER_BITS, zorder_layout
 
     (
-        zorder_layout(df, zorder_cols, bits=bits, n_partitions=n_files)
+        zorder_layout(df, zorder_cols, bits=bits or ZORDER_BITS,
+                      n_partitions=n_files)
         .drop("__z")
         .write.format(fmt).mode("overwrite").save(path)
     )

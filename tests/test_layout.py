@@ -76,6 +76,9 @@ def test_skipping_effectiveness_reports_partitions(spark, sf_dir):
     rep = layout.skipping_effectiveness(ev, z, "value").collect()
     assert len(rep) == 4
     assert sum(r["n_rows"] for r in rep) == ev.count()
+    # Z-clustering must leave each partition covering a strict
+    # fraction of the full value range.
+    assert all(0.0 <= r["span_frac"] < 1.0 for r in rep)
 
 
 def test_write_zordered_roundtrip(spark, sf_dir, tmp_path):
