@@ -210,3 +210,28 @@ def write_zordered(df: DataFrame, path: str, zorder_cols: Sequence[str],
         .drop("__z")
         .write.format(fmt).mode("overwrite").save(path)
     )
+
+
+def optimize_table(spark: SparkSession, table: TableName,
+                   zorder_cols: Sequence[str], target_files: int,
+                   bits: int | None = None, fmt: str = "parquet",
+                   scratch_db: str = "spark_scratch") -> int:
+    """OPTIMIZE-ZORDER for a managed table: rewrite it compacted into
+    ~`target_files` Morton-clustered files (Delta/Iceberg's
+    `OPTIMIZE ... ZORDER BY`, for plain tables). Two-phase via
+    safe_overwrite since the rewrite reads the table it replaces; the
+    scratch hop preserves clustering because the final insert runs one
+    task per scratch file. Returns the resulting file count.
+
+    The maintenance companion to `compact_table`: same small-files
+    hygiene, plus every `zorder_cols` member gets tight per-file
+    min/max stats for scan pruning."""
+    from hive_exporter_spark.operators.layout import ZORDER_BITS, zorder_layout
+
+    df = spark.table(str(table))
+    laid = zorder_layout(df, zorder_cols, bits=bits or ZORDER_BITS,
+                         n_partitions=target_files).drop("__z")
+    safe_overwrite(spark, laid, table, fmt, scratch_db=scratch_db,
+                   scratch_suffix="optimize")
+    return (spark.table(str(table))
+            .select(F.input_file_name().alias("f")).distinct().count())

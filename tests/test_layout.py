@@ -91,3 +91,30 @@ def test_write_zordered_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(back.columns) == sorted(ev.columns)   # no layout cols leak
     assert back.count() == ev.count()
     assert len(back.inputFiles()) == 4
+
+
+def test_optimize_table_compacts_and_clusters(spark, sf_dir, tmp_path):
+    from hive_exporter_spark.catalog import TableName, create_database
+    from hive_exporter_spark.sinks import optimize_table
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    create_database(spark, "opt_test")
+    t = TableName("opt_test", "events_opt")
+    # fragmented start: one file per shuffle partition
+    ev.repartition(16).write.mode("overwrite").saveAsTable(str(t))
+    before = spark.table(str(t))
+    n_before = len(before.inputFiles())
+    rows_before = before.count()
+
+    n_after = optimize_table(spark, t, ["user_id", "value"], target_files=4)
+    after = spark.table(str(t))
+    assert after.count() == rows_before
+    assert n_after < n_before
+    # clustering survived the scratch hop: per-file value spans are a
+    # strict fraction of the full range
+    spans = (after.groupBy(F.input_file_name().alias("f"))
+             .agg((F.max("value") - F.min("value")).alias("span"))
+             .collect())
+    full = after.agg(F.max("value") - F.min("value")).first()[0]
+    assert all(r["span"] < full for r in spans)
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
