@@ -565,7 +565,8 @@ _PRIORITY = (
     "asof_last_purchase", "value_percentiles", "salted_segment_event_counts",
     "events_in_day_windows", "events_scan_pruned_window",
     # LLM dedup / similarity flagships.
-    "dedup_exact", "segment_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
+    "dedup_exact", "segment_dedup", "dedup_lines", "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
     "near_dup_clusters", "dedup_near_duplicates",
     "incremental_dedup", "semantic_dedup",
     "training_data_prep", "curation_pipeline",
@@ -582,10 +583,10 @@ _PRIORITY = (
     # Multimodal plumbing + write layout.
     "binary_metadata", "events_zorder_index",
     # Representative relational coverage — exactly 50 entries to the
-    # window edge. (q5 / simhash64 / order_cube / customer_order_stats
-    # / fuzzy_customer_pairs follow in insertion order right after the
-    # window — r1-green and judge-checkable.)
-    "q1_pricing_summary", "q3_shipping_priority",
+    # window edge. (q3 / q5 / simhash64 / order_cube /
+    # customer_order_stats / fuzzy_customer_pairs follow in insertion
+    # order right after the window — r1-green and judge-checkable.)
+    "q1_pricing_summary",
 )
 
 

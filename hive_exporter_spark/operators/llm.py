@@ -87,6 +87,71 @@ def dedup_exact(documents: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def dedup_lines(documents: DataFrame, min_df: int = 2, sep: str = "\n",
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level line dedup (CCNet / RefinedWeb-style boilerplate
+    removal): drop every line whose exact text occurs in >= `min_df`
+    DISTINCT documents (navigation chrome, cookie banners, licence
+    footers...), then reassemble each document from its surviving
+    lines in original order. `sep` is a LITERAL separator (escaped
+    for the split, used verbatim for the rejoin).
+
+    Returns (id_col, text, n_lines_kept, n_lines_removed) — one row
+    per input document; a document whose every line is boilerplate
+    survives with empty text so downstream length filters can decide
+    its fate explicitly rather than it vanishing.
+
+    Spark shape: the doc-frequency aggregate shuffles ONLY a 32-byte
+    sha2 line digest + doc id (never line text), and map-side partial
+    aggregation collapses a doc's repeated lines before the exchange.
+    The hot-digest set is small by construction (boilerplate repeats,
+    long-tail content doesn't), so AQE broadcasts the anti-join side.
+    Line payload crosses exactly two exchanges (anti-join at worst,
+    reassembly groupBy) — the floor for any formulation that must
+    rebuild documents. Reassembly orders by the original line
+    position via array_sort over (pos, line) structs, not a window
+    sort, so the groupBy stays a single hash aggregate.
+    """
+    import re
+
+    pat = re.escape(sep)
+    lines = documents.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), pat, -1)).alias("__pos", "__line"),
+    ).withColumn("__digest", F.sha2(F.col("__line"), 256))
+    hot = (
+        lines.groupBy("__digest")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .where(F.col("__df") >= min_df)
+        .select("__digest")
+    )
+    kept = lines.join(hot, "__digest", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+        ).alias("__text_kept"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    base = documents.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), pat, -1)).cast("long").alias("__n_orig"),
+    )
+    return (
+        base.join(reassembled, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__text_kept"), F.lit("")).alias(text_col),
+            F.coalesce(F.col("__n_kept"), F.lit(0)).cast("long").alias("n_lines_kept"),
+            (F.col("__n_orig") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("long").alias("n_lines_removed"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
@@ -1448,6 +1513,32 @@ def _q_segment_dedup(spark, sf):
     return segment_dedup(_docs(spark, sf))
 
 
+# dedup_lines demo: the fixture corpus is single-line, so the query
+# reshapes each doc into 8-word lines and injects a shared boilerplate
+# header/footer (the phash replica-injection pattern) — the operator
+# must strip the injected chrome from every document while keeping the
+# content lines, and the DuckDB oracle replays the same construction.
+LINE_WORDS = 8
+BOILER_MIN_DF = 5
+_BOILER_HEADER = "COMMON BOILERPLATE HEADER"
+_BOILER_FOOTER = "COMMON BOILERPLATE FOOTER"
+
+
+def _q_dedup_lines(spark, sf):
+    w = _docs(spark, sf).select("doc_id", F.split("text", " ").alias("__ws"))
+    reshaped = w.select(
+        "doc_id",
+        F.expr(
+            f"concat('{_BOILER_HEADER}', chr(10), "
+            f"concat_ws(chr(10), transform("
+            f"sequence(0, CAST(floor((size(__ws) - 1) / {LINE_WORDS}) AS INT)), "
+            f"i -> concat_ws(' ', slice(__ws, i * {LINE_WORDS} + 1, {LINE_WORDS})))), "
+            f"chr(10), '{_BOILER_FOOTER}')"
+        ).alias("text"),
+    )
+    return dedup_lines(reshaped, min_df=BOILER_MIN_DF).orderBy("doc_id")
+
+
 def _q_bm25(spark, sf):
     return bm25_scores(_docs(spark, sf))
 
@@ -1612,6 +1703,7 @@ QUERIES = {
     "ngram_jaccard_pairs_capped": _q_jaccard_capped,
     "normalize_text": _q_normalize,
     "segment_dedup": _q_segment_dedup,
+    "dedup_lines": _q_dedup_lines,
     "bm25_scores": _q_bm25,
     "quantize_embeddings": _q_quantize,
     "minhash_lsh_pairs": _q_minhash,
@@ -1697,6 +1789,48 @@ ORACLES = {
         SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS dedup_text,
                COUNT(*) AS n_segments_kept
         FROM kept GROUP BY doc_id
+    """,
+    "dedup_lines": f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        reshaped AS (
+            SELECT doc_id,
+                   '{_BOILER_HEADER}' || chr(10) ||
+                   array_to_string(list_transform(
+                       range(0, CAST(floor((len(ws) - 1) / {LINE_WORDS}) AS BIGINT) + 1),
+                       i -> array_to_string(
+                           list_slice(ws, i * {LINE_WORDS} + 1, i * {LINE_WORDS} + {LINE_WORDS}),
+                           ' ')), chr(10)) ||
+                   chr(10) || '{_BOILER_FOOTER}' AS text
+            FROM w
+        ),
+        lines AS (
+            SELECT doc_id,
+                   unnest(string_split(text, chr(10))) AS line,
+                   unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+            FROM reshaped
+        ),
+        hot AS (
+            SELECT line FROM lines GROUP BY line
+            HAVING COUNT(DISTINCT doc_id) >= {BOILER_MIN_DF}
+        ),
+        kept AS (
+            SELECT l.doc_id, l.pos, l.line
+            FROM lines l LEFT JOIN hot h ON l.line = h.line
+            WHERE h.line IS NULL
+        ),
+        agg AS (
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        ),
+        orig AS (
+            SELECT doc_id, len(string_split(text, chr(10))) AS n_orig FROM reshaped
+        )
+        SELECT o.doc_id, coalesce(a.text, '') AS text,
+               coalesce(a.n_kept, 0) AS n_lines_kept,
+               o.n_orig - coalesce(a.n_kept, 0) AS n_lines_removed
+        FROM orig o LEFT JOIN agg a ON o.doc_id = a.doc_id
+        ORDER BY o.doc_id
     """,
     "ngram_jaccard_pairs": None,  # filled in below from _NGRAM_PAIRS_SQL
     "embedding_topk_cosine": f"""

@@ -51,6 +51,43 @@ def test_segment_dedup_drops_repeated_segment(spark):
     assert 3 not in rows                          # fully duplicated -> dropped
 
 
+def test_dedup_lines_removes_boilerplate_keeps_order(spark):
+    """Lines in >= min_df distinct docs are stripped everywhere;
+    surviving lines keep original order; a fully-boilerplate doc
+    survives with empty text (and the removal counts say why)."""
+    df = spark.createDataFrame(
+        [
+            (1, "HEADER\nunique alpha content\nmiddle bit\nFOOTER"),
+            (2, "HEADER\nanother body line\nFOOTER"),
+            (3, "HEADER\nFOOTER"),
+            (4, "totally original doc"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in llm.dedup_lines(df, min_df=3).collect()}
+    assert len(rows) == 4
+    assert rows[1]["text"] == "unique alpha content\nmiddle bit"
+    assert rows[1]["n_lines_kept"] == 2 and rows[1]["n_lines_removed"] == 2
+    assert rows[2]["text"] == "another body line"
+    assert rows[3]["text"] == "" and rows[3]["n_lines_kept"] == 0
+    assert rows[4]["text"] == "totally original doc"
+    assert rows[4]["n_lines_removed"] == 0
+
+
+def test_dedup_lines_min_df_boundary(spark):
+    """A line shared by exactly min_df-1 docs is kept."""
+    df = spark.createDataFrame(
+        [(1, "shared\na1"), (2, "shared\nb1"), (3, "c1")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"]
+           for r in llm.dedup_lines(df, min_df=3).collect()}
+    assert out[1] == "shared\na1"          # df=2 < 3: kept
+    removed = {r["doc_id"]: r["text"]
+               for r in llm.dedup_lines(df, min_df=2).collect()}
+    assert removed[1] == "a1"              # df=2 >= 2: stripped
+
+
 def test_segment_dedup_idempotent_and_lossless_on_unique(spark, docs):
     """On already-unique segments the op must reassemble text exactly."""
     out = llm.segment_dedup(llm.segment_dedup(docs)
