@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     # r2 dedup/layout additions.
     "incremental_dedup",
     "semantic_dedup",
+    "dedup_lines",
+    "cdc_dup_spans",
     "tfidf_topk_terms",
     "events_zorder_index",
 ]

@@ -1262,6 +1262,105 @@ def bm25_scores(documents: DataFrame, query_terms: list[str] | None = None,
     )
 
 
+CDC_K = 4
+CDC_DIVISOR = 8
+CDC_MIN_DF = 2
+
+
+def cdc_dup_spans(documents: DataFrame, k: int = CDC_K,
+                  divisor: int = CDC_DIVISOR, min_df: int = CDC_MIN_DF,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Duplicated-span fraction per document via content-defined
+    chunking (CDC) — the shift-invariant member of the span-dedup
+    family (`segment_dedup` = fixed windows, `dedup_lines` = lines).
+
+    Chunk boundaries are drawn where the rolling k-token-gram hash
+    satisfies ``hash % divisor == 0``, so expected chunk length is
+    `divisor` tokens and boundaries depend only on LOCAL content: a
+    prefix insertion re-aligns after ~k tokens instead of shifting
+    every downstream window the way fixed segmentation does. Chunks
+    seen in >= `min_df` distinct documents count as duplicated; the
+    headline output is the fraction of a doc's tokens inside such
+    chunks — the ExactSubstr-style contamination signal used to gate
+    documents with heavily copied spans.
+
+    Returns (id_col, n_tokens, n_chunks, n_dup_chunks, dup_token_frac).
+
+    Spark shape: chunking is MAP-ONLY array algebra (no explode-sort,
+    same CollapseProject-dodging staging as `exploded_shingles`: each
+    derived array is materialized in its own projection and referenced
+    statically so tokenization/hashing run once per row, not per
+    lambda element). The only exchanges are the chunk-df aggregate —
+    which shuffles (sha2 digest, doc id, chunk token length), never
+    chunk text — and the per-doc rollup. Rows-only vs the oracle
+    (xxhash64 has no DuckDB twin); semantics are pinned by
+    shift-invariance tests.
+    """
+    d1 = documents.select(F.col(id_col), tokens_col(text_col).alias("__toks"))
+    # Per-position k-gram boundary hashes (size(__toks) static refs
+    # keep the tokenizer out of the interpreted lambda).
+    d2 = d1.select(
+        id_col, "__toks",
+        F.expr(
+            f"CASE WHEN size(__toks) >= {k} THEN "
+            f"transform(sequence(1, size(__toks) - {k - 1}), "
+            f"i -> xxhash64(concat_ws(' ', slice(__toks, i, {k})))) "
+            f"ELSE CAST(array() AS array<bigint>) END"
+        ).alias("__hs"),
+    )
+    d3 = d2.select(
+        id_col, "__toks",
+        F.expr(
+            f"CASE WHEN size(__hs) = 0 THEN array(1) "
+            f"ELSE array_distinct(concat(array(1), "
+            f"filter(sequence(1, size(__hs)), "
+            f"i -> pmod(try_element_at(__hs, i), {divisor}) = 0))) END"
+        ).alias("__b"),
+    )
+    # explode_outer, NOT explode: plain explode makes the optimizer
+    # infer a `size(__spans) > 0` pruning filter and push it below the
+    # projections — alias substitution inlines the whole HOF chain
+    # into one interpreted filter condition with exponential expression
+    # duplication (measured: hangs at 200 tokens/doc). __spans is never
+    # empty (__b always contains position 1) so the variants agree.
+    # The lazy localCheckpoint severs the optimizer boundary and keeps
+    # the chunk table computed ONCE for its two consumers below.
+    chunks = d3.select(
+        id_col,
+        F.explode_outer(F.expr(
+            "transform(sequence(1, size(__b)), j -> named_struct("
+            "'start', try_element_at(__b, j), "
+            "'len', coalesce(try_element_at(__b, j + 1), size(__toks) + 1)"
+            "       - try_element_at(__b, j)))"
+        )).alias("__span"),
+        F.col("__toks"),
+    ).select(
+        id_col,
+        F.sha2(F.concat_ws(
+            " ", F.expr("slice(__toks, __span.start, __span.len)")), 256,
+        ).alias("__digest"),
+        F.col("__span.len").alias("__len"),
+    ).localCheckpoint(eager=False)
+    chunk_df = (
+        chunks.groupBy("__digest")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+    )
+    dup = F.col("__df") >= min_df
+    return (
+        chunks.join(chunk_df, "__digest")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__len").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias("n_dup_chunks"),
+            F.round(
+                F.sum(F.when(dup, F.col("__len")).otherwise(0))
+                / F.greatest(F.sum("__len"), F.lit(1)), 6,
+            ).alias("dup_token_frac"),
+        )
+    )
+
+
 def incremental_dedup(new_docs: DataFrame, corpus: DataFrame,
                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Dedup a fresh batch against an existing corpus — the ongoing-
@@ -1674,6 +1773,23 @@ def _q_tfidf_topk(spark, sf):
     return tfidf_topk_terms(_docs(spark, sf))
 
 
+def _q_cdc_dup_spans(spark, sf):
+    """Rows-only (xxhash64 boundaries have no DuckDB twin). Replica
+    injection makes the query self-demonstrating on the fixture: docs
+    0-24 get a prefix-shifted copy at doc_id+1000000, so those pairs
+    must report high dup_token_frac while untouched docs stay near 0."""
+    docs = _docs(spark, sf).select("doc_id", "text")
+    shifted = (
+        docs.where(F.col("doc_id") < 25)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.lit("injected shifted replica prefix "),
+                     F.col("text")).alias("text"),
+        )
+    )
+    return cdc_dup_spans(docs.unionByName(shifted)).orderBy("doc_id")
+
+
 def _q_semantic_dedup(spark, sf):
     """Rows-only: k-means centroids have no SQL twin; numpy replay in
     tests asserts survivor-set equality."""
@@ -1727,6 +1843,7 @@ QUERIES = {
     "quality_score": _q_quality,
     "doc_fingerprint": _q_fingerprint,
     "incremental_dedup": _q_incremental_dedup,
+    "cdc_dup_spans": _q_cdc_dup_spans,
     "tfidf_topk_terms": _q_tfidf_topk,
     "semantic_dedup": _q_semantic_dedup,
     "heavy_hitters_terms": _q_heavy_hitters,

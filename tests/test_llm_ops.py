@@ -88,6 +88,41 @@ def test_dedup_lines_min_df_boundary(spark):
     assert removed[1] == "a1"              # df=2 >= 2: stripped
 
 
+def test_cdc_dup_spans_shift_invariant(spark):
+    """A prefix-shifted copy must still report most tokens duplicated
+    (content-defined boundaries re-align after ~k tokens) while a
+    unique doc reports zero; token accounting is exact."""
+    base = " ".join(f"w{i % 97}x{i % 89}" for i in range(200))
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "shifted prefix tokens here then " + base),
+            (3, " ".join(f"u{i}z{i * 7 % 101}" for i in range(150))),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in llm.cdc_dup_spans(df).collect()}
+    assert rows[1]["dup_token_frac"] >= 0.9
+    assert rows[2]["dup_token_frac"] >= 0.9      # fixed windows would be ~0
+    assert rows[3]["dup_token_frac"] == 0.0
+    assert rows[1]["n_tokens"] == 200
+    for r in rows.values():
+        assert r["n_dup_chunks"] <= r["n_chunks"]
+
+
+def test_cdc_dup_spans_edge_docs(spark):
+    """Empty and sub-k docs form one whole-doc chunk and never crash;
+    identical tiny docs still count as duplicated."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "tiny doc"), (3, "tiny doc")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in llm.cdc_dup_spans(df).collect()}
+    assert rows[1]["n_chunks"] == 1 and rows[1]["n_tokens"] == 0
+    assert rows[2]["dup_token_frac"] == 1.0      # exact twin of doc 3
+    assert rows[3]["dup_token_frac"] == 1.0
+
+
 def test_segment_dedup_idempotent_and_lossless_on_unique(spark, docs):
     """On already-unique segments the op must reassemble text exactly."""
     out = llm.segment_dedup(llm.segment_dedup(docs)
