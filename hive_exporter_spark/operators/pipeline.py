@@ -615,7 +615,9 @@ ORACLES = {
             SELECT doc_id, bigram, COUNT(*) AS n
             FROM bg GROUP BY doc_id, bigram
         )
-        SELECT doc_id, SUM(n) AS n_bigrams, MAX(n) AS top_bigram_count,
+        -- CAST(SUM..): DuckDB HUGEINT -> pandas float64 would break the
+        -- driver's int64 value-hash parity with Spark's bigint.
+        SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams, MAX(n) AS top_bigram_count,
                round(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_bigram_frac
         FROM per_bigram
         GROUP BY doc_id

@@ -352,10 +352,13 @@ ORACLES = {
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), numbered AS (
-            SELECT *, SUM(is_new) OVER (
+            -- CAST: DuckDB SUM(int) yields HUGEINT, which pandas renders as
+            -- float64 and the driver's value-hash then mismatches Spark's
+            -- bigint; BIGINT restores int64 parity.
+            SELECT *, CAST(SUM(is_new) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-            ) AS session_id
+            ) AS BIGINT) AS session_id
             FROM flagged
         )
         SELECT user_id, session_id,
@@ -410,8 +413,9 @@ ORACLES["cumulative_distinct_users"] = """
         FROM first_seen GROUP BY 1
     )
     SELECT day, new_users,
-           SUM(new_users) OVER (ORDER BY day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+           CAST(SUM(new_users) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
     FROM daily_new
     ORDER BY day
 """

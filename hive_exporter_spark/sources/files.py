@@ -29,12 +29,13 @@ TESTDATA_TABLES = (
 )
 
 
-# Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
-# reader rejects. With spark.sql.legacy.parquet.nanosAsLong=true they
-# surface as long (epoch nanos); we floor-divide to micros — identical
-# truncation to DuckDB's nanos→micros TIMESTAMP conversion, so oracle
-# comparisons stay exact. Integer `div`, NOT `/` (double division would
-# lose precision on ~1.7e18 nano values).
+# Event-time columns whose parquet physical type has shipped in two
+# fixture generations: TIMESTAMP(NANOS) (Spark's vectorized reader
+# rejects it unless spark.sql.legacy.parquet.nanosAsLong=true surfaces
+# it as epoch-nanos long, which we floor-divide to micros — identical
+# truncation to DuckDB's nanos→micros conversion) and TIMESTAMP(MICROS)
+# (reads natively as timestamp_ntz). read_table handles both; ts_range
+# pushes a scan predicate in either representation.
 NANO_TS_COLUMNS = {"events": ("ts",)}
 
 
@@ -59,7 +60,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str, fmt: str = "parquet"
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.format(fmt).load(path)
     for col in NANO_TS_COLUMNS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+        dtype = dict(df.dtypes).get(col)
+        if dtype == "bigint":
+            # TIMESTAMP(NANOS) fixture surfaced as epoch-nanos long: range-
+            # filter the raw long (pushes to the scan), then convert.
             if ts_range is not None:
                 lo, hi = ts_range
                 if lo is not None:
@@ -67,6 +71,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str, fmt: str = "parquet"
                 if hi is not None:
                     df = df.where(F.col(col) < _iso_to_nanos(hi))
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        elif dtype in ("timestamp", "timestamp_ntz") and ts_range is not None:
+            # TIMESTAMP(MICROS) fixture reads natively; a literal-vs-column
+            # comparison is a plain pushable predicate (PushedFilters shows
+            # ts >= ..., row-group min/max skipping applies).
+            ts_type = df.schema[col].dataType
+            lo, hi = ts_range
+            if lo is not None:
+                df = df.where(F.col(col) >= F.lit(lo).cast(ts_type))
+            if hi is not None:
+                df = df.where(F.col(col) < F.lit(hi).cast(ts_type))
     return df
 
 

@@ -17,33 +17,42 @@ from pyspark.sql.window import Window
 
 from hive_exporter_spark.operators import core
 
-EVENTS_SCHEMA = (
-    "event_id long, ts_nanos long, user_id long, event_type string, "
-    "value double, props string"
-)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of the events fixture. The fixture stores
-    TIMESTAMP(NANOS) which Spark reads as long under nanosAsLong
-    (sources/files.py); the stream converts to a proper event-time
-    column the same way."""
+    """Streaming scan of the events fixture.
+
+    The file stream source needs an explicit schema, and the fixture's
+    ``ts`` physical type has shipped as both TIMESTAMP(NANOS) (reads as
+    long under nanosAsLong) and TIMESTAMP(MICROS) (reads natively as
+    timestamp_ntz) — so peek at the batch-reader schema once (footer
+    metadata only, no data scan) and adapt. Watermarks require
+    TIMESTAMP/TIMESTAMP_NTZ, hence the nanos→micros conversion on the
+    long variant."""
     # Self-sufficient under any caller's session (see sources/files.py):
-    # the nanos columns need the legacy conf even with an explicit schema.
+    # nanos-era fixtures need the legacy conf even with an explicit schema.
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_path = os.path.join(sf_dir, "events.parquet")
+    ts_type = dict(spark.read.parquet(events_path).dtypes)["ts"]
+    schema = (f"event_id long, ts {ts_type}, user_id long, "
+              "event_type string, value double, props string")
     # The file stream source needs a *directory*; point it at sf_dir
     # and glob-filter to the events file.
     raw = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+        # on NTZ). The session-tz interpret-then-display round trip is the
+        # identity, so batch/stream agreement tests are unaffected.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",

@@ -105,8 +105,11 @@ def test_write_clustered_files_range_disjoint(spark, sf_dir, tmp_path):
     from hive_exporter_spark.sources.files import read_table
 
     out = str(tmp_path / "events_clustered")
+    # ts is TIMESTAMP_NTZ (not directly castable to long); unix_micros over
+    # an LTZ cast gives a monotone long key — a uniform tz shift preserves
+    # the range-disjointness property under test.
     ev = read_table(spark, sf_dir, "events").withColumn(
-        "ts_long", F.col("ts").cast("long")
+        "ts_long", F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
     )
     write_clustered(ev.select("event_id", "ts_long", "user_id", "value"),
                     out, ["ts_long"], n_files=8)

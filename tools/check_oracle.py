@@ -62,7 +62,19 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     s, d = normalize(spark_pdf.copy()), normalize(duck_pdf.copy())
     for c in s.columns:
         sv, dv = s[c], d[c]
-        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
+        # The driver's value-hash is dtype-sensitive: DuckDB HUGEINT (from
+        # SUM over integers) lands in pandas as float64 while Spark emits
+        # int64 — values equal, hashes different. Treat the int/float split
+        # itself as a failure so it surfaces locally, not in CORRECTNESS.
+        s_float = pd.api.types.is_float_dtype(sv)
+        d_float = pd.api.types.is_float_dtype(dv)
+        if s_float != d_float:
+            which = "spark" if s_float else "duck"
+            problems.append(
+                f"col {c}: dtype drift ({which} float vs int) — driver hash "
+                f"would fail; CAST the oracle (HUGEINT sums -> BIGINT)")
+            continue
+        if s_float or d_float:
             a = sv.astype(float).to_numpy()
             b = dv.astype(float).to_numpy()
             exact = np.array_equal(a, b, equal_nan=True)
