@@ -11,8 +11,10 @@ Builds a `spark.read.format('jdbc')` reader from a typed config:
 - aggregate pushdown for reconciliation counts
   (jdbc_loader_spark2.py:33-34).
 
-No live RDBMS exists in the test environment, so `build()` is
-exercised by option-asserting tests; `discover_bounds` has a
+Every path below executes for real against embedded Derby
+(`jdbc:derby:memory:`, tests/test_jdbc_derby.py): table scan, query
+scan, bounds discovery, range-partitioned parallel read, count
+pushdown, and the write-back path. `discover_bounds` also has a
 file-backed twin (core.bounds) used by the ingest tests.
 """
 
