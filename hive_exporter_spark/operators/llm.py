@@ -171,7 +171,20 @@ def ngram_jaccard_pairs(
     # twice plus the sizes aggregate; without the lineage break each
     # consumer re-runs tokenize+window (measured 15% slower at sf0.1).
     # Same recoverability trade-off as near_dup_clusters' iterations.
-    exploded = exploded_shingles(documents, k).localCheckpoint(eager=False)
+    #
+    # The join key is xxhash64(shingle), not the shingle string: the
+    # shuffle carries 8-byte longs instead of ~k-word strings and the
+    # sort-merge compares are integer compares (~15% faster at sf0.1,
+    # more at scale where the exchange dominates). A 64-bit collision
+    # would need ~2^32 distinct shingles per corpus to become likely;
+    # the DuckDB oracle joins on the raw string and stays exact, so a
+    # collision would surface as a CORRECTNESS diff rather than pass
+    # silently.
+    exploded = (
+        exploded_shingles(documents, k)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint(eager=False)
+    )
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = exploded.alias("a"), exploded.alias("b")
     common = (
@@ -188,6 +201,47 @@ def ngram_jaccard_pairs(
         .withColumn("jaccard", jacc)
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def containment_pairs(
+    documents: DataFrame,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Asymmetric near-duplicate pairs by shingle CONTAINMENT:
+    ``|A∩B| / min(|A|, |B|)`` — catches a short document embedded
+    verbatim inside a longer one (quote farms, article + boilerplate
+    wrappers), which Jaccard misses because the union is dominated by
+    the longer doc. Same inverted-index plan and hashed 8-byte join
+    key as ngram_jaccard_pairs; only the score differs, so the cost
+    profile and the LSH scale path are shared.
+    """
+    exploded = (
+        exploded_shingles(documents, k)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    cont = F.round(
+        F.col("n_common") / F.least(F.col("n_a"), F.col("n_b")), 6)
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("containment", cont)
+        .where(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "containment")
     )
 
 
@@ -833,9 +887,13 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     lineage so the plan doesn't grow with iterations.
     """
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # repartition(dst) BEFORE the checkpoint: LogicalRDD preserves the
+    # hash partitioning, so every round's edges⋈labels join reuses it
+    # and only the (much smaller) labels side re-exchanges per round —
+    # the edge set, the bulk of the data, shuffles exactly once.
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    ).repartition("dst").localCheckpoint()
     # Seed each node with min(itself, direct neighbors) — one grouped
     # aggregate that both enumerates the nodes and completes round 1 of
     # propagation (pair/star components, the common dup shape, are
@@ -1122,7 +1180,11 @@ def ngram_jaccard_pairs_capped(
     the semantics ("pairs sharing a rare shingle") are deterministic
     and oracle-checkable either way.
     """
-    ex = exploded_shingles(documents, k).localCheckpoint(eager=False)
+    # Same 8-byte hashed join key as ngram_jaccard_pairs: every shuffle
+    # below (df count, candidate join, intersection join) carries longs.
+    ex = (exploded_shingles(documents, k)
+          .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+          .localCheckpoint(eager=False))
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     rare = (
         ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -2305,4 +2367,32 @@ ORACLES["chunk_documents"] = f"""
              CAST(ceil(len(t) / {CHUNK_TOKENS}.0) AS BIGINT))) AS i)
     WHERE len(t) > 0
     ORDER BY doc_id, chunk_id
+"""
+
+
+def _q_containment(spark, sf):
+    return containment_pairs(_docs(spark, sf)).orderBy("doc_a", "doc_b")
+
+
+QUERIES["containment_pairs"] = _q_containment
+
+ORACLES["containment_pairs"] = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+    ), sizes AS (
+        SELECT doc_id, len({_SHINGLES_SQL}) AS n_sh FROM documents
+    ), common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           round(CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6)
+               AS containment
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6)
+          >= {CONTAINMENT_THRESHOLD}
+    ORDER BY doc_a, doc_b
 """

@@ -685,3 +685,223 @@ ORACLES["curation_pipeline"] = f"""
     FROM kept
     ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (data selection)
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_SOURCE = "src0"
+
+
+def dsir_weights(documents: DataFrame,
+                 target_source: str = DSIR_TARGET_SOURCE) -> DataFrame:
+    """Importance-resampling log-weights (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): score every document by how much its unigram
+    distribution looks like a target domain vs the raw pool —
+    ``sum over token occurrences of ln(p_target(tok) / p_raw(tok))``
+    with Laplace smoothing over the joint vocabulary. Positive score →
+    the doc resembles the target; sampling ∝ exp(score) reweights raw
+    data toward the target domain. Here the "target" is the fixture's
+    ``source = target_source`` slice; in production it is a curated
+    seed corpus (Wikipedia, books, ...).
+
+    Plan shape (3 exchanges, all on bounded keys): token explode is
+    map-only; vocabulary stats are one groupBy(token) with conditional
+    partial aggs; the single-row totals broadcast; the per-token
+    log-ratio joins back to the token stream ON THE SAME token key
+    (vocab side is already partitioned by token from its agg — only
+    the occurrence stream shuffles); the final per-doc sum is one
+    groupBy(doc_id). Vocabulary is corpus-bounded (~millions), never
+    O(corpus).
+
+    Determinism: per-token log-ratios are rounded to 9 dp and summed
+    as DECIMAL (order-independent), so the result hash-matches the
+    DuckDB oracle under any partitioning.
+    """
+    from hive_exporter_spark.operators.llm import tokens_col
+
+    toks = documents.select(
+        "doc_id", "source", F.explode(tokens_col()).alias("tok"))
+    is_t = (F.col("source") == target_source).cast("long")
+    vocab = toks.groupBy("tok").agg(
+        F.sum(is_t).alias("ct"),
+        F.sum(1 - is_t).alias("cr"),
+    )
+    totals = vocab.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr"),
+        F.count(F.lit(1)).alias("v"))
+    lr = (
+        vocab.join(F.broadcast(totals))
+        .select(
+            "tok",
+            F.round(
+                F.log((F.col("ct").cast("double") + 1.0)
+                      / (F.col("nt") + F.col("v")).cast("double"))
+                - F.log((F.col("cr").cast("double") + 1.0)
+                        / (F.col("nr") + F.col("v")).cast("double")),
+                9,
+            ).cast("decimal(28,9)").alias("lr"),
+        )
+    )
+    return (
+        toks.join(lr, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lr").cast("double"), 6).alias("dsir_logratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-entropy quality signal
+# ---------------------------------------------------------------------------
+
+
+def token_entropy(documents: DataFrame) -> DataFrame:
+    """Per-document Shannon entropy of the unigram distribution (nats):
+    ``H = ln(n) - (1/n) * sum over distinct tokens of c*ln(c)``. Low
+    entropy marks repetitive/boilerplate text (keyword stuffing, log
+    spam), complementing the top-bigram fraction of
+    ``repetition_signals``; near-``ln(n)`` entropy (every token
+    distinct) is normal prose.
+
+    Two exchanges, both keyed by doc_id-prefixed keys: (doc, token)
+    counts then the per-doc aggregate — partial aggs apply to both.
+    The ``c*ln(c)`` terms are rounded to 9 dp and summed as DECIMAL so
+    the per-doc sum is order-independent (hash-stable vs the oracle).
+    """
+    from hive_exporter_spark.operators.llm import tokens_col
+
+    toks = documents.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    term = F.round(
+        F.col("c").cast("double") * F.log(F.col("c").cast("double")), 9
+    ).cast("decimal(28,9)")
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.sum(term).cast("double").alias("__sumterm"),
+    )
+    h = F.log(F.col("n_tokens").cast("double")) - F.col("__sumterm") / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id", "n_tokens", "n_distinct_tokens",
+        F.round(h, 6).alias("token_entropy"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Per-contributor contribution cap
+# ---------------------------------------------------------------------------
+
+CONTRIBUTOR_CAP = 20
+
+
+def contributor_cap(events: DataFrame, key_col: str = "user_id",
+                    id_col: str = "event_id",
+                    k: int = CONTRIBUTOR_CAP) -> DataFrame:
+    """Cap each contributor's rows at k, chosen by deterministic hash
+    order — the per-author contribution limit of web-scale training
+    sets (no single user/domain dominates the mix), and the exact-k
+    per-stratum twin of `stratified_sample`'s fractional sampling.
+
+    One exchange (the rank window on key_col); the Knuth-hash ordering
+    makes the kept set stable across runs and partitionings, so
+    backfills keep identical rows. At 100 TB a heavy key's window sort
+    is bounded by that key's row count; for pathological single-key
+    skew compose with salting upstream.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        _hash_bucket(id_col, 1 << 20), id_col)
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _q_dsir(spark, sf):
+    return dsir_weights(_docs(spark, sf))
+
+
+def _q_entropy(spark, sf):
+    return token_entropy(_docs(spark, sf))
+
+
+def _q_contributor_cap(spark, sf):
+    return (
+        contributor_cap(read_table(spark, sf, "events"))
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+QUERIES["dsir_weights"] = _q_dsir
+QUERIES["token_entropy"] = _q_entropy
+QUERIES["contributor_cap"] = _q_contributor_cap
+
+ORACLES["dsir_weights"] = f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), vocab AS (
+        SELECT tok,
+               CAST(SUM(CASE WHEN source = '{DSIR_TARGET_SOURCE}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+               CAST(SUM(CASE WHEN source = '{DSIR_TARGET_SOURCE}'
+                             THEN 0 ELSE 1 END) AS BIGINT) AS cr
+        FROM toks GROUP BY tok
+    ), tot AS (
+        SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr,
+               COUNT(*) AS v
+        FROM vocab
+    ), lr AS (
+        SELECT tok,
+               CAST(round(
+                   ln((CAST(ct AS DOUBLE) + 1.0) / CAST(nt + v AS DOUBLE))
+                   - ln((CAST(cr AS DOUBLE) + 1.0) / CAST(nr + v AS DOUBLE)),
+               9) AS DECIMAL(28,9)) AS lr
+        FROM vocab, tot
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           round(CAST(SUM(lr) AS DOUBLE), 6) AS dsir_logratio
+    FROM toks JOIN lr USING (tok)
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+ORACLES["token_entropy"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), counts AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_distinct_tokens,
+               CAST(SUM(CAST(round(
+                   CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9
+               ) AS DECIMAL(28,9))) AS DOUBLE) AS sumterm
+        FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct_tokens,
+           round(ln(CAST(n_tokens AS DOUBLE)) - sumterm / n_tokens,
+                 6) AS token_entropy
+    FROM per_doc
+    ORDER BY doc_id
+"""
+
+ORACLES["contributor_cap"] = f"""
+    WITH ranked AS (
+        SELECT event_id, user_id, event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY {_hash_bucket_sql("event_id", 1 << 20)}, event_id
+               ) AS rn
+        FROM events
+    )
+    SELECT event_id, user_id, event_type, value
+    FROM ranked WHERE rn <= {CONTRIBUTOR_CAP}
+    ORDER BY event_id
+"""

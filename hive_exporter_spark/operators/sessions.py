@@ -419,3 +419,92 @@ ORACLES["cumulative_distinct_users"] = """
     FROM daily_new
     ORDER BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window anomaly detection
+# ---------------------------------------------------------------------------
+
+ANOMALY_TRAIL_DAYS = 7
+ANOMALY_Z = 2.0
+
+
+def event_anomaly_zscore(events: DataFrame,
+                         trail: int = ANOMALY_TRAIL_DAYS,
+                         z_cut: float = ANOMALY_Z) -> DataFrame:
+    """Daily per-event-type volume anomalies: z-score of each day's
+    count against the trailing `trail` days' mean/stddev (the standard
+    pipeline-health monitor — ingestion drops, bot spikes, replayed
+    batches all surface as |z| spikes).
+
+    Two exchanges total: the daily rollup, then ONE window partitioned
+    by event_type (a bounded key set — each type's day series sorts
+    within one task). Mean and variance come from exact integer sums
+    over the frame (sum, sum of squares), so the doubles are computed
+    from identical integers in any engine/partitioning — deterministic
+    without decimal rounding. Days with fewer than 2 trailing points
+    or zero variance yield NULL z (flagged false).
+    """
+    daily = (
+        events.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-trail, -1)
+    )
+    n = F.col("n_events").cast("double")
+    cnt = F.count("n_events").over(w)
+    s1 = F.sum("n_events").over(w).cast("double")
+    s2 = F.sum(F.col("n_events") * F.col("n_events")).over(w).cast("double")
+    mean = s1 / cnt
+    var = (s2 - s1 * s1 / cnt) / (cnt - 1)
+    z = F.when((cnt >= 2) & (var > 0),
+               F.round((n - mean) / F.sqrt(var), 6))
+    return (
+        daily.select(
+            "day", "event_type", "n_events",
+            z.alias("z"),
+            F.coalesce(F.abs(z) >= z_cut, F.lit(False)).alias("is_anomaly"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+def _q_anomaly(spark, sf):
+    return event_anomaly_zscore(read_table(spark, sf, "events"))
+
+
+QUERIES["event_anomaly_zscore"] = _q_anomaly
+
+ORACLES["event_anomaly_zscore"] = f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, event_type,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT day, event_type, n_events,
+               COUNT(n_events) OVER w AS cnt,
+               CAST(SUM(n_events) OVER w AS DOUBLE) AS s1,
+               CAST(SUM(n_events * n_events) OVER w AS DOUBLE) AS s2
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN {ANOMALY_TRAIL_DAYS} PRECEDING
+                     AND 1 PRECEDING)
+    )
+    SELECT day, event_type, n_events,
+           CASE WHEN cnt >= 2 AND (s2 - s1 * s1 / cnt) / (cnt - 1) > 0
+                THEN round((CAST(n_events AS DOUBLE) - s1 / cnt)
+                           / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), 6)
+           END AS z,
+           COALESCE(abs(CASE WHEN cnt >= 2
+                              AND (s2 - s1 * s1 / cnt) / (cnt - 1) > 0
+                             THEN round((CAST(n_events AS DOUBLE) - s1 / cnt)
+                                  / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), 6)
+                        END) >= {ANOMALY_Z}, FALSE) AS is_anomaly
+    FROM stats
+    ORDER BY day, event_type
+"""

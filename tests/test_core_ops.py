@@ -219,3 +219,24 @@ def test_plan_size_and_partition_advisor(spark, sf_dir):
     assert suggest_shuffle_partitions(li, target_partition_bytes=1 << 40) == 1
     # column pruning shrinks the estimate the advisor sees
     assert plan_size_bytes(li.select("l_orderkey")) < size
+
+
+def test_event_anomaly_zscore_flags_injected_spike(spark, sf_dir):
+    """Inject a 50x single-day spike for one event type; it must be
+    flagged, and z must be NULL for the first day (empty trail)."""
+    from hive_exporter_spark.operators.sessions import event_anomaly_zscore
+    from hive_exporter_spark.sources.files import read_table
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, sf_dir, "events").select("ts", "event_type")
+    spike_day = ev.agg(F.date_trunc("day", F.max("ts"))).first()[0]
+    spike = spark.range(5000).select(
+        F.lit(spike_day).alias("ts"), F.lit("click").alias("event_type"))
+    out = event_anomaly_zscore(ev.unionByName(spike))
+    rows = {(r["day"], r["event_type"]): r for r in out.collect()}
+    flagged = [r for r in rows.values() if r["is_anomaly"]]
+    assert any(r["day"] == spike_day and r["event_type"] == "click"
+               for r in flagged)
+    first_day = min(d for d, _ in rows)
+    assert all(rows[(first_day, t)]["z"] is None
+               for t in {k[1] for k in rows if k[0] == first_day})

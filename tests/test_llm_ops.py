@@ -544,3 +544,20 @@ def test_heavy_hitters_bounds_under_pressure(spark, docs):
         true = exact.get(r["term"], 0)
         assert r["est_count"] >= true, r
         assert r["est_count"] - r["err_upper"] <= true, r
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc embedded in a much longer one: containment ~1 but
+    Jaccard well under the 0.5 threshold — the pair must appear in
+    containment_pairs and not in ngram_jaccard_pairs."""
+    from hive_exporter_spark.operators.llm import (
+        containment_pairs, ngram_jaccard_pairs)
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"word{i} next{i} more{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, short + " " + filler)],
+        "doc_id long, text string")
+    cont = containment_pairs(docs).collect()
+    assert len(cont) == 1 and cont[0]["containment"] == 1.0
+    assert ngram_jaccard_pairs(docs).count() == 0

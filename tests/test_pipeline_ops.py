@@ -208,3 +208,55 @@ def test_source_mix_rebalance_targets(spark):
     realized_web = 60 * rows["web"]["sample_factor"]
     realized_code = 20 * rows["code"]["sample_factor"]
     assert abs(realized_web / (realized_web + realized_code) - 0.25) < 1e-4
+
+
+def test_dsir_weights_target_docs_score_higher(spark, sf_dir):
+    """The defining property of importance weights: documents FROM the
+    target source must average a higher target-vs-raw log-ratio than
+    the rest of the pool."""
+    docs = _docs(spark, sf_dir)
+    w = pipeline.dsir_weights(docs)
+    joined = w.join(docs.select("doc_id", "source"), "doc_id")
+    is_target = F.col("source") == pipeline.DSIR_TARGET_SOURCE
+    per_tok = F.col("dsir_logratio") / F.col("n_tokens")
+    rows = (joined.groupBy(is_target.alias("t"))
+            .agg(F.avg(per_tok).alias("m")).collect())
+    means = {r["t"]: r["m"] for r in rows}
+    assert means[True] > means[False]
+    # Deterministic across runs.
+    w2 = pipeline.dsir_weights(docs)
+    assert w.exceptAll(w2).count() == 0
+
+
+def test_token_entropy_bounds_and_repetition(spark, sf_dir):
+    """0 <= H <= ln(n_tokens); all-distinct docs hit the upper bound;
+    a synthetic one-token-repeated doc hits 0."""
+    ent = pipeline.token_entropy(_docs(spark, sf_dir))
+    bad = ent.where(
+        (F.col("token_entropy") < -1e-9)
+        | (F.col("token_entropy")
+           > F.log(F.col("n_tokens").cast("double")) + 1e-6)
+    )
+    assert bad.count() == 0
+    mono = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "a b c d")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pipeline.token_entropy(mono).collect()}
+    assert got[1]["token_entropy"] == 0.0
+    import math
+    assert abs(got[2]["token_entropy"] - round(math.log(4), 6)) < 1e-9
+
+
+def test_contributor_cap_exact_k_and_stable(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    capped = pipeline.contributor_cap(ev, k=5)
+    per_user = capped.groupBy("user_id").count()
+    assert per_user.where(F.col("count") > 5).count() == 0
+    # Users with >= 5 events keep exactly 5.
+    eligible = ev.groupBy("user_id").count().where(F.col("count") >= 5)
+    kept5 = per_user.where(F.col("count") == 5)
+    assert eligible.count() == kept5.count()
+    # Deterministic: same survivor set on re-run.
+    again = pipeline.contributor_cap(ev, k=5)
+    assert capped.select("event_id").exceptAll(
+        again.select("event_id")).count() == 0
