@@ -56,6 +56,10 @@ BENCH_QUERIES = [
     "cdc_dup_spans",
     "tfidf_topk_terms",
     "events_zorder_index",
+    # r3 additions: importance weighting + quality/anomaly signals.
+    "dsir_weights",
+    "token_entropy",
+    "event_anomaly_zscore",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

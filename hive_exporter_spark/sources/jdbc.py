@@ -12,10 +12,11 @@ Builds a `spark.read.format('jdbc')` reader from a typed config:
   (jdbc_loader_spark2.py:33-34).
 
 Every path below executes for real against embedded Derby
-(`jdbc:derby:memory:`, tests/test_jdbc_derby.py): table scan, query
-scan, bounds discovery, range-partitioned parallel read, count
-pushdown, and the write-back path. `discover_bounds` also has a
-file-backed twin (core.bounds) used by the ingest tests.
+(`jdbc:derby:memory:`, tests/test_jdbc_live.py): table scan, query
+scan, bounds discovery, range-partitioned parallel read, filter/count
+pushdown, the write-back path, and both incremental ingest strategies
+over a live source. `discover_bounds` also has a file-backed twin
+(core.bounds) used by the ingest tests.
 """
 
 from __future__ import annotations

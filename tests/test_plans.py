@@ -307,3 +307,43 @@ def test_zorder_index_map_only_after_bounds(t):
     # a single-row side; the events side itself is never repartitioned.
     assert plans.num_exchanges(df) <= 2, plans.formatted_plan(df)
     assert plans.has_broadcast_join(df)
+
+
+def test_dsir_weights_plan_shape(spark, sf_dir):
+    """Vocab totals broadcast (single row); no cartesian; bounded
+    exchange count (token agg + token join + doc agg + sort)."""
+    from hive_exporter_spark.operators import pipeline
+
+    df = pipeline.dsir_weights(read_table(spark, sf_dir, "documents"))
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plans.has_broadcast_join(df)
+    assert plans.num_exchanges(df) <= 5, plan
+
+
+def test_token_entropy_plan_shape(spark, sf_dir):
+    """(doc, token) partial agg collapses duplicates map-side before
+    the shuffle; the per-doc agg is the only other data exchange."""
+    from hive_exporter_spark.operators import pipeline
+
+    df = pipeline.token_entropy(read_table(spark, sf_dir, "documents"))
+    plan = plans.formatted_plan(df)
+    assert plans.num_exchanges(df) <= 3, plan
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+
+
+def test_contributor_cap_single_exchange(spark, sf_dir):
+    from hive_exporter_spark.operators import pipeline
+
+    df = pipeline.contributor_cap(read_table(spark, sf_dir, "events"))
+    assert plans.num_exchanges(df) == 1, plans.formatted_plan(df)
+
+
+def test_event_anomaly_plan_shape(spark, sf_dir):
+    """Daily rollup + one window + output sort — no joins at all."""
+    from hive_exporter_spark.operators import sessions
+
+    df = sessions.event_anomaly_zscore(read_table(spark, sf_dir, "events"))
+    plan = plans.formatted_plan(df)
+    assert plans.num_exchanges(df) <= 3, plan
+    assert "Join" not in plan, plan
