@@ -927,6 +927,70 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def near_dup_clusters_bigstar(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the O(log n)-round scale path beside
+    `near_dup_clusters`' O(diameter) label propagation. Identical
+    output contract: (doc_id, cluster_id = component minimum).
+
+    Why both: dup components are usually tiny stars (label propagation
+    converges in 1-2 cheap rounds), but chained near-dups (A~B~C~...,
+    template drift) build long paths where diameter-many rounds lose;
+    star operations square away path length every round. Each round is
+    two grouped min-aggregates + generate — same shuffle key (node) —
+    and the edge set only shrinks. Convergence = small-star fixpoint,
+    detected by an exact multiset fingerprint (count + per-side sums);
+    the fingerprint is constant ONLY at the fixpoint because every
+    star op strictly decreases the attachment potential Σmin(edge).
+    """
+    # Directed edge list; each star op symmetrizes on entry (the star
+    # semantics are defined on the UNDIRECTED neighborhood Γ(u), so
+    # in-edges count too) and emits child→min edges, deduped.
+    e = (pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+         .where(F.col("u") != F.col("v")).distinct().localCheckpoint())
+
+    def star(edges: DataFrame, large: bool) -> DataFrame:
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # m(u) = min(Γ(u) ∪ {u}); attach the chosen side of Γ(u) to it.
+        m = sym.groupBy("u").agg(F.min("v").alias("__mn"))
+        m = m.select("u", F.least("u", "__mn").alias("m"))
+        joined = sym.join(m, "u")
+        if large:
+            out = (joined.where(F.col("v") > F.col("u"))
+                   .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        else:
+            out = (joined.where(F.col("v") <= F.col("u"))
+                   .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                   .union(joined.select("u", F.col("m").alias("v"))))
+        return out.where(F.col("u") != F.col("v")).distinct()
+
+    def fingerprint(edges: DataFrame) -> tuple:
+        r = edges.agg(F.count(F.lit(1)), F.sum("u"), F.sum("v")).first()
+        return (r[0], r[1], r[2])
+
+    prev = fingerprint(e)
+    for _ in range(max_iter):
+        e = star(star(e, large=True), large=False).localCheckpoint()
+        cur = fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    # Fixpoint: every surviving edge is (node, component-min); nodes that
+    # ARE their component's min have no out-edge left — re-add them.
+    members = e.groupBy("u").agg(F.min("v").alias("cluster_id"))
+    roots = (
+        e.select(F.col("v").alias("u")).distinct()
+        .join(members, "u", "left_anti")
+        .select("u", F.col("u").alias("cluster_id"))
+    )
+    return (
+        members.union(roots)
+        .select(F.col("u").alias("doc_id"), "cluster_id")
+    )
+
+
 def minhash_lsh_pairs_ml(
     documents: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
@@ -2396,3 +2460,14 @@ ORACLES["containment_pairs"] = f"""
           >= {CONTAINMENT_THRESHOLD}
     ORDER BY doc_a, doc_b
 """
+
+
+def _q_clusters_bigstar(spark, sf):
+    return near_dup_clusters_bigstar(
+        ngram_jaccard_pairs(_docs(spark, sf))).orderBy("doc_id")
+
+
+QUERIES["near_dup_clusters_bigstar"] = _q_clusters_bigstar
+# Identical output contract to the label-propagation variant — the
+# recursive-CTE oracle applies verbatim.
+ORACLES["near_dup_clusters_bigstar"] = ORACLES["near_dup_clusters"]

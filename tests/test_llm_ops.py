@@ -561,3 +561,31 @@ def test_containment_catches_subset_jaccard_misses(spark):
     cont = containment_pairs(docs).collect()
     assert len(cont) == 1 and cont[0]["containment"] == 1.0
     assert ngram_jaccard_pairs(docs).count() == 0
+
+
+def test_bigstar_agrees_with_label_propagation(spark, sf_dir):
+    """Both component algorithms must produce the identical
+    (doc_id, cluster_id) mapping on the fixture pair graph."""
+    from hive_exporter_spark.operators.llm import (
+        near_dup_clusters, near_dup_clusters_bigstar, ngram_jaccard_pairs)
+    from hive_exporter_spark.sources.files import read_table
+
+    pairs = ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents")).localCheckpoint()
+    a = near_dup_clusters(pairs)
+    b = near_dup_clusters_bigstar(pairs)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_bigstar_long_chain_converges_fast(spark):
+    """A 64-node path graph (worst case for label propagation's
+    O(diameter) rounds) must still collapse to a single component."""
+    from hive_exporter_spark.operators.llm import near_dup_clusters_bigstar
+
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1, 1.0) for i in range(64)],
+        "doc_a long, doc_b long, n_common long, jaccard double")
+    out = near_dup_clusters_bigstar(chain)
+    rows = out.collect()
+    assert len(rows) == 65
+    assert all(r["cluster_id"] == 0 for r in rows)
