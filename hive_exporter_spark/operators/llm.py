@@ -26,6 +26,7 @@ EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
 # BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
 BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 FP_MOD = 1_000_000_007
+KNUTH = 2654435761  # shared with operators/pipeline.py's hash splits
 
 
 def tokens_col(text_col: str = "text") -> F.Column:
@@ -1120,6 +1121,69 @@ def dedup_near(documents: DataFrame, pairs: DataFrame,
         F.broadcast(losers.withColumnRenamed("doc_id", "__loser")),
         documents[id_col] == F.col("__loser"),
         "left_anti",
+    )
+
+
+def dedup_near_keep_best(documents: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Near-dedup keeping each cluster's HIGHEST-quality member (ties
+    → lowest id), not the arbitrary min-id one — canonical-by-merit:
+    when a cluster holds a clean original and a mangled scrape of it,
+    min-id keeps whichever crawled first; this keeps the better text.
+
+    Cost profile matches `dedup_near`: clustering runs on the pair
+    graph only; winner selection is one window over cluster members
+    (a vanishing fraction of the corpus); the final anti-join
+    broadcasts the loser ids, so the corpus never shuffles.
+    """
+    clusters = near_dup_clusters(pairs)
+    members = clusters.join(
+        quality_score(documents).select(id_col, "quality_score"), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col(id_col))
+    losers = (
+        members.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") > 1)
+        .select(F.col(id_col).alias("__loser"))
+    )
+    return documents.join(
+        F.broadcast(losers), documents[id_col] == F.col("__loser"),
+        "left_anti",
+    )
+
+
+# Deterministic weighted sampling: Efraimidis–Spirakis keys with a
+# hash-derived uniform instead of engine RNG, so the sample is stable
+# across runs/partitionings and exactly reproducible in the oracle.
+WEIGHTED_SAMPLE_K = 100
+_WS_MOD = 1 << 20
+
+
+def weighted_sample(documents: DataFrame, k: int = WEIGHTED_SAMPLE_K,
+                    weight_col: str = "n_chars",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Top-k weighted sample without replacement (Efraimidis–Spirakis,
+    IPL 2006): each row draws key = ln(u) / w with u uniform in (0,1);
+    the k largest keys form a sample where inclusion probability is
+    proportional to weight. Here u is Knuth-hash-derived from the id —
+    deterministic, so backfills resample identically and the DuckDB
+    twin reproduces the exact row set.
+
+    Scale: orderBy+limit compiles to TakeOrderedAndProject — each
+    partition keeps a local k-heap and the driver merges k·P rows;
+    no global sort, no single-task window. Keys are rounded to 9 dp
+    (with id tiebreak) so cross-engine ULP drift cannot flip the
+    order at the cutoff."""
+    u = ((F.col(id_col).cast("long") * F.lit(KNUTH)) % _WS_MOD
+         + F.lit(0.5)) / F.lit(float(_WS_MOD))
+    key = F.round(F.log(u) / F.col(weight_col), 9)
+    return (
+        documents.select(
+            id_col, "lang", "source", F.col(weight_col).alias("weight"),
+            key.alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), F.col(id_col))
+        .limit(k)
     )
 
 
@@ -2471,3 +2535,52 @@ QUERIES["near_dup_clusters_bigstar"] = _q_clusters_bigstar
 # Identical output contract to the label-propagation variant — the
 # recursive-CTE oracle applies verbatim.
 ORACLES["near_dup_clusters_bigstar"] = ORACLES["near_dup_clusters"]
+
+
+def _q_dedup_keep_best(spark, sf):
+    d = _docs(spark, sf)
+    return dedup_near_keep_best(d, ngram_jaccard_pairs(d)).orderBy("doc_id")
+
+
+def _q_weighted_sample(spark, sf):
+    return weighted_sample(_docs(spark, sf))
+
+
+QUERIES["dedup_near_keep_best"] = _q_dedup_keep_best
+QUERIES["weighted_sample"] = _q_weighted_sample
+
+ORACLES["dedup_near_keep_best"] = f"""
+    WITH RECURSIVE {_REACH_SQL},
+    clusters AS (
+        SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    ), quality AS (
+        SELECT doc_id,
+               round(0.5 * least(CAST(len({_TOKS_SQL}) AS DOUBLE) / 200.0, 1.0)
+                     + 0.5 * (CAST(len(list_distinct({_TOKS_SQL})) AS DOUBLE)
+                              / len({_TOKS_SQL})), 6) AS quality_score
+        FROM documents
+    ), losers AS (
+        SELECT doc_id FROM (
+            SELECT c.doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.cluster_id
+                       ORDER BY q.quality_score DESC, c.doc_id
+                   ) AS rk
+            FROM clusters c JOIN quality q USING (doc_id)
+        ) WHERE rk > 1
+    )
+    SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    ORDER BY doc_id
+"""
+
+ORACLES["weighted_sample"] = f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, source, n_chars AS weight,
+               round(ln(((CAST(doc_id AS BIGINT) * {KNUTH}) % {_WS_MOD} + 0.5)
+                        / {float(_WS_MOD)}) / n_chars, 9) AS es_key
+        FROM documents
+    )
+    SELECT * FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT {WEIGHTED_SAMPLE_K}
+"""

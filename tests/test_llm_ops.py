@@ -589,3 +589,34 @@ def test_bigstar_long_chain_converges_fast(spark):
     rows = out.collect()
     assert len(rows) == 65
     assert all(r["cluster_id"] == 0 for r in rows)
+
+
+def test_keep_best_keeps_highest_quality_member(spark):
+    """Two near-identical docs where the higher-id one is longer (and
+    thus higher-quality): keep-best must keep id 2, min-id dedup
+    would keep id 1."""
+    from hive_exporter_spark.operators.llm import (
+        dedup_near, dedup_near_keep_best, ngram_jaccard_pairs)
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " " + " ".join(f"extra{i}" for i in range(60)))],
+        "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.4).localCheckpoint()
+    assert pairs.count() == 1
+    best = [r["doc_id"] for r in dedup_near_keep_best(docs, pairs).collect()]
+    minid = [r["doc_id"] for r in dedup_near(docs, pairs).collect()]
+    assert best == [2] and minid == [1]
+
+
+def test_weighted_sample_favors_heavy_rows_and_is_stable(spark, sf_dir):
+    from hive_exporter_spark.operators.llm import weighted_sample
+    from hive_exporter_spark.sources.files import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    s1 = weighted_sample(docs, k=50)
+    s2 = weighted_sample(docs, k=50)
+    assert s1.exceptAll(s2).count() == 0  # deterministic
+    mean_w = s1.agg(F.avg("weight")).first()[0]
+    pop_w = docs.agg(F.avg("n_chars")).first()[0]
+    assert mean_w > pop_w  # weight-proportional inclusion
