@@ -297,9 +297,18 @@ def minhash_lsh_pairs(
     100 TB dedup path.
     """
     rows_per_band = slots // bands
-    sigs = minhash_signatures(documents, slots)
+    # Checkpointed: the signature table feeds three consumers (the
+    # banded key stream + both scoring joins) — one computation.
+    sigs = minhash_signatures(documents, slots).localCheckpoint(eager=False)
+    # The band join carries ONLY (doc_id, band, bucket) — 20 bytes/row.
+    # An earlier formulation shipped the 32-long signature array with
+    # every band copy (~280 bytes × bands per doc) through the join
+    # shuffle; at 100 TB that exchange is the operator's entire cost.
+    # Signatures rejoin AFTER candidate dedup, and the sigs side of
+    # those joins reuses its aggregation partitioning (doc_id) — only
+    # the (near-dup-sized) candidate list re-exchanges.
     banded = sigs.select(
-        "doc_id", "signature",
+        "doc_id",
         F.explode(F.array(*[
             F.struct(
                 F.lit(bi).alias("band"),
@@ -308,26 +317,24 @@ def minhash_lsh_pairs(
             )
             for bi in range(bands)
         ])).alias("bb"),
-    ).select("doc_id", "signature", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket")
     a, b = banded.alias("a"), banded.alias("b")
-    agree = F.size(F.filter(
-        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
-    ))
-    # Score + threshold BEFORE the pair-dedup exchange: est_jaccard is
-    # identical for every band copy of a pair, so filtering first is
-    # safe and the dedup shuffle carries 3 scalar columns instead of
-    # two 32-long signature arrays per (mostly sub-threshold) pair.
-    return (
+    cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-            F.col("a.signature").alias("sig_a"), F.col("b.signature").alias("sig_b"),
-        )
-        .withColumn("est_jaccard", agree / F.lit(MINHASH_SLOTS))
-        .where(F.col("est_jaccard") >= threshold)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
+    agree = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+    ))
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("est_jaccard", agree / F.lit(slots))
+        .where(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )
 
