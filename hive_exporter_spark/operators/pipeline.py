@@ -905,3 +905,169 @@ ORACLES["contributor_cap"] = f"""
     FROM ranked WHERE rn <= {CONTRIBUTOR_CAP}
     ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Distributed exact global rank + token-balanced sharding + tail trim
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 16
+TRIM_LO, TRIM_HI = 0.01, 0.99
+
+
+def global_rank(df: DataFrame, order_cols: list,
+                rank_col: str = "rank") -> DataFrame:
+    """Exact 1-based global rank under a TOTAL order, without the
+    single-task bottleneck Spark plans for ``Window.orderBy()`` with no
+    ``partitionBy`` (WindowExec warns "No Partition Defined … moving
+    all data to a single partition" — a non-starter at 100 TB).
+
+    Two-phase distributed rank:
+
+    1. ``repartitionByRange`` on the order key: Spark samples range
+       boundaries, so partitions are balanced AND globally ordered
+       across partitions.
+    2. The per-partition row counts (a ``spark_partition_id`` × count
+       histogram, at most ``spark.sql.shuffle.partitions`` rows) are
+       turned into preceding-count offsets and broadcast-joined back;
+       ``rank = offset + within-partition row_number``.
+
+    Every partition ranks concurrently. The only narrow step is the
+    offset cumsum over the histogram — shuffle.partitions rows, not
+    data rows. Output is deterministic wherever the sampled range
+    boundaries fall: moving a boundary moves rows between partitions
+    but ``offset + local row_number`` is exact for ANY split of a
+    sorted sequence (order_cols must end in a unique tiebreaker, which
+    also pins equal-key placement).
+
+    Scale note: project df down to the order/key columns before
+    ranking — both exchanges (rangepartitioning, then the pid-hash
+    cluster for the window) carry the full projected row.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    # Checkpointed: the ranged table feeds the histogram AND the main
+    # path — one range exchange, and the partition ids the histogram
+    # counted are exactly the ones the join sees.
+    d = df.repartitionByRange(*cols).withColumn(
+        "__pid", F.spark_partition_id()).localCheckpoint(eager=False)
+    counts = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    # Histogram-sized single-partition window: ≤ shuffle.partitions
+    # rows, the deliberate narrow step (NOT the data path).
+    off_w = (Window.orderBy("__pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off"))
+    rn_w = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        d.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.col("__off") + F.row_number().over(rn_w)))
+        .drop("__pid", "__off")
+    )
+
+
+def shard_by_tokens(documents: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
+    """Token-balanced training-shard assignment: rank documents by
+    token count (descending, doc_id tiebreak) and deal ranks to shards
+    boustrophedon (snake) order — rank 0..n-1 left-to-right, rank
+    n..2n-1 right-to-left, … . The writer-side counterpart of
+    ``pack_sequences``: equal-TOKEN shards (not equal-row), so no
+    trainer data-loader idles behind a fat shard.
+
+    Greedy bin-packing (always fill the lightest shard) is inherently
+    sequential; snake-over-rank is its distributed stand-in — the
+    largest docs are spread one per shard, direction alternates so
+    shard 0 doesn't collect every cycle's largest residue. Per-shard
+    token totals differ by at most one document's tokens per cycle,
+    and the assignment is a pure function of the rank: deterministic
+    across runs, partitionings, and cluster sizes.
+
+    Cost: the two lean exchanges of `global_rank` over a projected
+    (doc_id, n_tokens) pair — 16 bytes/row at any corpus size.
+    """
+    toks = documents.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
+    ranked = global_rank(
+        toks, [F.col("n_tokens").desc(), F.col("doc_id")], rank_col="rank")
+    r0 = F.col("rank") - 1
+    cycle = F.floor(r0 / n_shards)
+    pos = r0 % n_shards
+    shard = F.when(cycle % 2 == 0, pos).otherwise(n_shards - 1 - pos)
+    return ranked.select(
+        "doc_id", "n_tokens", shard.cast("int").alias("shard"))
+
+
+def trim_outliers(events: DataFrame, group_col: str = "event_type",
+                  value_col: str = "value", lo: float = TRIM_LO,
+                  hi: float = TRIM_HI) -> DataFrame:
+    """Drop each group's value-distribution tails: keep rows whose
+    exact ``percent_rank`` within the group lies in [lo, hi]. The
+    robust-stats guard in front of per-group aggregates (a handful of
+    corrupt sensor readings otherwise own a 100 TB mean) — the exact
+    twin of `approx_value_stats`' sketch percentiles.
+
+    One exchange (the group window); percent_rank = (rank-1)/(n-1) is
+    the same IEEE division in DuckDB, so the kept set is
+    oracle-exact. Ties share a rank: a value straddling the cut is
+    kept or dropped atomically, never split.
+    """
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    pr = F.percent_rank().over(w)
+    return (
+        events.withColumn("__pr", pr)
+        .where((F.col("__pr") >= lo) & (F.col("__pr") <= hi))
+        .drop("__pr")
+    )
+
+
+def _q_shard_by_tokens(spark, sf):
+    return shard_by_tokens(_docs(spark, sf)).orderBy("doc_id")
+
+
+def _q_trimmed_event_stats(spark, sf):
+    trimmed = trim_outliers(read_table(spark, sf, "events"))
+    return (
+        trimmed.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"),
+             dsum("value").alias("sum_value"),
+             F.round(F.min("value"), 6).alias("min_value"),
+             F.round(F.max("value"), 6).alias("max_value"))
+        .orderBy("event_type")
+    )
+
+
+QUERIES["shard_by_tokens"] = _q_shard_by_tokens
+QUERIES["trimmed_event_stats"] = _q_trimmed_event_stats
+
+ORACLES["shard_by_tokens"] = f"""
+    WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, n_tokens,
+               ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS r0
+        FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           CAST(CASE WHEN (r0 // {N_SHARDS}) % 2 = 0
+                     THEN r0 % {N_SHARDS}
+                     ELSE {N_SHARDS - 1} - (r0 % {N_SHARDS}) END
+                AS INTEGER) AS shard
+    FROM ranked
+    ORDER BY doc_id
+"""
+
+ORACLES["trimmed_event_stats"] = f"""
+    WITH pr AS (
+        SELECT event_type, value,
+               PERCENT_RANK() OVER (
+                   PARTITION BY event_type ORDER BY value) AS p
+        FROM events
+    )
+    SELECT event_type, COUNT(*) AS n_kept,
+           {dsum_sql('value')} AS sum_value,
+           round(MIN(value), 6) AS min_value,
+           round(MAX(value), 6) AS max_value
+    FROM pr WHERE p >= {TRIM_LO} AND p <= {TRIM_HI}
+    GROUP BY event_type
+    ORDER BY event_type
+"""

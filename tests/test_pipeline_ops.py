@@ -260,3 +260,70 @@ def test_contributor_cap_exact_k_and_stable(spark, sf_dir):
     again = pipeline.contributor_cap(ev, k=5)
     assert capped.select("event_id").exceptAll(
         again.select("event_id")).count() == 0
+
+
+def test_global_rank_exact_vs_single_partition_window(spark):
+    # Adversarial input: pre-shuffled ordering, duplicate sort keys
+    # (unique tiebreaker id), skewed partition layout.
+    from pyspark.sql import Window
+    rows = [(i, (i * 37) % 11) for i in range(997)]
+    df = (spark.createDataFrame(rows, "id bigint, v bigint")
+          .repartition(13, "v"))
+    got = pipeline.global_rank(df, [F.col("v").desc(), F.col("id")])
+    expect = df.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("v").desc(), "id")))
+    assert got.select("id", "v", "rank").exceptAll(
+        expect.select("id", "v", "rank")).count() == 0
+    assert got.count() == 997
+
+
+def test_global_rank_avoids_single_partition_data_path(spark):
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("v"))
+    plan = pipeline.global_rank(
+        df, [F.col("v"), F.col("id")])._jdf.queryExecution().executedPlan().toString()
+    # The ranged table is lineage-broken (localCheckpoint) so the
+    # range exchange ran once inside the checkpointed RDD; the visible
+    # plan must scan that RDD, and the only SinglePartition exchange
+    # allowed is the histogram cumsum (post-aggregate, ≤ shuffle
+    # partitions rows) — never the data path.
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    # The data-side window clusters by __pid — a balanced hash
+    # exchange, not a global sort into one task.
+    assert "hashpartitioning(__pid" in plan, plan
+
+
+def test_shard_by_tokens_balance_and_determinism(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = pipeline.shard_by_tokens(docs)
+    b = pipeline.shard_by_tokens(docs.repartition(7))
+    # Pure function of content — identical under any input partitioning.
+    assert a.exceptAll(b).count() == 0
+    totals = (a.groupBy("shard").agg(F.sum("n_tokens").alias("t"))
+              .collect())
+    assert len(totals) == pipeline.N_SHARDS
+    ts = [r["t"] for r in totals]
+    # Snake-balance bound: spread ≤ max document's tokens is the theory
+    # for one cycle; across cycles drift stays a small multiple. Assert
+    # the practical guarantee: within 10% of perfect balance.
+    assert max(ts) <= min(ts) * 1.10, sorted(ts)
+    # Every doc assigned exactly once.
+    assert a.count() == docs.count()
+    assert a.select("doc_id").distinct().count() == docs.count()
+
+
+def test_trim_outliers_bounds_and_fraction(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    kept = pipeline.trim_outliers(ev)
+    n, k = ev.count(), kept.count()
+    # Cuts ~1% per tail: kept fraction in [95%, 100%).
+    assert 0.95 * n <= k < n
+    # Per-group extremes must be dropped (the max value of each group
+    # has percent_rank 1.0 > hi).
+    mx = {r["event_type"]: r["m"] for r in
+          ev.groupBy("event_type").agg(F.max("value").alias("m")).collect()}
+    for et, m in mx.items():
+        assert kept.where(
+            (F.col("event_type") == et) & (F.col("value") >= m)
+        ).count() == 0
