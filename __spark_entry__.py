@@ -569,12 +569,13 @@ _PRIORITY = (
     "dedup_exact", "dedup_lines", "ngram_jaccard_pairs",
     "minhash_lsh_pairs", "containment_pairs",
     "near_dup_clusters", "dedup_near_duplicates", "dedup_near_keep_best",
+    "dedup_near_minhash",
     "semantic_dedup",
     "training_data_prep", "curation_pipeline",
     "embedding_topk_cosine", "embedding_near_dup_pairs",
     # Text analysis.
     "text_stats", "chunk_documents", "token_count_bpe", "language_id",
-    "quality_score", "doc_fingerprint", "token_doc_frequency",
+    "quality_score", "token_doc_frequency",
     "ngram_contamination", "tfidf_topk_terms", "token_entropy",
     # Curation pipeline ops (r3: DSIR importance weighting + weighted
     # sampling).

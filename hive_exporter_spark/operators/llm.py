@@ -251,11 +251,42 @@ def containment_pairs(
 # xxhash64, so these are rows-only checked (driver's weaker gate).
 MINHASH_SLOTS = 32
 LSH_BANDS = 8  # 8 bands × 4 rows: catches Jaccard ≳ 0.5 w.h.p.
+# Engine-portable minhash hashing (Carter-Wegman universal family):
+# slot i hashes a shingle's md5-derived base value x ∈ [0, 2^28) as
+# (a_i·x + b_i) mod P with P = 2^31−1. Every product stays < 2^59, so
+# the SAME arithmetic runs overflow-free in engines with checked
+# int64 math (DuckDB raises on overflow where the JVM wraps) — which
+# is what lets the DuckDB oracle replicate the ENTIRE LSH pipeline
+# value-for-value instead of settling for a rows-only check. The
+# coefficients are fixed pseudo-random constants (seeded at import,
+# no engine RNG): identical across runs, sessions, and engines.
+MINHASH_P = 2147483647  # 2^31 − 1, Mersenne prime
+import random as _random  # noqa: E402  (module-constant generation only)
+_rng = _random.Random(0x5EED)
+MINHASH_COEF = tuple(
+    (_rng.randrange(1, MINHASH_P), _rng.randrange(0, MINHASH_P))
+    for _ in range(MINHASH_SLOTS)
+)
+del _rng
+# Band-bucket mixing weights (one per row-in-band): million-scale
+# primes keep the weighted sum < 2^53 (int64-exact in both engines,
+# and exactly representable even if a reader lands it in a double).
+# A weighted sum collides more often than a real hash; false bucket
+# collisions only add candidates that the full-signature scoring
+# then rejects — identically in Spark and the oracle.
+BAND_WEIGHTS = (1000003, 1000033, 1000037, 1000039)
 
 
 def minhash_signatures(documents: DataFrame, slots: int = MINHASH_SLOTS) -> DataFrame:
-    """Per-doc MinHash signature: min over shingles of xxhash64(shingle,
-    seed=i) for each slot i.
+    """Per-doc MinHash signature: min over shingles of the slot-i
+    Carter-Wegman hash (a_i·x + b_i) mod P, where x is the shingle's
+    md5-derived 28-bit base value (see MINHASH_COEF).
+
+    md5 runs ONCE per shingle; each slot is then two integer ops —
+    cheaper than a per-slot string hash, and (unlike xxhash64, which
+    only the JVM implements) bit-reproducible in DuckDB, so the
+    CORRECTNESS gate value-checks the whole LSH pipeline instead of
+    counting rows.
 
     Explode + grouped min-aggregation, NOT array_min-over-transform:
     higher-order functions run interpreted (no codegen, no
@@ -273,8 +304,17 @@ def minhash_signatures(documents: DataFrame, slots: int = MINHASH_SLOTS) -> Data
     to 32 longs per doc.
     """
     ex = exploded_shingles(documents, distinct=False)
-    mins = ex.groupBy("doc_id").agg(*[
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(slots)
+    # 7 hex chars of md5 → x ∈ [0, 2^28): small enough that a_i·x + b_i
+    # stays < 2^59 (overflow-free in checked-arithmetic engines).
+    base = ex.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10)
+        .cast("long").alias("__x"),
+    )
+    mins = base.groupBy("doc_id").agg(*[
+        F.min((F.lit(a) * F.col("__x") + F.lit(b)) % F.lit(MINHASH_P))
+        .alias(f"h{i}")
+        for i, (a, b) in enumerate(MINHASH_COEF[:slots])
     ])
     return mins.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(slots)]).alias("signature")
@@ -307,14 +347,24 @@ def minhash_lsh_pairs(
     # Signatures rejoin AFTER candidate dedup, and the sigs side of
     # those joins reuses its aggregation partitioning (doc_id) — only
     # the (near-dup-sized) candidate list re-exchanges.
+    # Bucket = prime-weighted sum of the band's slot minima — portable
+    # integer arithmetic (see BAND_WEIGHTS) instead of an engine hash,
+    # so the oracle reproduces the buckets exactly.
+    def _bucket(bi: int) -> F.Column:
+        terms = [
+            F.element_at("signature", bi * rows_per_band + r + 1)
+            * F.lit(BAND_WEIGHTS[r % len(BAND_WEIGHTS)])
+            for r in range(rows_per_band)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
     banded = sigs.select(
         "doc_id",
         F.explode(F.array(*[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.hash(*[F.element_at("signature", bi * rows_per_band + r + 1)
-                         for r in range(rows_per_band)]).alias("bucket"),
-            )
+            F.struct(F.lit(bi).alias("band"), _bucket(bi).alias("bucket"))
             for bi in range(bands)
         ])).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
@@ -1939,8 +1989,9 @@ def _q_minhash_ml(spark, sf):
 def _q_dedup_near_minhash(spark, sf):
     """The 100 TB dedup path end-to-end: LSH candidates (not O(n²)
     shingle joins) drive the same component clustering + canonical
-    selection. Rows-only (xxhash64 has no DuckDB twin); agreement with
-    the exact-Jaccard path is asserted in tests."""
+    selection. Value-hash-checked since the minhash pipeline moved to
+    engine-portable Carter-Wegman hashing; agreement with the
+    exact-Jaccard path is additionally asserted in tests."""
     docs = _docs(spark, sf)
     return dedup_near(docs, minhash_lsh_pairs(docs))
 
@@ -2216,12 +2267,88 @@ ORACLES = {
               ON a.vec_id < b.vec_id
         ) WHERE score >= {COSINE_DUP_THRESHOLD}
     """,
-    # minhash_lsh_pairs(_ml) / simhash64 / embedding_topk_cosine_lsh
+    # minhash_lsh_pairs_ml / simhash64 / embedding_topk_cosine_lsh
     # (_brp_lsh, _pandas, _ivf) / embedding_near_dup_lsh_pairs:
-    # xxhash64 / seeded-hyperplane / spark.ml-hash / numpy-summation
+    # spark.ml-hash / seeded-hyperplane / xxhash64 / numpy-summation
     # based — no exact DuckDB twin; rows-only checked (equivalence to
     # their exact baselines is asserted in tests instead).
+    # minhash_lsh_pairs itself IS oracle-checked (below): its
+    # Carter-Wegman-on-md5 hashing was chosen to be engine-portable.
 }
+
+# DuckDB twin of the FULL MinHash+LSH pipeline: same md5-derived base
+# values, same Carter-Wegman slot hashes (inline coefficient table =
+# MINHASH_COEF), same prime-weighted band buckets, same
+# signature-agreement scoring. Distinct shingles are safe here even
+# though the Spark side explodes non-distinct: MIN ignores duplicates.
+_MINHASH_RPB = MINHASH_SLOTS // LSH_BANDS
+_MINHASH_COEF_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_COEF)
+)
+_BAND_W_CASE = "CASE i % " + str(_MINHASH_RPB) + " " + " ".join(
+    f"WHEN {r} THEN {BAND_WEIGHTS[r % len(BAND_WEIGHTS)]}"
+    for r in range(_MINHASH_RPB)
+) + " END"
+ORACLES["minhash_lsh_pairs"] = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+    ), base AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS x
+        FROM sh
+    ), coef(i, a, b) AS (
+        VALUES {_MINHASH_COEF_VALUES}
+    ), sigs AS (
+        SELECT doc_id, i, MIN((a * x + b) % {MINHASH_P}) AS h
+        FROM base CROSS JOIN coef
+        GROUP BY doc_id, i
+    ), buckets AS (
+        SELECT doc_id, i // {_MINHASH_RPB} AS band,
+               CAST(SUM(h * {_BAND_W_CASE}) AS BIGINT) AS bucket
+        FROM sigs GROUP BY doc_id, i // {_MINHASH_RPB}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a
+        JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                      AND a.doc_id < b.doc_id
+    ), agree AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_agree
+        FROM cand c
+        JOIN sigs ha ON ha.doc_id = c.doc_a
+        JOIN sigs hb ON hb.doc_id = c.doc_b AND hb.i = ha.i
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_agree AS DOUBLE) / {MINHASH_SLOTS} AS est_jaccard
+    FROM agree
+    WHERE CAST(n_agree AS DOUBLE) / {MINHASH_SLOTS} >= {JACCARD_THRESHOLD}
+"""
+
+# dedup_near over the LSH candidates: the same recursive component
+# closure as dedup_near_duplicates, seeded from the (now portable)
+# minhash pair query instead of the exact-Jaccard one.
+ORACLES["dedup_near_minhash"] = f"""
+    WITH RECURSIVE
+    pairs AS (SELECT * FROM ({ORACLES["minhash_lsh_pairs"]})),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+    ),
+    losers AS (
+        SELECT node FROM (
+            SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+        ) WHERE node <> cluster_id
+    )
+    SELECT * FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)
+"""
 
 def _ngram_pairs_sql(src: str = "documents") -> str:
     """DuckDB twin of ngram_jaccard_pairs over any (doc_id, text) source."""
