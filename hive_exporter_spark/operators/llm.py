@@ -389,9 +389,26 @@ def minhash_lsh_pairs(
     )
 
 
+SIMHASH_BITS = 64
+_rng = _random.Random(0x51A5)
+SIMHASH_COEF = tuple(
+    (_rng.randrange(1, MINHASH_P), _rng.randrange(0, MINHASH_P))
+    for _ in range(SIMHASH_BITS)
+)
+del _rng
+
+
 def simhash64(documents: DataFrame) -> DataFrame:
-    """64-bit SimHash over word tokens: per-bit majority vote of token
-    xxhash64 hashes.
+    """64-bit SimHash over word tokens: bit i is the majority vote of
+    the slot-i Carter-Wegman parity ((a_i·x + b_i) mod P) mod 2 of
+    each token's md5-derived base value x (every occurrence votes).
+
+    Same engine-portable hashing family as `minhash_signatures` — one
+    md5 per token, two integer ops per bit — so the DuckDB oracle
+    reproduces the fingerprint bit-for-bit (bit 63 enters the packed
+    value as the negative two's-complement constant, matching the
+    JVM's shiftleft overflow semantics without overflowing DuckDB's
+    checked int64 math).
 
     Explode + 64 conditional-sum partial aggregates (same reasoning as
     `minhash_signatures`: HOF-per-bit would re-tokenize 64×; the
@@ -400,16 +417,22 @@ def simhash64(documents: DataFrame) -> DataFrame:
     clear; ties (exactly half) leave it clear.
     """
     ex = documents.select("doc_id", F.explode(tokens_col()).alias("tok"))
-    h = F.xxhash64("tok")
-    votes = ex.groupBy("doc_id").agg(*[
+    base = ex.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 7), 16, 10)
+        .cast("long").alias("__x"),
+    )
+    votes = base.groupBy("doc_id").agg(*[
         F.sum(
-            F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1)
-            .otherwise(-1)
+            F.when(
+                ((F.lit(a) * F.col("__x") + F.lit(b)) % F.lit(MINHASH_P))
+                % 2 == 1, 1
+            ).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i, (a, b) in enumerate(SIMHASH_COEF)
     ])
     fp = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(SIMHASH_BITS):
         fp = fp.bitwiseOR(
             F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i))
             .otherwise(F.lit(0).cast("long"))
@@ -2267,13 +2290,14 @@ ORACLES = {
               ON a.vec_id < b.vec_id
         ) WHERE score >= {COSINE_DUP_THRESHOLD}
     """,
-    # minhash_lsh_pairs_ml / simhash64 / embedding_topk_cosine_lsh
-    # (_brp_lsh, _pandas, _ivf) / embedding_near_dup_lsh_pairs:
-    # spark.ml-hash / seeded-hyperplane / xxhash64 / numpy-summation
-    # based — no exact DuckDB twin; rows-only checked (equivalence to
-    # their exact baselines is asserted in tests instead).
-    # minhash_lsh_pairs itself IS oracle-checked (below): its
-    # Carter-Wegman-on-md5 hashing was chosen to be engine-portable.
+    # minhash_lsh_pairs_ml / embedding_topk_cosine_lsh (_brp_lsh,
+    # _pandas, _ivf) / embedding_near_dup_lsh_pairs: spark.ml-hash /
+    # seeded-hyperplane / numpy-summation based — no exact DuckDB
+    # twin; rows-only checked (equivalence to their exact baselines
+    # is asserted in tests instead).
+    # minhash_lsh_pairs, dedup_near_minhash, and simhash64 ARE
+    # oracle-checked (below): their Carter-Wegman-on-md5 hashing was
+    # chosen to be engine-portable.
 }
 
 # DuckDB twin of the FULL MinHash+LSH pipeline: same md5-derived base
@@ -2349,6 +2373,38 @@ ORACLES["dedup_near_minhash"] = f"""
     )
     SELECT * FROM documents WHERE doc_id NOT IN (SELECT node FROM losers)
 """
+
+# SimHash twin: same md5 base, Carter-Wegman parity per bit, majority
+# vote, and two's-complement packing (bit 63's addend is the negative
+# min-int64 constant — equal to the JVM's 1<<63 wraparound — so the
+# sum never overflows DuckDB's checked arithmetic).
+_SIMHASH_COEF_VALUES = ", ".join(
+    f"({i}, {a}, {b}, {(1 << i) if i < 63 else -(1 << 63)})"
+    for i, (a, b) in enumerate(SIMHASH_COEF)
+)
+ORACLES["simhash64"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), base AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(tok), 1, 7) AS BIGINT) AS x
+        FROM toks
+    ), coef(i, a, b, bitval) AS (
+        VALUES {_SIMHASH_COEF_VALUES}
+    ), votes AS (
+        SELECT doc_id, i, bitval,
+               SUM(CASE WHEN ((a * x + b) % {MINHASH_P}) % 2 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM base CROSS JOIN coef
+        GROUP BY doc_id, i, bitval
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN bitval ELSE 0 END) AS BIGINT)
+               AS simhash
+    FROM votes GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
 
 def _ngram_pairs_sql(src: str = "documents") -> str:
     """DuckDB twin of ngram_jaccard_pairs over any (doc_id, text) source."""
