@@ -1562,8 +1562,10 @@ def cdc_dup_spans(documents: DataFrame, k: int = CDC_K,
     statically so tokenization/hashing run once per row, not per
     lambda element). The only exchanges are the chunk-df aggregate —
     which shuffles (sha2 digest, doc id, chunk token length), never
-    chunk text — and the per-doc rollup. Rows-only vs the oracle
-    (xxhash64 has no DuckDB twin); semantics are pinned by
+    chunk text — and the per-doc rollup. The boundary hash is the
+    engine-portable md5-derived base value (same family as
+    `minhash_signatures`), so the DuckDB oracle reproduces chunk
+    boundaries exactly; semantics are additionally pinned by
     shift-invariance tests.
     """
     d1 = documents.select(F.col(id_col), tokens_col(text_col).alias("__toks"))
@@ -1574,7 +1576,9 @@ def cdc_dup_spans(documents: DataFrame, k: int = CDC_K,
         F.expr(
             f"CASE WHEN size(__toks) >= {k} THEN "
             f"transform(sequence(1, size(__toks) - {k - 1}), "
-            f"i -> xxhash64(concat_ws(' ', slice(__toks, i, {k})))) "
+            f"i -> cast(conv(substring(md5("
+            f"concat_ws(' ', slice(__toks, i, {k}))), 1, 7), 16, 10) "
+            f"as bigint)) "
             f"ELSE CAST(array() AS array<bigint>) END"
         ).alias("__hs"),
     )
@@ -2045,10 +2049,11 @@ def _q_tfidf_topk(spark, sf):
 
 
 def _q_cdc_dup_spans(spark, sf):
-    """Rows-only (xxhash64 boundaries have no DuckDB twin). Replica
-    injection makes the query self-demonstrating on the fixture: docs
-    0-24 get a prefix-shifted copy at doc_id+1000000, so those pairs
-    must report high dup_token_frac while untouched docs stay near 0."""
+    """Value-hash-checked since the boundary hash moved to the
+    engine-portable md5 base. Replica injection makes the query
+    self-demonstrating on the fixture: docs 0-24 get a prefix-shifted
+    copy at doc_id+1000000, so those pairs must report high
+    dup_token_frac while untouched docs stay near 0."""
     docs = _docs(spark, sf).select("doc_id", "text")
     shifted = (
         docs.where(F.col("doc_id") < 25)
@@ -2403,6 +2408,65 @@ ORACLES["simhash64"] = f"""
                AS simhash
     FROM votes GROUP BY doc_id
     ORDER BY doc_id
+"""
+
+# Content-defined-chunking twin: identical md5-derived boundary
+# hashes, boundary positions, span slicing, and doc-frequency rollup.
+# Chunks group on their text here where Spark groups on sha2(text) —
+# equivalent partitioning of identical strings. The replica injection
+# of the Spark query (_q_cdc_dup_spans) is reproduced in `src`.
+ORACLES["cdc_dup_spans"] = f"""
+    WITH src AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               'injected shifted replica prefix ' || text AS text
+        FROM documents WHERE doc_id < 25
+    ), t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM src
+    ), h AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) >= {CDC_K} THEN
+                   list_transform(range(1, len(toks) - {CDC_K - 2}),
+                       i -> CAST('0x' || substr(md5(array_to_string(
+                                toks[i:i+{CDC_K - 1}], ' ')), 1, 7) AS BIGINT))
+               ELSE [] END AS hs
+        FROM t
+    ), b AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(hs) = 0 THEN [1]
+                    ELSE list_sort(list_distinct(list_concat([1],
+                         list_filter(range(1, len(hs) + 1),
+                                     i -> hs[i] % {CDC_DIVISOR} = 0)))) END
+                   AS bpos
+        FROM h
+    ), spans AS (
+        SELECT doc_id, toks, bpos,
+               unnest(range(1, len(bpos) + 1)) AS j
+        FROM b
+    ), chunks AS (
+        SELECT doc_id,
+               coalesce(array_to_string(
+                   toks[bpos[j] : coalesce(bpos[j+1], len(toks)+1) - 1],
+                   ' '), '') AS chunk,
+               coalesce(bpos[j+1], len(toks) + 1) - bpos[j] AS len
+        FROM spans
+    ), dfs AS (
+        SELECT chunk, COUNT(DISTINCT doc_id) AS df
+        FROM chunks GROUP BY chunk
+    )
+    SELECT c.doc_id,
+           CAST(SUM(c.len) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN d.df >= {CDC_MIN_DF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_chunks,
+           round(CAST(SUM(CASE WHEN d.df >= {CDC_MIN_DF} THEN c.len
+                               ELSE 0 END) AS DOUBLE)
+                 / greatest(CAST(SUM(c.len) AS BIGINT), 1), 6)
+               AS dup_token_frac
+    FROM chunks c JOIN dfs d USING (chunk)
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
 """
 
 
