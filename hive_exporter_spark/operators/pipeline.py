@@ -1071,3 +1071,123 @@ ORACLES["trimmed_event_stats"] = f"""
     GROUP BY event_type
     ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM perplexity filter (CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+def ngram_lm_perplexity(documents: DataFrame,
+                        target_source: str = DSIR_TARGET_SOURCE) -> DataFrame:
+    """Per-document bigram-LM perplexity against a target-domain
+    language model (CCNet, Wenzek et al. 2020, arXiv:1911.00359 —
+    there a KenLM trained on Wikipedia; here an add-one-smoothed
+    bigram LM trained on the ``source = target_source`` slice).
+    Low perplexity → the doc reads like the target domain; CCNet
+    buckets head/middle/tail on exactly this signal. Complements
+    `dsir_weights`: DSIR scores unigram *importance ratios* between
+    two corpora, this scores *sequential* well-formedness under one.
+
+    ``ppl = exp(-(1/n) Σ ln p(tok_i | tok_{i-1}))`` over a doc's
+    bigrams, ``p(c|p) = (count(p,c)+1) / (count(p·)+V)``.
+
+    Plan shape: bigram assembly is map-only array algebra (same
+    HOF-staging as `exploded_shingles`); the LM tables are two
+    groupBys on vocabulary-bounded keys (bigram string, context
+    token); scoring joins the occurrence stream against them ON THE
+    SAME keys — the model side reuses its aggregation partitioning,
+    only the stream re-exchanges; the per-doc rollup is one final
+    groupBy. The model is corpus-vocabulary-bounded, never O(corpus);
+    if it fits executor memory, hint broadcast on the two model
+    tables and scoring becomes map-only.
+
+    Determinism: per-bigram log-probs round to 9 dp and sum as
+    DECIMAL (order-independent) — hash-stable under any partitioning.
+    Docs with < 2 tokens have no bigrams and are absent from the
+    output (CCNet likewise cannot score them).
+    """
+    from hive_exporter_spark.operators.llm import exploded_shingles
+
+    bigrams = exploded_shingles(documents, k=2, distinct=False).select(
+        "doc_id", F.col("shingle").alias("bg"),
+        F.split(F.col("shingle"), " ")[0].alias("ctx"),
+    )
+    target_ids = documents.where(F.col("source") == target_source)
+    tb = bigrams.join(
+        target_ids.select("doc_id"), "doc_id")
+    big_counts = tb.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    ctx_counts = tb.groupBy("ctx").agg(F.count(F.lit(1)).alias("cc"))
+    from hive_exporter_spark.operators.llm import tokens_col
+    vocab_n = (
+        target_ids.select(F.explode(tokens_col()).alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    lp = F.round(
+        F.log((F.coalesce("cb", F.lit(0)) + 1).cast("double")
+              / (F.coalesce("cc", F.lit(0)) + F.col("v")).cast("double")),
+        9,
+    ).cast("decimal(28,9)")
+    return (
+        bigrams.join(big_counts, "bg", "left")
+        .join(ctx_counts, "ctx", "left")
+        .join(F.broadcast(vocab_n))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.exp(-(F.sum("lp").cast("double") / F.count(F.lit(1)))), 6
+            ).alias("lm_ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_lm_ppl(spark, sf):
+    return ngram_lm_perplexity(_docs(spark, sf))
+
+
+QUERIES["ngram_lm_perplexity"] = _q_lm_ppl
+
+_BIGRAMS_SQL = (
+    "CASE WHEN len({t}) >= 2 THEN list_transform(range(1, len({t})), "
+    "i -> {t}[i] || ' ' || {t}[i+1]) ELSE [] END"
+).format(t="toks")
+
+ORACLES["ngram_lm_perplexity"] = f"""
+    WITH t AS (
+        SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
+    ), bg AS (
+        SELECT doc_id, unnest({_BIGRAMS_SQL}) AS bg FROM t
+    ), bgc AS (
+        SELECT doc_id, bg, string_split(bg, ' ')[1] AS ctx FROM bg
+    ), target AS (
+        SELECT doc_id FROM documents WHERE source = '{DSIR_TARGET_SOURCE}'
+    ), big_counts AS (
+        SELECT bg, COUNT(*) AS cb FROM bgc JOIN target USING (doc_id)
+        GROUP BY bg
+    ), ctx_counts AS (
+        SELECT ctx, COUNT(*) AS cc FROM bgc JOIN target USING (doc_id)
+        GROUP BY ctx
+    ), vocab AS (
+        SELECT COUNT(DISTINCT tok) AS v FROM (
+            SELECT unnest(toks) AS tok FROM t JOIN target USING (doc_id)
+        )
+    ), scored AS (
+        SELECT s.doc_id,
+               CAST(round(
+                   ln(CAST(coalesce(b.cb, 0) + 1 AS DOUBLE)
+                      / CAST(coalesce(c.cc, 0) + vocab.v AS DOUBLE)),
+               9) AS DECIMAL(28,9)) AS lp
+        FROM bgc s
+        LEFT JOIN big_counts b USING (bg)
+        LEFT JOIN ctx_counts c USING (ctx)
+        CROSS JOIN vocab
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           round(exp(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*))), 6) AS lm_ppl
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""

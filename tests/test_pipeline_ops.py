@@ -327,3 +327,20 @@ def test_trim_outliers_bounds_and_fraction(spark, sf_dir):
         assert kept.where(
             (F.col("event_type") == et) & (F.col("value") >= m)
         ).count() == 0
+
+
+def test_lm_perplexity_target_domain_scores_lower(spark):
+    # LM trained on src0; a doc reusing src0 phrasing must score lower
+    # perplexity than unseen-vocabulary gibberish.
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "src0"),
+        (2, "the quick brown fox jumps over the lazy dog", "src0"),
+        (3, "the quick brown fox jumps over the dog", "other"),
+        (4, "zxqv wvut plork snarf blibber quux mxyzptlk glorp", "other"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {r["doc_id"]: r["lm_ppl"]
+           for r in pipeline.ngram_lm_perplexity(docs).collect()}
+    assert out[3] < out[4]
+    # In-domain docs are the best-scored of all.
+    assert out[1] < out[3]
