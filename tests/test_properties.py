@@ -66,3 +66,67 @@ def test_newer_than_partitions_input(spark, rows, wm):
     assert all(r["seq"] > wm for r in kept)
     n_dropped = len([r for r in rows if r[2] <= wm])
     assert len(kept) + n_dropped == len(rows)
+
+
+# --- r3 additions: distributed rank / sharding / tail trim ---------------
+
+from hive_exporter_spark.operators import pipeline  # noqa: E402
+
+rank_rows = st.lists(
+    st.tuples(st.integers(0, 50), st.integers(0, 10**6)),
+    min_size=1, max_size=40, unique_by=lambda r: r[1],
+)
+
+
+@given(rows=rank_rows)
+@SETTINGS
+def test_global_rank_matches_python_sort(spark, rows):
+    df = spark.createDataFrame(rows, "v long, id long").repartition(5)
+    got = {
+        r["id"]: r["rank"]
+        for r in pipeline.global_rank(df, [F.col("v"), F.col("id")]).collect()
+    }
+    want = {
+        id_: i + 1
+        for i, (v, id_) in enumerate(sorted(rows, key=lambda r: (r[0], r[1])))
+    }
+    assert got == want
+
+
+@given(rows=rank_rows, n_shards=st.integers(2, 8))
+@SETTINGS
+def test_shard_by_tokens_is_partition(spark, rows, n_shards):
+    docs = spark.createDataFrame(
+        [(id_, "w " * max(v, 1)) for v, id_ in rows], "doc_id long, text string"
+    )
+    out = pipeline.shard_by_tokens(docs, n_shards=n_shards).collect()
+    # Every doc exactly once; shard ids in range.
+    assert sorted(r["doc_id"] for r in out) == sorted(id_ for _, id_ in rows)
+    assert all(0 <= r["shard"] < n_shards for r in out)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 1000)),
+        min_size=4, max_size=40,
+    )
+)
+@SETTINGS
+def test_trim_outliers_subset_and_tail_drop(spark, rows):
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "event_type string, value double"
+    )
+    kept = pipeline.trim_outliers(df, lo=0.25, hi=0.75).collect()
+    # Subset of the input multiset.
+    from collections import Counter
+    assert not Counter((r["event_type"], r["value"]) for r in kept) - Counter(
+        (g, float(v)) for g, v in rows
+    )
+    # Strict per-group max always has percent_rank 1.0 > 0.75 when the
+    # group has >1 distinct value → must be dropped.
+    for g in {g for g, _ in rows}:
+        vals = [v for gg, v in rows if gg == g]
+        if len(set(vals)) > 1:
+            assert (g, float(max(vals))) not in {
+                (r["event_type"], r["value"]) for r in kept
+            }
