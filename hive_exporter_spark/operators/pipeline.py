@@ -1191,3 +1191,89 @@ ORACLES["ngram_lm_perplexity"] = f"""
     GROUP BY doc_id
     ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution drift monitor (Jensen-Shannon)
+# ---------------------------------------------------------------------------
+
+
+def token_drift_jsd(documents: DataFrame,
+                    source_a: str = DSIR_TARGET_SOURCE) -> DataFrame:
+    """Per-token Jensen-Shannon-divergence contributions between the
+    unigram distributions of ``source = source_a`` and the REST of the
+    pool — the drift monitor a continuously-fed training pipeline
+    runs between snapshots: Σ jsd_term is the (bounded, symmetric)
+    JSD; the top |jsd_term| tokens NAME the drift ("suddenly 40%
+    boilerplate cookie banners") instead of just flagging it, which
+    is what makes the per-token output operationally useful.
+
+    ``jsd_term = ½ p ln(p/m) + ½ q ln(q/m)``, ``m = (p+q)/2``, with
+    add-one smoothing over the joint vocabulary on both sides.
+
+    Same bounded-exchange shape as `dsir_weights`: one token explode
+    (map-only), one vocabulary-keyed groupBy with conditional partial
+    aggs, a broadcast of the single-row totals — no join back to the
+    corpus at all, so the whole operator is ONE vocab-sized shuffle
+    regardless of corpus size. Deterministic: per-token terms are
+    pure scalar arithmetic (no summation-order exposure), rounded to
+    6 dp.
+    """
+    from hive_exporter_spark.operators.llm import tokens_col
+
+    toks = documents.select(
+        "doc_id", "source", F.explode(tokens_col()).alias("tok"))
+    is_a = (F.col("source") == source_a).cast("long")
+    vocab = toks.groupBy("tok").agg(
+        F.sum(is_a).alias("ca"),
+        F.sum(1 - is_a).alias("cb"),
+    )
+    totals = vocab.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("v"))
+    p = (F.col("ca") + 1).cast("double") / (F.col("na") + F.col("v"))
+    q = (F.col("cb") + 1).cast("double") / (F.col("nb") + F.col("v"))
+    m = (p + q) / 2
+    term = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
+    return (
+        vocab.join(F.broadcast(totals))
+        .select("tok", "ca", "cb", F.round(term, 9).alias("jsd_term"))
+        .orderBy("tok")
+    )
+
+
+def _q_token_drift(spark, sf):
+    return token_drift_jsd(_docs(spark, sf))
+
+
+QUERIES["token_drift_jsd"] = _q_token_drift
+
+ORACLES["token_drift_jsd"] = f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), vocab AS (
+        SELECT tok,
+               CAST(SUM(CASE WHEN source = '{DSIR_TARGET_SOURCE}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN source = '{DSIR_TARGET_SOURCE}'
+                             THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        FROM toks GROUP BY tok
+    ), tot AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+               COUNT(*) AS v
+        FROM vocab
+    )
+    SELECT tok, ca, cb,
+           round(
+               0.5 * ((ca + 1) / CAST(na + v AS DOUBLE))
+                   * ln(((ca + 1) / CAST(na + v AS DOUBLE))
+                        / ((((ca + 1) / CAST(na + v AS DOUBLE))
+                            + ((cb + 1) / CAST(nb + v AS DOUBLE))) / 2))
+               + 0.5 * ((cb + 1) / CAST(nb + v AS DOUBLE))
+                   * ln(((cb + 1) / CAST(nb + v AS DOUBLE))
+                        / ((((ca + 1) / CAST(na + v AS DOUBLE))
+                            + ((cb + 1) / CAST(nb + v AS DOUBLE))) / 2)),
+           9) AS jsd_term
+    FROM vocab CROSS JOIN tot
+    ORDER BY tok
+"""

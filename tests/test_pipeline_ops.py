@@ -344,3 +344,18 @@ def test_lm_perplexity_target_domain_scores_lower(spark):
     assert out[3] < out[4]
     # In-domain docs are the best-scored of all.
     assert out[1] < out[3]
+
+
+def test_token_drift_jsd_names_the_drifted_token(spark):
+    rows = [
+        (1, "alpha beta gamma", "src0"),
+        (2, "alpha beta gamma", "src0"),
+        (3, "alpha beta cookiebanner cookiebanner cookiebanner", "other"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = pipeline.token_drift_jsd(docs).collect()
+    top = max(out, key=lambda r: abs(r["jsd_term"]))
+    # The token unique to (and dominant in) the drifted side leads.
+    assert top["tok"] == "cookiebanner"
+    # JSD terms are nonnegative and bounded by ln(2)/2 per side.
+    assert all(r["jsd_term"] >= 0 for r in out)
