@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "dsir_weights",
     "token_entropy",
     "event_anomaly_zscore",
+    # r3b additions: LM quality + drift monitoring.
+    "ngram_lm_perplexity",
+    "token_drift_jsd",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
