@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "salted_segment_event_counts",
     "events_in_day_windows",
     "near_dup_clusters",
+    "near_dup_clusters_bigstar",
     "shard_by_tokens",
     "curation_pipeline",
     # r2 text/embedding additions.
