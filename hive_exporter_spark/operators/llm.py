@@ -967,14 +967,19 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     fraction of the corpus). localCheckpoint per round truncates the
     lineage so the plan doesn't grow with iterations.
     """
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # Symmetrize via explode, NOT union-of-reversed: union's two
+    # branches are separate subtrees, so Spark would run the (often
+    # expensive — LSH or shingle self-join) pair-generation plan TWICE.
+    # explode duplicates each row map-side in a single scan.
+    edges = pairs.select(F.explode(F.array(
+        F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+    )).alias("e")).select("e.src", "e.dst")
     # repartition(dst) BEFORE the checkpoint: LogicalRDD preserves the
     # hash partitioning, so every round's edges⋈labels join reuses it
     # and only the (much smaller) labels side re-exchanges per round —
     # the edge set, the bulk of the data, shuffles exactly once.
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).repartition("dst").localCheckpoint()
+    edges = edges.repartition("dst").localCheckpoint()
     # Seed each node with min(itself, direct neighbors) — one grouped
     # aggregate that both enumerates the nodes and completes round 1 of
     # propagation (pair/star components, the common dup shape, are
@@ -1032,8 +1037,13 @@ def near_dup_clusters_bigstar(pairs: DataFrame, max_iter: int = 30) -> DataFrame
          .where(F.col("u") != F.col("v")).distinct().localCheckpoint())
 
     def star(edges: DataFrame, large: bool) -> DataFrame:
-        sym = edges.union(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # explode-symmetrize (single scan) — union-of-reversed would
+        # re-run the incoming edge plan twice, and the inner star of
+        # each large∘small round is NOT checkpointed.
+        sym = edges.select(F.explode(F.array(
+            F.struct(F.col("u"), F.col("v")),
+            F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+        )).alias("e")).select("e.u", "e.v")
         # m(u) = min(Γ(u) ∪ {u}); attach the chosen side of Γ(u) to it.
         m = sym.groupBy("u").agg(F.min("v").alias("__mn"))
         m = m.select("u", F.least("u", "__mn").alias("m"))
