@@ -1036,7 +1036,7 @@ def near_dup_clusters_bigstar(pairs: DataFrame, max_iter: int = 30) -> DataFrame
     e = (pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
          .where(F.col("u") != F.col("v")).distinct().localCheckpoint())
 
-    def star(edges: DataFrame, large: bool) -> DataFrame:
+    def star(edges: DataFrame, large: bool, dedup: bool = True) -> DataFrame:
         # explode-symmetrize (single scan) — union-of-reversed would
         # re-run the incoming edge plan twice, and the inner star of
         # each large∘small round is NOT checkpointed.
@@ -1055,7 +1055,8 @@ def near_dup_clusters_bigstar(pairs: DataFrame, max_iter: int = 30) -> DataFrame
             out = (joined.where(F.col("v") <= F.col("u"))
                    .select(F.col("v").alias("u"), F.col("m").alias("v"))
                    .union(joined.select("u", F.col("m").alias("v"))))
-        return out.where(F.col("u") != F.col("v")).distinct()
+        out = out.where(F.col("u") != F.col("v"))
+        return out.distinct() if dedup else out
 
     def fingerprint(edges: DataFrame) -> tuple:
         r = edges.agg(F.count(F.lit(1)), F.sum("u"), F.sum("v")).first()
@@ -1063,7 +1064,14 @@ def near_dup_clusters_bigstar(pairs: DataFrame, max_iter: int = 30) -> DataFrame
 
     prev = fingerprint(e)
     for _ in range(max_iter):
-        e = star(star(e, large=True), large=False).localCheckpoint()
+        # The large star skips its distinct (one exchange saved per
+        # round): its duplicate (child, min) emissions feed straight
+        # into the small star's groupBy, whose map-side partial agg
+        # absorbs them before any shuffle; the per-round RESULT (small
+        # star output, which the fingerprint reads) stays deduped.
+        e = star(
+            star(e, large=True, dedup=False), large=False
+        ).localCheckpoint()
         cur = fingerprint(e)
         if cur == prev:
             break
