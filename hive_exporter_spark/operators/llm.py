@@ -1052,9 +1052,20 @@ def near_dup_clusters_bigstar(pairs: DataFrame, max_iter: int = 30) -> DataFrame
             out = (joined.where(F.col("v") > F.col("u"))
                    .select(F.col("v").alias("u"), F.col("m").alias("v")))
         else:
-            out = (joined.where(F.col("v") <= F.col("u"))
-                   .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                   .union(joined.select("u", F.col("m").alias("v"))))
+            # One pass over the join result: every row yields (u, m);
+            # rows with v <= u additionally yield (v, m). A
+            # union-of-two-projections would execute the join twice.
+            out = joined.select(F.explode(
+                F.when(
+                    F.col("v") <= F.col("u"),
+                    F.array(
+                        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                        F.struct(F.col("u"), F.col("m").alias("v")),
+                    ),
+                ).otherwise(F.array(
+                    F.struct(F.col("u"), F.col("m").alias("v")),
+                ))
+            ).alias("e")).select("e.u", "e.v")
         out = out.where(F.col("u") != F.col("v"))
         return out.distinct() if dedup else out
 
