@@ -246,6 +246,69 @@ def containment_pairs(
     )
 
 
+CONTAINMENT_DF_CAP = 50  # same cap as ngram_jaccard_pairs_capped's DF_CAP
+
+
+def containment_pairs_capped(
+    documents: DataFrame,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    k: int = SHINGLE_K,
+    df_cap: int = CONTAINMENT_DF_CAP,
+) -> DataFrame:
+    """Containment pairs with doc-frequency-capped candidate generation
+    — the scale path beside the exact `containment_pairs`, mirroring
+    `ngram_jaccard_pairs_capped`: candidates must share at least one
+    RARE shingle (df <= df_cap); their containment is then computed
+    exactly over the full shingle sets. Hot boilerplate shingles
+    ("click here to subscribe") generate no candidates, so the
+    self-join cost is bounded by sum(df² | df <= cap) instead of the
+    exact variant's O(df²) blowup on every hot shingle. A short doc
+    embedded in a long one shares ALL its shingles with the host, so
+    unless every one of them is corpus-hot (df > cap) the pair
+    survives — the recall-vs-exact test pins 100% on the fixture, and
+    the deterministic "pairs sharing a rare shingle" semantics stay
+    oracle-checkable either way.
+    """
+    exploded = (
+        exploded_shingles(documents, k)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    rare = (
+        exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= df_cap)
+        .select("shingle")
+    )
+    rex = exploded.join(rare, "shingle")
+    ra, rb = rex.alias("ra"), rex.alias("rb")
+    cand = (
+        ra.join(rb, (F.col("ra.shingle") == F.col("rb.shingle"))
+                & (F.col("ra.doc_id") < F.col("rb.doc_id")))
+        .select(F.col("ra.doc_id").alias("doc_a"),
+                F.col("rb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    common = (
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(b, (F.col("doc_b") == F.col("b.doc_id"))
+              & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    cont = F.round(
+        F.col("n_common") / F.least(F.col("n_a"), F.col("n_b")), 6)
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("containment", cont)
+        .where(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "containment")
+    )
+
+
 # MinHash: k independent hash slots over shingles. Uses xxhash64 (a
 # JVM built-in) re-seeded per slot — there is no DuckDB twin for
 # xxhash64, so these are rows-only checked (driver's weaker gate).
@@ -303,6 +366,12 @@ def minhash_signatures(documents: DataFrame, slots: int = MINHASH_SLOTS) -> Data
     its map-side partial min already collapsing each task's shingles
     to 32 longs per doc.
     """
+    if not 0 < slots <= len(MINHASH_COEF):
+        raise ValueError(
+            f"slots must be in [1, {len(MINHASH_COEF)}] (got {slots}): "
+            f"only {len(MINHASH_COEF)} Carter-Wegman coefficient pairs are "
+            "defined, and silently truncating would desync the signature "
+            "length from downstream banding/scoring")
     ex = exploded_shingles(documents, distinct=False)
     # 7 hex chars of md5 → x ∈ [0, 2^28): small enough that a_i·x + b_i
     # stays < 2^59 (overflow-free in checked-arithmetic engines).
@@ -336,6 +405,15 @@ def minhash_lsh_pairs(
     (estimated Jaccard) and filtered at `threshold`. This is the
     100 TB dedup path.
     """
+    if not 0 < slots <= len(MINHASH_COEF):
+        raise ValueError(
+            f"slots must be in [1, {len(MINHASH_COEF)}] (got {slots})")
+    if bands <= 0 or slots % bands != 0:
+        raise ValueError(
+            f"bands must evenly divide slots (got slots={slots}, "
+            f"bands={bands}): a ragged last band would hash NULL "
+            "element_at lookups past the signature end and silently "
+            "drop candidate pairs")
     rows_per_band = slots // bands
     # Checkpointed: the signature table feeds three consumers (the
     # banded key stream + both scoring joins) — one computation.
@@ -993,6 +1071,7 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # Lazy checkpoints: the convergence-sum action below is the job
     # that materializes each round — one job per round, not two.
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -1008,8 +1087,19 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Exiting here silently would emit labels that are still
+        # propagating — wrong cluster ids with no signal. The label sum
+        # is strictly monotone until the fixpoint, so non-convergence
+        # means the graph's diameter exceeds max_iter rounds: raise and
+        # point at the O(log n) alternative.
+        raise RuntimeError(
+            f"near_dup_clusters did not converge within {max_iter} rounds; "
+            "the pair graph has longer paths than expected — raise "
+            "max_iter or use near_dup_clusters_bigstar (O(log n) rounds)")
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
@@ -1074,7 +1164,9 @@ def near_dup_clusters_bigstar(pairs: DataFrame, max_iter: int = 30) -> DataFrame
         return (r[0], r[1], r[2])
 
     prev = fingerprint(e)
+    converged = False
     for _ in range(max_iter):
+        prior = e
         # The large star skips its distinct (one exchange saved per
         # round): its duplicate (child, min) emissions feed straight
         # into the small star's groupBy, whose map-side partial agg
@@ -1085,8 +1177,21 @@ def near_dup_clusters_bigstar(pairs: DataFrame, max_iter: int = 30) -> DataFrame
         ).localCheckpoint()
         cur = fingerprint(e)
         if cur == prev:
-            break
+            # The (count, Σu, Σv) fingerprint could in principle collide
+            # between distinct consecutive edge sets; confirm the
+            # fixpoint with ONE exact multiset comparison (runs only on
+            # fingerprint match, not per round — exceptAll is two small
+            # shuffles over the near-dup-sized edge list). A collision
+            # just means the loop keeps iterating.
+            if e.exceptAll(prior).isEmpty() and prior.exceptAll(e).isEmpty():
+                converged = True
+                break
         prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"near_dup_clusters_bigstar did not converge within {max_iter} "
+            "rounds (or the convergence fingerprint collided on "
+            "non-identical edge sets); raise max_iter")
     # Fixpoint: every surviving edge is (node, component-min); nodes that
     # ARE their component's min have no out-edge left — re-add them.
     members = e.groupBy("u").agg(F.min("v").alias("cluster_id"))
@@ -1265,7 +1370,7 @@ def dedup_near_keep_best(documents: DataFrame, pairs: DataFrame,
 # hash-derived uniform instead of engine RNG, so the sample is stable
 # across runs/partitionings and exactly reproducible in the oracle.
 WEIGHTED_SAMPLE_K = 100
-_WS_MOD = 1 << 20
+_WS_MOD = 1 << 40  # 40-bit uniform: ~10^12 distinct values
 
 
 def weighted_sample(documents: DataFrame, k: int = WEIGHTED_SAMPLE_K,
@@ -1274,20 +1379,30 @@ def weighted_sample(documents: DataFrame, k: int = WEIGHTED_SAMPLE_K,
     """Top-k weighted sample without replacement (Efraimidis–Spirakis,
     IPL 2006): each row draws key = ln(u) / w with u uniform in (0,1);
     the k largest keys form a sample where inclusion probability is
-    proportional to weight. Here u is Knuth-hash-derived from the id —
+    proportional to weight. Here u is md5-derived from the id (10 hex
+    chars → 40 bits, the same engine-portable trick as the minhash
+    base values — a multiplicative Weyl hash would cycle after ~1M
+    ids and skew inclusion probabilities on larger corpora) —
     deterministic, so backfills resample identically and the DuckDB
     twin reproduces the exact row set.
+
+    Rows with non-positive weight are excluded up front: E-S is
+    defined on positive weights, and ln(u)/0 would produce
+    engine-divergent results (JVM -Infinity vs DuckDB NULL).
 
     Scale: orderBy+limit compiles to TakeOrderedAndProject — each
     partition keeps a local k-heap and the driver merges k·P rows;
     no global sort, no single-task window. Keys are rounded to 9 dp
     (with id tiebreak) so cross-engine ULP drift cannot flip the
     order at the cutoff."""
-    u = ((F.col(id_col).cast("long") * F.lit(KNUTH)) % _WS_MOD
-         + F.lit(0.5)) / F.lit(float(_WS_MOD))
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 10), 16, 10)
+        .cast("long") + F.lit(0.5)
+    ) / F.lit(float(_WS_MOD))
     key = F.round(F.log(u) / F.col(weight_col), 9)
     return (
-        documents.select(
+        documents.where(F.col(weight_col) > 0)
+        .select(
             id_col, "lang", "source", F.col(weight_col).alias("weight"),
             key.alias("es_key"),
         )
@@ -1880,6 +1995,72 @@ def semantic_dedup(documents: DataFrame, embeddings: DataFrame,
     )
     return (
         documents.join(kept, id_col)
+        .select(*documents.columns, "cluster")
+        .orderBy(id_col)
+    )
+
+
+def semantic_dedup_fixed(documents: DataFrame, embeddings: DataFrame,
+                         threshold: float = SEMANTIC_DUP_THRESHOLD,
+                         n_clusters: int = IVF_CLUSTERS,
+                         id_col: str = "doc_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup prune stage with FIXED centroids — the oracle-checkable
+    twin of `semantic_dedup`. Centroids are the first `n_clusters`
+    embeddings by vec_id (a deterministic, engine-reproducible choice)
+    instead of k-means fits, so BOTH stages — nearest-centroid
+    assignment and the intra-cluster lower-id cosine prune — are pure
+    relational algebra over the fold-based cosine that DuckDB
+    replicates bit-for-bit (same `cosine_similarity` fold as the
+    hash-checked `embedding_topk_cosine` / `embedding_near_dup_pairs`).
+    `semantic_dedup` (k-means + Arrow matmul prune) stays the
+    production default; this variant pins the prune semantics under
+    the driver's value-hash gate and doubles as the "centroids passed
+    in from a prior fit" deployment shape (SemDeDup itself re-uses
+    frozen centroids across corpus increments).
+
+    Spark shape: the centroid set is broadcast (n_clusters rows) into
+    a nested-loop join — one map-side pass over the corpus, no
+    shuffle to assign; argmax = per-vector row_number over score
+    (ties → lowest centroid id, bit-stable because both engines
+    compute identical doubles). The prune self-joins WITHIN clusters
+    only (shuffle keyed on cluster id) — quadratic in the largest
+    cluster exactly like SemDeDup's per-cluster pass; at 100 TB raise
+    `n_clusters` so clusters stay task-sized.
+    """
+    emb = embeddings.select("vec_id", vec_col)
+    cent = F.broadcast(
+        emb.orderBy("vec_id").limit(n_clusters)
+        .select(F.col("vec_id").alias("cent_id"), F.col(vec_col).alias("cvec"))
+    )
+    scored = emb.crossJoin(cent).withColumn(
+        "score", cosine_similarity(vec_col, "cvec"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("cent_id"))
+    # Checkpointed: `assigned` feeds three consumers (both prune sides
+    # + the survivor join) — one computation of the assignment pass.
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("vec_id", vec_col, F.col("cent_id").alias("cluster"))
+        .localCheckpoint(eager=False)
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    losers = (
+        a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .where(cosine_similarity(F.col(f"a.{vec_col}"),
+                                 F.col(f"b.{vec_col}")) >= threshold)
+        .select(F.col("b.vec_id").alias("__loser"))
+        .distinct()
+    )
+    kept = assigned.join(
+        F.broadcast(losers), assigned["vec_id"] == F.col("__loser"),
+        "left_anti",
+    )
+    return (
+        documents.join(
+            kept.select(F.col("vec_id").alias(id_col), "cluster"), id_col)
         .select(*documents.columns, "cluster")
         .orderBy(id_col)
     )
@@ -2809,6 +2990,82 @@ ORACLES["containment_pairs"] = f"""
 """
 
 
+def _q_containment_capped(spark, sf):
+    return containment_pairs_capped(_docs(spark, sf)).orderBy("doc_a", "doc_b")
+
+
+QUERIES["containment_pairs_capped"] = _q_containment_capped
+
+ORACLES["containment_pairs_capped"] = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+    ), sizes AS (
+        SELECT doc_id, len({_SHINGLES_SQL}) AS n_sh FROM documents
+    ), rare AS (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(*) <= {CONTAINMENT_DF_CAP}
+    ), rex AS (
+        SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM rex a JOIN rex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ), common AS (
+        SELECT doc_a, doc_b, COUNT(*) AS n_common
+        FROM cand
+        JOIN sh a ON a.doc_id = doc_a
+        JOIN sh b ON b.doc_id = doc_b AND a.shingle = b.shingle
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           round(CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6)
+               AS containment
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6)
+          >= {CONTAINMENT_THRESHOLD}
+    ORDER BY doc_a, doc_b
+"""
+
+
+def _q_semantic_dedup_fixed(spark, sf):
+    return semantic_dedup_fixed(_docs(spark, sf), _emb(spark, sf))
+
+
+QUERIES["semantic_dedup_fixed"] = _q_semantic_dedup_fixed
+
+# Full SQL twin of the fixed-centroid SemDeDup: nearest-of-the-first-K
+# centroids assignment + intra-cluster lower-id cosine prune, over the
+# same left-fold cosine arithmetic as the Spark side.
+ORACLES["semantic_dedup_fixed"] = f"""
+    WITH cent AS (
+        SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+        ORDER BY vec_id LIMIT {IVF_CLUSTERS}
+    ), scored AS (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               {_cos_sql('e.embedding', 'c.cvec')} AS score
+        FROM embeddings e CROSS JOIN cent c
+    ), assigned AS (
+        SELECT vec_id, embedding, cent_id AS cluster FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, cent_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ), losers AS (
+        SELECT DISTINCT b.vec_id AS vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE {_cos_sql('a.embedding', 'b.embedding')}
+              >= {SEMANTIC_DUP_THRESHOLD}
+    )
+    SELECT d.*, s.cluster
+    FROM documents d
+    JOIN assigned s ON d.doc_id = s.vec_id
+    WHERE s.vec_id NOT IN (SELECT vec_id FROM losers)
+    ORDER BY d.doc_id
+"""
+
+
 def _q_clusters_bigstar(spark, sf):
     return near_dup_clusters_bigstar(
         ngram_jaccard_pairs(_docs(spark, sf))).orderBy("doc_id")
@@ -2859,9 +3116,11 @@ ORACLES["dedup_near_keep_best"] = f"""
 ORACLES["weighted_sample"] = f"""
     WITH keyed AS (
         SELECT doc_id, lang, source, n_chars AS weight,
-               round(ln(((CAST(doc_id AS BIGINT) * {KNUTH}) % {_WS_MOD} + 0.5)
+               round(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)
+                              AS BIGINT) + 0.5)
                         / {float(_WS_MOD)}) / n_chars, 9) AS es_key
         FROM documents
+        WHERE n_chars > 0
     )
     SELECT * FROM keyed
     ORDER BY es_key DESC, doc_id

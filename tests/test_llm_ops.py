@@ -620,3 +620,74 @@ def test_weighted_sample_favors_heavy_rows_and_is_stable(spark, sf_dir):
     mean_w = s1.agg(F.avg("weight")).first()[0]
     pop_w = docs.agg(F.avg("n_chars")).first()[0]
     assert mean_w > pop_w  # weight-proportional inclusion
+
+
+def test_containment_capped_equals_exact_on_fixture(spark, docs):
+    """df-capped candidate generation must recover every exact
+    containment pair on the fixture (an embedded doc shares ALL its
+    shingles with the host, so at least one is rare)."""
+    exact = {(r["doc_a"], r["doc_b"], r["n_common"])
+             for r in llm.containment_pairs(docs).collect()}
+    capped = {(r["doc_a"], r["doc_b"], r["n_common"])
+              for r in llm.containment_pairs_capped(docs).collect()}
+    assert capped == exact
+    assert len(exact) > 0
+
+
+def test_semantic_dedup_fixed_matches_numpy_replay(spark, docs, emb):
+    """Replay the fixed-centroid pipeline in numpy (first-K centroids,
+    argmax-cosine assignment with lowest-centroid tie-break, lower-id
+    prune) and assert the identical survivor set + cluster ids."""
+    import numpy as np
+
+    out = llm.semantic_dedup_fixed(docs, emb).cache()
+    assert set(out.columns) == set(docs.columns) | {"cluster"}
+
+    rows = sorted(emb.select("vec_id", "embedding").collect(),
+                  key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cent = mn[:llm.IVF_CLUSTERS]
+    clusters = np.argmax(mn @ cent.T, axis=1)  # ties -> lowest index
+    survivors = {}
+    for c in set(clusters.tolist()):
+        members = np.where(clusters == c)[0]
+        members = members[np.argsort(ids[members])]
+        sub = mn[members]
+        sims = sub @ sub.T
+        losers = (np.triu(sims, k=1) >= llm.SEMANTIC_DUP_THRESHOLD).any(axis=0)
+        for i in ids[members][~losers]:
+            survivors[int(i)] = int(c)
+    got = {r["doc_id"]: r["cluster"] for r in out.collect()}
+    assert got == survivors
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    """Zero/negative weights are outside E-S's domain: they must be
+    filtered, not produce -Inf/NULL keys."""
+    docs = spark.createDataFrame(
+        [(1, "en", "web", 100), (2, "en", "web", 0),
+         (3, "en", "web", -5), (4, "en", "web", 50)],
+        "doc_id long, lang string, source string, n_chars long")
+    got = {r["doc_id"] for r in
+           llm.weighted_sample(docs, k=10).collect()}
+    assert got == {1, 4}
+
+
+def test_minhash_validates_slots_and_bands(spark, docs):
+    with pytest.raises(ValueError, match="slots"):
+        llm.minhash_signatures(docs, slots=len(llm.MINHASH_COEF) + 1)
+    with pytest.raises(ValueError, match="bands"):
+        llm.minhash_lsh_pairs(docs, slots=32, bands=5)
+
+
+def test_label_propagation_raises_on_round_exhaustion(spark):
+    """A 64-node path can't converge in 2 label-propagation rounds;
+    the operator must raise instead of silently emitting
+    mid-propagation labels."""
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1, 1.0) for i in range(64)],
+        "doc_a long, doc_b long, n_common long, jaccard double")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        llm.near_dup_clusters(chain, max_iter=2)
