@@ -231,3 +231,98 @@ def test_streaming_jdbc_sink(spark, sf_dir):
     assert back.count() == ev.count()
     assert back.select("EID").distinct().count() == ev.count()
     assert back.where(F.col("epoch_id").isNull()).count() == 0
+
+
+def test_reference_merge_narrative_end_to_end(spark, tmp_path):
+    """Replay the reference's COMPLETE three-step incremental-merge
+    story (/root/reference/tests/test_incremental_merge.py:94-130)
+    against a live Derby source and a managed destination, asserting
+    counts AND winning values at each step, then close the loop with
+    the metadata-exporter flow (snapshot -> SQLite) over the
+    destination's catalog entry.
+
+    Step 1: 10 initial rows          -> destination holds 10.
+    Step 2: INSERT id=11, NULL last_modified -> 11 rows; the NULL
+            version is visible (never consolidated away by accident).
+    Step 3: UPDATE id=3 (value 'K', newer last_modified) -> still 11
+            rows; id 3's winning value is the update, everything else
+            untouched. Exercises S4 (live JDBC scan), the CDC log
+            append, latest-per-key consolidation with NULLS-LAST, K6
+            safe_overwrite (the consolidation reads what it
+            overwrites), and K7 (metastore snapshot sink) in ONE
+            narrative.
+    """
+    from hive_exporter_spark.catalog import (
+        TableName, drop_table, snapshot_metadata, snapshot_to_sqlite,
+        table_exists,
+    )
+    from hive_exporter_spark.operators import ingest
+
+    schema = "ID INT, VAL STRING, LAST_MOD TIMESTAMP"
+    t0, t1 = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+    initial = [(i, chr(ord("A") + i), t0) for i in range(10)]
+    inserted = (11, "L", None)
+    updated = (3, "K", t1)
+
+    cfg = jdbc.JdbcSourceConfig(url=URL, driver=DRIVER, table="NARRATIVE_SRC")
+    dest = TableName("narrative_db", "data")
+    for t in (dest, ingest.incremental_table(dest)):
+        if table_exists(spark, t):
+            drop_table(spark, t)
+
+    def seed(rows):
+        df = spark.createDataFrame(
+            [(i, v, m) for i, v, m in rows], "ID int, VAL string, LAST_MOD string"
+        ).select("ID", "VAL", F.col("LAST_MOD").cast("timestamp"))
+        jdbc.writer(df, cfg, mode="overwrite").save()
+
+    def merge(tag):
+        return ingest.incremental_merge(
+            spark, jdbc.reader(spark, cfg).load(), dest,
+            key_columns=["ID"], last_modified_column="LAST_MOD",
+            incremental_column="ID", batch_tag=tag,
+        )
+
+    # Step 1: initial load.
+    seed(initial)
+    r1 = merge("m1")
+    assert (r1.source_count, r1.ingested_count, r1.destination_count) == (10, 10, 10)
+
+    # Step 2: one new row with NULL last_modified (the reference's
+    # explicit NULL-datetime insert).
+    seed(initial + [inserted])
+    r2 = merge("m2")
+    assert (r2.source_count, r2.ingested_count, r2.destination_count) == (11, 1, 11)
+    row11 = spark.table(str(dest)).where("ID = 11").collect()
+    assert len(row11) == 1 and row11[0]["VAL"] == "L" \
+        and row11[0]["LAST_MOD"] is None
+
+    # Step 3: modify id=3 in place (newer last_modified).
+    seed([r for r in initial if r[0] != 3] + [inserted, updated])
+    r3 = merge("m3")
+    assert (r3.source_count, r3.ingested_count, r3.destination_count) == (11, 1, 11)
+    out = {r["ID"]: r for r in spark.table(str(dest)).collect()}
+    assert set(out) == set(range(10)) | {11}
+    assert out[3]["VAL"] == "K" and out[3]["dl_ingest_date"] == "m3"
+    # Untouched rows keep their step-1 values and tag.
+    assert all(out[i]["VAL"] == chr(ord("A") + i) and
+               out[i]["dl_ingest_date"] == "m1"
+               for i in range(10) if i != 3)
+    # The CDC log holds every version: 10 + 1 + 1.
+    assert spark.table(str(ingest.incremental_table(dest))).count() == 12
+
+    # Metadata-exporter epilogue: snapshot the destination's catalog
+    # entry into the reference-shaped SQLite sink.
+    import sqlite3
+    path = str(tmp_path / "meta.db")
+    snap = snapshot_metadata(spark, ["narrative_db"], extract_ts=1700000000)
+    n = snapshot_to_sqlite(snap, path)
+    assert n >= 1
+    con = sqlite3.connect(path)
+    names = {r[0] for r in con.execute(
+        "SELECT tbl_name FROM exported_tables WHERE db_name='narrative_db'")}
+    con.close()
+    assert "data" in names
+
+    for t in (dest, ingest.incremental_table(dest)):
+        drop_table(spark, t)
