@@ -65,6 +65,11 @@ BENCH_QUERIES = [
     # r3b additions: LM quality + drift monitoring.
     "ngram_lm_perplexity",
     "token_drift_jsd",
+    # r4 additions: r3 tail ops + Bloom-prefiltered dedup/decontam.
+    "trimmed_event_stats",
+    "contributor_cap",
+    "incremental_dedup_bloom",
+    "ngram_contamination_bloom",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -1803,6 +1803,49 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame,
     return dedup_exact(fresh, text_col=text_col, id_col=id_col)
 
 
+def incremental_dedup_bloom(new_docs: DataFrame, corpus: DataFrame,
+                            m_bits: int | None = None, n_hashes: int = 5,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """`incremental_dedup` with a Bloom prefilter in front of the
+    corpus anti-join — the shape for when the historical digest set is
+    so large that even its 32-byte keys are expensive to join against
+    for EVERY new row.
+
+    A Bloom filter over the corpus digests (built distributed, one
+    bounded groupBy — `operators/bloom.py`) is embedded in the plan as
+    a codegen-only membership expression. New-batch rows that miss the
+    filter are DEFINITIVELY fresh (no false negatives) and skip the
+    confirmation join entirely; only filter hits — true duplicates
+    plus the ~fpp sliver of false positives — flow into the exact
+    digest anti-join, so the join probe stream shrinks from |batch| to
+    ~|dups|. Result is bit-identical to `incremental_dedup` (the
+    confirmation join absorbs every false positive), which is exactly
+    what the oracle checks.
+
+    At 100 TB: m sizes at ~10 bits per expected distinct corpus doc.
+    Up to a few 10^8 items the collected bitmap stays MiB-scale (this
+    path); beyond that, swap `bloom_contains` for
+    `bloom_probe_join` on the same bitmap DataFrame — the filter
+    itself is built distributed either way, and in a standing pipeline
+    it is materialized once alongside the digest table and reused per
+    batch rather than rebuilt.
+    """
+    from hive_exporter_spark.operators.bloom import (
+        BLOOM_BITS, bloom_bitmap, bloom_contains, collect_bloom)
+
+    m = m_bits or BLOOM_BITS
+    digest = F.sha2(F.col(text_col), 256)
+    seen = corpus.select(digest.alias("__digest")).distinct()
+    dense = collect_bloom(bloom_bitmap(seen, "__digest", m, n_hashes), m)
+    batch = new_docs.withColumn("__digest", digest)
+    maybe = bloom_contains(F.col("__digest"), dense, m, n_hashes)
+    fresh_fast = batch.where(~maybe)
+    confirmed = batch.where(maybe).join(seen, "__digest", "left_anti")
+    fresh = fresh_fast.unionByName(confirmed).drop("__digest")
+    return dedup_exact(fresh, text_col=text_col, id_col=id_col)
+
+
 TFIDF_TOPK = 3
 
 
@@ -2288,6 +2331,25 @@ def _q_heavy_hitters(spark, sf):
     return heavy_hitters(_docs(spark, sf))
 
 
+def _q_heavy_hitters_exact(spark, sf):
+    """Same space-saving kernel, capacity >> fixture vocabulary: no
+    counter ever evicts, so every (est, err) is (true count, 0) and
+    the top-k is EXACT — which makes the whole mapInPandas summary
+    path value-hash-checkable against a plain GROUP BY count oracle.
+    (The production `heavy_hitters_terms` entry keeps the bounded
+    capacity and stays rows-only; this twin pins the kernel.)"""
+    return heavy_hitters(_docs(spark, sf), capacity=1_000_000)
+
+
+def _q_incremental_dedup_bloom(spark, sf):
+    """Bloom-prefiltered twin of incremental_dedup — same fixture
+    split, bit-identical result (the confirmation anti-join absorbs
+    Bloom false positives), same oracle."""
+    docs = _docs(spark, sf)
+    pred = F.expr(_CORPUS_PRED_SQL)
+    return incremental_dedup_bloom(docs.where(~pred), docs.where(pred))
+
+
 def _q_pca(spark, sf):
     """Rows-only: eigenvector sign/order is implementation-defined."""
     return embedding_pca(_emb(spark, sf))
@@ -2333,6 +2395,8 @@ QUERIES = {
     "tfidf_topk_terms": _q_tfidf_topk,
     "semantic_dedup": _q_semantic_dedup,
     "heavy_hitters_terms": _q_heavy_hitters,
+    "heavy_hitters_exact": _q_heavy_hitters_exact,
+    "incremental_dedup_bloom": _q_incremental_dedup_bloom,
 }
 
 _TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
@@ -2925,6 +2989,17 @@ ORACLES["incremental_dedup"] = """
           WHERE n2.text = n.text AND n2.doc_id < n.doc_id
             AND NOT EXISTS (SELECT 1 FROM corpus c2 WHERE c2.text = n2.text)
       )
+"""
+ORACLES["incremental_dedup_bloom"] = ORACLES["incremental_dedup"]
+ORACLES["heavy_hitters_exact"] = f"""
+    SELECT term, est_count, err_upper FROM (
+        SELECT tok AS term, COUNT(*) AS est_count,
+               CAST(0 AS BIGINT) AS err_upper
+        FROM (SELECT unnest({_TOKS_SQL}) AS tok FROM documents)
+        GROUP BY tok
+        ORDER BY est_count DESC, term
+        LIMIT {HH_TOPK}
+    ) ORDER BY est_count DESC, term
 """
 ORACLES["tfidf_topk_terms"] = f"""
     WITH tf AS (

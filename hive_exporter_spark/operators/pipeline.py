@@ -275,6 +275,56 @@ def ngram_contamination(documents: DataFrame) -> DataFrame:
     )
 
 
+def ngram_contamination_bloom(documents: DataFrame,
+                              m_bits: int | None = None,
+                              n_hashes: int = 5) -> DataFrame:
+    """`ngram_contamination` with a Bloom prefilter on the benchmark
+    shingle set — for when the eval-suite union is too large to
+    broadcast as raw digests (multi-benchmark decontamination sweeps:
+    hundreds of eval sets × all their n-grams).
+
+    The benchmark shingle hashes collapse into a Bloom bitmap
+    (`operators/bloom.py`: one bounded groupBy, bitmap rows <= m/64)
+    whose membership test is a codegen-only expression on the training
+    shingle stream. Shingles that miss are definitively clean and
+    never reach a join; only hits (true contamination + ~fpp false
+    positives) flow into the exact semi-join that confirms membership,
+    so the join probe stream shrinks from |all training shingles| to
+    ~|contaminated|. Per-doc totals come from a join-free aggregate of
+    the raw stream, so output — including 0-contamination rows — is
+    bit-identical to `ngram_contamination` (same oracle).
+    """
+    from hive_exporter_spark.operators.bloom import (
+        BLOOM_BITS, bloom_bitmap, bloom_contains, collect_bloom)
+
+    m = m_bits or BLOOM_BITS
+    shingles = _char_shingles(documents)
+    bench = (
+        shingles.where(F.col("source") == BENCH_SOURCE)
+        .select("h").distinct()
+    )
+    dense = collect_bloom(bloom_bitmap(bench, "h", m, n_hashes), m)
+    train = shingles.where(F.col("source") != BENCH_SOURCE)
+    totals = train.groupBy("doc_id").agg(
+        F.countDistinct("h").alias("n_shingles"))
+    confirmed = (
+        train.where(bloom_contains(F.col("h"), dense, m, n_hashes))
+        .join(bench, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_contaminated"))
+    )
+    return (
+        totals.join(confirmed, "doc_id", "left")
+        .select(
+            "doc_id", "n_shingles",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+            F.round(F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double")
+                    / F.col("n_shingles"), 6).alias("contamination_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Repetition signals (Gopher's other filter axis)
 # ---------------------------------------------------------------------------
@@ -471,6 +521,11 @@ def _q_contamination(spark, sf):
     return ngram_contamination(_docs(spark, sf))
 
 
+def _q_contamination_bloom(spark, sf):
+    """Bloom-prefiltered twin: bit-identical output, same oracle."""
+    return ngram_contamination_bloom(_docs(spark, sf))
+
+
 def _q_repetition(spark, sf):
     return repetition_signals(_docs(spark, sf))
 
@@ -494,6 +549,7 @@ QUERIES = {
     "fill_missing_days": _q_fill_days,
     "lang_balanced_sample": _q_lang_balance,
     "ngram_contamination": _q_contamination,
+    "ngram_contamination_bloom": _q_contamination_bloom,
     "repetition_signals": _q_repetition,
     "epoch_mix": _q_epoch_mix,
     "source_mix_rebalance": _q_source_mix,
@@ -641,6 +697,7 @@ ORACLES = {
 # Composed pipeline oracle: each stage's oracle inlined as a subquery
 # over the same `documents` view, so the composition is checked with
 # the exact single-stage semantics.
+ORACLES["ngram_contamination_bloom"] = ORACLES["ngram_contamination"]
 ORACLES["source_mix_rebalance"] = """
     WITH counts AS (
         SELECT source AS grp, COUNT(*) AS n_docs FROM documents GROUP BY 1
