@@ -437,6 +437,14 @@ def _stratified_sample(spark, sf):
     return core.stratified_sample(ev, "event_type", SAMPLE_FRACTIONS)
 
 
+def _stratified_sample_hash(spark, sf):
+    """Deterministic twin of events_stratified_sample — md5-uniform
+    coin makes the kept set engine-portable, so this one hash-checks."""
+    ev = _t(spark, sf, "events")
+    return core.stratified_sample_hash(ev, "event_type",
+                                       SAMPLE_FRACTIONS, "event_id")
+
+
 def _window_analytics(spark, sf):
     return relational.order_window_analytics(_t(spark, sf, "orders"))
 
@@ -654,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_next_purchase": _asof_next_purchase,
         "profile_orders_columns": _profile_orders,
         "events_stratified_sample": _stratified_sample,
+        "events_stratified_sample_hash": _stratified_sample_hash,
         "orders_snapshot_diff": _snapshot_diff,
         "user_event_scd2": _scd2,
         "value_histogram": _histogram,
@@ -769,6 +778,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT MAX(event_id) FROM events
                 WHERE ts < TIMESTAMP '{EXISTING_TS_CUTOFF} 00:00:00'
             )
+        """,
+        "events_stratified_sample_hash": f"""
+            SELECT * FROM events
+            WHERE (CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 10)
+                        AS BIGINT) + 0.5) / {float(1 << 40)}
+                  < CASE event_type {' '.join(
+                      f"WHEN '{s}' THEN {float(fr)}"
+                      for s, fr in sorted(SAMPLE_FRACTIONS.items()))}
+                    ELSE 0.0 END
         """,
         "latest_per_key": """
             SELECT event_id, ts, user_id, event_type, value, props

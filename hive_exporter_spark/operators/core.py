@@ -176,6 +176,29 @@ def stratified_sample(df: DataFrame, strata_col: str,
     return df.sampleBy(strata_col, fractions, seed)
 
 
+def stratified_sample_hash(df: DataFrame, strata_col: str,
+                           fractions: dict, id_col: str) -> DataFrame:
+    """Per-stratum Bernoulli sampling with a DETERMINISTIC coin: keep
+    a row iff its md5-derived 40-bit uniform (the same engine-portable
+    trick as `weighted_sample`) falls below the stratum's fraction.
+
+    Same map-only, shuffle-free shape as `stratified_sample`, but the
+    kept set is a pure function of (id, stratum, fractions): reruns,
+    backfills, and other engines reproduce the row set exactly — which
+    also makes it value-hash-checkable against a SQL oracle, where
+    `sampleBy`'s engine RNG is rows-only by nature. Strata absent from
+    `fractions` get rate 0, matching `sampleBy`.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 10), 16, 10)
+        .cast("long") + F.lit(0.5)
+    ) / F.lit(float(1 << 40))
+    frac = F.lit(0.0)
+    for s, fr in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == s, F.lit(float(fr))).otherwise(frac)
+    return df.where(u < frac)
+
+
 def snapshot_diff(old: DataFrame, new: DataFrame, keys: Sequence[str],
                   compare_cols: Sequence[str] | None = None) -> DataFrame:
     """CDC-style diff of two table snapshots keyed on `keys`: one row

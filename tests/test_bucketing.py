@@ -128,3 +128,37 @@ def test_write_clustered_files_range_disjoint(spark, sf_dir, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
+
+
+def test_bucketed_digest_table_standing_dedup(spark, sf_dir):
+    """The standing-dedup shape incremental_dedup's docstring promises:
+    corpus digests materialized ONCE as a table bucketed on the digest,
+    each new crawl batch anti-joined against it. The bucketed (huge)
+    side must need NO exchange — only the small batch sorts/shuffles —
+    and the surviving set must equal the plain anti-join's."""
+    import uuid as _uuid
+
+    from hive_exporter_spark.catalog import TableName
+    from hive_exporter_spark.sinks import write_bucketed
+
+    docs = read_table(spark, sf_dir, "documents")
+    pred = F.expr("CAST(substring(source, 4, 10) AS INT) < 10")
+    corpus, batch_docs = docs.where(pred), docs.where(~pred)
+    digests = corpus.select(F.sha2(F.col("text"), 256).alias("digest")).distinct()
+    db = f"dedupdb_{_uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db}")
+    try:
+        write_bucketed(digests, TableName(db, "corpus_digests"),
+                       ["digest"], n_buckets=8, sort_cols=["digest"])
+        dig_table = spark.table(f"{db}.corpus_digests")
+        batch = batch_docs.withColumn("digest", F.sha2(F.col("text"), 256))
+        fresh = batch.hint("merge").join(dig_table, "digest", "left_anti")
+        plan = plans.formatted_plan(fresh)
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan, plan
+        assert plans.num_exchanges(fresh) == 1, plan  # batch side only
+        got = {r["doc_id"] for r in fresh.collect()}
+        expected = {r["doc_id"] for r in
+                    batch.join(digests, "digest", "left_anti").collect()}
+        assert got == expected and len(got) > 0
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")

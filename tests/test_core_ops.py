@@ -132,6 +132,29 @@ def test_stratified_sample_fractions_and_determinism(spark, sf_dir):
     assert all(t not in got for t in others)
 
 
+def test_stratified_sample_hash_rates_and_rerun_stability(spark, sf_dir):
+    from hive_exporter_spark.operators.core import stratified_sample_hash
+    from hive_exporter_spark.sources.files import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    fr = {"click": 0.1, "view": 0.2, "purchase": 1.0}
+    s1 = stratified_sample_hash(ev, "event_type", fr, "event_id")
+    ids1 = {r["event_id"] for r in s1.select("event_id").collect()}
+    ids2 = {r["event_id"] for r in
+            stratified_sample_hash(ev, "event_type", fr, "event_id")
+            .select("event_id").collect()}
+    assert ids1 == ids2 and len(ids1) > 0
+    base = {r["event_type"]: r["n"] for r in
+            ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["event_type"]: r["n"] for r in
+           s1.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got.get("purchase") == base["purchase"]
+    for t, frac in (("click", 0.1), ("view", 0.2)):
+        if t in base and base[t] > 100:
+            assert abs(got.get(t, 0) / base[t] - frac) < 0.1
+    assert all(t not in got for t in set(base) - set(fr))
+
+
 def test_snapshot_diff_change_classes(spark):
     from hive_exporter_spark.operators.core import snapshot_diff
 
