@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "contributor_cap",
     "incremental_dedup_bloom",
     "ngram_contamination_bloom",
+    "remove_dup_spans",
+    "bpe_pair_counts",
+    "temperature_mix",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -891,6 +891,47 @@ def token_count_bpe(documents: DataFrame) -> DataFrame:
     )
 
 
+BPE_PAIR_TOPK = 50
+
+
+def bpe_pair_counts(documents: DataFrame, k: int = BPE_PAIR_TOPK,
+                    text_col: str = "text") -> DataFrame:
+    """Corpus-wide adjacent-pair frequencies over BPE-ish pre-tokens —
+    the merge-selection statistic at the heart of BPE tokenizer
+    training (Sennrich et al. 2016, arXiv:1508.07909: each round
+    merges the most frequent adjacent symbol pair). Distributing this
+    count is what makes tokenizer training feasible on a 100 TB
+    corpus; the driver-side trainer then only consumes the tiny
+    per-round top-k.
+
+    Returns (left_tok, right_tok, pair_count), count desc / pair asc,
+    limited to `k` rows.
+
+    Spark shape: pre-tokenization is one codegen regexp_extract_all;
+    pair assembly is a map-only transform-over-sequence (CASE-guarded
+    so sub-2-token docs emit nothing — `sequence(1, 0)` would step
+    BACKWARD); one groupBy with map-side combine where the hot-pair
+    skew collapses before the exchange; top-k compiles to
+    TakeOrderedAndProject (per-partition k-heaps, no global sort).
+    """
+    d = documents.select(
+        F.regexp_extract_all(F.lower(F.col(text_col)),
+                             F.lit(BPE_PATTERN), F.lit(0)).alias("__toks"))
+    pairs = d.select(F.explode(F.expr(
+        "CASE WHEN size(__toks) >= 2 THEN "
+        "transform(sequence(1, size(__toks) - 1), "
+        "i -> named_struct('a', __toks[i-1], 'b', __toks[i])) "
+        "ELSE CAST(array() AS array<struct<a:string,b:string>>) END"
+    )).alias("__p"))
+    return (
+        pairs.groupBy(F.col("__p.a").alias("left_tok"),
+                      F.col("__p.b").alias("right_tok"))
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "left_tok", "right_tok")
+        .limit(k)
+    )
+
+
 def language_id(documents: DataFrame) -> DataFrame:
     """Heuristic language ID: stopword-hit ratio against an English
     stopword list (the container has no langid lib; the operator shape
@@ -1681,6 +1722,76 @@ CDC_DIVISOR = 8
 CDC_MIN_DF = 2
 
 
+def cdc_chunks(documents: DataFrame, k: int = CDC_K,
+               divisor: int = CDC_DIVISOR, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Content-defined chunking shared by `cdc_dup_spans` and
+    `remove_dup_spans`: one row per chunk with (id_col, __start,
+    __len, __chunk, __digest). Boundaries fall where the rolling
+    k-token-gram md5-derived hash satisfies ``hash % divisor == 0``
+    (expected chunk length = `divisor` tokens, alignment purely
+    local, so a prefix edit re-syncs after ~k tokens).
+
+    MAP-ONLY array algebra — no explode-sort; each derived array is
+    materialized in its own projection and referenced statically so
+    tokenization/hashing run once per row (the CollapseProject-dodging
+    staging described on `exploded_shingles`). Consumers that don't
+    need `__chunk` can drop it free of charge: `__digest` is the sha2
+    of the same concat, so column pruning leaves identical work.
+
+    explode_outer, NOT explode: plain explode makes the optimizer
+    infer a `size(...) > 0` pruning filter and push it below the
+    projections — alias substitution inlines the whole HOF chain into
+    one interpreted filter condition with exponential expression
+    duplication (measured: hangs at 200 tokens/doc). The span array is
+    never empty (boundary position 1 is always present) so the
+    variants agree.
+    """
+    d1 = documents.select(F.col(id_col), tokens_col(text_col).alias("__toks"))
+    # Per-position k-gram boundary hashes (size(__toks) static refs
+    # keep the tokenizer out of the interpreted lambda).
+    d2 = d1.select(
+        id_col, "__toks",
+        F.expr(
+            f"CASE WHEN size(__toks) >= {k} THEN "
+            f"transform(sequence(1, size(__toks) - {k - 1}), "
+            f"i -> cast(conv(substring(md5("
+            f"concat_ws(' ', slice(__toks, i, {k}))), 1, 7), 16, 10) "
+            f"as bigint)) "
+            f"ELSE CAST(array() AS array<bigint>) END"
+        ).alias("__hs"),
+    )
+    d3 = d2.select(
+        id_col, "__toks",
+        F.expr(
+            f"CASE WHEN size(__hs) = 0 THEN array(1) "
+            f"ELSE array_distinct(concat(array(1), "
+            f"filter(sequence(1, size(__hs)), "
+            f"i -> pmod(try_element_at(__hs, i), {divisor}) = 0))) END"
+        ).alias("__b"),
+    )
+    return d3.select(
+        id_col,
+        F.explode_outer(F.expr(
+            "transform(sequence(1, size(__b)), j -> named_struct("
+            "'start', try_element_at(__b, j), "
+            "'len', coalesce(try_element_at(__b, j + 1), size(__toks) + 1)"
+            "       - try_element_at(__b, j)))"
+        )).alias("__span"),
+        F.col("__toks"),
+    ).select(
+        id_col,
+        F.col("__span.start").alias("__start"),
+        F.col("__span.len").alias("__len"),
+        F.concat_ws(
+            " ", F.expr("slice(__toks, __span.start, __span.len)")
+        ).alias("__chunk"),
+        F.sha2(F.concat_ws(
+            " ", F.expr("slice(__toks, __span.start, __span.len)")), 256,
+        ).alias("__digest"),
+    )
+
+
 def cdc_dup_spans(documents: DataFrame, k: int = CDC_K,
                   divisor: int = CDC_DIVISOR, min_df: int = CDC_MIN_DF,
                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -1712,52 +1823,12 @@ def cdc_dup_spans(documents: DataFrame, k: int = CDC_K,
     boundaries exactly; semantics are additionally pinned by
     shift-invariance tests.
     """
-    d1 = documents.select(F.col(id_col), tokens_col(text_col).alias("__toks"))
-    # Per-position k-gram boundary hashes (size(__toks) static refs
-    # keep the tokenizer out of the interpreted lambda).
-    d2 = d1.select(
-        id_col, "__toks",
-        F.expr(
-            f"CASE WHEN size(__toks) >= {k} THEN "
-            f"transform(sequence(1, size(__toks) - {k - 1}), "
-            f"i -> cast(conv(substring(md5("
-            f"concat_ws(' ', slice(__toks, i, {k}))), 1, 7), 16, 10) "
-            f"as bigint)) "
-            f"ELSE CAST(array() AS array<bigint>) END"
-        ).alias("__hs"),
-    )
-    d3 = d2.select(
-        id_col, "__toks",
-        F.expr(
-            f"CASE WHEN size(__hs) = 0 THEN array(1) "
-            f"ELSE array_distinct(concat(array(1), "
-            f"filter(sequence(1, size(__hs)), "
-            f"i -> pmod(try_element_at(__hs, i), {divisor}) = 0))) END"
-        ).alias("__b"),
-    )
-    # explode_outer, NOT explode: plain explode makes the optimizer
-    # infer a `size(__spans) > 0` pruning filter and push it below the
-    # projections — alias substitution inlines the whole HOF chain
-    # into one interpreted filter condition with exponential expression
-    # duplication (measured: hangs at 200 tokens/doc). __spans is never
-    # empty (__b always contains position 1) so the variants agree.
-    # The lazy localCheckpoint severs the optimizer boundary and keeps
-    # the chunk table computed ONCE for its two consumers below.
-    chunks = d3.select(
-        id_col,
-        F.explode_outer(F.expr(
-            "transform(sequence(1, size(__b)), j -> named_struct("
-            "'start', try_element_at(__b, j), "
-            "'len', coalesce(try_element_at(__b, j + 1), size(__toks) + 1)"
-            "       - try_element_at(__b, j)))"
-        )).alias("__span"),
-        F.col("__toks"),
-    ).select(
-        id_col,
-        F.sha2(F.concat_ws(
-            " ", F.expr("slice(__toks, __span.start, __span.len)")), 256,
-        ).alias("__digest"),
-        F.col("__span.len").alias("__len"),
+    # Lazy localCheckpoint severs the optimizer boundary and keeps the
+    # chunk table computed ONCE for its two consumers below; __chunk
+    # is pruned so only (digest, len) ever shuffles.
+    chunks = cdc_chunks(documents, k, divisor, text_col=text_col,
+                        id_col=id_col).select(
+        id_col, "__digest", "__len"
     ).localCheckpoint(eager=False)
     chunk_df = (
         chunks.groupBy("__digest")
@@ -1777,6 +1848,74 @@ def cdc_dup_spans(documents: DataFrame, k: int = CDC_K,
             ).alias("dup_token_frac"),
         )
     )
+
+
+def remove_dup_spans(documents: DataFrame, k: int = CDC_K,
+                     divisor: int = CDC_DIVISOR, min_df: int = CDC_MIN_DF,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Sub-document dedup in the ExactSubstr-REMOVE style (Lee et al.
+    2022, arXiv:2107.06499, approximated at CDC-chunk granularity):
+    where `cdc_dup_spans` only SCORES duplicated spans, this rewrites
+    each document with them cut out. A chunk whose text occurs in
+    >= `min_df` distinct documents keeps exactly its FIRST occurrence
+    corpus-wide (ordered by (doc_id, start) — deterministic, engine-
+    portable) and every later occurrence is dropped; unique chunks
+    always survive. Documents are reassembled from surviving chunks in
+    positional order over NORMALIZED tokens (the same token stream the
+    chunker hashes), single-space joined.
+
+    Returns (id_col, text, n_chunks_kept, n_chunks_removed) — one row
+    per input document; a document that was entirely duplicated spans
+    survives with empty text so downstream length filters decide its
+    fate explicitly (same contract as `dedup_lines`).
+
+    Spark shape: chunking is the shared map-only `cdc_chunks`; ONE
+    groupBy on the chunk digest computes (distinct-doc df, first
+    occurrence) together — `min(struct(doc_id, start))` rides the same
+    partial aggregate as the count, so no window sort and no second
+    exchange; the chunk stream joins that per-digest verdict and
+    reassembles per doc with the array_sort-over-structs pattern (a
+    single hash aggregate, no window). Chunk text crosses exactly two
+    exchanges (verdict join + reassembly) — the floor for any
+    formulation that must rebuild documents, and the same floor
+    `dedup_lines` documents. At 100 TB the digest aggregate shuffles
+    32-byte keys with map-side combine; hot boilerplate chunks
+    concentrate on single reducers only for the tiny verdict table,
+    never the rebuild.
+    """
+    chunks = cdc_chunks(documents, k, divisor, text_col=text_col,
+                        id_col=id_col).localCheckpoint(eager=False)
+    verdict = chunks.groupBy("__digest").agg(
+        F.count_distinct(F.col(id_col)).alias("__df"),
+        F.min(F.struct(F.col(id_col).alias("d"),
+                       F.col("__start").alias("s"))).alias("__first"),
+    )
+    keep = (F.col("__df") < min_df) | (
+        (F.col("__first.d") == F.col(id_col))
+        & (F.col("__first.s") == F.col("__start"))
+    )
+    kept = (
+        chunks.join(verdict, "__digest")
+        .withColumn("__keep", keep)
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col("__keep"),
+                           F.struct("__start", "__chunk")))),
+                lambda s: s["__chunk"],
+            ),
+        ).alias("text"),
+        F.sum(F.when(F.col("__keep"), 1).otherwise(0))
+        .cast("long").alias("n_chunks_kept"),
+        F.sum(F.when(~F.col("__keep"), 1).otherwise(0))
+        .cast("long").alias("n_chunks_removed"),
+    )
+    return rebuilt.select(id_col, "text", "n_chunks_kept",
+                          "n_chunks_removed").orderBy(id_col)
 
 
 def incremental_dedup(new_docs: DataFrame, corpus: DataFrame,
@@ -2217,6 +2356,10 @@ def _q_bpe(spark, sf):
     return token_count_bpe(_docs(spark, sf))
 
 
+def _q_bpe_pairs(spark, sf):
+    return bpe_pair_counts(_docs(spark, sf))
+
+
 def _q_lang(spark, sf):
     return language_id(_docs(spark, sf))
 
@@ -2319,6 +2462,22 @@ def _q_cdc_dup_spans(spark, sf):
     return cdc_dup_spans(docs.unionByName(shifted)).orderBy("doc_id")
 
 
+def _q_remove_dup_spans(spark, sf):
+    """Same injected-replica fixture as cdc_dup_spans, so the rewrite
+    has real cross-document spans to cut: each replica must come back
+    with its copied tail removed (first occurrence wins)."""
+    docs = _docs(spark, sf).select("doc_id", "text")
+    shifted = (
+        docs.where(F.col("doc_id") < 25)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.lit("injected shifted replica prefix "),
+                     F.col("text")).alias("text"),
+        )
+    )
+    return remove_dup_spans(docs.unionByName(shifted))
+
+
 def _q_semantic_dedup(spark, sf):
     """Rows-only: k-means centroids have no SQL twin; numpy replay in
     tests asserts survivor-set equality."""
@@ -2387,6 +2546,7 @@ QUERIES = {
     "token_doc_frequency": _q_tok_df,
     "scrub_pii": _q_scrub,
     "token_count_bpe": _q_bpe,
+    "bpe_pair_counts": _q_bpe_pairs,
     "language_id": _q_lang,
     "quality_score": _q_quality,
     "doc_fingerprint": _q_fingerprint,
@@ -2397,6 +2557,7 @@ QUERIES = {
     "heavy_hitters_terms": _q_heavy_hitters,
     "heavy_hitters_exact": _q_heavy_hitters_exact,
     "incremental_dedup_bloom": _q_incremental_dedup_bloom,
+    "remove_dup_spans": _q_remove_dup_spans,
 }
 
 _TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
@@ -2991,6 +3152,76 @@ ORACLES["incremental_dedup"] = """
       )
 """
 ORACLES["incremental_dedup_bloom"] = ORACLES["incremental_dedup"]
+ORACLES["bpe_pair_counts"] = f"""
+    WITH toks AS (
+        SELECT regexp_extract_all(lower(text), '{BPE_PATTERN}') AS t
+        FROM documents
+    ), pairs AS (
+        SELECT t[i] AS left_tok, t[i + 1] AS right_tok
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+        WHERE len(t) >= 2
+    )
+    SELECT left_tok, right_tok, COUNT(*) AS pair_count
+    FROM pairs
+    GROUP BY left_tok, right_tok
+    ORDER BY pair_count DESC, left_tok, right_tok
+    LIMIT {BPE_PAIR_TOPK}
+"""
+ORACLES["remove_dup_spans"] = f"""
+    WITH src AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               'injected shifted replica prefix ' || text AS text
+        FROM documents WHERE doc_id < 25
+    ), t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM src
+    ), h AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) >= {CDC_K} THEN
+                   list_transform(range(1, len(toks) - {CDC_K - 2}),
+                       i -> CAST('0x' || substr(md5(array_to_string(
+                                toks[i:i+{CDC_K - 1}], ' ')), 1, 7) AS BIGINT))
+               ELSE [] END AS hs
+        FROM t
+    ), b AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(hs) = 0 THEN [1]
+                    ELSE list_sort(list_distinct(list_concat([1],
+                         list_filter(range(1, len(hs) + 1),
+                                     i -> hs[i] % {CDC_DIVISOR} = 0)))) END
+                   AS bpos
+        FROM h
+    ), spans AS (
+        SELECT doc_id, toks, bpos,
+               unnest(range(1, len(bpos) + 1)) AS j
+        FROM b
+    ), chunks AS (
+        SELECT doc_id, bpos[j] AS start,
+               coalesce(array_to_string(
+                   toks[bpos[j] : coalesce(bpos[j+1], len(toks)+1) - 1],
+                   ' '), '') AS chunk
+        FROM spans
+    ), dfs AS (
+        SELECT chunk, COUNT(DISTINCT doc_id) AS df
+        FROM chunks GROUP BY chunk
+    ), ranked AS (
+        SELECT c.doc_id, c.start, c.chunk, d.df,
+               ROW_NUMBER() OVER (PARTITION BY c.chunk
+                                  ORDER BY c.doc_id, c.start) AS rn
+        FROM chunks c JOIN dfs d USING (chunk)
+    )
+    SELECT doc_id,
+           coalesce(string_agg(chunk, ' ' ORDER BY start)
+                    FILTER (WHERE df < {CDC_MIN_DF} OR rn = 1), '') AS text,
+           CAST(COUNT(*) FILTER (WHERE df < {CDC_MIN_DF} OR rn = 1)
+                AS BIGINT) AS n_chunks_kept,
+           CAST(COUNT(*) FILTER (WHERE NOT (df < {CDC_MIN_DF} OR rn = 1))
+                AS BIGINT) AS n_chunks_removed
+    FROM ranked
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
 ORACLES["heavy_hitters_exact"] = f"""
     SELECT term, est_count, err_upper FROM (
         SELECT tok AS term, COUNT(*) AS est_count,

@@ -449,6 +449,58 @@ def curation_pipeline(documents: DataFrame,
 
 # -- driver-contract wiring -------------------------------------------------
 
+TEMP_MIX_ALPHA = 0.5
+
+
+def temperature_mix(documents: DataFrame, alpha: float = TEMP_MIX_ALPHA,
+                    group_col: str = "source",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Temperature-scaled mixing, APPLIED: sample so each group's
+    share moves from its observed p_s toward p_s^alpha / Σ p^alpha —
+    the standard multilingual/source rebalancing exponent (XLM-R,
+    Conneau et al. 2020 §3.1 use alpha=0.3; alpha=1 keeps everything,
+    alpha→0 approaches uniform). Where `source_mix_rebalance` PLANS
+    factors for explicit targets, this derives the targets from the
+    temperature and executes the downsample with the md5-uniform coin
+    (deterministic, engine-portable — reruns keep identical rows and
+    the oracle reproduces the exact surviving set).
+
+    Rates normalize so the most-upweighted group keeps everything
+    (sampling can only discard); rates round to 9 dp so ULP drift
+    can't flip a coin comparison cross-engine. Returns surviving
+    (id_col, lang, group_col, sample_rate) rows.
+
+    Plan shape: the rate table is three dimension-sized aggregates
+    (group counts → Σ, Σ p^alpha, max up-weight) chained by single-row
+    broadcasts; the corpus is touched ONCE, by a broadcast join +
+    map-side filter. No shuffle of data rows at any size.
+    """
+    counts = documents.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("__n"))
+    total = counts.agg(F.sum("__n").alias("__t"))
+    w = counts.crossJoin(F.broadcast(total)).select(
+        "grp", "__n",
+        (F.col("__n") / F.col("__t")).alias("__p"),
+        F.pow(F.col("__n") / F.col("__t"), F.lit(float(alpha))).alias("__pw"),
+    )
+    sumw = w.agg(F.sum("__pw").alias("__sw"))
+    raw = w.crossJoin(F.broadcast(sumw)).select(
+        "grp", ((F.col("__pw") / F.col("__sw")) / F.col("__p")).alias("__raw"))
+    mx = raw.agg(F.max("__raw").alias("__mx"))
+    rates = raw.crossJoin(F.broadcast(mx)).select(
+        "grp", F.round(F.col("__raw") / F.col("__mx"), 9).alias("sample_rate"))
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 10), 16, 10)
+        .cast("long") + F.lit(0.5)
+    ) / F.lit(float(1 << 40))
+    return (
+        documents.join(F.broadcast(rates),
+                       documents[group_col] == rates["grp"])
+        .where(u < F.col("sample_rate"))
+        .select(id_col, "lang", group_col, "sample_rate")
+    )
+
+
 def source_mix_rebalance(documents: DataFrame,
                          targets: dict[str, float] | None = None,
                          group_col: str = "source") -> DataFrame:
@@ -534,6 +586,10 @@ def _q_epoch_mix(spark, sf):
     return epoch_mix(_docs(spark, sf))
 
 
+def _q_temperature_mix(spark, sf):
+    return temperature_mix(_docs(spark, sf))
+
+
 def _q_source_mix(spark, sf):
     return source_mix_rebalance(_docs(spark, sf))
 
@@ -553,6 +609,7 @@ QUERIES = {
     "repetition_signals": _q_repetition,
     "epoch_mix": _q_epoch_mix,
     "source_mix_rebalance": _q_source_mix,
+    "temperature_mix": _q_temperature_mix,
     "curation_pipeline": _q_curation,
 }
 
@@ -698,6 +755,22 @@ ORACLES = {
 # over the same `documents` view, so the composition is checked with
 # the exact single-stage semantics.
 ORACLES["ngram_contamination_bloom"] = ORACLES["ngram_contamination"]
+ORACLES["temperature_mix"] = f"""
+    WITH counts AS (
+        SELECT source AS grp, COUNT(*) AS n FROM documents GROUP BY 1
+    ), tot AS (SELECT SUM(n) AS t FROM counts),
+    w AS (
+        SELECT grp, n, (n * 1.0 / t) AS p, power(n * 1.0 / t, {TEMP_MIX_ALPHA}) AS pw
+        FROM counts, tot
+    ), sw AS (SELECT SUM(pw) AS s FROM w),
+    r AS (SELECT grp, ((pw / s) / p) AS raw FROM w, sw),
+    mx AS (SELECT MAX(raw) AS m FROM r),
+    rates AS (SELECT grp, round(raw / m, 9) AS sample_rate FROM r, mx)
+    SELECT d.doc_id, d.lang, d.source, rates.sample_rate
+    FROM documents d JOIN rates ON d.source = rates.grp
+    WHERE (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 10)
+                AS BIGINT) + 0.5) / {float(1 << 40)} < rates.sample_rate
+"""
 ORACLES["source_mix_rebalance"] = """
     WITH counts AS (
         SELECT source AS grp, COUNT(*) AS n_docs FROM documents GROUP BY 1

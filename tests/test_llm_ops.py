@@ -123,6 +123,51 @@ def test_cdc_dup_spans_edge_docs(spark):
     assert rows[3]["dup_token_frac"] == 1.0
 
 
+def test_remove_dup_spans_first_occurrence_wins(spark):
+    """The copy loses its shared spans, the original keeps everything:
+    normalized reconstruction is lossless for the first occurrence and
+    the copy retains only its unique prefix region."""
+    base = " ".join(f"w{i % 97}x{i % 89}" for i in range(200))
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "shifted prefix tokens here then " + base),
+            (3, " ".join(f"u{i}z{i * 7 % 101}" for i in range(150))),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in llm.remove_dup_spans(df).collect()}
+    assert rows[1]["text"] == base            # first occurrence intact
+    assert rows[1]["n_chunks_removed"] == 0
+    # the copy keeps its unique prefix (plus the ~k-token re-sync
+    # region) but loses the bulk of the shared 200 tokens
+    assert rows[2]["n_chunks_removed"] > 0
+    assert len(rows[2]["text"].split()) < 100
+    assert rows[2]["text"].startswith("shifted prefix tokens here then")
+    # the unique doc reconstructs exactly
+    assert rows[3]["text"] == " ".join(f"u{i}z{i * 7 % 101}" for i in range(150))
+    assert rows[3]["n_chunks_removed"] == 0
+
+
+def test_remove_dup_spans_accounting_matches_cdc_scores(spark, docs):
+    """kept+removed must equal cdc_dup_spans' chunk count per doc.
+    (No idempotence claim: removal re-segments the token stream, so a
+    second pass may legitimately find NEW cross-doc matches — e.g.
+    different docs collapsing to identical residues. Same is true of
+    ExactSubstr-style removal in general.)"""
+    scored = {r["doc_id"]: r for r in llm.cdc_dup_spans(docs).collect()}
+    removed = llm.remove_dup_spans(docs)
+    n_dup_docs = 0
+    for r in removed.collect():
+        s = scored[r["doc_id"]]
+        assert r["n_chunks_kept"] + r["n_chunks_removed"] == s["n_chunks"]
+        n_dup_docs += r["n_chunks_removed"] > 0
+    # and removal only strikes docs cdc_dup_spans scored as duplicated
+    assert all(scored[r["doc_id"]]["n_dup_chunks"] >= r["n_chunks_removed"]
+               for r in removed.collect())
+    assert n_dup_docs > 0
+
+
 def test_segment_dedup_idempotent_and_lossless_on_unique(spark, docs):
     """On already-unique segments the op must reassemble text exactly."""
     out = llm.segment_dedup(llm.segment_dedup(docs)
@@ -691,3 +736,18 @@ def test_label_propagation_raises_on_round_exhaustion(spark):
         "doc_a long, doc_b long, n_common long, jaccard double")
     with pytest.raises(RuntimeError, match="did not converge"):
         llm.near_dup_clusters(chain, max_iter=2)
+
+
+def test_bpe_pair_counts_exact_on_crafted_corpus(spark):
+    df = spark.createDataFrame(
+        [(1, "ab ab ab cd"), (2, "ab cd! cd")],
+        "doc_id long, text string",
+    )
+    rows = {(r["left_tok"], r["right_tok"]): r["pair_count"]
+            for r in llm.bpe_pair_counts(df).collect()}
+    # doc1 pre-tokens: ab ab ab cd ; doc2: ab cd ! cd
+    assert rows[("ab", "ab")] == 2
+    assert rows[("ab", "cd")] == 2
+    assert rows[("cd", "!")] == 1
+    assert rows[("!", "cd")] == 1
+    assert sum(rows.values()) == 6  # 3 pairs per 4-token doc x 2 docs

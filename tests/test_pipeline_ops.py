@@ -359,3 +359,45 @@ def test_token_drift_jsd_names_the_drifted_token(spark):
     assert top["tok"] == "cookiebanner"
     # JSD terms are nonnegative and bounded by ln(2)/2 per side.
     assert all(r["jsd_term"] >= 0 for r in out)
+
+
+def test_temperature_mix_alpha1_keeps_all_and_alpha_flattens(spark, sf_dir):
+    """alpha=1 is the identity mix (every rate 1.0, all rows kept);
+    lower alpha flattens shares toward uniform — the kept-share spread
+    across sources must shrink monotonically with alpha."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    assert pipeline.temperature_mix(docs, alpha=1.0).count() == n
+
+    base = {r["source"]: r["n"] for r in
+            docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    def spread(alpha):
+        kept = {r["source"]: r["n"] for r in
+                pipeline.temperature_mix(docs, alpha=alpha)
+                .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+        tot = sum(kept.values())
+        shares = [kept.get(s, 0) / tot for s in base]
+        return max(shares) - min(shares)
+
+    s_raw = max(base.values()) / n - min(base.values()) / n
+    s_half, s_tenth = spread(0.5), spread(0.1)
+    assert s_half <= s_raw + 1e-9
+    assert s_tenth <= s_half + 0.02  # sampling noise tolerance
+    # rerun stability: deterministic coin keeps the identical row set
+    a = {r["doc_id"] for r in pipeline.temperature_mix(docs, 0.5).collect()}
+    b = {r["doc_id"] for r in pipeline.temperature_mix(docs, 0.5).collect()}
+    assert a == b
+
+
+def test_temperature_mix_most_upweighted_group_fully_kept(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    base = {r["source"]: r["n"] for r in
+            docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    smallest = min(base, key=lambda s: base[s])
+    out = pipeline.temperature_mix(docs, alpha=0.3)
+    rates = {r["source"]: r["sample_rate"] for r in
+             out.select("source", "sample_rate").distinct().collect()}
+    assert rates[smallest] == 1.0
+    kept = out.where(F.col("source") == smallest).count()
+    assert kept == base[smallest]
