@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "remove_dup_spans",
     "bpe_pair_counts",
     "temperature_mix",
+    "embedding_topk_cosine_pq",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
