@@ -740,6 +740,105 @@ def topk_cosine_ivf(
     )
 
 
+PQ_M = 32   # subspaces (fixture dim 64 -> 2 dims per subspace)
+PQ_K = 64   # codes per subspace (6 bits; a code always fits a byte)
+
+
+def topk_cosine_ivf_pq(embeddings: DataFrame, queries: DataFrame,
+                       k: int = TOPK, n_clusters: int = IVF_CLUSTERS,
+                       nprobe: int = IVF_NPROBE, m: int = PQ_M,
+                       n_codes: int = PQ_K, seed: int = 42,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """The standard IVF-PQ index (Jégou et al. 2011 §V), composed from
+    this module's two halves: IVF's coarse k-means bucketing limits
+    each query to `nprobe` buckets (~nprobe/n_clusters of the corpus
+    scored), and inside the probed buckets candidates are scored from
+    their PQ codes (asymmetric/reconstruction distance) instead of raw
+    floats — so the scan reads 24-byte codes, not 256-byte vectors.
+
+    Spark shape: ONE Arrow kernel assigns the bucket and encodes the
+    PQ codes per batch (both models broadcast as closures; no shuffle
+    to index the corpus — at 100 TB this materializes once partitioned
+    by bucket, and probes become partition-pruned scans of the code
+    table). Queries broadcast against their probed buckets; scoring
+    reconstructs candidates from codes inside a second kernel and
+    emits per-batch top-k, with the global top-k window as the only
+    exchange of the query path. Rows-only (two k-means fits); recall
+    vs exact is pinned in tests — it is bounded above by both the IVF
+    probe recall and the PQ quantization recall."""
+    import numpy as np
+    import pandas as pd
+
+    cent = _kmeans_centroids(embeddings, n_clusters, seed, id_col, vec_col)
+    books = pq_codebooks(embeddings, m, n_codes, seed, vec_col)
+    m_, _, dsub = books.shape
+
+    def index_kernel(batches):
+        for pdf in batches:
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            codes = np.empty((len(mat), m_), dtype=np.int32)
+            for j in range(m_):
+                sub = mat[:, j * dsub:(j + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({
+                "neighbor_id": pdf[id_col],
+                "codes": list(codes),
+                "bucket": np.argmax(mat @ cent.T, axis=1).astype("int32"),
+            })
+
+    indexed = embeddings.select(id_col, vec_col).mapInPandas(
+        index_kernel, "neighbor_id long, codes array<int>, bucket int")
+
+    q_rows = queries.select(id_col, vec_col).collect()  # small Q by contract
+    probe_rows = []
+    for r in q_rows:
+        v = np.array(r[vec_col], dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        for b in np.argsort(-(cent @ v))[:nprobe]:
+            probe_rows.append((r[id_col], v.tolist(), int(b)))
+    q = F.broadcast(embeddings.sparkSession.createDataFrame(
+        probe_rows, "query_id long, qvec array<double>, bucket int"))
+
+    def score_kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            recon = np.empty((len(codes), m_ * dsub))
+            for j in range(m_):
+                recon[:, j * dsub:(j + 1) * dsub] = books[j][codes[:, j]]
+            # rows arrive grouped arbitrarily; score each row against
+            # ITS OWN query vector (one row per (query, candidate))
+            qv = np.array(list(pdf["qvec"]), dtype=np.float64)
+            scores = (qv * recon).sum(axis=1)
+            out = pd.DataFrame({
+                "query_id": pdf["query_id"],
+                "neighbor_id": pdf["neighbor_id"],
+                "score": scores,
+            })
+            yield (out.sort_values("score", ascending=False)
+                   .groupby("query_id", sort=False).head(k))
+
+    partial = (
+        indexed.join(q, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qvec", "neighbor_id", "codes")
+        .mapInPandas(score_kernel,
+                     "query_id long, neighbor_id long, score double")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("score", 6).alias("score"))
+    )
+
+
 COSINE_DUP_THRESHOLD = 0.45
 
 
@@ -1549,10 +1648,6 @@ def quantize_embeddings(embeddings: DataFrame, id_col: str = "vec_id",
             F.round(F.col("__scale"), 6).alias("scale"),
         )
     )
-
-
-PQ_M = 32   # subspaces (fixture dim 64 -> 2 dims per subspace)
-PQ_K = 64   # codes per subspace (6 bits; a code always fits a byte)
 
 
 def pq_codebooks(embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K,
@@ -2498,6 +2593,12 @@ def _q_topk_lsh(spark, sf):
     return topk_cosine_lsh(emb, emb.where(F.col("vec_id") < N_QUERIES))
 
 
+def _q_topk_ivf_pq(spark, sf):
+    """Rows-only: two k-means fits; recall pinned in tests."""
+    emb = _emb(spark, sf)
+    return topk_cosine_ivf_pq(emb, emb.where(F.col("vec_id") < N_QUERIES))
+
+
 def _q_topk_pq(spark, sf):
     """Rows-only: PQ codebooks are k-means-fit (not SQL-expressible);
     recall vs the exact path is pinned in tests."""
@@ -2695,6 +2796,7 @@ QUERIES = {
     "embedding_topk_cosine_ivf": _q_topk_ivf,
     "embedding_topk_cosine_brp_lsh": _q_topk_brp,
     "embedding_topk_cosine_pq": _q_topk_pq,
+    "embedding_topk_cosine_ivf_pq": _q_topk_ivf_pq,
     "embedding_label_centroids": _q_centroids,
     "doc_embedding_norms": _q_norms,
     "embedding_near_dup_pairs": _q_near_dup,

@@ -787,3 +787,18 @@ def test_pq_encode_codes_bounded_and_reconstruction_sane(spark, emb):
         recon = np.concatenate([books[j][codes[j]] for j in range(m_)])
         sims.append(float(v @ recon / (np.linalg.norm(recon) or 1.0)))
     assert float(np.mean(sims)) >= 0.8, np.mean(sims)
+
+
+def test_topk_ivf_pq_recall(spark, emb):
+    """The composed IVF-PQ index: recall is bounded by both the probe
+    recall (IVF) and the quantization recall (PQ), so the bar sits
+    below either half's solo bar but must stay far above chance."""
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in llm.topk_cosine(emb, queries).collect()}
+    out = llm.topk_cosine_ivf_pq(emb, queries).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in out}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF-PQ recall {recall} too low"
+    assert all(r["query_id"] != r["neighbor_id"] for r in out)
+    assert all(1 <= r["rank"] <= 5 for r in out)

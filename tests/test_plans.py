@@ -347,3 +347,34 @@ def test_event_anomaly_plan_shape(spark, sf_dir):
     plan = plans.formatted_plan(df)
     assert plans.num_exchanges(df) <= 3, plan
     assert "Join" not in plan, plan
+
+
+def test_temperature_mix_no_data_row_shuffle(spark, sf_dir):
+    """The corpus must reach the rate join via broadcast only: every
+    exchange in the plan belongs to the dimension-sized rate chain,
+    and the join on the data path is a BroadcastHashJoin (a sort-merge
+    join would mean the corpus itself shuffles)."""
+    from hive_exporter_spark.operators import pipeline
+
+    df = pipeline.temperature_mix(read_table(spark, sf_dir, "documents"))
+    plan = plans.formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert plans.has_broadcast_join(df), plan
+
+
+def test_bpe_pair_counts_partial_agg_and_topk(spark, sf_dir):
+    """Pair counting must combine map-side (hot-pair skew collapses
+    before the exchange) and the top-k must compile to
+    TakeOrderedAndProject, not a global sort."""
+    df = llm.bpe_pair_counts(t := read_table(spark, sf_dir, "documents"))
+    plan = plans.formatted_plan(df)
+    assert plans.has_partial_aggregate(df), plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plans.num_exchanges(df) <= 1, plan
+
+
+def test_remove_dup_spans_bounded_exchanges(spark, sf_dir):
+    """Verdict aggregate + verdict join + rebuild + output sort — the
+    chunk stream must not shuffle more than that."""
+    df = llm.remove_dup_spans(read_table(spark, sf_dir, "documents"))
+    assert plans.num_exchanges(df) <= 4, plans.formatted_plan(df)

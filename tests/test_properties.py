@@ -122,11 +122,14 @@ def test_trim_outliers_subset_and_tail_drop(spark, rows):
     assert not Counter((r["event_type"], r["value"]) for r in kept) - Counter(
         (g, float(v)) for g, v in rows
     )
-    # Strict per-group max always has percent_rank 1.0 > 0.75 when the
-    # group has >1 distinct value → must be dropped.
+    # A UNIQUE per-group max has percent_rank exactly 1.0 > 0.75 when
+    # the group has >1 distinct value → must be dropped. (A TIED max
+    # ranks at (first_rank-1)/(n-1) < 1.0 and may legitimately
+    # survive: [0,0,1,1] puts the 1s at 2/3 ≤ 0.75 — hypothesis found
+    # exactly this case.)
     for g in {g for g, _ in rows}:
         vals = [v for gg, v in rows if gg == g]
-        if len(set(vals)) > 1:
+        if len(set(vals)) > 1 and vals.count(max(vals)) == 1:
             assert (g, float(max(vals))) not in {
                 (r["event_type"], r["value"]) for r in kept
             }
