@@ -15,10 +15,10 @@ see (and codegen) every step:
 - **Probe** has two shapes for two scales:
   (a) `bloom_contains` embeds the collected bitmap (m/8 bytes —
       128 KiB at the m=2^20 default, same order as a broadcast
-      variable) as a single hex-string literal, so membership is
+      variable) as a single binary literal, so membership is
       pure whole-stage-codegen arithmetic: zero joins, zero
       shuffles, zero Python. This is the path while the filter fits
-      driver / plan size (m up to a few hundred million bits).
+      driver / plan size (m up to LITERAL_PROBE_MAX_BITS = 2^24).
   (b) `bloom_probe_join` keeps the bitmap distributed and probes by
       exploding each value's j word positions into a join against
       the (word, bits) table — the path when m is sized for 10^10+
@@ -48,6 +48,29 @@ from pyspark.sql import functions as F
 
 BLOOM_BITS = 1 << 20   # m: 1M bits = 16K words = 128 KiB dense
 BLOOM_HASHES = 5       # j
+# Above this, embedding the bitmap as a plan literal is a measured
+# perf cliff (the filter expression tree carries the literal once per
+# check and per consuming Filter; optimizer canonicalization rehashes
+# multi-MB byte arrays): m=2^24 probes in ~2 s, m=2^26 in ~35 s on the
+# same stream. Larger filters must use bloom_probe_join.
+LITERAL_PROBE_MAX_BITS = 1 << 24
+
+
+def bloom_sizing(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Textbook sizing for a target false-positive rate: returns
+    (m_bits, n_hashes) with m = -n·ln(p)/ln(2)² and j = (m/n)·ln(2).
+    Undersizing saturates the filter fast — at fill ratio f the fpp is
+    f^j, e.g. a filter at 90% fill with j=5 passes 59% of non-members
+    to the confirmation join and stops paying for itself. m rounds up
+    to a multiple of 64 (whole bitmap words)."""
+    import math
+
+    if n_items <= 0:
+        return 64, 1
+    m = int(math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+    m = (m + 63) // 64 * 64
+    j = max(1, round(m / n_items * math.log(2)))
+    return m, j
 
 
 def _shl1(bit: F.Column) -> F.Column:
@@ -102,7 +125,7 @@ def bloom_contains(col: F.Column, dense: bytes,
                    n_hashes: int = BLOOM_HASHES) -> F.Column:
     """Membership test as a pure codegen expression: AND over j
     byte-extract-and-mask checks against the bitmap embedded as ONE
-    hex-string literal. No join, no shuffle, no UDF.
+    binary literal. No join, no shuffle, no UDF.
 
     The bitmap literal is deliberately a single BINARY scalar leaf,
     and for two measured reasons:
@@ -119,6 +142,11 @@ def bloom_contains(col: F.Column, dense: bytes,
     hex() of the single extracted byte feeds conv(). j small nodes,
     O(1) per check, planning instant.
     """
+    if m_bits > LITERAL_PROBE_MAX_BITS:
+        raise ValueError(
+            f"m_bits={m_bits} exceeds the literal-probe ceiling "
+            f"{LITERAL_PROBE_MAX_BITS}; use bloom_probe_join for "
+            "filters this large")
     bm = F.lit(dense)
     checks = []
     for pos in _positions(col, m_bits, n_hashes):

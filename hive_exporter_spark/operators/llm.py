@@ -2189,6 +2189,7 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame,
 
 def incremental_dedup_bloom(new_docs: DataFrame, corpus: DataFrame,
                             m_bits: int | None = None, n_hashes: int = 5,
+                            distributed_probe: bool = False,
                             text_col: str = "text",
                             id_col: str = "doc_id") -> DataFrame:
     """`incremental_dedup` with a Bloom prefilter in front of the
@@ -2208,25 +2209,43 @@ def incremental_dedup_bloom(new_docs: DataFrame, corpus: DataFrame,
     what the oracle checks.
 
     At 100 TB: m sizes at ~10 bits per expected distinct corpus doc.
-    Up to a few 10^8 items the collected bitmap stays MiB-scale (this
-    path); beyond that, swap `bloom_contains` for
-    `bloom_probe_join` on the same bitmap DataFrame — the filter
-    itself is built distributed either way, and in a standing pipeline
-    it is materialized once alongside the digest table and reused per
-    batch rather than rebuilt.
+    Up to a few 10^8 items the collected bitmap stays MiB-scale (the
+    default codegen-literal probe); `distributed_probe=True` switches
+    to `bloom_probe_join` so the bitmap never leaves the cluster —
+    the 10^10+-item path. The filter is built distributed either way,
+    and in a standing pipeline it is materialized once alongside the
+    digest table and reused per batch rather than rebuilt.
     """
     from hive_exporter_spark.operators.bloom import (
-        BLOOM_BITS, bloom_bitmap, bloom_contains, collect_bloom)
+        BLOOM_BITS, bloom_bitmap, bloom_contains, bloom_probe_join,
+        collect_bloom)
+
+    from hive_exporter_spark.operators.bloom import LITERAL_PROBE_MAX_BITS
 
     m = m_bits or BLOOM_BITS
     digest = F.sha2(F.col(text_col), 256)
     seen = corpus.select(digest.alias("__digest")).distinct()
-    dense = collect_bloom(bloom_bitmap(seen, "__digest", m, n_hashes), m)
+    bitmap = bloom_bitmap(seen, "__digest", m, n_hashes)
     batch = new_docs.withColumn("__digest", digest)
-    maybe = bloom_contains(F.col("__digest"), dense, m, n_hashes)
-    fresh_fast = batch.where(~maybe)
-    confirmed = batch.where(maybe).join(seen, "__digest", "left_anti")
-    fresh = fresh_fast.unionByName(confirmed).drop("__digest")
+    if m > LITERAL_PROBE_MAX_BITS:
+        distributed_probe = True   # literal embedding cliffs past 2^24
+    if distributed_probe:
+        # Giant-m path: the bitmap never leaves the cluster. Probe the
+        # batch's distinct digests against the (word, bits) table and
+        # join the verdict back — two bounded exchanges of digests.
+        flags = bloom_probe_join(batch.select("__digest"), bitmap,
+                                 "__digest", m, n_hashes)
+        flagged = batch.join(flags, "__digest")
+        maybe = F.col("might_contain")
+    else:
+        dense = collect_bloom(bitmap, m)
+        flagged = batch
+        maybe = bloom_contains(F.col("__digest"), dense, m, n_hashes)
+    fresh_fast = flagged.where(~maybe)
+    confirmed = flagged.where(maybe).join(seen, "__digest", "left_anti")
+    cols = new_docs.columns
+    fresh = fresh_fast.select(*cols, "__digest").unionByName(
+        confirmed.select(*cols, "__digest")).drop("__digest")
     return dedup_exact(fresh, text_col=text_col, id_col=id_col)
 
 

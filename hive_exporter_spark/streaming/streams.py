@@ -191,6 +191,90 @@ def corpus_dedup_stream(
     )
 
 
+def corpus_dedup_stream_bloom(
+    docs_stream: DataFrame,
+    digest_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    m_bits: int | None = None,
+    n_hashes: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> object:
+    """`corpus_dedup_stream` with a driver-maintained Bloom filter in
+    front of the digest-table anti-join — the standing-pipeline face
+    of `llm.incremental_dedup_bloom`, where the filter is built ONCE
+    and then maintained incrementally instead of rebuilt per batch.
+
+    On the first micro-batch the bitmap is built (distributed) from
+    the existing digest table; afterwards each batch only ADDS its
+    survivors' bit positions (j small ints per kept doc, collected —
+    bounded by micro-batch size, never corpus size). Rows that miss
+    the filter are definitively fresh and skip the digest-table
+    anti-join entirely, so the per-batch cost of the membership check
+    stops scaling with corpus size; only Bloom hits (true dups + ~fpp)
+    touch the parquet digest table, keeping results bit-identical to
+    `corpus_dedup_stream`. At-least-once replays are harmless on both
+    structures: bit-OR and digest append are idempotent set unions.
+
+    Size m for the corpus you expect over the filter's lifetime (~10
+    bits/doc); a saturating filter degrades gracefully — fpp rises,
+    more rows take the confirm join, results stay exact.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from hive_exporter_spark.operators.bloom import (
+        BLOOM_BITS, bloom_bitmap, bloom_contains, collect_bloom)
+
+    m = m_bits or BLOOM_BITS
+    state: dict = {"dense": None}
+
+    def _positions_expr():
+        from hive_exporter_spark.operators.bloom import _positions
+        return F.explode(F.array(
+            *_positions(F.col("__digest"), m, n_hashes))).alias("__pos")
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            seen = spark.read.parquet(digest_dir).select("__digest")
+        except AnalysisException:
+            seen = None
+        if state["dense"] is None:
+            if seen is not None:
+                state["dense"] = bytearray(
+                    collect_bloom(bloom_bitmap(seen, "__digest", m, n_hashes), m))
+            else:
+                state["dense"] = bytearray((m + 7) // 8)
+        w = Window.partitionBy("__digest").orderBy(F.col(id_col))
+        fresh = (
+            batch_df.withColumn("__digest", F.sha2(F.col(text_col), 256))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        maybe = bloom_contains(F.col("__digest"), bytes(state["dense"]),
+                               m, n_hashes)
+        cols = fresh.columns
+        fast = fresh.where(~maybe)
+        cand = fresh.where(maybe)
+        if seen is not None:
+            cand = cand.join(seen, "__digest", "left_anti")
+        survivors = fast.select(*cols).unionByName(
+            cand.select(*cols)).localCheckpoint()
+        survivors.drop("__digest").write.mode("append").parquet(out_dir)
+        survivors.select("__digest").write.mode("append").parquet(digest_dir)
+        dense = state["dense"]
+        for r in survivors.select(_positions_expr()).distinct().collect():
+            dense[r["__pos"] // 8] |= 1 << (r["__pos"] % 8)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def jdbc_sink_stream(source: DataFrame, cfg, tag_column: str = "epoch_id") -> object:
     """foreachBatch → RDBMS bridge: every micro-batch appends to a JDBC
     table through the batch writer (sources/jdbc.writer), stamped with

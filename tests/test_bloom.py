@@ -130,3 +130,27 @@ def test_prefilter_plan_is_join_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_incremental_dedup_bloom_distributed_probe_matches(spark, sf_dir):
+    """The giant-m path (bitmap stays a DataFrame, probe via join)
+    must give the identical exact answer."""
+    new_docs, corpus = _docs_split(spark, sf_dir)
+    exact = {r["doc_id"] for r in
+             incremental_dedup(new_docs, corpus).collect()}
+    dist = {r["doc_id"] for r in
+            incremental_dedup_bloom(new_docs, corpus,
+                                    distributed_probe=True).collect()}
+    assert dist == exact and len(exact) > 0
+
+
+def test_bloom_sizing_textbook_values():
+    from hive_exporter_spark.operators.bloom import bloom_sizing
+
+    m, j = bloom_sizing(1_000_000, 0.01)
+    assert 9_500_000 <= m <= 9_700_000   # ~9.59 bits/item
+    assert j == 7
+    m, j = bloom_sizing(0)
+    assert (m, j) == (64, 1)
+    m, j = bloom_sizing(1000, 0.5)
+    assert j >= 1 and m % 64 == 0

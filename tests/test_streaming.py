@@ -216,3 +216,51 @@ def test_corpus_dedup_stream_across_batches_and_restarts(spark, tmp_path):
     # digest table holds exactly the distinct kept texts
     n_digests = spark.read.parquet(digest_dir).distinct().count()
     assert n_digests == 4
+
+
+def test_corpus_dedup_stream_bloom_matches_exact(spark, tmp_path):
+    """The Bloom-prefiltered stream must keep exactly the same
+    documents as the plain digest-table stream, across micro-batches
+    AND across a restart (where the bitmap is rebuilt from the digest
+    table rather than carried over)."""
+    from hive_exporter_spark.streaming.streams import corpus_dedup_stream_bloom
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    digest_dir = str(tmp_path / "digests")
+    out_dir = str(tmp_path / "kept")
+
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(10, "beta"), (11, "gamma")], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    def run(checkpoint: str):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+        q = corpus_dedup_stream_bloom(stream, digest_dir, out_dir,
+                                      str(tmp_path / checkpoint))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run("chk1")
+    kept = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert kept == {1, 2, 11}
+
+    # restart (fresh query object => bitmap rebuilt from digest table):
+    # replayed text dropped, new text kept
+    spark.createDataFrame(
+        [(20, "gamma"), (21, "delta")], schema
+    ).coalesce(1).write.parquet(str(src / "f3"))
+    run("chk1")
+    kept = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert kept == {1, 2, 11, 21}
+    assert spark.read.parquet(digest_dir).distinct().count() == 4
