@@ -54,6 +54,32 @@ def binary_metadata(documents: DataFrame) -> DataFrame:
     return binary.mapInPandas(kernel, BINARY_META_SCHEMA)
 
 
+def binary_dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact multimodal dedup: one canonical (lowest-id) row per
+    distinct binary payload. The digest is computed JVM-side —
+    `sha2` accepts BinaryType directly — so unlike the metadata
+    kernel this op needs no Python at all, and the shuffle carries a
+    32-byte digest regardless of payload size (the image/audio bytes
+    never cross an exchange). The same lowest-id-wins window as
+    `llm.dedup_exact`, applied to the opaque-content modality.
+    """
+    from pyspark.sql import Window
+
+    binary = with_binary_content(documents)
+    digest = F.sha2(F.col("content"), 256)
+    w = Window.partitionBy(digest).orderBy(F.col("doc_id"))
+    return (
+        binary.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "doc_id",
+            F.length(F.col("content")).alias("byte_len"),
+            digest.alias("sha256"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _try_import_pil():
     try:
         from PIL import Image  # noqa: F401
@@ -257,6 +283,11 @@ def _q_binary_meta(spark, sf):
     return binary_metadata(read_table(spark, sf, "documents"))
 
 
+def _q_binary_dedup(spark, sf):
+    from hive_exporter_spark.sources.files import read_table
+    return binary_dedup_exact(read_table(spark, sf, "documents"))
+
+
 def _q_decode(spark, sf):
     from hive_exporter_spark.sources.files import read_table
     return decode_images(read_table(spark, sf, "documents"))
@@ -289,6 +320,7 @@ def _q_phash_pairs(spark, sf):
 
 QUERIES = {
     "binary_metadata": _q_binary_meta,
+    "binary_dedup_exact": _q_binary_dedup,
     "decode_images": _q_decode,
     "frame_sample_plan": _q_frames,
     "audio_features": _q_audio,
@@ -307,6 +339,16 @@ ORACLES = {
                octet_length(encode(text)) AS byte_len,
                sha256(text) AS sha256
         FROM documents
+    """,
+    "binary_dedup_exact": """
+        SELECT doc_id, byte_len, sha256 FROM (
+            SELECT doc_id,
+                   octet_length(encode(text)) AS byte_len,
+                   sha256(text) AS sha256,
+                   ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn = 1 ORDER BY doc_id
     """,
     "decode_images": f"""
         SELECT doc_id,

@@ -119,3 +119,16 @@ def test_image_near_dup_pairs_rejects_bad_bands(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         image_near_dup_pairs(phash64(df), max_hamming=8, bands=8)
+
+
+def test_binary_dedup_exact_keeps_lowest_id(spark):
+    from hive_exporter_spark.operators.multimodal import binary_dedup_exact
+
+    df = spark.createDataFrame(
+        [(5, "same payload"), (2, "same payload"), (9, "other")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in binary_dedup_exact(df).collect()}
+    assert set(rows) == {2, 9}
+    assert rows[2]["byte_len"] == len(b"same payload")
+    assert len(rows[2]["sha256"]) == 64
