@@ -1615,6 +1615,50 @@ def chunk_documents(documents: DataFrame,
     )
 
 
+CHUNK_STRIDE = 30
+
+
+def chunk_documents_overlap(documents: DataFrame,
+                            chunk_tokens: int = CHUNK_TOKENS,
+                            stride: int = CHUNK_STRIDE) -> DataFrame:
+    """Sliding-window chunking with overlap (stride < window) — the
+    RAG-passage shape where each chunk shares `chunk_tokens - stride`
+    tokens with its neighbor so no answer span is ever split across a
+    boundary. Chunk j covers tokens [j·stride, j·stride + chunk_tokens).
+
+    Unlike `chunk_documents` (posexplode + groupBy reassembly), this
+    is MAP-ONLY: one transform-over-sequence builds every window as an
+    array slice and posexplode emits them — zero shuffles, scan-bound
+    at any corpus size. (The non-overlapping op keeps its groupBy
+    formulation because its chunks partition the token stream exactly;
+    here windows overlap, so slicing is the natural form.) The `__toks`
+    array is materialized in its own projection and referenced
+    statically — the CollapseProject-dodging staging from
+    `exploded_shingles`, keeping tokenization out of the interpreted
+    lambda. Token-less documents drop out (same contract as
+    `chunk_documents`).
+    """
+    d1 = documents.select("doc_id", tokens_col().alias("__toks")).where(
+        F.expr("size(__toks) > 0"))
+    spans = F.expr(
+        f"transform(sequence(1, size(__toks), {stride}), s -> named_struct("
+        f"'start_pos', s, "
+        f"'chunk_text', concat_ws(' ', slice(__toks, s, {chunk_tokens})), "
+        f"'n_tokens', least(size(__toks) - s + 1, {chunk_tokens})))"
+    )
+    return (
+        d1.select("doc_id", F.posexplode(spans).alias("chunk_id", "__sp"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("__sp.start_pos").alias("start_pos"),
+            F.col("__sp.chunk_text").alias("chunk_text"),
+            F.col("__sp.n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
 DF_CAP = 50
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -2705,6 +2749,10 @@ def _q_chunk(spark, sf):
     return chunk_documents(_docs(spark, sf))
 
 
+def _q_chunk_overlap(spark, sf):
+    return chunk_documents_overlap(_docs(spark, sf))
+
+
 # Fixture split for the incremental story: src0-src9 are "already
 # ingested", src10+ arrive as the new crawl batch. (Lazy: Column
 # construction needs an active SparkContext.)
@@ -2793,6 +2841,7 @@ def _q_pca(spark, sf):
 
 QUERIES = {
     "chunk_documents": _q_chunk,
+    "chunk_documents_overlap": _q_chunk_overlap,
     "embedding_pca": _q_pca,
     "dedup_exact": _q_dedup_exact,
     "near_dup_clusters": _q_clusters,
@@ -3431,6 +3480,20 @@ ORACLES["incremental_dedup"] = """
       )
 """
 ORACLES["incremental_dedup_bloom"] = ORACLES["incremental_dedup"]
+ORACLES["chunk_documents_overlap"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST((s - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(s AS INTEGER) AS start_pos,
+           array_to_string(t[s : s + {CHUNK_TOKENS} - 1], ' ') AS chunk_text,
+           CAST(least(len(t) - s + 1, {CHUNK_TOKENS}) AS BIGINT) AS n_tokens
+    FROM toks,
+         LATERAL (SELECT unnest(range(1, len(t) + 1, {CHUNK_STRIDE})) AS s)
+    WHERE len(t) > 0
+    ORDER BY doc_id, chunk_id
+"""
 ORACLES["bpe_pair_counts"] = f"""
     WITH toks AS (
         SELECT regexp_extract_all(lower(text), '{BPE_PATTERN}') AS t

@@ -802,3 +802,18 @@ def test_topk_ivf_pq_recall(spark, emb):
     assert recall >= 0.4, f"IVF-PQ recall {recall} too low"
     assert all(r["query_id"] != r["neighbor_id"] for r in out)
     assert all(1 <= r["rank"] <= 5 for r in out)
+
+
+def test_chunk_documents_overlap_windows_share_tokens(spark):
+    toks = [f"t{i}" for i in range(70)]
+    df = spark.createDataFrame([(1, " ".join(toks)), (2, "")],
+                               "doc_id long, text string")
+    rows = sorted(llm.chunk_documents_overlap(df, chunk_tokens=50,
+                                              stride=30).collect(),
+                  key=lambda r: (r["doc_id"], r["chunk_id"]))
+    # doc 2 (no tokens) drops out; doc 1 -> starts at 1, 31, 61
+    assert [r["doc_id"] for r in rows] == [1, 1, 1]
+    c0, c1, c2 = [r["chunk_text"].split() for r in rows]
+    assert c0 == toks[0:50] and c1 == toks[30:70] and c2 == toks[60:70]
+    assert c0[30:] == c1[:20]                 # 20-token overlap region
+    assert [r["n_tokens"] for r in rows] == [50, 40, 10]
