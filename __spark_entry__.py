@@ -589,14 +589,17 @@ _PRIORITY = (
     # --- never driver-checked: multimodal plumbing (deterministic fakes,
     # SQL twins).
     "decode_images", "frame_sample_plan", "audio_features",
-    # --- new in r4: both oracle-backed.
+    # --- new in r4 (first wave): both oracle-backed.
     "semantic_dedup_fixed", "containment_pairs_capped",
+    # --- new in r4 (second wave): all oracle-backed, never
+    # driver-checked — these take priority over re-verifying entries
+    # r1 already hash-checked (maximizes driver-lifetime coverage).
+    "incremental_dedup_bloom", "ngram_contamination_bloom",
+    "heavy_hitters_exact", "remove_dup_spans", "bpe_pair_counts",
+    "temperature_mix", "events_stratified_sample_hash",
+    "chunk_documents_overlap", "binary_dedup_exact",
     # --- re-verification: last driver-checked in r1.
-    "q1_pricing_summary_sql", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q18_large_orders", "q21_waiting_suppliers",
-    "order_rollup", "order_cube", "order_grouping_sets",
-    "order_window_analytics", "daily_revenue_moving_avg",
-    "fuzzy_customer_pairs",
+    "q1_pricing_summary_sql", "order_rollup",
 )
 
 
