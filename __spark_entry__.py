@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hive_exporter_spark.functions.rand import md5_uniform_sql
 from hive_exporter_spark.functions.aggs import davg_sql, dsum_sql
 from hive_exporter_spark.operators import (
     asof, core, joins, layout, llm, multimodal, pipeline, profile,
@@ -784,8 +785,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_stratified_sample_hash": f"""
             SELECT * FROM events
-            WHERE (CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 10)
-                        AS BIGINT) + 0.5) / {float(1 << 40)}
+            WHERE {md5_uniform_sql('event_id')}
                   < CASE event_type {' '.join(
                       f"WHEN '{s}' THEN {float(fr)}"
                       for s, fr in sorted(SAMPLE_FRACTIONS.items()))}

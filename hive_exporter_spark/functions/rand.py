@@ -1,0 +1,34 @@
+"""Engine-portable deterministic randomness.
+
+One canonical source for the md5-derived uniform coin used by every
+sampling operator (`stratified_sample_hash`, `weighted_sample`,
+`temperature_mix`): u = (first 10 md5 hex chars as int + 0.5) / 2^40 —
+a 40-bit uniform in (0, 1), bit-identical in Spark and DuckDB, a pure
+function of the id (reruns and backfills keep identical rows), and
+free of the ~1M-id cycle a multiplicative Weyl hash would have.
+
+Both the Column and the SQL fragment live here so the Spark side and
+its DuckDB oracle can never silently diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+MD5_UNIFORM_MOD = float(1 << 40)
+
+
+def md5_uniform(id_col: str) -> F.Column:
+    """Deterministic uniform in (0, 1) derived from `id_col`."""
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 10), 16, 10)
+        .cast("long") + F.lit(0.5)
+    ) / F.lit(MD5_UNIFORM_MOD)
+
+
+def md5_uniform_sql(id_expr: str) -> str:
+    """DuckDB twin of `md5_uniform` for oracle SQL strings."""
+    return (
+        f"((CAST('0x' || substr(md5(CAST({id_expr} AS VARCHAR)), 1, 10) "
+        f"AS BIGINT) + 0.5) / {MD5_UNIFORM_MOD})"
+    )

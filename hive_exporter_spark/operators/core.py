@@ -189,10 +189,9 @@ def stratified_sample_hash(df: DataFrame, strata_col: str,
     `sampleBy`'s engine RNG is rows-only by nature. Strata absent from
     `fractions` get rate 0, matching `sampleBy`.
     """
-    u = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 10), 16, 10)
-        .cast("long") + F.lit(0.5)
-    ) / F.lit(float(1 << 40))
+    from hive_exporter_spark.functions.rand import md5_uniform
+
+    u = md5_uniform(id_col)
     frac = F.lit(0.0)
     for s, fr in sorted(fractions.items()):
         frac = F.when(F.col(strata_col) == s, F.lit(float(fr))).otherwise(frac)

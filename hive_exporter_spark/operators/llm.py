@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hive_exporter_spark.functions.rand import md5_uniform_sql
 from hive_exporter_spark.functions.vectors import cosine_similarity
 from hive_exporter_spark.sources.files import read_table
 
@@ -778,14 +779,9 @@ def topk_cosine_ivf_pq(embeddings: DataFrame, queries: DataFrame,
         for pdf in batches:
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            codes = np.empty((len(mat), m_), dtype=np.int32)
-            for j in range(m_):
-                sub = mat[:, j * dsub:(j + 1) * dsub]
-                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-                codes[:, j] = np.argmin(d2, axis=1)
             yield pd.DataFrame({
                 "neighbor_id": pdf[id_col],
-                "codes": list(codes),
+                "codes": list(_pq_assign(mat, books)),
                 "bucket": np.argmax(mat @ cent.T, axis=1).astype("int32"),
             })
 
@@ -807,9 +803,7 @@ def topk_cosine_ivf_pq(embeddings: DataFrame, queries: DataFrame,
             if not len(pdf):
                 continue
             codes = np.array(list(pdf["codes"]), dtype=np.int64)
-            recon = np.empty((len(codes), m_ * dsub))
-            for j in range(m_):
-                recon[:, j * dsub:(j + 1) * dsub] = books[j][codes[:, j]]
+            recon = _pq_reconstruct(codes, books)
             # rows arrive grouped arbitrarily; score each row against
             # ITS OWN query vector (one row per (query, candidate))
             qv = np.array(list(pdf["qvec"]), dtype=np.float64)
@@ -819,7 +813,10 @@ def topk_cosine_ivf_pq(embeddings: DataFrame, queries: DataFrame,
                 "neighbor_id": pdf["neighbor_id"],
                 "score": scores,
             })
-            yield (out.sort_values("score", ascending=False)
+            # score desc, neighbor_id asc: PQ code ties must cut
+            # deterministically (same order as the global window).
+            yield (out.sort_values(["score", "neighbor_id"],
+                                   ascending=[False, True])
                    .groupby("query_id", sort=False).head(k))
 
     partial = (
@@ -1436,7 +1433,9 @@ def topk_cosine_brp_lsh(
     )
 
 
-def training_data_prep(documents: DataFrame, min_quality: float = 0.4) -> DataFrame:
+def training_data_prep(documents: DataFrame, min_quality: float = 0.4,
+                       cc: str = "label_prop",
+                       cc_max_iter: int | None = None) -> DataFrame:
     """Flagship corpus-prep pipeline: quality filter → exact dedup →
     near-dup dedup, emitting (doc_id, n_tokens, quality_score) for the
     surviving training set.
@@ -1459,17 +1458,36 @@ def training_data_prep(documents: DataFrame, min_quality: float = 0.4) -> DataFr
     # and the final anti-join a fifth — without the checkpoint the
     # quality join and digest window would re-run per branch.
     uniq = dedup_exact(kept).localCheckpoint(eager=False)
-    final = dedup_near(uniq, ngram_jaccard_pairs(uniq))
+    final = dedup_near(uniq, ngram_jaccard_pairs(uniq), cc=cc,
+                       cc_max_iter=cc_max_iter)
     return final.select("doc_id", "n_tokens", "quality_score").orderBy("doc_id")
 
 
+def _cluster_pairs(pairs: DataFrame, cc: str, cc_max_iter: int | None) -> DataFrame:
+    """Dispatch to a connected-components strategy: 'label_prop'
+    (O(diameter) rounds — the default; wins on shallow dup clusters)
+    or 'bigstar' (O(log n) rounds — for deep near-dup chains). Both
+    raise on round exhaustion, so composed pipelines expose these
+    knobs rather than hard-coding defaults a deep chain would blow."""
+    if cc == "bigstar":
+        return near_dup_clusters_bigstar(
+            pairs, **({} if cc_max_iter is None else {"max_iter": cc_max_iter}))
+    if cc != "label_prop":
+        raise ValueError(f"unknown cc strategy {cc!r}")
+    return near_dup_clusters(
+        pairs, **({} if cc_max_iter is None else {"max_iter": cc_max_iter}))
+
+
 def dedup_near(documents: DataFrame, pairs: DataFrame,
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id", cc: str = "label_prop",
+               cc_max_iter: int | None = None) -> DataFrame:
     """Drop near-duplicates: keep each cluster's canonical (min-id) doc
     plus every unpaired doc. The removal set (non-canonical cluster
     members) is tiny relative to the corpus, so the anti join
-    broadcasts it — the corpus itself never shuffles."""
-    clusters = near_dup_clusters(pairs)
+    broadcasts it — the corpus itself never shuffles. `cc`/`cc_max_iter`
+    pick and bound the clustering strategy (deep near-dup chains →
+    'bigstar')."""
+    clusters = _cluster_pairs(pairs, cc, cc_max_iter)
     losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return documents.join(
         F.broadcast(losers.withColumnRenamed("doc_id", "__loser")),
@@ -1479,7 +1497,8 @@ def dedup_near(documents: DataFrame, pairs: DataFrame,
 
 
 def dedup_near_keep_best(documents: DataFrame, pairs: DataFrame,
-                         id_col: str = "doc_id") -> DataFrame:
+                         id_col: str = "doc_id", cc: str = "label_prop",
+                         cc_max_iter: int | None = None) -> DataFrame:
     """Near-dedup keeping each cluster's HIGHEST-quality member (ties
     → lowest id), not the arbitrary min-id one — canonical-by-merit:
     when a cluster holds a clean original and a mangled scrape of it,
@@ -1490,7 +1509,7 @@ def dedup_near_keep_best(documents: DataFrame, pairs: DataFrame,
     (a vanishing fraction of the corpus); the final anti-join
     broadcasts the loser ids, so the corpus never shuffles.
     """
-    clusters = near_dup_clusters(pairs)
+    clusters = _cluster_pairs(pairs, cc, cc_max_iter)
     members = clusters.join(
         quality_score(documents).select(id_col, "quality_score"), id_col)
     w = Window.partitionBy("cluster_id").orderBy(
@@ -1535,10 +1554,9 @@ def weighted_sample(documents: DataFrame, k: int = WEIGHTED_SAMPLE_K,
     no global sort, no single-task window. Keys are rounded to 9 dp
     (with id tiebreak) so cross-engine ULP drift cannot flip the
     order at the cutoff."""
-    u = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 10), 16, 10)
-        .cast("long") + F.lit(0.5)
-    ) / F.lit(float(_WS_MOD))
+    from hive_exporter_spark.functions.rand import md5_uniform
+
+    u = md5_uniform(id_col)
     key = F.round(F.log(u) / F.col(weight_col), 9)
     return (
         documents.where(F.col(weight_col) > 0)
@@ -1694,6 +1712,33 @@ def quantize_embeddings(embeddings: DataFrame, id_col: str = "vec_id",
     )
 
 
+def _pq_assign(mat, books):
+    """Per-subspace nearest-code ids for (already normalized) rows:
+    (n, m) int32 codes. One distance matrix per subspace (BLAS).
+    Shared by pq_encode and both PQ search kernels so the stored-code
+    path and the index path can never drift."""
+    import numpy as np
+
+    m_, _, dsub = books.shape
+    codes = np.empty((len(mat), m_), dtype=np.int32)
+    for j in range(m_):
+        sub = mat[:, j * dsub:(j + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d2, axis=1)
+    return codes
+
+
+def _pq_reconstruct(codes, books):
+    """Decode (n, m) codes back to (n, dim) vectors by codebook gather."""
+    import numpy as np
+
+    m_, _, dsub = books.shape
+    recon = np.empty((len(codes), m_ * dsub))
+    for j in range(m_):
+        recon[:, j * dsub:(j + 1) * dsub] = books[j][np.asarray(codes)[:, j]]
+    return recon
+
+
 def pq_codebooks(embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K,
                  seed: int = 42, vec_col: str = "embedding",
                  sample_cap: int = 10_000):
@@ -1767,14 +1812,9 @@ def pq_encode(embeddings: DataFrame, codebooks=None, m: int = PQ_M,
         for pdf in batches:
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            codes = np.empty((len(mat), m_), dtype=np.int32)
-            for j in range(m_):
-                sub = mat[:, j * dsub:(j + 1) * dsub]
-                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-                codes[:, j] = np.argmin(d2, axis=1)
             yield pd.DataFrame({
                 id_col: pdf[id_col],
-                "codes": list(codes),
+                "codes": list(_pq_assign(mat, books)),
             })
 
     return embeddings.select(id_col, vec_col).mapInPandas(
@@ -1812,16 +1852,16 @@ def topk_cosine_pq(embeddings: DataFrame, queries: DataFrame,
             ids = pdf[id_col].to_numpy()
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            recon = np.empty_like(mat)
-            for j in range(m_):
-                sub = mat[:, j * dsub:(j + 1) * dsub]
-                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-                recon[:, j * dsub:(j + 1) * dsub] = books[j][np.argmin(d2, axis=1)]
+            recon = _pq_reconstruct(_pq_assign(mat, books), books)
             scores = q_norm @ recon.T
             for qi, qid in enumerate(q_ids):
                 s = scores[qi]
                 mask = ids != qid
-                idx = np.argsort(-s[mask])[:k]
+                # lexsort: score desc, neighbor_id asc — identical PQ
+                # codes produce exact score ties, so the per-batch cut
+                # must break them the same way the global window does
+                # or rank-k becomes partition-dependent.
+                idx = np.lexsort((ids[mask], -s[mask]))[:k]
                 yield pd.DataFrame({
                     "query_id": np.full(len(idx), qid),
                     "neighbor_id": ids[mask][idx],
@@ -2261,14 +2301,17 @@ def incremental_dedup_bloom(new_docs: DataFrame, corpus: DataFrame,
     digest table and reused per batch rather than rebuilt.
     """
     from hive_exporter_spark.operators.bloom import (
-        BLOOM_BITS, bloom_bitmap, bloom_contains, bloom_probe_join,
-        collect_bloom)
-
-    from hive_exporter_spark.operators.bloom import LITERAL_PROBE_MAX_BITS
+        BLOOM_BITS, LITERAL_PROBE_MAX_BITS, bloom_bitmap, bloom_contains,
+        bloom_probe_join, collect_bloom)
 
     m = m_bits or BLOOM_BITS
     digest = F.sha2(F.col(text_col), 256)
-    seen = corpus.select(digest.alias("__digest")).distinct()
+    # Lazy localCheckpoint: the digest set feeds BOTH the (eager)
+    # bitmap build and the later confirmation anti-join — without it
+    # the full corpus scan + distinct shuffle would run twice per
+    # batch. (In a standing pipeline this is the materialized digest
+    # table; the checkpoint is the in-process stand-in.)
+    seen = corpus.select(digest.alias("__digest")).distinct()         .localCheckpoint(eager=False)
     bitmap = bloom_bitmap(seen, "__digest", m, n_hashes)
     batch = new_docs.withColumn("__digest", digest)
     if m > LITERAL_PROBE_MAX_BITS:
@@ -3764,9 +3807,7 @@ ORACLES["dedup_near_keep_best"] = f"""
 ORACLES["weighted_sample"] = f"""
     WITH keyed AS (
         SELECT doc_id, lang, source, n_chars AS weight,
-               round(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)
-                              AS BIGINT) + 0.5)
-                        / {float(_WS_MOD)}) / n_chars, 9) AS es_key
+               round(ln({md5_uniform_sql('doc_id')}) / n_chars, 9) AS es_key
         FROM documents
         WHERE n_chars > 0
     )

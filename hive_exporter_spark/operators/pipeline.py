@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_exporter_spark.functions.aggs import dsum, dsum_sql
+from hive_exporter_spark.functions.rand import md5_uniform_sql
 from hive_exporter_spark.sources.files import read_table
 
 KNUTH = 2654435761  # 2^32 * (golden ratio - 1), classic multiplicative hash
@@ -298,10 +299,15 @@ def ngram_contamination_bloom(documents: DataFrame,
         BLOOM_BITS, bloom_bitmap, bloom_contains, collect_bloom)
 
     m = m_bits or BLOOM_BITS
-    shingles = _char_shingles(documents)
+    # Lazy localCheckpoints: the shingle stream feeds three consumers
+    # (bitmap build, per-doc totals, confirmation) and the bench
+    # distinct feeds two (bitmap, semi-join) — without them each
+    # consumer would re-run the tokenize+md5 scan from scratch.
+    shingles = _char_shingles(documents).localCheckpoint(eager=False)
     bench = (
         shingles.where(F.col("source") == BENCH_SOURCE)
         .select("h").distinct()
+        .localCheckpoint(eager=False)
     )
     dense = collect_bloom(bloom_bitmap(bench, "h", m, n_hashes), m)
     train = shingles.where(F.col("source") != BENCH_SOURCE)
@@ -489,10 +495,9 @@ def temperature_mix(documents: DataFrame, alpha: float = TEMP_MIX_ALPHA,
     mx = raw.agg(F.max("__raw").alias("__mx"))
     rates = raw.crossJoin(F.broadcast(mx)).select(
         "grp", F.round(F.col("__raw") / F.col("__mx"), 9).alias("sample_rate"))
-    u = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 10), 16, 10)
-        .cast("long") + F.lit(0.5)
-    ) / F.lit(float(1 << 40))
+    from hive_exporter_spark.functions.rand import md5_uniform
+
+    u = md5_uniform(id_col)
     return (
         documents.join(F.broadcast(rates),
                        documents[group_col] == rates["grp"])
@@ -768,8 +773,7 @@ ORACLES["temperature_mix"] = f"""
     rates AS (SELECT grp, round(raw / m, 9) AS sample_rate FROM r, mx)
     SELECT d.doc_id, d.lang, d.source, rates.sample_rate
     FROM documents d JOIN rates ON d.source = rates.grp
-    WHERE (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 10)
-                AS BIGINT) + 0.5) / {float(1 << 40)} < rates.sample_rate
+    WHERE {md5_uniform_sql('d.doc_id')} < rates.sample_rate
 """
 ORACLES["source_mix_rebalance"] = """
     WITH counts AS (

@@ -219,15 +219,24 @@ def corpus_dedup_stream_bloom(
 
     Size m for the corpus you expect over the filter's lifetime (~10
     bits/doc); a saturating filter degrades gracefully — fpp rises,
-    more rows take the confirm join, results stay exact.
+    more rows take the confirm join, results stay exact. Past
+    `LITERAL_PROBE_MAX_BITS` (2^24 — corpora beyond ~1.6M docs at
+    10 bits/doc) the filter automatically switches representation:
+    the bitmap lives as a persisted (word, bits) DataFrame instead of
+    driver bytes, probes go through `bloom_probe_join`, and per-batch
+    maintenance is a union + re-aggregate of at most m/64 rows — same
+    exactness contract, no literal-embedding cliff, no ValueError
+    mid-stream.
     """
     from pyspark.sql.utils import AnalysisException
 
     from hive_exporter_spark.operators.bloom import (
-        BLOOM_BITS, bloom_bitmap, bloom_contains, collect_bloom)
+        BLOOM_BITS, LITERAL_PROBE_MAX_BITS, bloom_bitmap, bloom_contains,
+        bloom_probe_join, collect_bloom)
 
     m = m_bits or BLOOM_BITS
-    state: dict = {"dense": None}
+    use_literal = m <= LITERAL_PROBE_MAX_BITS
+    state: dict = {"dense": None, "bitmap": None}
 
     def _positions_expr():
         from hive_exporter_spark.operators.bloom import _positions
@@ -240,33 +249,57 @@ def corpus_dedup_stream_bloom(
             seen = spark.read.parquet(digest_dir).select("__digest")
         except AnalysisException:
             seen = None
-        if state["dense"] is None:
+        if use_literal and state["dense"] is None:
             if seen is not None:
                 state["dense"] = bytearray(
                     collect_bloom(bloom_bitmap(seen, "__digest", m, n_hashes), m))
             else:
                 state["dense"] = bytearray((m + 7) // 8)
+        if not use_literal and state["bitmap"] is None:
+            src = seen if seen is not None else (
+                spark.createDataFrame([], "__digest string"))
+            state["bitmap"] = bloom_bitmap(src, "__digest", m, n_hashes)                 .persist()
+            state["bitmap"].count()
         w = Window.partitionBy("__digest").orderBy(F.col(id_col))
         fresh = (
             batch_df.withColumn("__digest", F.sha2(F.col(text_col), 256))
             .withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
             .drop("__rn")
-        )
-        maybe = bloom_contains(F.col("__digest"), bytes(state["dense"]),
-                               m, n_hashes)
+        ).localCheckpoint(eager=False)
         cols = fresh.columns
-        fast = fresh.where(~maybe)
-        cand = fresh.where(maybe)
+        if use_literal:
+            maybe = bloom_contains(F.col("__digest"), bytes(state["dense"]),
+                                   m, n_hashes)
+            fast = fresh.where(~maybe)
+            cand = fresh.where(maybe)
+        else:
+            flags = bloom_probe_join(fresh.select("__digest"),
+                                     state["bitmap"], "__digest", m, n_hashes)
+            flagged = fresh.join(flags, "__digest")
+            fast = flagged.where(~F.col("might_contain"))
+            cand = flagged.where(F.col("might_contain"))
         if seen is not None:
             cand = cand.join(seen, "__digest", "left_anti")
         survivors = fast.select(*cols).unionByName(
             cand.select(*cols)).localCheckpoint()
         survivors.drop("__digest").write.mode("append").parquet(out_dir)
         survivors.select("__digest").write.mode("append").parquet(digest_dir)
-        dense = state["dense"]
-        for r in survivors.select(_positions_expr()).distinct().collect():
-            dense[r["__pos"] // 8] |= 1 << (r["__pos"] % 8)
+        if use_literal:
+            dense = state["dense"]
+            for r in survivors.select(_positions_expr()).distinct().collect():
+                dense[r["__pos"] // 8] |= 1 << (r["__pos"] % 8)
+        else:
+            new_bits = bloom_bitmap(survivors.select("__digest"),
+                                    "__digest", m, n_hashes)
+            merged = (
+                state["bitmap"].unionByName(new_bits)
+                .groupBy("word").agg(F.bit_or("bits").alias("bits"))
+                .persist()
+            )
+            merged.count()
+            state["bitmap"].unpersist()
+            state["bitmap"] = merged
 
     return (
         docs_stream.writeStream.foreachBatch(_sink)

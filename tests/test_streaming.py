@@ -264,3 +264,38 @@ def test_corpus_dedup_stream_bloom_matches_exact(spark, tmp_path):
     kept = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
     assert kept == {1, 2, 11, 21}
     assert spark.read.parquet(digest_dir).distinct().count() == 4
+
+
+def test_corpus_dedup_stream_bloom_distributed_bitmap_path(spark, tmp_path):
+    """m above the literal-probe ceiling must take the persisted
+    (word, bits) DataFrame path — not raise mid-stream — and still
+    keep exactly the right documents across batches."""
+    from hive_exporter_spark.operators.bloom import LITERAL_PROBE_MAX_BITS
+    from hive_exporter_spark.streaming.streams import corpus_dedup_stream_bloom
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(10, "beta"), (11, "gamma")], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    q = corpus_dedup_stream_bloom(
+        stream, str(tmp_path / "digests"), str(tmp_path / "kept"),
+        str(tmp_path / "chk"), m_bits=LITERAL_PROBE_MAX_BITS * 4,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = {r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / "kept")).collect()}
+    assert kept == {1, 2, 11}
