@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "bpe_pair_counts",
     "temperature_mix",
     "embedding_topk_cosine_pq",
+    "chunk_documents_overlap",
+    "binary_dedup_exact",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
