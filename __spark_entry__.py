@@ -599,8 +599,9 @@ _PRIORITY = (
     "heavy_hitters_exact", "remove_dup_spans", "bpe_pair_counts",
     "temperature_mix", "events_stratified_sample_hash",
     "chunk_documents_overlap", "binary_dedup_exact",
+    "incremental_dedup_near",
     # --- re-verification: last driver-checked in r1.
-    "q1_pricing_summary_sql", "order_rollup",
+    "q1_pricing_summary_sql",
 )
 
 

@@ -391,6 +391,33 @@ def minhash_signatures(documents: DataFrame, slots: int = MINHASH_SLOTS) -> Data
     )
 
 
+def _minhash_banded(sigs: DataFrame, slots: int, bands: int) -> DataFrame:
+    """(doc_id, band, bucket) LSH keys from a signature table. Bucket
+    = prime-weighted sum of the band's slot minima — portable integer
+    arithmetic (see BAND_WEIGHTS) instead of an engine hash, so the
+    oracle reproduces the buckets exactly."""
+    rows_per_band = slots // bands
+
+    def _bucket(bi: int) -> F.Column:
+        terms = [
+            F.element_at("signature", bi * rows_per_band + r + 1)
+            * F.lit(BAND_WEIGHTS[r % len(BAND_WEIGHTS)])
+            for r in range(rows_per_band)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    return sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"), _bucket(bi).alias("bucket"))
+            for bi in range(bands)
+        ])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     slots: int = MINHASH_SLOTS,
@@ -415,7 +442,6 @@ def minhash_lsh_pairs(
             f"bands={bands}): a ragged last band would hash NULL "
             "element_at lookups past the signature end and silently "
             "drop candidate pairs")
-    rows_per_band = slots // bands
     # Checkpointed: the signature table feeds three consumers (the
     # banded key stream + both scoring joins) — one computation.
     sigs = minhash_signatures(documents, slots).localCheckpoint(eager=False)
@@ -426,27 +452,7 @@ def minhash_lsh_pairs(
     # Signatures rejoin AFTER candidate dedup, and the sigs side of
     # those joins reuses its aggregation partitioning (doc_id) — only
     # the (near-dup-sized) candidate list re-exchanges.
-    # Bucket = prime-weighted sum of the band's slot minima — portable
-    # integer arithmetic (see BAND_WEIGHTS) instead of an engine hash,
-    # so the oracle reproduces the buckets exactly.
-    def _bucket(bi: int) -> F.Column:
-        terms = [
-            F.element_at("signature", bi * rows_per_band + r + 1)
-            * F.lit(BAND_WEIGHTS[r % len(BAND_WEIGHTS)])
-            for r in range(rows_per_band)
-        ]
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out
-
-    banded = sigs.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(bi).alias("band"), _bucket(bi).alias("bucket"))
-            for bi in range(bands)
-        ])).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = _minhash_banded(sigs, slots, bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -2179,6 +2185,105 @@ def cdc_dup_spans(documents: DataFrame, k: int = CDC_K,
     )
 
 
+def incremental_dedup_near(new_docs: DataFrame, corpus: DataFrame,
+                           slots: int = MINHASH_SLOTS,
+                           bands: int = LSH_BANDS,
+                           threshold: float = JACCARD_THRESHOLD,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Near-duplicate-aware incremental admission — the continuous-
+    crawl shape at MinHash granularity: a new batch is screened by
+    three successively deeper filters before joining the corpus.
+
+    1. EXACT: digest anti-join against the corpus (32-byte keys, same
+       stage as `incremental_dedup`).
+    2. NEAR vs CORPUS: the survivors' MinHash band keys bucket-join
+       the corpus band table; bucket collisions confirm by
+       full-signature agreement and any new doc with estimated
+       Jaccard >= `threshold` to a corpus doc is rejected. In a
+       standing pipeline the corpus signature/band tables are
+       materialized once and appended per batch — they never derive
+       from corpus text at admission time; here they are built from
+       the corpus argument and checkpointed.
+    3. NEAR within BATCH: one pass over the batch's own LSH pairs —
+       a doc is rejected if it is a near-dup of a LOWER-id doc that
+       itself survived the corpus screens. Deliberately single-pass
+       (not transitive closure): chains longer than one hop keep
+       their (rare) tails and the rule stays SQL-expressible without
+       recursion, so the whole operator value-hash-checks. For full
+       component collapsing run `dedup_near` on the admitted set.
+
+    Requires globally distinct ids across corpus and batch (true of
+    any standing pipeline with monotone ids). All three screens
+    shuffle only digests / band keys / signatures — never text.
+    Output columns == the new batch's columns.
+    """
+    digest = F.sha2(F.col(text_col), 256)
+    seen = corpus.select(digest.alias("__digest")).distinct() \
+        .localCheckpoint(eager=False)
+    exact_fresh = (
+        new_docs.withColumn("__digest", digest)
+        .join(seen, "__digest", "left_anti")
+        .drop("__digest")
+        .localCheckpoint(eager=False)
+    )
+    bsigs = minhash_signatures(
+        exact_fresh.select(id_col, text_col), slots).localCheckpoint(eager=False)
+    csigs = minhash_signatures(
+        corpus.select(id_col, text_col), slots).localCheckpoint(eager=False)
+    bband = _minhash_banded(bsigs, slots, bands)
+    cband = _minhash_banded(csigs, slots, bands)
+    agree = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+
+    def _confirmed(cand, sa, sb):
+        return (
+            cand.join(sa, "doc_a").join(sb, "doc_b")
+            .where(agree / F.lit(slots) >= threshold)
+            .select("doc_a", "doc_b")
+        )
+
+    vs_corpus = (
+        bband.alias("a").join(
+            cband.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa_b = bsigs.select(F.col("doc_id").alias("doc_a"),
+                        F.col("signature").alias("sig_a"))
+    sb_c = csigs.select(F.col("doc_id").alias("doc_b"),
+                        F.col("signature").alias("sig_b"))
+    rejected_corpus = _confirmed(vs_corpus, sa_b, sb_c) \
+        .select(F.col("doc_a").alias("__rid")).distinct()
+    clean = exact_fresh.join(
+        F.broadcast(rejected_corpus),
+        exact_fresh[id_col] == F.col("__rid"), "left_anti",
+    ).localCheckpoint(eager=False)
+    clean_ids = clean.select(F.col(id_col).alias("doc_id"))
+    in_batch = (
+        bband.alias("a").join(
+            bband.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .join(clean_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(clean_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+    )
+    sb_b = bsigs.select(F.col("doc_id").alias("doc_b"),
+                        F.col("signature").alias("sig_b"))
+    losers = _confirmed(in_batch, sa_b, sb_b) \
+        .select(F.col("doc_b").alias("__rid")).distinct()
+    return clean.join(
+        F.broadcast(losers), clean[id_col] == F.col("__rid"), "left_anti",
+    ).orderBy(id_col)
+
+
 def remove_dup_spans(documents: DataFrame, k: int = CDC_K,
                      divisor: int = CDC_DIVISOR, min_df: int = CDC_MIN_DF,
                      text_col: str = "text",
@@ -2830,6 +2935,16 @@ def _q_cdc_dup_spans(spark, sf):
     return cdc_dup_spans(docs.unionByName(shifted)).orderBy("doc_id")
 
 
+def _q_incremental_dedup_near(spark, sf):
+    """Same fixture split as incremental_dedup; adds the two MinHash
+    screens on top of the exact one. Fully value-hash-checked — the
+    portable Carter-Wegman hashing makes all three screens
+    SQL-replicable."""
+    docs = _docs(spark, sf)
+    pred = F.expr(_CORPUS_PRED_SQL)
+    return incremental_dedup_near(docs.where(~pred), docs.where(pred))
+
+
 def _q_remove_dup_spans(spark, sf):
     """Same injected-replica fixture as cdc_dup_spans, so the rewrite
     has real cross-document spans to cut: each replica must come back
@@ -2928,6 +3043,7 @@ QUERIES = {
     "heavy_hitters_terms": _q_heavy_hitters,
     "heavy_hitters_exact": _q_heavy_hitters_exact,
     "incremental_dedup_bloom": _q_incremental_dedup_bloom,
+    "incremental_dedup_near": _q_incremental_dedup_near,
     "remove_dup_spans": _q_remove_dup_spans,
 }
 
@@ -3551,6 +3667,65 @@ ORACLES["bpe_pair_counts"] = f"""
     GROUP BY left_tok, right_tok
     ORDER BY pair_count DESC, left_tok, right_tok
     LIMIT {BPE_PAIR_TOPK}
+"""
+ORACLES["incremental_dedup_near"] = f"""
+    WITH newd AS (
+        SELECT * FROM documents WHERE CAST(substr(source, 4, 10) AS INT) >= 10
+    ), corpus AS (
+        SELECT * FROM documents WHERE CAST(substr(source, 4, 10) AS INT) < 10
+    ), exact_fresh AS (
+        SELECT n.* FROM newd n
+        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)
+    ), both_sides AS (
+        SELECT doc_id, text, 'b' AS side FROM exact_fresh
+        UNION ALL
+        SELECT doc_id, text, 'c' AS side FROM corpus
+    ), sh AS (
+        SELECT doc_id, side, unnest({_SHINGLES_SQL}) AS shingle
+        FROM both_sides
+    ), base AS (
+        SELECT doc_id, side,
+               CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS x
+        FROM sh
+    ), coef(i, a, b) AS (
+        VALUES {_MINHASH_COEF_VALUES}
+    ), sigs AS (
+        SELECT doc_id, side, i, MIN((a * x + b) % {MINHASH_P}) AS h
+        FROM base CROSS JOIN coef
+        GROUP BY doc_id, side, i
+    ), buckets AS (
+        SELECT doc_id, side, i // {_MINHASH_RPB} AS band,
+               CAST(SUM(h * {_BAND_W_CASE}) AS BIGINT) AS bucket
+        FROM sigs GROUP BY doc_id, side, i // {_MINHASH_RPB}
+    ), agree AS (
+        SELECT ha.doc_id AS doc_a, ha.side AS side_a,
+               hb.doc_id AS doc_b, hb.side AS side_b,
+               CAST(SUM(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_agree
+        FROM (SELECT DISTINCT a.doc_id AS da, a.side AS sa,
+                     b.doc_id AS db, b.side AS sb
+              FROM buckets a
+              JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket) p
+        JOIN sigs ha ON ha.doc_id = p.da AND ha.side = p.sa
+        JOIN sigs hb ON hb.doc_id = p.db AND hb.side = p.sb AND hb.i = ha.i
+        GROUP BY 1, 2, 3, 4
+    ), rejected_corpus AS (
+        SELECT DISTINCT doc_a AS doc_id FROM agree
+        WHERE side_a = 'b' AND side_b = 'c'
+          AND CAST(n_agree AS DOUBLE) / {MINHASH_SLOTS} >= {JACCARD_THRESHOLD}
+    ), clean AS (
+        SELECT * FROM exact_fresh
+        WHERE doc_id NOT IN (SELECT doc_id FROM rejected_corpus)
+    ), losers AS (
+        SELECT DISTINCT g.doc_b AS doc_id FROM agree g
+        WHERE g.side_a = 'b' AND g.side_b = 'b' AND g.doc_a < g.doc_b
+          AND CAST(g.n_agree AS DOUBLE) / {MINHASH_SLOTS} >= {JACCARD_THRESHOLD}
+          AND g.doc_a IN (SELECT doc_id FROM clean)
+          AND g.doc_b IN (SELECT doc_id FROM clean)
+    )
+    SELECT * FROM clean
+    WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    ORDER BY doc_id
 """
 ORACLES["remove_dup_spans"] = f"""
     WITH src AS (

@@ -831,3 +831,36 @@ def test_dedup_near_cc_strategy_knobs(spark, docs):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         llm.dedup_near(docs, pairs, cc="nonsense")
+
+
+def test_incremental_dedup_near_screens(spark):
+    """Exact dup -> rejected; near-dup of a corpus doc (one token
+    changed in 40) -> rejected by the LSH screen; near-dup of a
+    lower-id admitted batch doc -> rejected by the in-batch pass;
+    genuinely new text -> admitted."""
+    base = " ".join(f"w{i}a{i % 7}" for i in range(40))
+    near = base.replace("w5a5", "xx5yy")             # 1/40 tokens differ
+    other = " ".join(f"q{i}z{i % 11}" for i in range(40))
+    near_other = other.replace("q7z7", "k7j7")
+    corpus = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, base),        # exact dup of corpus
+         (101, near),        # near dup of corpus
+         (102, other),       # fresh -> admitted
+         (103, near_other),  # near dup of admitted 102 -> rejected
+         (104, "entirely different short text here")],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in
+            llm.incremental_dedup_near(batch, corpus).collect()}
+    assert kept == {102, 104}
+
+
+def test_incremental_dedup_near_subset_of_exact(spark, docs):
+    pred = F.expr("CAST(substring(source, 4, 10) AS INT) < 10")
+    newd, corpus = docs.where(~pred), docs.where(pred)
+    exact = {r["doc_id"] for r in
+             llm.incremental_dedup(newd, corpus).collect()}
+    near = {r["doc_id"] for r in
+            llm.incremental_dedup_near(newd, corpus).collect()}
+    assert near <= exact and len(near) > 0
