@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "embedding_topk_cosine_pq",
     "chunk_documents_overlap",
     "binary_dedup_exact",
+    "incremental_dedup_near",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
