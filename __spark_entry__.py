@@ -19,7 +19,7 @@ from hive_exporter_spark.functions.rand import md5_uniform_sql
 from hive_exporter_spark.functions.aggs import davg_sql, dsum_sql
 from hive_exporter_spark.operators import (
     asof, core, joins, layout, llm, multimodal, pipeline, profile,
-    relational, sessions,
+    relational, sessions, sketches,
 )
 from hive_exporter_spark.sources.files import TESTDATA_TABLES, read_table
 
@@ -587,21 +587,23 @@ _PRIORITY = (
     "embedding_label_centroids", "doc_embedding_norms", "cdc_dup_spans",
     "near_dup_clusters_bigstar", "source_mix_rebalance", "contributor_cap",
     "shard_by_tokens", "ngram_lm_perplexity", "token_drift_jsd",
-    # --- never driver-checked: multimodal plumbing (deterministic fakes,
-    # SQL twins).
-    "decode_images", "frame_sample_plan", "audio_features",
+    # --- never driver-checked: multimodal plumbing (deterministic fake
+    # kernel, SQL twin). decode_images / frame_sample_plan yield their
+    # slots to the r4b sketches: their kernels are deterministic fakes
+    # (lowest regression risk) and they stay covered by
+    # tools/check_oracle.py over the full registry.
+    "audio_features",
     # --- new in r4 (first wave): both oracle-backed.
     "semantic_dedup_fixed", "containment_pairs_capped",
     # --- new in r4 (second wave): all oracle-backed, never
     # driver-checked — these take priority over re-verifying entries
     # r1 already hash-checked (maximizes driver-lifetime coverage).
+    "kmv_distinct_users", "hll_distinct_users", "hll_distinct_users_merged",
     "incremental_dedup_bloom", "ngram_contamination_bloom",
     "heavy_hitters_exact", "remove_dup_spans", "bpe_pair_counts",
     "temperature_mix", "events_stratified_sample_hash",
     "chunk_documents_overlap", "binary_dedup_exact",
     "incremental_dedup_near",
-    # --- re-verification: last driver-checked in r1.
-    "q1_pricing_summary_sql",
 )
 
 
@@ -676,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(llm.QUERIES)
     q.update(multimodal.QUERIES)
     q.update(pipeline.QUERIES)
+    q.update(sketches.QUERIES)
     ordered = {k: q[k] for k in _PRIORITY if k in q}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
@@ -1371,4 +1374,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(llm.ORACLES)
     o.update(multimodal.ORACLES)
     o.update(pipeline.ORACLES)
+    o.update(sketches.ORACLES)
     return o

@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "chunk_documents_overlap",
     "binary_dedup_exact",
     "incremental_dedup_near",
+    # r4b additions: portable distinct sketches.
+    "kmv_distinct_users",
+    "hll_distinct_users",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

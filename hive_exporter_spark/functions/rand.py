@@ -32,3 +32,21 @@ def md5_uniform_sql(id_expr: str) -> str:
         f"((CAST('0x' || substr(md5(CAST({id_expr} AS VARCHAR)), 1, 10) "
         f"AS BIGINT) + 0.5) / {MD5_UNIFORM_MOD})"
     )
+
+
+def md5_int40(col: str) -> F.Column:
+    """Deterministic 40-bit integer hash of `col` (stringified), the
+    integer form of `md5_uniform`. Uniform in [0, 2^40); bit-identical
+    in Spark and DuckDB, which is what makes the KMV / portable-HLL
+    sketches (operators/sketches.py) value-hash-checkable."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 10), 16, 10)
+        .cast("long")
+    )
+
+
+def md5_int40_sql(expr: str) -> str:
+    """DuckDB twin of `md5_int40` for oracle SQL strings."""
+    return (
+        f"CAST('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 10) AS BIGINT)"
+    )

@@ -378,3 +378,25 @@ def test_remove_dup_spans_bounded_exchanges(spark, sf_dir):
     chunk stream must not shuffle more than that."""
     df = llm.remove_dup_spans(read_table(spark, sf_dir, "documents"))
     assert plans.num_exchanges(df) <= 4, plans.formatted_plan(df)
+
+
+def test_sketches_prune_and_partial_agg(t):
+    """Portable sketches must read only (key, group) columns; HLL's
+    data-path cost must be ONE exchange fed by a map-side partial agg
+    (the mergeable-register property in plan form)."""
+    from hive_exporter_spark.operators import sketches as sk
+
+    h = sk.hll_distinct(t("events"), "user_id", ["event_type"])
+    (hcols,) = plans.scan_read_columns(h)
+    assert sorted(hcols) == ["event_type", "user_id"], hcols
+    assert plans.has_partial_aggregate(h)
+    # registers exchange + histogram-sized estimate exchange only
+    assert plans.num_exchanges(h) <= 2, plans.formatted_plan(h)
+
+    k = sk.kmv_distinct(t("events"), "user_id", ["event_type"])
+    (kcols,) = plans.scan_read_columns(k)
+    assert sorted(kcols) == ["event_type", "user_id"], kcols
+    # one full-data exchange (salted local prune); everything after
+    # runs on <= groups*S*k rows
+    assert plans.num_exchanges(k) <= 4, plans.formatted_plan(k)
+    assert "CartesianProduct" not in plans.executed_plan(k)

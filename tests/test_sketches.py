@@ -53,3 +53,108 @@ def test_rolling_day_counts(spark, sf_dir):
     for r in rolling_distinct_users(ev).collect():
         assert r["n_days"] <= n_days
         assert r["est_users"] > 0
+
+
+# ---------------------------------------------------------------------------
+# Portable sketches (operators/sketches.py): KMV + portable HLL
+# ---------------------------------------------------------------------------
+
+import pytest
+
+from hive_exporter_spark.operators import sketches as sk
+
+
+def _exact(ev, key="user_id"):
+    return {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct(key).alias("n")).collect()
+    }
+
+
+def test_kmv_close_to_exact(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    exact = _exact(ev)
+    got = {r["event_type"]: r["est_distinct"]
+           for r in sk.kmv_distinct(ev, "user_id", ["event_type"]).collect()}
+    assert set(got) == set(exact)
+    for t, e in got.items():
+        # k=64 -> relative std err ~ 1/sqrt(k-2) ~ 13%; allow 4 sigma.
+        assert abs(e - exact[t]) <= max(3, 0.5 * exact[t]), (t, e, exact[t])
+
+
+def test_kmv_exact_below_k(spark, sf_dir):
+    """With fewer than k distinct keys the sketch degenerates to the
+    exact distinct count."""
+    ev = read_table(spark, sf_dir, "events")
+    exact = _exact(ev)
+    got = {r["event_type"]: (r["n_kept"], r["est_distinct"])
+           for r in sk.kmv_distinct(
+               ev, "user_id", ["event_type"], k=100_000).collect()}
+    for t, (n_kept, est) in got.items():
+        assert n_kept == exact[t]
+        assert est == float(exact[t])
+
+
+def test_kmv_merge_is_lossless(spark, sf_dir):
+    """KMV of a union == re-pruned union of per-part KMV kept-sets.
+
+    Exercised through the operator itself: running kmv over the
+    concatenation of two disjoint halves must equal running it over
+    the whole (the kept set is a pure function of the hash multiset)."""
+    ev = read_table(spark, sf_dir, "events")
+    half_a = ev.where(F.col("event_id") % 2 == 0)
+    half_b = ev.where(F.col("event_id") % 2 == 1)
+    direct = sk.kmv_distinct(ev, "user_id", ["event_type"])
+    via_union = sk.kmv_distinct(half_a.unionByName(half_b),
+                                "user_id", ["event_type"])
+    assert direct.exceptAll(via_union).count() == 0
+    assert via_union.exceptAll(direct).count() == 0
+
+
+def test_kmv_rejects_bad_k(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError):
+        sk.kmv_distinct(ev, "user_id", ["event_type"], k=1)
+
+
+def test_hll_close_to_exact_both_branches(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    # Small-cardinality groups (users ~ 150 at sf0.001): the linear
+    # counting branch.
+    exact_u = _exact(ev)
+    got_u = {r["event_type"]: r["est_distinct"]
+             for r in sk.hll_distinct(
+                 ev, "user_id", ["event_type"]).collect()}
+    for t, e in got_u.items():
+        assert abs(e - exact_u[t]) <= max(3, 0.2 * exact_u[t]), (t, e)
+    # High-cardinality key (event_id: unique per row): the raw
+    # harmonic-mean branch (E > 2.5m).
+    exact_i = _exact(ev, key="event_id")
+    got_i = {r["event_type"]: r["est_distinct"]
+             for r in sk.hll_distinct(
+                 ev, "event_id", ["event_type"]).collect()}
+    for t, e in got_i.items():
+        assert abs(e - exact_i[t]) <= 0.3 * exact_i[t], (t, e, exact_i[t])
+
+
+def test_hll_merge_equals_direct(spark, sf_dir):
+    """Max-merging per-day register tables == sketching the raw stream
+    (exact equality — mergeability is structural, not approximate)."""
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts"))
+    daily = sk.hll_registers(ev, "user_id", ["day", "event_type"])
+    merged = sk.hll_merge(
+        [daily.where(F.col("day") <= "1995-01-15"),
+         daily.where(F.col("day") > "1995-01-15")],
+        ["day", "event_type"],
+    ).groupBy("event_type", "bucket").agg(F.max("rho").alias("rho"))
+    direct = sk.hll_registers(ev, "user_id", ["event_type"])
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_hll_rejects_bad_p(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError):
+        sk.hll_registers(ev, "user_id", ["event_type"], p=2)
