@@ -77,9 +77,10 @@ BENCH_QUERIES = [
     "chunk_documents_overlap",
     "binary_dedup_exact",
     "incremental_dedup_near",
-    # r4b additions: portable distinct sketches.
+    # r4b additions: portable distinct sketches + corpus repetition signal.
     "kmv_distinct_users",
     "hll_distinct_users",
+    "dup_ngram_coverage",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

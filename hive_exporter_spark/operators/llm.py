@@ -310,6 +310,57 @@ def containment_pairs_capped(
     )
 
 
+def dup_ngram_coverage(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """Per-document duplicate-n-gram coverage: the fraction of a doc's
+    distinct k-gram shingles that occur in at least one OTHER document.
+
+    The RefinedWeb / MassiveText-style corpus-level repetition signal:
+    pair-level dedup (jaccard/containment) asks "which two docs match";
+    this asks "how much of THIS doc is corpus-boilerplate", which is a
+    per-doc quality filter (drop docs whose text is mostly shared
+    n-grams) and a cheap pre-screen for the pair pipelines.
+
+    Plan shape: one exploded-shingle pass feeds (a) per-shingle doc
+    frequency (groupBy partial-agg — bounded by vocabulary, immune to
+    the hot-shingle quadratic blowup the PAIR joins suffer) and (b) a
+    hash-keyed re-join carrying 8-byte xxhash64 keys, then a per-doc
+    agg. Left join back to `documents` keeps short docs (< k tokens)
+    total with coverage 0. The oracle joins raw shingle strings, so a
+    64-bit hash collision surfaces as a CORRECTNESS diff, not a silent
+    pass (same contract as ngram_jaccard_pairs).
+    """
+    ex = (
+        exploded_shingles(documents, k)
+        .select("doc_id", F.xxhash64("shingle").alias("__sh"))
+        .localCheckpoint(eager=False)
+    )
+    # n_docs per shingle, not raw count: a shingle repeated inside ONE
+    # doc is not corpus duplication (exploded_shingles is distinct per
+    # doc, so COUNT(*) == COUNT(DISTINCT doc)).
+    freq = ex.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        ex.join(freq, "__sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("__n_sh"),
+            F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0))
+            .cast("long").alias("__n_dup"),
+        )
+    )
+    n_sh = F.coalesce(F.col("__n_sh"), F.lit(0)).cast("long")
+    n_dup = F.coalesce(F.col("__n_dup"), F.lit(0)).cast("long")
+    return (
+        documents.select("doc_id").join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_sh.alias("n_shingles"),
+            n_dup.alias("n_dup_shingles"),
+            F.when(n_sh == 0, F.lit(0.0))
+            .otherwise(F.round(n_dup / n_sh, 6)).alias("dup_frac"),
+        )
+    )
+
+
 # MinHash: k independent hash slots over shingles. Uses xxhash64 (a
 # JVM built-in) re-seeded per slot — there is no DuckDB twin for
 # xxhash64, so these are rows-only checked (driver's weaker gate).
@@ -3989,4 +4040,32 @@ ORACLES["weighted_sample"] = f"""
     SELECT * FROM keyed
     ORDER BY es_key DESC, doc_id
     LIMIT {WEIGHTED_SAMPLE_K}
+"""
+
+
+def _q_dup_coverage(spark, sf):
+    return dup_ngram_coverage(_docs(spark, sf))
+
+
+QUERIES["dup_ngram_coverage"] = _q_dup_coverage
+
+ORACLES["dup_ngram_coverage"] = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+    ), freq AS (
+        SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+    ), per AS (
+        SELECT sh.doc_id,
+               COUNT(*) AS n_sh,
+               SUM(CASE WHEN freq.df >= 2 THEN 1 ELSE 0 END) AS n_dup
+        FROM sh JOIN freq USING (shingle)
+        GROUP BY sh.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(per.n_sh, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(per.n_dup, 0) AS BIGINT) AS n_dup_shingles,
+           CASE WHEN COALESCE(per.n_sh, 0) = 0 THEN 0.0
+                ELSE round(CAST(per.n_dup AS DOUBLE) / per.n_sh, 6)
+           END AS dup_frac
+    FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
 """

@@ -864,3 +864,38 @@ def test_incremental_dedup_near_subset_of_exact(spark, docs):
     near = {r["doc_id"] for r in
             llm.incremental_dedup_near(newd, corpus).collect()}
     assert near <= exact and len(near) > 0
+
+
+def test_dup_ngram_coverage_signal(spark):
+    """Verbatim copies score dup_frac 1.0 on BOTH copies, a unique doc
+    scores 0, and a sub-k-token doc stays present with zero shingles
+    (the operator is total over the corpus)."""
+    from hive_exporter_spark.operators.llm import dup_ngram_coverage
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    unique = "one two three four five six seven eight nine ten eleven"
+    docs = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, unique), (4, "too short")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dup_ngram_coverage(docs).collect()}
+    assert len(got) == 4
+    assert got[1]["dup_frac"] == 1.0 and got[2]["dup_frac"] == 1.0
+    assert got[3]["dup_frac"] == 0.0 and got[3]["n_shingles"] > 0
+    assert got[4]["n_shingles"] == 0 and got[4]["dup_frac"] == 0.0
+
+
+def test_dup_ngram_coverage_partial_overlap(spark):
+    """A doc sharing exactly its first k-gram window with another:
+    dup count matches the shared-shingle arithmetic."""
+    from hive_exporter_spark.operators.llm import dup_ngram_coverage
+
+    a = "alpha beta gamma delta epsilon"
+    b = "alpha beta gamma zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dup_ngram_coverage(docs).collect()}
+    # k=3: doc1 has 3 shingles, doc2 has 4; only "alpha beta gamma"
+    # is shared.
+    assert got[1]["n_shingles"] == 3 and got[1]["n_dup_shingles"] == 1
+    assert got[2]["n_shingles"] == 4 and got[2]["n_dup_shingles"] == 1
+    assert got[1]["dup_frac"] == round(1 / 3, 6)
