@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "kmv_distinct_users",
     "hll_distinct_users",
     "dup_ngram_coverage",
+    "cms_token_freq",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -310,3 +310,155 @@ ORACLES = {
     "hll_distinct_users_merged": hll_distinct_sql(
         "events", "user_id", ["event_type"]),
 }
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (portable)
+# --------------------------------------------------------------------------
+
+# Cormode & Muthukrishnan 2005. d Carter-Wegman rows over the md5
+# 28-bit base (same overflow-free family as the minhash slots,
+# operators/llm.py:319: a·x+b < 2^59, exact in checked int64, so the
+# DuckDB oracle replicates every cell). Counters merge by ADDITION —
+# per-partition sketches sum into the corpus sketch, the frequency
+# twin of HLL's max-merge. est(x) = min_i cell[i, h_i(x)] ≥ true
+# count, with overestimate ≤ 2N/w at probability 1 - 2^-d.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_P = 2147483647  # 2^31 - 1 (Mersenne), same modulus as minhash
+import random as _random  # noqa: E402  (module-constant generation only)
+_rng = _random.Random(0xC0FFEE)
+CMS_COEF = tuple(
+    (_rng.randrange(1, CMS_P), _rng.randrange(0, CMS_P))
+    for _ in range(CMS_DEPTH)
+)
+del _rng
+
+_MD5_BASE28 = "CAST('0x' || substr(md5({expr}), 1, 7) AS BIGINT)"
+
+
+def _cms_base28(col: F.Column) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def cms_counters(counts: DataFrame, key_col: str, count_col: str,
+                 width: int = CMS_WIDTH) -> DataFrame:
+    """(row, col, c) counter cells from an exact (key, count) table.
+
+    Input is the ALREADY-AGGREGATED per-key count (the canonical
+    wordcount shape — vocabulary-bounded, map-side combined), so the
+    explode emits d rows per DISTINCT key, not per occurrence; the
+    final groupBy carries ≤ d·width rows per partition. The sketch is
+    a fixed d×w table regardless of corpus size — the whole point.
+    """
+    x = _cms_base28(F.col(key_col))
+    cells = F.explode(F.array(*[
+        F.struct(
+            F.lit(i).alias("row"),
+            (((F.lit(a) * x + F.lit(b)) % CMS_P) % width).alias("col"),
+        )
+        for i, (a, b) in enumerate(CMS_COEF)
+    ])).alias("cell")
+    return (
+        counts.select(cells, F.col(count_col).alias("__c"))
+        .groupBy(F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
+        .agg(F.sum("__c").alias("c"))
+    )
+
+
+def cms_lookup(counters: DataFrame, keys: DataFrame, key_col: str,
+               width: int = CMS_WIDTH) -> DataFrame:
+    """Point-estimate each key in `keys`: min over the d counter cells.
+
+    The d×w counter table is tiny (≤ 4096 rows here) — broadcast, so
+    the probe side never shuffles. Keys absent from every cell
+    estimate 0 (left join + coalesce): the sketch never underestimates.
+    """
+    x = _cms_base28(F.col(key_col))
+    probes = keys.select(
+        key_col,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("row"),
+                (((F.lit(a) * x + F.lit(b)) % CMS_P) % width).alias("col"),
+            )
+            for i, (a, b) in enumerate(CMS_COEF)
+        ])).alias("cell"),
+    ).select(key_col, F.col("cell.row").alias("row"),
+             F.col("cell.col").alias("col"))
+    return (
+        probes.join(F.broadcast(counters), ["row", "col"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count"))
+    )
+
+
+CMS_TOP_TERMS = 50
+
+
+def cms_token_freq(documents: DataFrame,
+                   top_n: int = CMS_TOP_TERMS,
+                   width: int = CMS_WIDTH) -> DataFrame:
+    """Corpus token frequencies through a count-min sketch, reported
+    against the exact counts for the top_n most frequent tokens.
+
+    Pipeline: exact wordcount (vocab-bounded) → CMS cells → point
+    lookups for the deterministic top-n (count desc, token asc). The
+    output carries both the exact and the sketch count so the
+    ≥-property and the error bound are directly visible — and
+    driver-verifiable, since every cell is portable integer math.
+    """
+    from hive_exporter_spark.operators.llm import tokens_col
+
+    counts = (
+        documents.select(F.explode(tokens_col()).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    counters = cms_counters(counts, "token", "cnt", width)
+    top = counts.orderBy(F.col("cnt").desc(), "token").limit(top_n)
+    return (
+        cms_lookup(counters, top.select("token"), "token", width)
+        .join(F.broadcast(top), "token")
+        .select("token", F.col("cnt").alias("cnt_exact"),
+                F.col("est_count").alias("cnt_cms"))
+    )
+
+
+def _q_cms(spark: SparkSession, sf: str) -> DataFrame:
+    return cms_token_freq(read_table(spark, sf, "documents"))
+
+
+QUERIES["cms_token_freq"] = _q_cms
+
+_TOKS_SQL = ("list_filter(regexp_split_to_array(lower(text), "
+             "'[^a-z0-9]+'), t -> t <> '')")
+_CMS_COEF_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(CMS_COEF))
+
+ORACLES["cms_token_freq"] = f"""
+    WITH toks AS (
+        SELECT unnest({_TOKS_SQL}) AS token FROM documents
+    ), counts AS (
+        SELECT token, COUNT(*) AS cnt,
+               {_MD5_BASE28.format(expr='token')} AS x
+        FROM toks GROUP BY token
+    ), coef(i, a, b) AS (
+        VALUES {_CMS_COEF_VALUES}
+    ), cells AS (
+        SELECT i, ((a * x + b) % {CMS_P}) % {CMS_WIDTH} AS col,
+               CAST(SUM(cnt) AS BIGINT) AS c
+        FROM counts CROSS JOIN coef
+        GROUP BY 1, 2
+    ), top AS (
+        SELECT token, cnt, x FROM counts
+        ORDER BY cnt DESC, token LIMIT {CMS_TOP_TERMS}
+    )
+    SELECT top.token, CAST(top.cnt AS BIGINT) AS cnt_exact,
+           CAST(MIN(cells.c) AS BIGINT) AS cnt_cms
+    FROM top CROSS JOIN coef
+    JOIN cells ON cells.i = coef.i
+              AND cells.col = ((coef.a * top.x + coef.b) % {CMS_P})
+                              % {CMS_WIDTH}
+    GROUP BY top.token, top.cnt
+"""

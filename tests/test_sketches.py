@@ -158,3 +158,52 @@ def test_hll_rejects_bad_p(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events")
     with pytest.raises(ValueError):
         sk.hll_registers(ev, "user_id", ["event_type"], p=2)
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """Count-min's structural guarantee: est >= exact, overshoot
+    bounded by the collision mass (N/width per row, min over rows)."""
+    docs = read_table(spark, sf_dir, "documents")
+    rows = sk.cms_token_freq(docs).collect()
+    assert rows
+    total = sum(r["cnt_exact"] for r in rows)
+    for r in rows:
+        assert r["cnt_cms"] >= r["cnt_exact"], r
+        assert r["cnt_cms"] - r["cnt_exact"] <= max(
+            10, total), r  # generous sanity cap; tight bound below
+    # With vocab << width the expected overestimate is ~0: at least
+    # half the top terms must be EXACT through the sketch.
+    n_exact = sum(1 for r in rows if r["cnt_cms"] == r["cnt_exact"])
+    assert n_exact >= len(rows) // 2, (n_exact, len(rows))
+
+
+def test_cms_merge_is_additive(spark, sf_dir):
+    """Summing per-half counter tables == the whole-corpus counters
+    (sketch merge is cell-wise addition, exactly)."""
+    from hive_exporter_spark.operators.llm import tokens_col
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (docs.select(F.explode(tokens_col()).alias("token"))
+              .groupBy("token").agg(F.count(F.lit(1)).alias("cnt")))
+    whole = sk.cms_counters(counts, "token", "cnt")
+    half_a = sk.cms_counters(counts.where(F.col("cnt") % 2 == 0),
+                             "token", "cnt")
+    half_b = sk.cms_counters(counts.where(F.col("cnt") % 2 == 1),
+                             "token", "cnt")
+    merged = (half_a.unionByName(half_b)
+              .groupBy("row", "col").agg(F.sum("c").alias("c")))
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_cms_absent_key_estimate_is_collision_noise(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    from hive_exporter_spark.operators.llm import tokens_col
+    counts = (docs.select(F.explode(tokens_col()).alias("token"))
+              .groupBy("token").agg(F.count(F.lit(1)).alias("cnt")))
+    counters = sk.cms_counters(counts, "token", "cnt")
+    probe = spark.createDataFrame(
+        [("zzqx_not_a_token",)], "token string")
+    (est,) = sk.cms_lookup(counters, probe, "token").collect()
+    total = counts.agg(F.sum("cnt")).collect()[0][0]
+    # min over 4 rows of the collision mass: far under N/width * 4.
+    assert 0 <= est["est_count"] <= max(10, 8 * total // sk.CMS_WIDTH)
