@@ -443,3 +443,56 @@ def enrich_stream(events: DataFrame, dim: DataFrame,
     """
     return events.join(F.broadcast(dim),
                        events[stream_key] == dim[dim_key], "left")
+
+
+def distinct_users_stream_hll(
+    events_stream: DataFrame,
+    registers_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> object:
+    """Continuously-maintained distinct-count state: each micro-batch
+    is sketched into portable-HLL registers (operators/sketches.py)
+    and max-merged into a persistent register table; any-time distinct
+    estimates come from `hll_estimate` over that table, never from the
+    raw stream.
+
+    The streaming twin of `corpus_dedup_stream`'s design rule — state
+    lives in a parquet table, not the streaming state store — but here
+    the state is 2^p rows PER GROUP regardless of stream volume, so
+    the per-batch merge cost is constant. Replay safety is stronger
+    than the dedup sink's: register max-merge is IDEMPOTENT, so
+    foreachBatch's at-least-once becomes effectively-once with no
+    epoch bookkeeping at all — a retried batch re-maxes the same rhos.
+
+    Returns the started StreamingQuery; caller owns stop().
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from hive_exporter_spark.operators.sketches import hll_registers
+
+    gcols = list(group_cols)
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        regs = hll_registers(batch_df, key_col, gcols)
+        try:
+            old = spark.read.parquet(registers_dir)
+        except AnalysisException:
+            old = None
+        if old is not None:
+            regs = (regs.unionByName(old)
+                    .groupBy(*gcols, "bucket")
+                    .agg(F.max("rho").alias("rho")))
+        # Materialize before overwrite: the merged table reads the
+        # directory it is about to replace (read-and-overwrite hazard,
+        # same as sinks.safe_overwrite).
+        regs = regs.localCheckpoint()
+        regs.write.mode("overwrite").parquet(registers_dir)
+
+    return (
+        events_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

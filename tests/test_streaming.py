@@ -299,3 +299,58 @@ def test_corpus_dedup_stream_bloom_distributed_bitmap_path(spark, tmp_path):
     kept = {r["doc_id"]
             for r in spark.read.parquet(str(tmp_path / "kept")).collect()}
     assert kept == {1, 2, 11}
+
+
+def test_distinct_users_stream_hll_agrees_with_batch(spark, tmp_path):
+    """Streamed register maintenance must land on EXACTLY the batch
+    sketch of the full data (max-merge losslessness through
+    micro-batches), and replaying the stream into the same register
+    table must change nothing (idempotent merge)."""
+    from hive_exporter_spark.operators.sketches import (
+        hll_distinct, hll_estimate)
+    from hive_exporter_spark.streaming.streams import (
+        distinct_users_stream_hll)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    regs_dir = str(tmp_path / "registers")
+    schema = "user_id long, event_type string"
+    rows1 = [(u, t) for u in range(40) for t in ("click", "view")]
+    rows2 = [(u, t) for u in range(30, 90) for t in ("click", "buy")]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(src / "f1"))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(src / "f2"))
+
+    def run(checkpoint: str):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(src) + "/*"))
+        q = distinct_users_stream_hll(stream, regs_dir,
+                                      str(tmp_path / checkpoint))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run("chk1")
+    batch_est = {
+        r["event_type"]: r["est_distinct"]
+        for r in hll_distinct(
+            spark.createDataFrame(rows1 + rows2, schema),
+            "user_id", ["event_type"]).collect()
+    }
+    stream_est = {
+        r["event_type"]: r["est_distinct"]
+        for r in hll_estimate(spark.read.parquet(regs_dir),
+                              ["event_type"]).collect()
+    }
+    assert stream_est == batch_est
+    # Replay everything from a fresh checkpoint: registers must not move.
+    run("chk2")
+    replay_est = {
+        r["event_type"]: r["est_distinct"]
+        for r in hll_estimate(spark.read.parquet(regs_dir),
+                              ["event_type"]).collect()
+    }
+    assert replay_est == batch_est
