@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "hll_distinct_users",
     "dup_ngram_coverage",
     "cms_token_freq",
+    "theta_audience_overlap",
+    "value_quantiles_hist",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -80,8 +80,31 @@ def kmv_distinct(df: DataFrame, key_col: str,
     exact-int64-over-exact-int64 in one IEEE division, so DuckDB
     reproduces the estimate bit-for-bit.
     """
+    kept = kmv_kept(df, key_col, group_cols, k, salt_buckets)
+    gcols = list(group_cols)
+    num = float((k - 1) * (1 << HASH_BITS))  # < 2^53: exact in double
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.round(F.lit(num) / F.col("kth_hash"), 4))
+    return (
+        kept.groupBy(*gcols)
+        .agg(F.count(F.lit(1)).alias("n_kept"),
+             F.max("__h").alias("kth_hash"))
+        .select(*gcols, "n_kept", "kth_hash", est.alias("est_distinct"))
+    )
+
+
+def kmv_kept(df: DataFrame, key_col: str, group_cols: Sequence[str],
+             k: int = KMV_K,
+             salt_buckets: int = KMV_SALT_BUCKETS) -> DataFrame:
+    """The kept-set itself — (group, __h) rows holding each group's k
+    smallest distinct hash values. This IS the mergeable sketch state
+    (union kept-sets, re-prune to k) and the substrate for the
+    theta-sketch set algebra in `theta_overlap`."""
     if not 1 < k <= 1 << 20:
         raise ValueError(f"k must be in (1, 2^20] (got {k})")
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1 (got {salt_buckets})")
     gcols = list(group_cols)
     base = df.select(*gcols, md5_int40(key_col).alias("__h"))
     w1 = (Window.partitionBy(*gcols, F.pmod(F.col("__h"), F.lit(salt_buckets)))
@@ -93,18 +116,8 @@ def kmv_distinct(df: DataFrame, key_col: str,
         .distinct()
     )
     w2 = Window.partitionBy(*gcols).orderBy("__h")
-    kept = local.withColumn("__rn", F.row_number().over(w2)).where(
-        F.col("__rn") <= k)
-    num = float((k - 1) * (1 << HASH_BITS))  # < 2^53: exact in double
-    est = F.when(
-        F.col("n_kept") < k, F.col("n_kept").cast("double")
-    ).otherwise(F.round(F.lit(num) / F.col("kth_hash"), 4))
-    return (
-        kept.groupBy(*gcols)
-        .agg(F.count(F.lit(1)).alias("n_kept"),
-             F.max("__h").alias("kth_hash"))
-        .select(*gcols, "n_kept", "kth_hash", est.alias("est_distinct"))
-    )
+    return (local.withColumn("__rn", F.row_number().over(w2))
+            .where(F.col("__rn") <= k).drop("__rn"))
 
 
 def kmv_distinct_sql(table: str, key_expr: str,
@@ -462,3 +475,284 @@ ORACLES["cms_token_freq"] = f"""
                               % {CMS_WIDTH}
     GROUP BY top.token, top.cnt
 """
+
+
+# --------------------------------------------------------------------------
+# Theta-sketch set algebra over KMV kept-sets
+# --------------------------------------------------------------------------
+
+THETA_FULL = 1 << HASH_BITS  # "exact" theta: every hash retained
+
+
+def theta_overlap(df: DataFrame, key_col: str, group_col: str,
+                  k: int = KMV_K) -> DataFrame:
+    """Distinct-set union / intersection / Jaccard estimates between
+    every pair of groups, from each group's KMV kept-set — the theta
+    sketch framework (Dasgupta, Lang, Rhodes 2016): set algebra that
+    exact distinct-counting simply cannot do post-aggregation.
+
+    Per group: theta = kth smallest hash (or 2^40 when the group has
+    fewer than k distinct keys — the sketch is then exact). Per pair:
+    theta_u = min(theta_a, theta_b); every kept hash below theta_u is
+    a uniform sample of that group's key-set at rate theta_u/2^40, so
+    |∩| ≈ n_i·2^40/theta_u and |∪| ≈ (n_a + n_b − n_i)·2^40/theta_u.
+
+    Scale shape: the ONLY data-sized work is building the kept-sets
+    (kmv_kept's single salted exchange). Everything pairwise runs on
+    k-row sketches — broadcast joins by construction — so comparing
+    1000 cohorts costs 1000·k rows of state, not another corpus scan
+    per pair. Deterministic integer/hash math end-to-end: the DuckDB
+    oracle reproduces every estimate bit-for-bit.
+    """
+    kept = kmv_kept(df, key_col, [group_col], k).localCheckpoint(
+        eager=False)
+    stats = kept.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("__n"), F.max("__h").alias("__kth"))
+    th = stats.select(
+        group_col,
+        F.when(F.col("__n") < k, F.lit(THETA_FULL))
+        .otherwise(F.col("__kth")).alias("theta"))
+    pa = th.select(F.col(group_col).alias("__ga"),
+                   F.col("theta").alias("__ta"))
+    pb = th.select(F.col(group_col).alias("__gb"),
+                   F.col("theta").alias("__tb"))
+    pairs = (pa.join(pb, F.col("__ga") < F.col("__gb"))
+             .select("__ga", "__gb",
+                     F.least("__ta", "__tb").alias("__theta_u")))
+    ka = kept.select(F.col(group_col).alias("__ga"), "__h")
+    kb = kept.select(F.col(group_col).alias("__gb"),
+                     F.col("__h").alias("__hb"))
+    below = F.col("__h") < F.col("__theta_u")
+    n_a = (ka.join(F.broadcast(pairs), "__ga").where(below)
+           .groupBy("__ga", "__gb").agg(F.count(F.lit(1)).alias("__n_a")))
+    n_b = (kb.join(F.broadcast(pairs), "__gb")
+           .where(F.col("__hb") < F.col("__theta_u"))
+           .groupBy("__ga", "__gb").agg(F.count(F.lit(1)).alias("__n_b")))
+    n_i = (ka.join(kb, (F.col("__h") == F.col("__hb"))
+                   & (F.col("__ga") < F.col("__gb")))
+           .join(F.broadcast(pairs), ["__ga", "__gb"]).where(below)
+           .groupBy("__ga", "__gb").agg(F.count(F.lit(1)).alias("__n_i")))
+    full = F.lit(float(THETA_FULL))
+    res = (pairs.join(n_a, ["__ga", "__gb"], "left")
+           .join(n_b, ["__ga", "__gb"], "left")
+           .join(n_i, ["__ga", "__gb"], "left"))
+    ni = F.coalesce(F.col("__n_i"), F.lit(0))
+    nu = (F.coalesce(F.col("__n_a"), F.lit(0))
+          + F.coalesce(F.col("__n_b"), F.lit(0)) - ni)
+    return res.select(
+        F.col("__ga").alias(f"{group_col}_a"),
+        F.col("__gb").alias(f"{group_col}_b"),
+        ni.cast("long").alias("n_common"),
+        F.round(ni * full / F.col("__theta_u"), 4).alias("est_intersection"),
+        F.round(nu * full / F.col("__theta_u"), 4).alias("est_union"),
+        F.when(nu > 0, F.round(ni.cast("double") / nu, 6))
+        .otherwise(F.lit(0.0)).alias("est_jaccard"),
+    )
+
+
+def theta_overlap_sql(table: str, key_expr: str, group_col: str,
+                      k: int = KMV_K) -> str:
+    """DuckDB twin of `theta_overlap` (same sketches, same algebra)."""
+    full = float(THETA_FULL)
+    return f"""
+        WITH h AS (
+            SELECT DISTINCT {group_col} AS g,
+                   {md5_int40_sql(key_expr)} AS h
+            FROM {table}
+        ), r AS (
+            SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+            FROM h
+        ), kept AS (
+            SELECT g, h FROM r WHERE rn <= {k}
+        ), th AS (
+            SELECT g,
+                   CASE WHEN COUNT(*) < {k} THEN {THETA_FULL}
+                        ELSE MAX(h) END AS theta
+            FROM kept GROUP BY g
+        ), pairs AS (
+            SELECT a.g AS ga, b.g AS gb,
+                   least(a.theta, b.theta) AS theta_u
+            FROM th a JOIN th b ON a.g < b.g
+        ), na AS (
+            SELECT ga, gb, COUNT(*) AS n_a
+            FROM pairs JOIN kept ON kept.g = ga AND kept.h < theta_u
+            GROUP BY ga, gb
+        ), nb AS (
+            SELECT ga, gb, COUNT(*) AS n_b
+            FROM pairs JOIN kept ON kept.g = gb AND kept.h < theta_u
+            GROUP BY ga, gb
+        ), ni AS (
+            SELECT ga, gb, COUNT(*) AS n_i
+            FROM pairs
+            JOIN kept ka ON ka.g = ga AND ka.h < theta_u
+            JOIN kept kb ON kb.g = gb AND kb.h = ka.h
+            GROUP BY ga, gb
+        )
+        SELECT ga AS {group_col}_a, gb AS {group_col}_b,
+               CAST(COALESCE(n_i, 0) AS BIGINT) AS n_common,
+               round(COALESCE(n_i, 0) * {full!r} / theta_u, 4)
+                   AS est_intersection,
+               round((COALESCE(n_a, 0) + COALESCE(n_b, 0)
+                      - COALESCE(n_i, 0)) * {full!r} / theta_u, 4)
+                   AS est_union,
+               CASE WHEN (COALESCE(n_a, 0) + COALESCE(n_b, 0)
+                          - COALESCE(n_i, 0)) > 0
+                    THEN round(CAST(COALESCE(n_i, 0) AS DOUBLE)
+                               / (COALESCE(n_a, 0) + COALESCE(n_b, 0)
+                                  - COALESCE(n_i, 0)), 6)
+                    ELSE 0.0 END AS est_jaccard
+        FROM pairs
+        LEFT JOIN na USING (ga, gb)
+        LEFT JOIN nb USING (ga, gb)
+        LEFT JOIN ni USING (ga, gb)
+    """
+
+
+def _q_theta(spark: SparkSession, sf: str) -> DataFrame:
+    return theta_overlap(read_table(spark, sf, "events"), "user_id",
+                         "event_type")
+
+
+QUERIES["theta_audience_overlap"] = _q_theta
+ORACLES["theta_audience_overlap"] = theta_overlap_sql(
+    "events", "user_id", "event_type")
+
+
+# --------------------------------------------------------------------------
+# Mergeable histogram quantiles
+# --------------------------------------------------------------------------
+
+HIST_BINS = 128
+HIST_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def histogram_bins(df: DataFrame, value_col: str,
+                   group_cols: Sequence[str],
+                   n_bins: int = HIST_BINS) -> DataFrame:
+    """(group, bin, n, lo, hi) equi-width bin counts — the mergeable
+    quantile-sketch state (bins over the same [lo, hi] merge by count
+    ADDITION, like count-min cells).
+
+    Two passes by design: a min/max agg (map-side combined, one tiny
+    broadcast back) fixes the bin edges, then one partial-agg count
+    pass. Spark's approx_percentile avoids the second pass but its
+    binary KLL state has no engine twin; this sketch's state is ≤
+    n_bins rows per group of plain integers+doubles, so the DuckDB
+    oracle replays it bit-for-bit. The bin formula
+    floor((v-lo)/(hi-lo)·n) is the same IEEE expression in both
+    engines; v = hi clamps into the last bin.
+    """
+    if not 1 < n_bins <= 1 << 16:
+        raise ValueError(f"n_bins must be in (1, 65536] (got {n_bins})")
+    gcols = list(group_cols)
+    edges = df.groupBy(*gcols).agg(
+        F.min(value_col).cast("double").alias("lo"),
+        F.max(value_col).cast("double").alias("hi"))
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.col("lo")) / (F.col("hi") - F.col("lo"))
+                  * F.lit(float(n_bins)))
+    bin_ = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(raw, F.lit(n_bins - 1))).cast("int")
+    return (
+        df.join(F.broadcast(edges), gcols)
+        .select(*gcols, "lo", "hi", bin_.alias("bin"))
+        .groupBy(*gcols, "lo", "hi", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def quantiles_from_histogram(bins: DataFrame, group_cols: Sequence[str],
+                             qs: Sequence[float] = HIST_QS,
+                             n_bins: int = HIST_BINS) -> DataFrame:
+    """Per-group quantile estimates from a bin-count table: the first
+    bin whose cumulative count reaches ceil(q·N), reported at the bin
+    MIDPOINT — error ≤ half a bin width, deterministic (no within-bin
+    interpolation float chains to drift between engines).
+
+    The cumulative window runs over ≤ n_bins rows per group — sketch
+    state, not data. Output one row per (group, q). All qs are
+    answered in ONE pass: each cum row is exploded against the q list
+    (a per-q union of branches would re-run the bin build — and the
+    data scan under it — once per quantile).
+    """
+    gcols = list(group_cols)
+    w = (Window.partitionBy(*gcols).orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (bins.withColumn("cum", F.sum("n").over(w))
+           .withColumn("total",
+                       F.sum("n").over(Window.partitionBy(*gcols)))
+           .withColumn("q", F.explode(F.array(*[F.lit(q) for q in qs]))))
+    hit = (cum.where(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
+           .groupBy(*gcols, "lo", "hi", "q")
+           .agg(F.min("bin").alias("bin")))
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    est = F.when(
+        F.col("hi") == F.col("lo"), F.col("lo")
+    ).otherwise(F.col("lo") + (F.col("bin") + F.lit(0.5)) * width)
+    return hit.select(*gcols, "q", F.round(est, 6).alias("est_value"))
+
+
+def value_quantiles_hist(df: DataFrame, value_col: str,
+                         group_cols: Sequence[str],
+                         qs: Sequence[float] = HIST_QS,
+                         n_bins: int = HIST_BINS) -> DataFrame:
+    """One-shot mergeable-histogram quantiles (bins + estimate)."""
+    return quantiles_from_histogram(
+        histogram_bins(df, value_col, group_cols, n_bins),
+        group_cols, qs, n_bins)
+
+
+def value_quantiles_hist_sql(table: str, value_expr: str, group_col: str,
+                             qs: Sequence[float] = HIST_QS,
+                             n_bins: int = HIST_BINS) -> str:
+    """DuckDB twin of `value_quantiles_hist` (same bins, same picks)."""
+    q_values = ", ".join(f"({q!r})" for q in qs)
+    return f"""
+        WITH edges AS (
+            SELECT {group_col},
+                   CAST(MIN({value_expr}) AS DOUBLE) AS lo,
+                   CAST(MAX({value_expr}) AS DOUBLE) AS hi
+            FROM {table} GROUP BY {group_col}
+        ), binned AS (
+            SELECT t.{group_col}, e.lo, e.hi,
+                   CASE WHEN e.hi = e.lo THEN 0
+                        ELSE CAST(least(
+                            floor((CAST(t.{value_expr} AS DOUBLE) - e.lo)
+                                  / (e.hi - e.lo) * {float(n_bins)!r}),
+                            {n_bins - 1}) AS INT)
+                   END AS bin
+            FROM {table} t JOIN edges e USING ({group_col})
+        ), bins AS (
+            SELECT {group_col}, lo, hi, bin, COUNT(*) AS n
+            FROM binned GROUP BY {group_col}, lo, hi, bin
+        ), cum AS (
+            SELECT {group_col}, lo, hi, bin, n,
+                   SUM(n) OVER (PARTITION BY {group_col} ORDER BY bin
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(n) OVER (PARTITION BY {group_col}) AS total
+            FROM bins
+        ), qs(q) AS (
+            VALUES {q_values}
+        ), hit AS (
+            SELECT {group_col}, lo, hi, q, MIN(bin) AS bin
+            FROM cum CROSS JOIN qs
+            WHERE cum >= ceil(q * total)
+            GROUP BY {group_col}, lo, hi, q
+        )
+        SELECT {group_col}, q,
+               round(CASE WHEN hi = lo THEN lo
+                          ELSE lo + (bin + 0.5)
+                               * ((hi - lo) / {float(n_bins)!r})
+                     END, 6) AS est_value
+        FROM hit
+    """
+
+
+def _q_hist_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    return value_quantiles_hist(read_table(spark, sf, "events"),
+                                "value", ["event_type"])
+
+
+QUERIES["value_quantiles_hist"] = _q_hist_quantiles
+ORACLES["value_quantiles_hist"] = value_quantiles_hist_sql(
+    "events", "value", "event_type")

@@ -400,3 +400,24 @@ def test_sketches_prune_and_partial_agg(t):
     # runs on <= groups*S*k rows
     assert plans.num_exchanges(k) <= 4, plans.formatted_plan(k)
     assert "CartesianProduct" not in plans.executed_plan(k)
+
+
+def test_theta_overlap_no_cartesian_sketch_sized_algebra(t):
+    from hive_exporter_spark.operators import sketches as sk
+
+    df = sk.theta_overlap(t("events"), "user_id", "event_type")
+    plan = plans.executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # the pairwise counts join broadcast (k-row sketches, never shuffled)
+    assert plans.broadcast_join_count(df) >= 3, plan
+
+
+def test_hist_quantiles_two_passes_total(t):
+    """Mergeable histogram quantiles: exactly the edge pass + the bin
+    pass over the data — the per-q work must NOT re-scan (a union-of-
+    branches formulation read the fact table 2x per quantile)."""
+    from hive_exporter_spark.operators import sketches as sk
+
+    df = sk.value_quantiles_hist(t("events"), "value", ["event_type"])
+    assert len(plans.scan_read_columns(df)) <= 2, plans.formatted_plan(df)
+    assert plans.num_exchanges(df) <= 4, plans.formatted_plan(df)

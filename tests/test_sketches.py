@@ -207,3 +207,133 @@ def test_cms_absent_key_estimate_is_collision_noise(spark, sf_dir):
     total = counts.agg(F.sum("cnt")).collect()[0][0]
     # min over 4 rows of the collision mass: far under N/width * 4.
     assert 0 <= est["est_count"] <= max(10, 8 * total // sk.CMS_WIDTH)
+
+
+def test_theta_overlap_exact_regime(spark):
+    """Below k distinct keys the sketches are exact: overlap algebra
+    must return the true intersection/union/Jaccard."""
+    rows = ([(u, "a") for u in range(50)]
+            + [(u, "b") for u in range(30, 80)])
+    df = spark.createDataFrame(rows, "user_id long, grp string")
+    (r,) = sk.theta_overlap(df, "user_id", "grp", k=256).collect()
+    assert r["grp_a"] == "a" and r["grp_b"] == "b"
+    assert r["est_intersection"] == 20.0
+    assert r["est_union"] == 80.0
+    assert r["est_jaccard"] == 0.25
+
+
+def test_theta_overlap_estimates_at_small_k(spark, sf_dir):
+    """Sampled regime: every event_type shares the same user base at
+    sf0.001, so jaccard must be ~1 and intersection ~ the user count."""
+    ev = read_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    rows = sk.theta_overlap(ev, "user_id", "event_type", k=32).collect()
+    assert len(rows) == 10  # C(5,2) event-type pairs
+    for r in rows:
+        assert r["est_jaccard"] >= 0.8, r
+        assert abs(r["est_intersection"] - n_users) <= 0.6 * n_users, r
+        assert r["est_union"] >= r["est_intersection"]
+
+
+def test_theta_overlap_disjoint_groups(spark):
+    rows = ([(u, "a") for u in range(200)]
+            + [(u + 10_000, "b") for u in range(200)])
+    df = spark.createDataFrame(rows, "user_id long, grp string")
+    (r,) = sk.theta_overlap(df, "user_id", "grp", k=64).collect()
+    assert r["n_common"] == 0
+    assert r["est_intersection"] == 0.0 and r["est_jaccard"] == 0.0
+    assert r["est_union"] > 200  # ~400 expected
+
+
+def test_hist_quantiles_within_bin_width(spark, sf_dir):
+    """Midpoint estimates must sit within half a bin width of the TRUE
+    discrete quantile (the ceil(q*N)-th smallest value — the sketch's
+    own rank definition; interpolated percentile() can legitimately
+    sit bins away in sparse tails)."""
+    import math
+
+    ev = read_table(spark, sf_dir, "events")
+    got = {(r["event_type"], r["q"]): r["est_value"]
+           for r in sk.value_quantiles_hist(
+               ev, "value", ["event_type"]).collect()}
+    pdf = ev.select("event_type", "value").toPandas()
+    for t, grp in pdf.groupby("event_type"):
+        vals = sorted(grp["value"].tolist())
+        lo, hi = vals[0], vals[-1]
+        half_bin = (hi - lo) / sk.HIST_BINS / 2
+        for q in sk.HIST_QS:
+            exact = vals[math.ceil(q * len(vals)) - 1]
+            est = got[(t, q)]
+            assert abs(est - exact) <= half_bin + 1e-9, (
+                t, q, est, exact, half_bin)
+
+
+def test_hist_bins_merge_additively(spark, sf_dir):
+    """Bin tables over disjoint halves (with SHARED edges) must sum to
+    the whole-data bin table — the mergeability contract."""
+    ev = read_table(spark, sf_dir, "events")
+    whole = sk.histogram_bins(ev, "value", ["event_type"])
+    # Merging requires shared [lo, hi]: freeze the global edges by
+    # binning each half against the full data's min/max via union of
+    # half + an empty-weight echo of the other... simpler and honest:
+    # halves of the SAME distribution produce the same edges only by
+    # luck, so merge bins built against identical edges — rebin each
+    # half joined to the global edge table.
+    edges = ev.groupBy("event_type").agg(
+        F.min(F.col("value").cast("double")).alias("lo"),
+        F.max(F.col("value").cast("double")).alias("hi"))
+    halves = [ev.where(F.col("event_id") % 2 == i) for i in (0, 1)]
+
+    def bins_with_edges(df):
+        v = F.col("value").cast("double")
+        raw = F.floor((v - F.col("lo")) / (F.col("hi") - F.col("lo"))
+                      * F.lit(float(sk.HIST_BINS)))
+        b = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.least(raw, F.lit(sk.HIST_BINS - 1))).cast("int")
+        return (df.join(F.broadcast(edges), ["event_type"])
+                .select("event_type", "lo", "hi", b.alias("bin"))
+                .groupBy("event_type", "lo", "hi", "bin")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    merged = (bins_with_edges(halves[0]).unionByName(
+        bins_with_edges(halves[1]))
+        .groupBy("event_type", "lo", "hi", "bin")
+        .agg(F.sum("n").alias("n")))
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_hist_quantiles_constant_group(spark):
+    df = spark.createDataFrame([(1, "a", 5.0)] * 10,
+                               "id long, grp string, v double")
+    rows = sk.value_quantiles_hist(df, "v", ["grp"]).collect()
+    assert rows and all(r["est_value"] == 5.0 for r in rows)
+
+
+def test_sketch_state_answers_many_questions(spark, sf_dir, tmp_path):
+    """The pre-aggregation narrative end-to-end: persist per-day HLL
+    registers ONCE, then answer (a) all-time per-type distinct and
+    (b) an arbitrary day-range distinct purely from the stored state —
+    each exactly equal to sketching the raw stream for that scope."""
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts"))
+    state_dir = str(tmp_path / "hll_state")
+    sk.hll_registers(ev, "user_id", ["day", "event_type"]) \
+        .write.parquet(state_dir)
+    state = spark.read.parquet(state_dir)
+
+    alltime = (state.groupBy("event_type", "bucket")
+               .agg(F.max("rho").alias("rho")))
+    direct = sk.hll_registers(ev, "user_id", ["event_type"])
+    assert alltime.exceptAll(direct).count() == 0
+    assert direct.exceptAll(alltime).count() == 0
+
+    lohi = ("1995-01-05", "1995-01-20")
+    ranged = (state.where(F.col("day").between(*lohi))
+              .groupBy("event_type", "bucket")
+              .agg(F.max("rho").alias("rho")))
+    direct_ranged = sk.hll_registers(
+        ev.where(F.col("day").between(*lohi)),
+        "user_id", ["event_type"])
+    assert ranged.exceptAll(direct_ranged).count() == 0
+    assert direct_ranged.exceptAll(ranged).count() == 0
