@@ -565,22 +565,24 @@ def _session_window_overlap(spark, sf):
 # The window ROTATES per round so driver-lifetime coverage approaches the
 # full registry: r1 checked the relational core, r2/r3 the ingest + LLM
 # flagships (all green — CORRECTNESS_r0{1,2,3}.json). The r4 window below
-# holds the 37 oracle-checkable entries the driver has never seen, the two
-# r4 additions (semantic_dedup_fixed, containment_pairs_capped), and 11
-# TPC-H/relational entries last driver-verified in r1 — all 50 are
-# oracle-backed, so every row can hash-check. Entries displaced from prior
-# windows follow in insertion order and stay covered by
-# tools/check_oracle.py (run over the FULL registry before each submit).
+# holds 50 oracle-backed entries the driver has NEVER hash-checked:
+# 31 analytics/TPC-H-tail/LLM/multimodal entries from the original r4
+# rotation, the 12 r4 first/second-wave additions, and the 7 r4b sketch
+# flagships (kmv/hll/hll_merged/cms/theta/dup_coverage/hist-quantiles) —
+# every row can hash-check. Entries displaced from prior windows follow
+# in insertion order and stay covered by tools/check_oracle.py (run over
+# the FULL registry before each submit).
 _PRIORITY = (
     # --- never driver-checked: events/sessions analytics.
     "session_window_overlap", "events_key_skew_profile", "asof_next_purchase",
     "profile_orders_columns", "orders_snapshot_diff", "user_event_scd2",
     "daily_event_stats", "event_type_pivot",
-    "json_props_lift", "user_value_deltas",
+    "json_props_lift",
     "cumulative_distinct_users", "trimmed_event_stats",
-    # (value_histogram / event_type_unpivot / fill_missing_days yield
-    # their slots to the r4b sketch flagships below: simple SQL shapes,
-    # pytest-pinned, still in tools/check_oracle.py's full sweep.)
+    # (value_histogram / event_type_unpivot / fill_missing_days /
+    # user_value_deltas yield their slots to the r4b sketch flagships
+    # below: simple SQL shapes, pytest-pinned, still in
+    # tools/check_oracle.py's full sweep.)
     # --- never driver-checked: TPC-H tail.
     "q2_min_cost_supplier", "q9_nation_product_profit", "q11_important_parts",
     "q20_dominant_share_suppliers",
@@ -603,6 +605,7 @@ _PRIORITY = (
     # r1 already hash-checked (maximizes driver-lifetime coverage).
     "kmv_distinct_users", "hll_distinct_users", "hll_distinct_users_merged",
     "cms_token_freq", "theta_audience_overlap", "dup_ngram_coverage",
+    "value_quantiles_hist",
     "incremental_dedup_bloom", "ngram_contamination_bloom",
     "heavy_hitters_exact", "remove_dup_spans", "bpe_pair_counts",
     "temperature_mix", "events_stratified_sample_hash",

@@ -3098,7 +3098,11 @@ QUERIES = {
     "remove_dup_spans": _q_remove_dup_spans,
 }
 
+# The one canonical DuckDB twin of `tokens_col` (TOKEN_SPLIT): other
+# oracle modules (pipeline, sketches) import TOKS_SQL so a tokenizer
+# change cannot leave their oracles tokenizing differently.
 _TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+TOKS_SQL = _TOKS_SQL
 _SHINGLES_SQL = f"""
     CASE WHEN len({_TOKS_SQL}) >= {SHINGLE_K}
          THEN list_distinct(list_transform(

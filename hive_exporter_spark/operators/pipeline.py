@@ -621,7 +621,7 @@ QUERIES = {
 _SPLIT_BUCKET = _hash_bucket_sql("doc_id", 100)
 
 # DuckDB twin of llm.tokens_col (lowercased alnum tokens).
-_TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+from hive_exporter_spark.operators.llm import TOKS_SQL as _TOKS_SQL  # noqa: E402
 
 _EPOCH_WT_SQL = "CASE source " + " ".join(
     f"WHEN '{s}' THEN {float(v)}" for s, v in sorted(EPOCH_WEIGHTS.items())

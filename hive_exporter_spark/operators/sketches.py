@@ -106,7 +106,11 @@ def kmv_kept(df: DataFrame, key_col: str, group_cols: Sequence[str],
     if salt_buckets < 1:
         raise ValueError(f"salt_buckets must be >= 1 (got {salt_buckets})")
     gcols = list(group_cols)
-    base = df.select(*gcols, md5_int40(key_col).alias("__h"))
+    # NULL keys hash to NULL (md5(NULL) is NULL); drop them BEFORE the
+    # window — Spark sorts NULL first, DuckDB last, so a surviving
+    # NULL would put the engines' kept-sets out of step.
+    base = (df.select(*gcols, md5_int40(key_col).alias("__h"))
+            .where(F.col("__h").isNotNull()))
     w1 = (Window.partitionBy(*gcols, F.pmod(F.col("__h"), F.lit(salt_buckets)))
           .orderBy("__h"))
     local = (
@@ -129,7 +133,7 @@ def kmv_distinct_sql(table: str, key_expr: str,
     return f"""
         WITH h AS (
             SELECT DISTINCT {g}, {md5_int40_sql(key_expr)} AS h
-            FROM {table}
+            FROM {table} WHERE {key_expr} IS NOT NULL
         ), r AS (
             SELECT {g}, h,
                    row_number() OVER (PARTITION BY {g} ORDER BY h) AS rn
@@ -174,6 +178,9 @@ def hll_registers(df: DataFrame, key_col: str,
     gcols = list(group_cols)
     width = HASH_BITS - p
     x = md5_int40(key_col)
+    # NULL keys hash to NULL: bucket/rho would both be NULL and the
+    # engines disagree on NULL grouping order downstream — drop them.
+    df = df.where(F.col(key_col).isNotNull())
     w = x.bitwiseAND(F.lit((1 << width) - 1))
     t = w.bitwiseAND(-w)  # lowest set bit: exact power of two
     rho = F.when(w == 0, F.lit(width + 1)).otherwise(
@@ -254,6 +261,7 @@ def hll_distinct_sql(table: str, key_expr: str, group_cols: Sequence[str],
     return f"""
         WITH base AS (
             SELECT {g}, {x} AS x FROM {table}
+            WHERE {key_expr} IS NOT NULL
         ), obs AS (
             SELECT {g}, x >> {width} AS bucket,
                    CASE WHEN {w} = 0 THEN {width + 1}
@@ -303,9 +311,8 @@ def _q_hll_merged(spark: SparkSession, sf: str) -> DataFrame:
     ev = read_table(spark, sf, "events").withColumn(
         "day", F.date_trunc("day", "ts"))
     daily = hll_registers(ev, "user_id", ["day", "event_type"])
-    merged = (daily.groupBy("event_type", "bucket")
-              .agg(F.max("rho").alias("rho")))
-    return hll_estimate(merged, ["event_type"])
+    return hll_estimate(hll_merge([daily], ["event_type"]),
+                        ["event_type"])
 
 
 QUERIES = {
@@ -354,6 +361,19 @@ def _cms_base28(col: F.Column) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
 
 
+def _cms_cells(x: F.Column, width: int) -> F.Column:
+    """The d exploded (row, col) cells for a key's base value — ONE
+    definition shared by insert and probe, because the sketch only
+    works if both sides hash identically."""
+    return F.explode(F.array(*[
+        F.struct(
+            F.lit(i).alias("row"),
+            (((F.lit(a) * x + F.lit(b)) % CMS_P) % width).alias("col"),
+        )
+        for i, (a, b) in enumerate(CMS_COEF)
+    ]))
+
+
 def cms_counters(counts: DataFrame, key_col: str, count_col: str,
                  width: int = CMS_WIDTH) -> DataFrame:
     """(row, col, c) counter cells from an exact (key, count) table.
@@ -364,14 +384,7 @@ def cms_counters(counts: DataFrame, key_col: str, count_col: str,
     final groupBy carries ≤ d·width rows per partition. The sketch is
     a fixed d×w table regardless of corpus size — the whole point.
     """
-    x = _cms_base28(F.col(key_col))
-    cells = F.explode(F.array(*[
-        F.struct(
-            F.lit(i).alias("row"),
-            (((F.lit(a) * x + F.lit(b)) % CMS_P) % width).alias("col"),
-        )
-        for i, (a, b) in enumerate(CMS_COEF)
-    ])).alias("cell")
+    cells = _cms_cells(_cms_base28(F.col(key_col)), width).alias("cell")
     return (
         counts.select(cells, F.col(count_col).alias("__c"))
         .groupBy(F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
@@ -387,16 +400,9 @@ def cms_lookup(counters: DataFrame, keys: DataFrame, key_col: str,
     the probe side never shuffles. Keys absent from every cell
     estimate 0 (left join + coalesce): the sketch never underestimates.
     """
-    x = _cms_base28(F.col(key_col))
     probes = keys.select(
         key_col,
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(i).alias("row"),
-                (((F.lit(a) * x + F.lit(b)) % CMS_P) % width).alias("col"),
-            )
-            for i, (a, b) in enumerate(CMS_COEF)
-        ])).alias("cell"),
+        _cms_cells(_cms_base28(F.col(key_col)), width).alias("cell"),
     ).select(key_col, F.col("cell.row").alias("row"),
              F.col("cell.col").alias("col"))
     return (
@@ -444,8 +450,8 @@ def _q_cms(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES["cms_token_freq"] = _q_cms
 
-_TOKS_SQL = ("list_filter(regexp_split_to_array(lower(text), "
-             "'[^a-z0-9]+'), t -> t <> '')")
+from hive_exporter_spark.operators.llm import TOKS_SQL as _TOKS_SQL  # noqa: E402
+
 _CMS_COEF_VALUES = ", ".join(
     f"({i}, {a}, {b})" for i, (a, b) in enumerate(CMS_COEF))
 
@@ -558,7 +564,7 @@ def theta_overlap_sql(table: str, key_expr: str, group_col: str,
         WITH h AS (
             SELECT DISTINCT {group_col} AS g,
                    {md5_int40_sql(key_expr)} AS h
-            FROM {table}
+            FROM {table} WHERE {key_expr} IS NOT NULL
         ), r AS (
             SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
             FROM h
@@ -645,6 +651,10 @@ def histogram_bins(df: DataFrame, value_col: str,
     if not 1 < n_bins <= 1 << 16:
         raise ValueError(f"n_bins must be in (1, 65536] (got {n_bins})")
     gcols = list(group_cols)
+    # NULL values carry no position: floor((NULL-lo)/...) is NULL and
+    # least(NULL, n-1) is the non-null arg in BOTH engines, which
+    # would silently dump every NULL row into the top bin.
+    df = df.where(F.col(value_col).isNotNull())
     edges = df.groupBy(*gcols).agg(
         F.min(value_col).cast("double").alias("lo"),
         F.max(value_col).cast("double").alias("hi"))
@@ -708,11 +718,13 @@ def value_quantiles_hist_sql(table: str, value_expr: str, group_col: str,
     """DuckDB twin of `value_quantiles_hist` (same bins, same picks)."""
     q_values = ", ".join(f"({q!r})" for q in qs)
     return f"""
-        WITH edges AS (
+        WITH src AS (
+            SELECT * FROM {table} WHERE {value_expr} IS NOT NULL
+        ), edges AS (
             SELECT {group_col},
                    CAST(MIN({value_expr}) AS DOUBLE) AS lo,
                    CAST(MAX({value_expr}) AS DOUBLE) AS hi
-            FROM {table} GROUP BY {group_col}
+            FROM src GROUP BY {group_col}
         ), binned AS (
             SELECT t.{group_col}, e.lo, e.hi,
                    CASE WHEN e.hi = e.lo THEN 0
@@ -721,7 +733,7 @@ def value_quantiles_hist_sql(table: str, value_expr: str, group_col: str,
                                   / (e.hi - e.lo) * {float(n_bins)!r}),
                             {n_bins - 1}) AS INT)
                    END AS bin
-            FROM {table} t JOIN edges e USING ({group_col})
+            FROM src t JOIN edges e USING ({group_col})
         ), bins AS (
             SELECT {group_col}, lo, hi, bin, COUNT(*) AS n
             FROM binned GROUP BY {group_col}, lo, hi, bin

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import os
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -459,40 +461,43 @@ def distinct_users_stream_hll(
     raw stream.
 
     The streaming twin of `corpus_dedup_stream`'s design rule — state
-    lives in a parquet table, not the streaming state store — but here
-    the state is 2^p rows PER GROUP regardless of stream volume, so
-    the per-batch merge cost is constant. Replay safety is stronger
-    than the dedup sink's: register max-merge is IDEMPOTENT, so
-    foreachBatch's at-least-once becomes effectively-once with no
-    epoch bookkeeping at all — a retried batch re-maxes the same rhos.
+    lives in a parquet table, not the streaming state store — and like
+    that sink the table is APPEND-ONLY: each micro-batch appends its
+    own (group, bucket, rho) registers and `read_hll_registers`
+    max-merges at read time. Appending is the crash-safe choice: an
+    in-place overwrite has a window (directory cleared, commit not yet
+    written) where a dying driver loses ALL accumulated state and the
+    next run silently restarts from empty. With append, a torn write
+    leaves prior batches intact, and a REPLAYED batch just appends
+    duplicate register rows that the max-merge collapses — so
+    foreachBatch's at-least-once is effectively-once with no epoch
+    bookkeeping. State grows by ≤ |groups|·2^p rows per batch
+    (registers, not data); compact offline by rewriting the merged
+    table when the file count matters.
 
     Returns the started StreamingQuery; caller owns stop().
     """
-    from pyspark.sql.utils import AnalysisException
-
     from hive_exporter_spark.operators.sketches import hll_registers
 
     gcols = list(group_cols)
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        regs = hll_registers(batch_df, key_col, gcols)
-        try:
-            old = spark.read.parquet(registers_dir)
-        except AnalysisException:
-            old = None
-        if old is not None:
-            regs = (regs.unionByName(old)
-                    .groupBy(*gcols, "bucket")
-                    .agg(F.max("rho").alias("rho")))
-        # Materialize before overwrite: the merged table reads the
-        # directory it is about to replace (read-and-overwrite hazard,
-        # same as sinks.safe_overwrite).
-        regs = regs.localCheckpoint()
-        regs.write.mode("overwrite").parquet(registers_dir)
+        hll_registers(batch_df, key_col, gcols).write.mode(
+            "append").parquet(registers_dir)
 
     return (
         events_stream.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def read_hll_registers(spark: SparkSession, registers_dir: str,
+                       group_cols: Sequence[str] = ("event_type",),
+                       ) -> DataFrame:
+    """Current merged register state from an append-only register dir
+    (max over all appended batch sketches — the read half of
+    `distinct_users_stream_hll`). Feed to `sketches.hll_estimate`."""
+    return (spark.read.parquet(registers_dir)
+            .groupBy(*list(group_cols), "bucket")
+            .agg(F.max("rho").alias("rho")))

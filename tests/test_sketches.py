@@ -337,3 +337,21 @@ def test_sketch_state_answers_many_questions(spark, sf_dir, tmp_path):
         "user_id", ["event_type"])
     assert ranged.exceptAll(direct_ranged).count() == 0
     assert direct_ranged.exceptAll(ranged).count() == 0
+
+
+def test_sketches_ignore_null_keys_and_values(spark):
+    """NULL keys/values must be excluded, not silently mis-binned:
+    Spark sorts NULL first and DuckDB last, so a surviving NULL hash
+    would split the engines; least(NULL, n-1) would dump NULL values
+    into a histogram's top bin in BOTH engines (oracle-blind)."""
+    rows = [(u, "a", float(u)) for u in range(20)] + [
+        (None, "a", None), (None, "a", None)]
+    df = spark.createDataFrame(rows, "user_id long, grp string, v double")
+    (kmv,) = sk.kmv_distinct(df, "user_id", ["grp"]).collect()
+    assert kmv["n_kept"] == 20 and kmv["est_distinct"] == 20.0
+    (hll,) = sk.hll_distinct(df, "user_id", ["grp"]).collect()
+    assert hll["n_buckets"] <= 20
+    binned = sk.histogram_bins(df, "v", ["grp"])
+    assert binned.agg(F.sum("n")).collect()[0][0] == 20
+    top = binned.orderBy(F.col("bin").desc()).first()
+    assert top["n"] == 1  # only v=19.0, not the two NULLs

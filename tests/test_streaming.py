@@ -309,7 +309,7 @@ def test_distinct_users_stream_hll_agrees_with_batch(spark, tmp_path):
     from hive_exporter_spark.operators.sketches import (
         hll_distinct, hll_estimate)
     from hive_exporter_spark.streaming.streams import (
-        distinct_users_stream_hll)
+        distinct_users_stream_hll, read_hll_registers)
 
     src = tmp_path / "incoming"
     src.mkdir()
@@ -342,7 +342,7 @@ def test_distinct_users_stream_hll_agrees_with_batch(spark, tmp_path):
     }
     stream_est = {
         r["event_type"]: r["est_distinct"]
-        for r in hll_estimate(spark.read.parquet(regs_dir),
+        for r in hll_estimate(read_hll_registers(spark, regs_dir),
                               ["event_type"]).collect()
     }
     assert stream_est == batch_est
@@ -350,7 +350,7 @@ def test_distinct_users_stream_hll_agrees_with_batch(spark, tmp_path):
     run("chk2")
     replay_est = {
         r["event_type"]: r["est_distinct"]
-        for r in hll_estimate(spark.read.parquet(regs_dir),
+        for r in hll_estimate(read_hll_registers(spark, regs_dir),
                               ["event_type"]).collect()
     }
     assert replay_est == batch_est
