@@ -65,6 +65,10 @@ def _top_orders(spark, sf):
     return relational.top_orders_per_priority(_t(spark, sf, "orders"), k=3)
 
 
+def _top_orders_2p(spark, sf):
+    return relational.top_orders_per_priority_2p(_t(spark, sf, "orders"), k=3)
+
+
 def _anti_join(spark, sf):
     return relational.customers_without_orders(
         _t(spark, sf, "customer"), _t(spark, sf, "orders")
@@ -645,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": _q3,
         "q5_local_supplier_volume": _q5,
         "top_orders_per_priority": _top_orders,
+        "top_orders_per_priority_2p": _top_orders_2p,
         "customers_without_orders": _anti_join,
         "order_rollup": _rollup,
         "distinct_counts": _distinct,
@@ -737,6 +742,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, n_name
         """,
         "top_orders_per_priority": """
+            SELECT o_orderpriority, rank_in_priority, o_orderkey, o_totalprice
+            FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS rank_in_priority
+                FROM orders
+            ) WHERE rank_in_priority <= 3
+        """,
+        "top_orders_per_priority_2p": """
             SELECT o_orderpriority, rank_in_priority, o_orderkey, o_totalprice
             FROM (
                 SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "cms_token_freq",
     "theta_audience_overlap",
     "value_quantiles_hist",
+    "superspreader_users",
+    "top_orders_per_priority_2p",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -849,3 +849,53 @@ def dominant_share_suppliers(part: DataFrame, supplier: DataFrame, nation: DataF
         .select("s_suppkey", "s_name", "n_name")
         .orderBy("s_suppkey")
     )
+
+
+def topk_per_group(df: DataFrame, group_cols: list, order_cols: list,
+                   k: int, salt_col=None, salt_buckets: int = 16,
+                   rank_name: str = "rank_in_group") -> DataFrame:
+    """Grouped top-k without the per-group sort bottleneck.
+
+    The plain ranking window (`top_orders_per_priority`) clusters ALL
+    of a group's rows into one task — with 5 priorities at 100 TB
+    that is 5 reducers each sorting 20 TB. Two-phase instead (same
+    shape as sketches.kmv_kept and pipeline.global_rank):
+
+    1. LOCAL: rank within (group, salt) — salt spreads each group over
+       `salt_buckets` concurrent sub-sorts; keep rank ≤ k. The one
+       full-data exchange, now with ≥ groups×buckets reducers.
+    2. GLOBAL: re-rank the ≤ buckets·k survivors per group. Narrow by
+       construction — survivor count is independent of data size.
+
+    Exact for row_number semantics: the global top-k of a group is
+    contained in the union of its per-salt top-ks. `order_cols` must
+    end in a unique tiebreaker (same contract as global_rank) so the
+    result is deterministic. `salt_col` defaults to a hash of the
+    tiebreaker (the LAST order column).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    salt = (salt_col if salt_col is not None
+            else F.pmod(F.xxhash64(order_cols[-1]), F.lit(salt_buckets)))
+    w1 = Window.partitionBy(*group_cols, salt).orderBy(*ocols)
+    w2 = Window.partitionBy(*group_cols).orderBy(*ocols)
+    return (
+        df.withColumn("__lr", F.row_number().over(w1))
+        .where(F.col("__lr") <= k).drop("__lr")
+        .withColumn(rank_name, F.row_number().over(w2))
+        .where(F.col(rank_name) <= k)
+    )
+
+
+def top_orders_per_priority_2p(orders: DataFrame, k: int = 3) -> DataFrame:
+    """`top_orders_per_priority` through the two-phase topk_per_group —
+    identical output (same oracle), scale-safe plan."""
+    return topk_per_group(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k, salt_col=F.pmod(F.xxhash64("o_orderkey"), F.lit(16)),
+        rank_name="rank_in_priority",
+    ).select("o_orderpriority", "rank_in_priority", "o_orderkey",
+             "o_totalprice")

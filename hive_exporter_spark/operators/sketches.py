@@ -768,3 +768,57 @@ def _q_hist_quantiles(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES["value_quantiles_hist"] = _q_hist_quantiles
 ORACLES["value_quantiles_hist"] = value_quantiles_hist_sql(
     "events", "value", "event_type")
+
+
+# --------------------------------------------------------------------------
+# Heavy-distinct detection (super-spreaders)
+# --------------------------------------------------------------------------
+
+SPREADER_P = 4   # m=16 registers per entity: coarse but 16 rows/user
+SPREADER_TOP = 20
+
+
+def superspreaders(df: DataFrame, entity_col: str, key_col: str,
+                   p: int = SPREADER_P,
+                   top_n: int = SPREADER_TOP) -> DataFrame:
+    """Entities with the highest estimated DISTINCT-key counts — the
+    security/abuse "super-spreader" query (IPs contacting the most
+    distinct hosts, users active the most distinct days) at per-entity
+    sketch cost: m=2^p registers per entity instead of a distinct-set
+    per entity, so the exchange is bounded at m rows per entity
+    regardless of how heavy the entity is. Global top-n is a
+    TakeOrdered (no global sort); ties break on the entity id.
+    """
+    est = hll_distinct(df, key_col, [entity_col], p)
+    return (est.select(entity_col,
+                       F.col("est_distinct").alias("est_distinct_keys"))
+            .orderBy(F.col("est_distinct_keys").desc(), entity_col)
+            .limit(top_n))
+
+
+def superspreaders_sql(table: str, entity_col: str, key_expr: str,
+                       p: int = SPREADER_P,
+                       top_n: int = SPREADER_TOP) -> str:
+    """DuckDB twin of `superspreaders`."""
+    inner = hll_distinct_sql(table, key_expr, [entity_col], p)
+    return f"""
+        SELECT {entity_col}, est_distinct AS est_distinct_keys
+        FROM ({inner})
+        ORDER BY est_distinct_keys DESC, {entity_col}
+        LIMIT {top_n}
+    """
+
+
+def _q_spreaders(spark: SparkSession, sf: str) -> DataFrame:
+    # day as an explicit yyyy-MM-dd STRING: the md5 coin hashes the
+    # stringified key, and timestamp->string rendering is the one spot
+    # where engines drift; a formatted date is unambiguous in both.
+    ev = read_table(spark, sf, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd"))
+    return superspreaders(ev, "user_id", "day")
+
+
+QUERIES["superspreader_users"] = _q_spreaders
+ORACLES["superspreader_users"] = superspreaders_sql(
+    "(SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events)",
+    "user_id", "day")

@@ -263,3 +263,29 @@ def test_event_anomaly_zscore_flags_injected_spike(spark, sf_dir):
     first_day = min(d for d, _ in rows)
     assert all(rows[(first_day, t)]["z"] is None
                for t in {k[1] for k in rows if k[0] == first_day})
+
+
+def test_topk_per_group_two_phase_equals_window(spark, sf_dir):
+    """The two-phase grouped top-k must return exactly the plain
+    ranking window's rows for any salt split."""
+    from hive_exporter_spark.operators.relational import (
+        top_orders_per_priority, top_orders_per_priority_2p)
+    from hive_exporter_spark.sources.files import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    a = top_orders_per_priority(orders, k=3)
+    b = top_orders_per_priority_2p(orders, k=3)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_topk_per_group_rejects_bad_k(spark, sf_dir):
+    import pytest
+    from pyspark.sql import functions as F
+    from hive_exporter_spark.operators.relational import topk_per_group
+    from hive_exporter_spark.sources.files import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    with pytest.raises(ValueError):
+        topk_per_group(orders, ["o_orderpriority"],
+                       [F.col("o_totalprice").desc(), "o_orderkey"], 0)

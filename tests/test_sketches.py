@@ -355,3 +355,14 @@ def test_sketches_ignore_null_keys_and_values(spark):
     assert binned.agg(F.sum("n")).collect()[0][0] == 20
     top = binned.orderBy(F.col("bin").desc()).first()
     assert top["n"] == 1  # only v=19.0, not the two NULLs
+
+
+def test_superspreaders_find_heaviest_entities(spark):
+    """An entity with 8x the distinct keys of the crowd must rank
+    first, and its p=4 estimate must be within HLL-coarse tolerance."""
+    rows = [(u, f"k{d}") for u in range(10) for d in range(5)]
+    rows += [(99, f"k{d}") for d in range(40)]
+    df = spark.createDataFrame(rows, "user_id long, key string")
+    got = sk.superspreaders(df, "user_id", "key", top_n=3).collect()
+    assert got[0]["user_id"] == 99
+    assert abs(got[0]["est_distinct_keys"] - 40) <= 16  # m=16: +-26%
