@@ -508,3 +508,101 @@ ORACLES["event_anomaly_zscore"] = f"""
     FROM stats
     ORDER BY day, event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) anomaly detection
+# ---------------------------------------------------------------------------
+
+MAD_Z = 3.5            # Iglewicz & Hoaglin's classic modified-z cutoff
+MAD_CONSISTENCY = 0.6745  # Phi^-1(0.75): scales MAD to sigma-equivalents
+
+
+def event_anomaly_mad(events: DataFrame,
+                      z_cut: float = MAD_Z) -> DataFrame:
+    """Daily per-event-type volume anomalies by MODIFIED z-score
+    (Iglewicz & Hoaglin 1993): 0.6745·(x − median)/MAD against the
+    type's whole history. The robust twin of `event_anomaly_zscore`:
+    mean/stddev are hijacked by the very outliers being hunted (one
+    100× bot spike inflates sigma enough to mask every other spike,
+    and the trailing window goes blind for `trail` days after it);
+    median and MAD have a 50% breakdown point, so the baseline stays
+    put no matter how wild the anomalies are.
+
+    Scale shape: the only data-sized work is the daily rollup (partial
+    agg). The medians run per event_type over its DAY series — state
+    bounded by days×types, not data — and rejoin by broadcast. Exact
+    cross-engine determinism: day counts are integers, so their
+    interpolated median is an exact half-integer, |x − med| an exact
+    half-integer, and MAD an exact quarter-integer — the modified z is
+    one identical float expression over identical exact inputs in both
+    engines, rounded to 6 dp. Days where MAD = 0 (over half the days
+    identical — a degenerate flat series) yield NULL z, flagged false.
+    """
+    daily = (
+        events.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    med = daily.groupBy("event_type").agg(
+        F.percentile("n_events", 0.5).alias("med"))
+    dev = (
+        daily.join(F.broadcast(med), "event_type")
+        .withColumn("absdev",
+                    F.abs(F.col("n_events").cast("double") - F.col("med")))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("absdev", 0.5).alias("mad"))
+    z = F.when(
+        F.col("mad") > 0,
+        F.round(F.lit(MAD_CONSISTENCY)
+                * (F.col("n_events").cast("double") - F.col("med"))
+                / F.col("mad"), 6))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "day", "event_type", "n_events", "med", "mad",
+            z.alias("robust_z"),
+            F.coalesce(F.abs(z) >= z_cut, F.lit(False)).alias("is_anomaly"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+def _q_anomaly_mad(spark, sf):
+    return event_anomaly_mad(read_table(spark, sf, "events"))
+
+
+QUERIES["event_anomaly_mad"] = _q_anomaly_mad
+
+ORACLES["event_anomaly_mad"] = f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, event_type,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ), med AS (
+        SELECT event_type, quantile_cont(n_events, 0.5) AS med
+        FROM daily GROUP BY event_type
+    ), dev AS (
+        SELECT d.day, d.event_type, d.n_events, m.med,
+               abs(CAST(d.n_events AS DOUBLE) - m.med) AS absdev
+        FROM daily d JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT day, dev.event_type, n_events, med, mad,
+           CASE WHEN mad > 0
+                THEN round({MAD_CONSISTENCY} * (CAST(n_events AS DOUBLE) - med)
+                           / mad, 6)
+           END AS robust_z,
+           COALESCE(abs(CASE WHEN mad > 0
+                             THEN round({MAD_CONSISTENCY}
+                                  * (CAST(n_events AS DOUBLE) - med)
+                                  / mad, 6)
+                        END) >= {MAD_Z}, FALSE) AS is_anomaly
+    FROM dev JOIN mad USING (event_type)
+    ORDER BY day, dev.event_type
+"""

@@ -822,3 +822,177 @@ QUERIES["superspreader_users"] = _q_spreaders
 ORACLES["superspreader_users"] = superspreaders_sql(
     "(SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events)",
     "user_id", "day")
+
+
+# --------------------------------------------------------------------------
+# AMS / tug-of-war second-moment (F2) sketch
+# --------------------------------------------------------------------------
+
+# Alon, Matias & Szegedy 1996 (the STOC paper that founded streaming
+# sketches). F2 = Σ_k c_k² over the per-key counts — identically the
+# row count of the self-equijoin on the key, which is what a planner
+# needs to size a join (and what a skew monitor needs to spot hot
+# keys: F2/N² spikes when one key dominates). The sketch is r
+# independent ±1-weighted sums X_i = Σ_k sign_i(k)·c_k; E[X_i²] = F2.
+# Estimator layout is median-of-means — AMS_GROUPS means of
+# AMS_R/AMS_GROUPS squares each — with every intermediate EXACT:
+# X_i is an int64 sum, X_i² an int64 product, each mean divides an
+# int64 by a power of two (exact in IEEE double), and the median of
+# an even group count averages the two middle values (again a halving)
+# — so the DuckDB oracle reproduces the estimate bit-for-bit, the
+# same portability discipline as KMV/HLL/CMS above.
+# Signs come from the CMS Carter-Wegman family over the md5 28-bit
+# base: parity of ((a·x + b) mod P) is an unbiased ±1 for uniform x,
+# and a·x + b < 2^59 stays exact in int64 in both engines.
+AMS_R = 64
+AMS_GROUPS = 8  # 8 means of 8 squares; median = avg of ranks 4 and 5
+_rng = _random.Random(0xA35A35)
+AMS_COEF = tuple(
+    (_rng.randrange(1, CMS_P), _rng.randrange(0, CMS_P))
+    for _ in range(AMS_R)
+)
+del _rng
+
+
+def ams_sums(df: DataFrame, key_col: str,
+             group_cols: Sequence[str],
+             r: int = AMS_R) -> DataFrame:
+    """The linear sketch state: (group, i, xi) with
+    xi = Σ_keys sign_i(key)·count(key) for i < r.
+
+    LINEARITY is the operational superpower: the sketch of a union of
+    datasets is the element-wise SUM of their sketches (pinned in
+    tests), so per-partition / per-day sketches merge by addition like
+    CMS cells — r int64s per group answer join-size questions over any
+    later combination of slices without rescanning.
+
+    Scale shape: ONE data-sized exchange (the (group, key) wordcount,
+    map-side combined). The r-way explode runs on the vocabulary-
+    bounded count table, and its own aggregation keys on (group, i) —
+    partial agg collapses it to ≤ r rows per group per task before the
+    final tiny exchange.
+    """
+    if r > len(AMS_COEF):
+        raise ValueError(f"r must be <= {len(AMS_COEF)} (got {r})")
+    gcols = list(group_cols)
+    wc = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(*gcols, key_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__x", _cms_base28(F.col(key_col).cast("string")))
+    )
+    branch = F.explode(F.array(*[
+        F.struct(
+            F.lit(i).alias("i"),
+            (F.lit(1) - F.lit(2)
+             * (((F.lit(a) * F.col("__x") + F.lit(b)) % CMS_P) % 2)
+             ).alias("sgn"),
+        )
+        for i, (a, b) in enumerate(AMS_COEF[:r])
+    ]))
+    return (
+        wc.select(*gcols, "__cnt", branch.alias("b"))
+        .groupBy(*gcols, F.col("b.i").alias("i"))
+        .agg(F.sum(F.col("b.sgn") * F.col("__cnt")).alias("xi"))
+    )
+
+
+def ams_estimate(sums: DataFrame, group_cols: Sequence[str],
+                 r: int = AMS_R,
+                 n_groups: int = AMS_GROUPS) -> DataFrame:
+    """Median-of-means F2 estimate from the (group, i, xi) state.
+
+    All arithmetic on sketch-sized data (r rows per group): squares
+    and per-bucket sums are exact int64; each mean divides by the
+    power-of-two bucket size; the median of the n_groups means (even
+    count) averages the two middle values. No rounding is applied
+    because no step can drift between engines.
+    """
+    if r % n_groups != 0 or n_groups % 2 != 0:
+        raise ValueError(
+            f"r must split into an even number of equal buckets "
+            f"(got r={r}, n_groups={n_groups})")
+    per = r // n_groups
+    gcols = list(group_cols)
+    means = (
+        sums.groupBy(*gcols, F.floor(F.col("i") / per).alias("j"))
+        .agg((F.sum(F.col("xi") * F.col("xi")) / F.lit(float(per)))
+             .alias("mj"))
+    )
+    w = Window.partitionBy(*gcols).orderBy("mj", "j")
+    return (
+        means.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn").isin(n_groups // 2, n_groups // 2 + 1))
+        .groupBy(*gcols)
+        .agg((F.sum("mj") / F.lit(2.0)).alias("est_f2"))
+    )
+
+
+def ams_f2(df: DataFrame, key_col: str, group_cols: Sequence[str],
+           r: int = AMS_R) -> DataFrame:
+    """Per-group exact F2 (self-join row count) next to the AMS
+    estimate, so the sketch's error is directly visible — the same
+    exact-anchor-beside-sketch reporting as `cms_token_freq`. Both
+    sides derive from one shared wordcount scan."""
+    gcols = list(group_cols)
+    sums = ams_sums(df, key_col, gcols, r)
+    exact = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(*gcols, key_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .groupBy(*gcols)
+        .agg(F.sum(F.col("__cnt") * F.col("__cnt")).alias("f2_selfjoin_rows"))
+    )
+    return exact.join(ams_estimate(sums, gcols, r), gcols).select(
+        *gcols, "f2_selfjoin_rows", "est_f2")
+
+
+def ams_f2_sql(table: str, key_expr: str, group_col: str,
+               r: int = AMS_R, n_groups: int = AMS_GROUPS) -> str:
+    """DuckDB twin of `ams_f2` (same coefficients, same exact math)."""
+    per = r // n_groups
+    coef_values = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(AMS_COEF[:r]))
+    base = _MD5_BASE28.format(expr=f"CAST({key_expr} AS VARCHAR)")
+    return f"""
+        WITH wc AS (
+            SELECT {group_col} AS g, {key_expr} AS k, COUNT(*) AS cnt,
+                   {base} AS x
+            FROM {table} WHERE {key_expr} IS NOT NULL
+            GROUP BY 1, 2
+        ), coef(i, a, b) AS (
+            VALUES {coef_values}
+        ), sums AS (
+            SELECT g, i,
+                   CAST(SUM((1 - 2 * (((a * x + b) % {CMS_P}) % 2)) * cnt)
+                        AS BIGINT) AS xi
+            FROM wc CROSS JOIN coef GROUP BY 1, 2
+        ), means AS (
+            SELECT g, CAST(floor(i / {per}) AS INT) AS j,
+                   CAST(SUM(xi * xi) AS BIGINT) / {float(per)!r} AS mj
+            FROM sums GROUP BY 1, 2
+        ), ranked AS (
+            SELECT g, mj,
+                   row_number() OVER (PARTITION BY g ORDER BY mj, j) AS rn
+            FROM means
+        ), med AS (
+            SELECT g, SUM(mj) / 2.0 AS est_f2
+            FROM ranked WHERE rn IN ({n_groups // 2}, {n_groups // 2 + 1})
+            GROUP BY g
+        ), exact AS (
+            SELECT g, CAST(SUM(cnt * cnt) AS BIGINT) AS f2_selfjoin_rows
+            FROM wc GROUP BY g
+        )
+        SELECT g AS {group_col}, f2_selfjoin_rows, est_f2
+        FROM exact JOIN med USING (g)
+    """
+
+
+def _q_ams(spark: SparkSession, sf: str) -> DataFrame:
+    return ams_f2(read_table(spark, sf, "events"), "user_id",
+                  ["event_type"])
+
+
+QUERIES["ams_f2_user_activity"] = _q_ams
+ORACLES["ams_f2_user_activity"] = ams_f2_sql(
+    "events", "user_id", "event_type")

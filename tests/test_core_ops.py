@@ -289,3 +289,45 @@ def test_topk_per_group_rejects_bad_k(spark, sf_dir):
     with pytest.raises(ValueError):
         topk_per_group(orders, ["o_orderpriority"],
                        [F.col("o_totalprice").desc(), "o_orderkey"], 0)
+
+
+def test_event_anomaly_mad_resists_masking(spark, sf_dir):
+    """The robust detector's reason to exist: inject TWO spike days —
+    a monster (300x) and a moderate (4x). The monster must not mask
+    the moderate one (the classic mean/std failure: one huge outlier
+    inflates sigma until real anomalies vanish), and the flat baseline
+    days must not be flagged."""
+    from hive_exporter_spark.operators.sessions import event_anomaly_mad
+    from hive_exporter_spark.sources.files import read_table
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, sf_dir, "events").select("ts", "event_type")
+    days = sorted(d[0] for d in ev.select(
+        F.date_trunc("day", "ts").alias("d")).distinct().collect())
+    base = ev.where(F.col("event_type") == "click").count() // len(days)
+    monster = spark.range(base * 300).select(
+        F.lit(days[-1]).alias("ts"), F.lit("click").alias("event_type"))
+    moderate = spark.range(base * 3).select(
+        F.lit(days[-2]).alias("ts"), F.lit("click").alias("event_type"))
+    out = event_anomaly_mad(ev.unionByName(monster).unionByName(moderate))
+    rows = {(r["day"], r["event_type"]): r for r in out.collect()}
+    assert rows[(days[-1], "click")]["is_anomaly"]
+    assert rows[(days[-2], "click")]["is_anomaly"]  # not masked
+    n_click_flags = sum(1 for (d, t), r in rows.items()
+                        if t == "click" and r["is_anomaly"])
+    assert n_click_flags <= 4  # baseline days stay quiet
+
+
+def test_event_anomaly_mad_flat_series_yields_null(spark):
+    """MAD = 0 (constant daily counts) must yield NULL robust_z and
+    False flags, not a division blowup."""
+    import datetime
+
+    from hive_exporter_spark.operators.sessions import event_anomaly_mad
+
+    rows = [(datetime.datetime(2026, 1, 1 + d, 0, 0, i), "flat")
+            for d in range(5) for i in range(3)]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = event_anomaly_mad(df).collect()
+    assert len(out) == 5
+    assert all(r["robust_z"] is None and not r["is_anomaly"] for r in out)

@@ -366,3 +366,61 @@ def test_superspreaders_find_heaviest_entities(spark):
     got = sk.superspreaders(df, "user_id", "key", top_n=3).collect()
     assert got[0]["user_id"] == 99
     assert abs(got[0]["est_distinct_keys"] - 40) <= 16  # m=16: +-26%
+
+
+def test_ams_f2_estimate_tracks_exact(spark, sf_dir):
+    """Median-of-means over 64 tug-of-war rows: relative error on
+    every event_type's self-join size must be well inside the
+    sqrt(2/8)~50% per-mean deviation the median is built to trim."""
+    ev = read_table(spark, sf_dir, "events")
+    rows = sk.ams_f2(ev, "user_id", ["event_type"]).collect()
+    assert len(rows) == 5
+    for r in rows:
+        exact = r["f2_selfjoin_rows"]
+        assert exact > 0
+        assert abs(r["est_f2"] - exact) <= 0.5 * exact, r
+
+
+def test_ams_sums_merge_linearly(spark, sf_dir):
+    """The defining property of a linear sketch: sketch(A union B) ==
+    sketch(A) + sketch(B), element-wise and EXACTLY — per-slice
+    sketches can pre-aggregate like CMS cells."""
+    ev = read_table(spark, sf_dir, "events")
+    whole = sk.ams_sums(ev, "user_id", ["event_type"])
+    half_a = sk.ams_sums(ev.where(F.col("event_id") % 2 == 0),
+                         "user_id", ["event_type"])
+    half_b = sk.ams_sums(ev.where(F.col("event_id") % 2 == 1),
+                         "user_id", ["event_type"])
+    merged = (half_a.unionByName(half_b)
+              .groupBy("event_type", "i").agg(F.sum("xi").alias("xi")))
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_ams_f2_detects_skew(spark):
+    """F2/N separates a skewed key distribution from a flat one of the
+    same size: one hot key with 100 occurrences has F2 ~ 100x the
+    all-distinct stream's."""
+    flat = spark.createDataFrame(
+        [(k, "flat") for k in range(100)], "k long, grp string")
+    hot = spark.createDataFrame(
+        [(0, "hot")] * 100, "k long, grp string")
+    rows = {r["grp"]: r for r in sk.ams_f2(
+        flat.unionByName(hot), "k", ["grp"]).collect()}
+    assert rows["flat"]["f2_selfjoin_rows"] == 100
+    assert rows["hot"]["f2_selfjoin_rows"] == 10_000
+    assert rows["hot"]["est_f2"] == 10_000.0  # single key: exact
+    assert rows["hot"]["est_f2"] > 10 * rows["flat"]["est_f2"]
+
+
+def test_ams_ignores_null_keys_and_rejects_bad_r(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (None, "a")], "k long, grp string")
+    (r,) = sk.ams_f2(df, "k", ["grp"]).collect()
+    assert r["f2_selfjoin_rows"] == 4
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sk.ams_sums(df, "k", ["grp"], r=sk.AMS_R + 1)
+    with _pytest.raises(ValueError):
+        sk.ams_estimate(sk.ams_sums(df, "k", ["grp"]), ["grp"],
+                        n_groups=3)
