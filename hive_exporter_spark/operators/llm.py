@@ -4073,3 +4073,65 @@ ORACLES["dup_ngram_coverage"] = f"""
            END AS dup_frac
     FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-source near-duplicate forensics
+# ---------------------------------------------------------------------------
+
+def source_overlap_matrix(documents: DataFrame) -> DataFrame:
+    """Which sources duplicate which: near-duplicate pair counts and
+    mean similarity for every (source, source) combination, from the
+    banded-minhash pair graph (`minhash_lsh_pairs`) joined back to the
+    docs' source labels. The dataset-forensics view that decides
+    which feeds to drop or down-weight before training — intra-source
+    cells (source_a = source_b) measure a feed's internal redundancy,
+    off-diagonal cells catch feeds scraping each other.
+
+    Scale shape: all the data-sized work is inside the LSH pipeline
+    (bucketed, never all-pairs). The pair graph is then orders of
+    magnitude smaller than the corpus, so BOTH label joins broadcast
+    the pair side and stream the label projection — the corpus never
+    shuffles. avg(est_jaccard) is order-independent: every est is
+    n_agree/32 (an exact 5-bit binary fraction), so the double sum is
+    exact and the mean is one division, reproduced bit-for-bit by the
+    oracle.
+    """
+    pairs = minhash_lsh_pairs(documents)
+    lab = documents.select("doc_id", "source")
+    la = lab.select(F.col("doc_id").alias("doc_a"),
+                    F.col("source").alias("__sa"))
+    lb = lab.select(F.col("doc_id").alias("doc_b"),
+                    F.col("source").alias("__sb"))
+    tagged = F.broadcast(F.broadcast(pairs).join(la, "doc_a")).join(
+        lb, "doc_b")
+    return (
+        tagged.groupBy(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.round(F.avg("est_jaccard"), 6).alias("avg_jaccard"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _q_source_overlap(spark, sf):
+    return source_overlap_matrix(_docs(spark, sf))
+
+
+QUERIES["source_overlap_matrix"] = _q_source_overlap
+
+ORACLES["source_overlap_matrix"] = f"""
+    WITH pairs AS ({ORACLES["minhash_lsh_pairs"]}),
+    lab AS (SELECT doc_id, source FROM documents)
+    SELECT least(la.source, lb.source) AS source_a,
+           greatest(la.source, lb.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(AVG(est_jaccard), 6) AS avg_jaccard
+    FROM pairs
+    JOIN lab la ON la.doc_id = pairs.doc_a
+    JOIN lab lb ON lb.doc_id = pairs.doc_b
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""

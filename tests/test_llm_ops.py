@@ -899,3 +899,32 @@ def test_dup_ngram_coverage_partial_overlap(spark):
     assert got[1]["n_shingles"] == 3 and got[1]["n_dup_shingles"] == 1
     assert got[2]["n_shingles"] == 4 and got[2]["n_dup_shingles"] == 1
     assert got[1]["dup_frac"] == round(1 / 3, 6)
+
+
+def test_source_overlap_matrix_finds_copying_feed(spark):
+    """Feed 'mirror' republishes feed 'orig' verbatim; feed 'indep' is
+    unrelated. The (mirror, orig) cell must dominate, indep must not
+    pair with anyone, and every near-dup pair must land in exactly one
+    normalized (least, greatest) cell."""
+    base = ("spark table join merge window filter group sort agg key "
+            "batch stream row column value hash scan part order dup")
+    rows = []
+    for i in range(8):
+        text = f"{base} doc{i} " + " ".join(f"w{i}{j}" for j in range(3))
+        rows.append((i, text, "en", "orig", len(text)))
+        rows.append((100 + i, text, "en", "mirror", len(text)))
+    for i in range(8):
+        text = " ".join(f"z{i}{j} q{j}{i} r{i}" for j in range(12))
+        rows.append((200 + i, text, "en", "indep", len(text)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    got = {(r["source_a"], r["source_b"]): r
+           for r in llm.source_overlap_matrix(docs).collect()}
+    assert ("mirror", "orig") in got
+    cross = got[("mirror", "orig")]
+    assert cross["n_pairs"] >= 8  # every mirrored doc pairs with its twin
+    assert cross["avg_jaccard"] > 0.6  # twins share all but 4 suffix words
+    assert not any("indep" in k for k in got)
+    total = llm.minhash_lsh_pairs(docs).count()
+    assert sum(r["n_pairs"] for r in got.values()) == total
