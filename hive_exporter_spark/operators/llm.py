@@ -4135,3 +4135,95 @@ ORACLES["source_overlap_matrix"] = f"""
     GROUP BY 1, 2
     ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (iterative merges)
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_MERGES = 8
+BPE_END = "</w>"
+
+
+def bpe_train(documents: DataFrame,
+              n_merges: int = BPE_TRAIN_MERGES) -> DataFrame:
+    """Learn a byte-pair-encoding merge table from the corpus
+    (Sennrich, Haddow & Birch 2016, arXiv:1508.07909) — the step up
+    from `bpe_pair_counts` (one round's statistic) to the full
+    iterative trainer: repeatedly count adjacent symbol pairs weighted
+    by word frequency, merge the most frequent pair everywhere, and
+    record the merge. Output: (rank, left, right, pair_count) — the
+    merge table a tokenizer ships.
+
+    Scale shape — the same decomposition production BPE trainers use:
+    the corpus is touched ONCE (the map-side-combined wordcount); all
+    n_merges rounds run on the VOCABULARY-sized (word, count, symbols)
+    table, which is millions of rows at 100 TB, not trillions. Per
+    round: one vocab-sized pair-count aggregation, a single-row
+    `first()` (bounded driver state — the argmax pair), and a map-only
+    left-to-right fold applying the merge (leftmost-first,
+    non-overlapping — the fold's accumulator can't re-match inside the
+    symbol it just built, matching reference BPE). `localCheckpoint`
+    after each round truncates the lineage so round r's plan doesn't
+    nest r aggregate-lambdas deep. Ties break (count desc, left,
+    right) so the learned table is deterministic on any cluster.
+
+    Rows-only registry entry (an n-round iterative fixpoint has no
+    single-query SQL twin); exactness is pinned by a pure-Python
+    replay test over the same wordcount instead.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1 (got {n_merges})")
+    spark = documents.sparkSession
+    wc = (
+        documents.select(F.explode(tokens_col()).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cur = wc.select(
+        "cnt",
+        F.concat(F.split("w", ""), F.array(F.lit(BPE_END))).alias("syms"),
+    ).localCheckpoint()
+    merges = []
+    for rank in range(n_merges):
+        n = F.size("syms")
+        zipped = F.arrays_zip(
+            F.slice("syms", F.lit(1), n - 1).alias("l"),
+            F.slice("syms", F.lit(2), n - 1).alias("r"),
+        )
+        best = (
+            cur.where(n >= 2)
+            .select("cnt", F.explode(zipped).alias("p"))
+            .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "left", "right")
+            .first()
+        )
+        if best is None:
+            break
+        left, right = best["left"], best["right"]
+        merges.append((rank, left, right, best["pair_count"]))
+        # Left-to-right fold: append, unless the accumulator's last
+        # symbol is `left` and the current one is `right` — then
+        # replace the last with the fused symbol. try_element_at keeps
+        # the empty-accumulator probe NULL-safe under ANSI mode.
+        last = lambda acc: F.try_element_at(acc, F.lit(-1))  # noqa: E731
+        fold = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (last(acc) == F.lit(left)) & (s == F.lit(right)),
+                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                         F.array(F.concat(last(acc), s))),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        cur = cur.select("cnt", fold.alias("syms")).localCheckpoint()
+    return spark.createDataFrame(
+        merges, schema="rank int, left string, right string, pair_count long")
+
+
+def _q_bpe_train(spark, sf):
+    return bpe_train(_docs(spark, sf))
+
+
+QUERIES["bpe_train_merges"] = _q_bpe_train
+# no ORACLE: iterative fixpoint; exactness pinned by the replay test.

@@ -928,3 +928,71 @@ def test_source_overlap_matrix_finds_copying_feed(spark):
     assert not any("indep" in k for k in got)
     total = llm.minhash_lsh_pairs(docs).count()
     assert sum(r["n_pairs"] for r in got.values()) == total
+
+
+def _bpe_replay(wc, n_merges):
+    """Pure-Python reference BPE trainer over a {word: count} dict,
+    mirroring bpe_train's tiebreak and leftmost-first merge fold."""
+    state = {w: (list(w) + [llm.BPE_END], c) for w, c in wc.items()}
+    merges = []
+    for rank in range(n_merges):
+        pc = {}
+        for syms, c in state.values():
+            for pair in zip(syms, syms[1:]):
+                pc[pair] = pc.get(pair, 0) + c
+        if not pc:
+            break
+        (left, right), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, left, right, cnt))
+        for w, (syms, c) in state.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            state[w] = (out, c)
+    return merges
+
+
+def test_bpe_train_matches_python_replay(spark, docs):
+    """The distributed trainer must learn EXACTLY the merge sequence
+    the sequential reference algorithm learns from the same wordcount
+    — ranks, pairs, and counts."""
+    wc = {r["w"]: r["cnt"] for r in
+          docs.select(F.explode(llm.tokens_col()).alias("w"))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    got = [(r["rank"], r["left"], r["right"], r["pair_count"])
+           for r in llm.bpe_train(docs, 6).orderBy("rank").collect()]
+    assert got == _bpe_replay(wc, 6)
+    assert len(got) == 6
+
+
+def test_bpe_train_classic_example(spark):
+    """Sennrich et al.'s worked example: with {low, lower, newest,
+    widest} the first learned merge must be (e, s) — count 9 — and
+    merged symbols must chain in later rounds."""
+    words = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame(
+        [(i, w, "en", "t", len(w)) for i, w in enumerate(words)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = [(r["left"], r["right"], r["pair_count"])
+           for r in llm.bpe_train(df, 3).orderBy("rank").collect()]
+    assert got[0] == ("e", "s", 9)
+    assert got[1] == ("es", "t", 9)   # the fused symbol participates
+    assert got[2] == ("est", llm.BPE_END, 9)
+
+
+def test_bpe_train_overlapping_pairs_merge_leftmost_first(spark):
+    """'aaaa' with merge (a,a): leftmost-first non-overlapping gives
+    aa|aa, so round 2's top pair is (aa, aa) with full weight."""
+    df = spark.createDataFrame(
+        [(0, "aaaa aaaa aaaa", "en", "t", 14)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = [(r["left"], r["right"], r["pair_count"])
+           for r in llm.bpe_train(df, 2).orderBy("rank").collect()]
+    assert got[0] == ("a", "a", 9)   # 3 per word: (1,2),(2,3),(3,4) weight 3
+    # Leftmost-first gives aa|aa|</w>; a wrong fold (aa|a|a|</w>)
+    # would leave (a, a) pairs that win round 2's tiebreak instead.
+    assert got[1] == ("aa", "</w>", 3)  # ties: "</w>" sorts before "aa"
