@@ -501,3 +501,88 @@ def read_hll_registers(spark: SparkSession, registers_dir: str,
     return (spark.read.parquet(registers_dir)
             .groupBy(*list(group_cols), "bucket")
             .agg(F.max("rho").alias("rho")))
+
+
+def token_topk_stream(
+    docs_stream: DataFrame,
+    summary_dir: str,
+    checkpoint_dir: str,
+    m: int = 256,
+) -> object:
+    """Continuously-maintained heavy-hitter state for a document
+    stream: each micro-batch contributes its top-m token counts plus
+    the count of the heaviest DROPPED token (the batch's truncation
+    threshold), appended to a parquet summary table. The
+    Misra-Gries/space-saving candidate-list idea made mergeable the
+    way `distinct_users_stream_hll` makes HLL mergeable — summaries
+    combine by per-token ADDITION, and the threshold rows carry the
+    error budget: a token absent from batch e can have hidden at most
+    thr_e occurrences there, so read-time bounds are
+    lo = Σ counts seen and hi = lo + Σ thresholds of missed batches.
+
+    Counts merge by addition, which unlike max is NOT idempotent — so
+    at-least-once replay would double-count. Every appended row
+    therefore carries foreachBatch's epoch_id, which Structured
+    Streaming keeps STABLE when it replays a failed epoch from the
+    checkpoint; `read_token_topk` collapses duplicates per
+    (epoch_id, token) before summing, upgrading replays to
+    exactly-once (pinned by the restart test). Per-batch work: one
+    map-side-combined wordcount + a distributed TakeOrdered(m+1)
+    (never a single-task global sort); driver state is the bounded
+    m+1 collected rows. State grows by ≤ m+1 rows per batch —
+    summary-sized, not data-sized.
+
+    Returns the started StreamingQuery; caller owns stop().
+    """
+    from hive_exporter_spark.operators.llm import tokens_col
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        wc = (batch_df.select(F.explode(tokens_col()).alias("token"))
+              .groupBy("token").agg(F.count(F.lit(1)).alias("cnt")))
+        rows = (wc.orderBy(F.col("cnt").desc(), "token")
+                .limit(m + 1).collect())
+        kept = rows[:m]
+        thr = rows[m]["cnt"] if len(rows) > m else 0
+        out = ([(int(epoch_id), r["token"], r["cnt"], False) for r in kept]
+               + [(int(epoch_id), None, thr, True)])
+        spark.createDataFrame(
+            out, "epoch_id long, token string, cnt long, is_thr boolean"
+        ).coalesce(1).write.mode("append").parquet(summary_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_token_topk(spark: SparkSession, summary_dir: str,
+                    k: int = 20) -> DataFrame:
+    """Current top-k tokens with [cnt_lo, cnt_hi] bounds from an
+    append-only summary dir (the read half of `token_topk_stream`).
+    Replayed epochs collapse via the (epoch_id, token) max before any
+    addition. The whole computation runs on summary-sized state."""
+    raw = spark.read.parquet(summary_dir)
+    dedup = (raw.groupBy("epoch_id", "token", "is_thr")
+             .agg(F.max("cnt").alias("cnt")))
+    thr = (dedup.where(F.col("is_thr"))
+           .select("epoch_id", F.col("cnt").alias("thr")))
+    total = thr.agg(F.sum("thr").alias("total_thr"))
+    per_token = (
+        dedup.where(~F.col("is_thr"))
+        .join(thr, "epoch_id", "left")
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("cnt_lo"),
+             F.sum(F.coalesce(F.col("thr"), F.lit(0))).alias("__covered"))
+    )
+    return (
+        per_token.crossJoin(F.broadcast(total))
+        .select(
+            "token", "cnt_lo",
+            (F.col("cnt_lo") + F.coalesce(F.col("total_thr"), F.lit(0))
+             - F.col("__covered")).alias("cnt_hi"),
+        )
+        .orderBy(F.col("cnt_lo").desc(), "token")
+        .limit(k)
+    )

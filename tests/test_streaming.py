@@ -354,3 +354,64 @@ def test_distinct_users_stream_hll_agrees_with_batch(spark, tmp_path):
                               ["event_type"]).collect()
     }
     assert replay_est == batch_est
+
+
+def test_token_topk_stream_bounds_and_exact_regime(spark, tmp_path):
+    """Streamed summaries must bracket the true batch counts
+    (lo <= true <= hi for every reported token); with m larger than
+    the vocab the thresholds are 0 and the stream top-k IS the batch
+    top-k exactly. Replaying from a fresh checkpoint must not move
+    the counts (epoch-id dedup upgrades append to exactly-once)."""
+    from hive_exporter_spark.streaming.streams import (
+        read_token_topk, token_topk_stream)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    docs1 = [(i, "alpha beta gamma " + f"rare{i}") for i in range(30)]
+    docs2 = [(100 + i, "alpha delta " + f"solo{i}") for i in range(20)]
+    spark.createDataFrame(docs1, schema).coalesce(1).write.parquet(
+        str(src / "f1"))
+    spark.createDataFrame(docs2, schema).coalesce(1).write.parquet(
+        str(src / "f2"))
+
+    summary = str(tmp_path / "summary")
+
+    def run(checkpoint: str, m: int):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(src) + "/*"))
+        q = token_topk_stream(stream, summary, str(tmp_path / checkpoint),
+                              m=m)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run("chk1", m=8)  # tight m: thresholds engage
+    from hive_exporter_spark.operators.llm import tokens_col
+    true = {r["token"]: r["cnt"] for r in spark.createDataFrame(
+        docs1 + docs2, schema)
+        .select(F.explode(tokens_col()).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    got = read_token_topk(spark, summary, k=10).collect()
+    assert got, "summary must yield rows"
+    for r in got:
+        assert r["cnt_lo"] <= true[r["token"]] <= r["cnt_hi"], (r, true)
+    assert got[0]["token"] == "alpha" and got[0]["cnt_lo"] == 50
+
+    # Replay the whole stream into the SAME summary dir from a fresh
+    # checkpoint: epoch ids repeat, dedup collapses them, counts hold.
+    run("chk2", m=8)
+    again = read_token_topk(spark, summary, k=10).collect()
+    assert [(r["token"], r["cnt_lo"], r["cnt_hi"]) for r in again] == \
+           [(r["token"], r["cnt_lo"], r["cnt_hi"]) for r in got]
+
+    # Exact regime: fresh dir, m >> vocab -> thresholds 0, lo == hi == true.
+    import shutil
+    shutil.rmtree(summary)
+    run("chk3", m=512)
+    exact = read_token_topk(spark, summary, k=10).collect()
+    top_true = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["token"], r["cnt_lo"]) for r in exact] == top_true
+    assert all(r["cnt_lo"] == r["cnt_hi"] for r in exact)
