@@ -1102,16 +1102,20 @@ def language_id(documents: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(documents: DataFrame) -> DataFrame:
+def quality_score(documents: DataFrame,
+                  carry: tuple[str, ...] = ()) -> DataFrame:
     """Composite quality score from length + lexical diversity —
-    the standard cheap pre-filter before expensive dedup/training."""
+    the standard cheap pre-filter before expensive dedup/training.
+    `carry` passes extra source columns through the projection, so
+    downstream group-wise consumers (quality_prune_topp) don't pay a
+    corpus-sized join to get them back."""
     toks = tokens_col()
     n = F.size(toks)
     distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
     length_score = F.least(n.cast("double") / F.lit(200.0), F.lit(1.0))
     score = F.round(F.lit(0.5) * length_score + F.lit(0.5) * distinct_ratio, 6)
     return documents.select(
-        "doc_id", n.alias("n_tokens"),
+        *carry, "doc_id", n.alias("n_tokens"),
         F.round(distinct_ratio, 6).alias("distinct_ratio"),
         score.alias("quality_score"),
         (score >= 0.5).alias("keep"),

@@ -1411,3 +1411,87 @@ ORACLES["token_drift_jsd"] = f"""
     FROM vocab CROSS JOIN tot
     ORDER BY tok
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-language quality pruning (top-p% by score)
+# ---------------------------------------------------------------------------
+
+PRUNE_TOP_P = 0.2
+PRUNE_SALT_BUCKETS = 16
+
+
+def quality_prune_topp(documents: DataFrame,
+                       p: float = PRUNE_TOP_P,
+                       salt_buckets: int = PRUNE_SALT_BUCKETS) -> DataFrame:
+    """Keep each language's top-p fraction of documents by quality
+    score — the proportional variant of a fixed score cutoff (a single
+    threshold over-prunes low-resource languages whose score
+    distribution sits lower; ranking within language prunes every
+    language equally hard).
+
+    Per-language quota k = ceil(p·n_lang) comes from a broadcast
+    group-count table; selection is the two-phase grouped top-k
+    (relational.topk_per_group's shape, generalized to a PER-GROUP k):
+    phase 1 ranks within (lang, salt) and keeps rank ≤ k — sound
+    because a group's true top-k is contained in the union of its
+    per-salt top-ks for ANY salt assignment (which is also why the
+    engine-specific xxhash64 salt never leaks into the output) — and
+    phase 2 re-ranks the ≤ buckets·k survivors. No single-task
+    whole-language sort: English at 100 TB sorts as `salt_buckets`
+    concurrent sub-sorts, then one survivor-sized window. Ties break
+    on doc_id, so the kept set is deterministic on any cluster.
+    """
+    from hive_exporter_spark.operators.llm import quality_score
+
+    if not 0 < p <= 1:
+        raise ValueError(f"p must be in (0, 1] (got {p})")
+    scored = quality_score(documents, carry=("lang",))
+    ks = (scored.groupBy("lang")
+          .agg(F.ceil(F.lit(p) * F.count(F.lit(1))).cast("int").alias("__k")))
+    base = scored.join(F.broadcast(ks), "lang")
+    order = [F.col("quality_score").desc(), F.col("doc_id")]
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets))
+    w1 = Window.partitionBy("lang", salt).orderBy(*order)
+    w2 = Window.partitionBy("lang").orderBy(*order)
+    return (
+        base.withColumn("__lr", F.row_number().over(w1))
+        .where(F.col("__lr") <= F.col("__k"))
+        .withColumn("lang_rank", F.row_number().over(w2))
+        .where(F.col("lang_rank") <= F.col("__k"))
+        .select("lang", "doc_id", "n_tokens", "quality_score", "lang_rank")
+    )
+
+
+def _q_quality_prune(spark: SparkSession, sf: str) -> DataFrame:
+    return quality_prune_topp(read_table(spark, sf, "documents"))
+
+
+QUERIES["quality_prune_topp"] = _q_quality_prune
+
+ORACLES["quality_prune_topp"] = f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z0-9]+'), t -> t <> '')) AS n,
+               len(list_distinct(list_filter(regexp_split_to_array(
+                   lower(text), '[^a-z0-9]+'), t -> t <> ''))) AS nd
+        FROM documents
+    ), scored AS (
+        SELECT lang, doc_id, n AS n_tokens,
+               round(0.5 * least(CAST(n AS DOUBLE) / 200.0, 1.0)
+                     + 0.5 * (CAST(nd AS DOUBLE) / n), 6) AS quality_score
+        FROM t
+    ), ks AS (
+        SELECT lang, CAST(ceil({PRUNE_TOP_P} * COUNT(*)) AS INT) AS k
+        FROM scored GROUP BY lang
+    ), ranked AS (
+        SELECT s.*, row_number() OVER (
+                   PARTITION BY s.lang
+                   ORDER BY s.quality_score DESC, s.doc_id) AS lang_rank
+        FROM scored s
+    )
+    SELECT r.lang, r.doc_id, r.n_tokens, r.quality_score, r.lang_rank
+    FROM ranked r JOIN ks USING (lang)
+    WHERE r.lang_rank <= ks.k
+"""

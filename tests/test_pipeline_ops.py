@@ -401,3 +401,42 @@ def test_temperature_mix_most_upweighted_group_fully_kept(spark, sf_dir):
     assert rates[smallest] == 1.0
     kept = out.where(F.col("source") == smallest).count()
     assert kept == base[smallest]
+
+
+def test_quality_prune_topp_quotas_and_order(spark, sf_dir):
+    """Every language keeps exactly ceil(p*n) docs, they are that
+    language's highest-scoring docs, and rank is dense from 1."""
+    import math
+
+    from hive_exporter_spark.operators.llm import quality_score
+    from hive_exporter_spark.operators.pipeline import quality_prune_topp
+
+    docs = read_table(spark, sf_dir, "documents")
+    kept = quality_prune_topp(docs, p=0.3).collect()
+    n_per_lang = {r["lang"]: r["n"] for r in
+                  docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+    scored = quality_score(docs, carry=("lang",)).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == set(n_per_lang)
+    for lang, rows in by_lang.items():
+        k = math.ceil(0.3 * n_per_lang[lang])
+        assert len(rows) == k
+        assert sorted(r["lang_rank"] for r in rows) == list(range(1, k + 1))
+        best = sorted((s for s in scored if s["lang"] == lang),
+                      key=lambda s: (-s["quality_score"], s["doc_id"]))[:k]
+        assert {r["doc_id"] for r in rows} == {s["doc_id"] for s in best}
+
+
+def test_quality_prune_topp_rejects_bad_p(spark, sf_dir):
+    import pytest as _pytest
+
+    from hive_exporter_spark.operators.pipeline import quality_prune_topp
+
+    docs = read_table(spark, sf_dir, "documents")
+    with _pytest.raises(ValueError):
+        quality_prune_topp(docs, p=0.0)
+    with _pytest.raises(ValueError):
+        quality_prune_topp(docs, p=1.5)
