@@ -4206,23 +4206,72 @@ def bpe_train(documents: DataFrame,
             break
         left, right = best["left"], best["right"]
         merges.append((rank, left, right, best["pair_count"]))
-        # Left-to-right fold: append, unless the accumulator's last
-        # symbol is `left` and the current one is `right` — then
-        # replace the last with the fused symbol. try_element_at keeps
-        # the empty-accumulator probe NULL-safe under ANSI mode.
-        last = lambda acc: F.try_element_at(acc, F.lit(-1))  # noqa: E731
-        fold = F.aggregate(
-            "syms",
-            F.array().cast("array<string>"),
-            lambda acc, s: F.when(
-                (last(acc) == F.lit(left)) & (s == F.lit(right)),
-                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
-                         F.array(F.concat(last(acc), s))),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
-        cur = cur.select("cnt", fold.alias("syms")).localCheckpoint()
+        cur = cur.select(
+            "cnt", _bpe_merge_fold(left, right).alias("syms")
+        ).localCheckpoint()
     return spark.createDataFrame(
         merges, schema="rank int, left string, right string, pair_count long")
+
+
+def _bpe_merge_fold(left: str, right: str) -> F.Column:
+    """Left-to-right fold applying ONE merge to a `syms` array column:
+    append each symbol, unless the accumulator's last symbol is `left`
+    and the current one is `right` — then replace the last with the
+    fused symbol (leftmost-first, non-overlapping: the freshly fused
+    symbol can't re-match as `left` unless it literally equals it,
+    which is exactly reference BPE's behavior). try_element_at keeps
+    the empty-accumulator probe NULL-safe under ANSI mode."""
+    last = lambda acc: F.try_element_at(acc, F.lit(-1))  # noqa: E731
+    return F.aggregate(
+        "syms",
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (last(acc) == F.lit(left)) & (s == F.lit(right)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                     F.array(F.concat(last(acc), s))),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+BPE_APPLY_CHECKPOINT_EVERY = 4
+
+
+def bpe_apply(documents: DataFrame, merges: DataFrame) -> DataFrame:
+    """Encode the corpus with a learned BPE merge table: per-doc
+    whitespace-token count next to the BPE piece count — the number
+    that actually prices a document against a context window (and the
+    honest upgrade over `token_count_bpe`'s regex approximation).
+
+    The scale trick is the dictionary decomposition every production
+    tokenizer uses: merges apply to the DISTINCT-word vocabulary (one
+    vocab-sized fold per merge, lineage checkpointed every few
+    rounds), and the corpus only ever
+    does a broadcast join token→piece-count — the data-sized pass
+    never executes a merge. Words outside the merge table's vocabulary
+    fall back to character pieces (len+1 with the end marker), so the
+    encoder is total over new corpora.
+    """
+    ranked = merges.orderBy("rank").select("left", "right").collect()
+    vocab = (
+        documents.select(F.explode(tokens_col()).alias("w")).distinct()
+        .select("w", F.concat(F.split("w", ""),
+                              F.array(F.lit(BPE_END))).alias("syms"))
+        .localCheckpoint()
+    )
+    for i, m in enumerate(ranked):
+        vocab = vocab.select(
+            "w", _bpe_merge_fold(m["left"], m["right"]).alias("syms"))
+        if (i + 1) % BPE_APPLY_CHECKPOINT_EVERY == 0:
+            vocab = vocab.localCheckpoint()
+    enc = vocab.select("w", F.size("syms").alias("__pieces"))
+    toks = documents.select("doc_id", F.explode(tokens_col()).alias("w"))
+    return (
+        toks.join(F.broadcast(enc), "w", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.sum(F.coalesce(F.col("__pieces"), F.length("w") + 1))
+             .alias("n_bpe_tokens"))
+    )
 
 
 def _q_bpe_train(spark, sf):
@@ -4231,3 +4280,13 @@ def _q_bpe_train(spark, sf):
 
 QUERIES["bpe_train_merges"] = _q_bpe_train
 # no ORACLE: iterative fixpoint; exactness pinned by the replay test.
+
+
+def _q_bpe_encode(spark, sf):
+    docs = _docs(spark, sf)
+    return bpe_apply(docs, bpe_train(docs)).orderBy("doc_id")
+
+
+QUERIES["bpe_encode_docs"] = _q_bpe_encode
+# no ORACLE: consumes the trainer's iterative output; pinned by the
+# Python-replay encode test instead.

@@ -996,3 +996,61 @@ def test_bpe_train_overlapping_pairs_merge_leftmost_first(spark):
     # Leftmost-first gives aa|aa|</w>; a wrong fold (aa|a|a|</w>)
     # would leave (a, a) pairs that win round 2's tiebreak instead.
     assert got[1] == ("aa", "</w>", 3)  # ties: "</w>" sorts before "aa"
+
+
+def _bpe_encode_replay(words, merges):
+    """Sequential reference encoder: apply merges in rank order with
+    the same leftmost-first fold, return pieces per word."""
+    out = {}
+    for w in words:
+        syms = list(w) + [llm.BPE_END]
+        for left, right in merges:
+            nxt = []
+            for s in syms:
+                if nxt and nxt[-1] == left and s == right:
+                    nxt[-1] = left + right
+                else:
+                    nxt.append(s)
+            syms = nxt
+        out[w] = len(syms)
+    return out
+
+
+def test_bpe_apply_matches_python_replay(spark, docs):
+    """Train on the fixture, encode the fixture: every doc's piece
+    count must equal the sequential reference encoder's total."""
+    merges_df = llm.bpe_train(docs, 6)
+    merges = [(r["left"], r["right"])
+              for r in merges_df.orderBy("rank").collect()]
+    got = {r["doc_id"]: r for r in llm.bpe_apply(docs, merges_df).collect()}
+    pdf = docs.select("doc_id", "text").collect()
+    import re
+    for row in pdf:
+        toks = [t for t in re.split(r"[^a-z0-9]+", row["text"].lower()) if t]
+        enc = _bpe_encode_replay(set(toks), merges)
+        want = sum(enc[t] for t in toks)
+        r = got[row["doc_id"]]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_bpe_tokens"] == want, (row["doc_id"], r, want)
+
+
+def test_bpe_apply_unseen_words_fall_back_to_chars(spark, docs):
+    """Encoding a corpus with words the merge table never saw must
+    cost len+1 pieces for those words (char fallback), not crash."""
+    merges_df = llm.bpe_train(docs, 4)
+    new = spark.createDataFrame(
+        [(999, "zzzzqqqq xyzw", "en", "t", 13)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    (r,) = llm.bpe_apply(new, merges_df).collect()
+    assert r["n_tokens"] == 2
+    # every piece count is bounded by chars+1; with no applicable
+    # merges both words stay fully exploded
+    assert r["n_bpe_tokens"] <= (8 + 1) + (4 + 1)
+
+
+def test_bpe_apply_more_merges_never_increase_pieces(spark, docs):
+    a = llm.bpe_apply(docs, llm.bpe_train(docs, 2)).collect()
+    b = llm.bpe_apply(docs, llm.bpe_train(docs, 8)).collect()
+    na = {r["doc_id"]: r["n_bpe_tokens"] for r in a}
+    nb = {r["doc_id"]: r["n_bpe_tokens"] for r in b}
+    assert all(nb[d] <= na[d] for d in na)
