@@ -592,24 +592,26 @@ _PRIORITY = (
     "q20_dominant_share_suppliers",
     # --- never driver-checked: LLM/text/curation.
     "ngram_jaccard_pairs_capped", "normalize_text", "bm25_scores",
-    "quantize_embeddings", "simhash64", "embedding_topk_cosine_pandas",
-    "embedding_label_centroids", "doc_embedding_norms", "cdc_dup_spans",
+    "quantize_embeddings", "simhash64",
+    "embedding_label_centroids", "cdc_dup_spans",
     "near_dup_clusters_bigstar", "source_mix_rebalance", "contributor_cap",
     "shard_by_tokens", "ngram_lm_perplexity", "token_drift_jsd",
-    # --- never driver-checked: multimodal plumbing (deterministic fake
-    # kernel, SQL twin). decode_images / frame_sample_plan yield their
-    # slots to the r4b sketches: their kernels are deterministic fakes
-    # (lowest regression risk) and they stay covered by
-    # tools/check_oracle.py over the full registry.
-    "audio_features",
+    # (audio_features / embedding_topk_cosine_pandas / doc_embedding_norms
+    # / hll_distinct_users_merged yield their slots to the r4c additions
+    # below: a deterministic-fake kernel, two twin-oracle duplicates of
+    # entries that stay in the window, and a trivial map — all still in
+    # tools/check_oracle.py's full sweep.)
     # --- new in r4 (first wave): both oracle-backed.
     "semantic_dedup_fixed", "containment_pairs_capped",
     # --- new in r4 (second wave): all oracle-backed, never
     # driver-checked — these take priority over re-verifying entries
     # r1 already hash-checked (maximizes driver-lifetime coverage).
-    "kmv_distinct_users", "hll_distinct_users", "hll_distinct_users_merged",
+    "kmv_distinct_users", "hll_distinct_users",
     "cms_token_freq", "theta_audience_overlap", "dup_ngram_coverage",
     "value_quantiles_hist",
+    # --- new in r4c: all oracle-backed.
+    "ams_f2_user_activity", "event_anomaly_mad",
+    "source_overlap_matrix", "quality_prune_topp",
     "incremental_dedup_bloom", "ngram_contamination_bloom",
     "heavy_hitters_exact", "remove_dup_spans", "bpe_pair_counts",
     "temperature_mix", "events_stratified_sample_hash",

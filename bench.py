@@ -86,6 +86,16 @@ BENCH_QUERIES = [
     "value_quantiles_hist",
     "superspreader_users",
     "top_orders_per_priority_2p",
+    # r4c additions: F2/join-size sketch, robust anomaly, source
+    # forensics, per-language pruning, and the BPE train+encode pair.
+    "ams_f2_user_activity",
+    "event_anomaly_mad",
+    "source_overlap_matrix",
+    "quality_prune_topp",
+    "bpe_train_merges",
+    "bpe_encode_docs",
+    "ams_join_size_click_purchase",
+    "simhash_near_dup_pairs",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

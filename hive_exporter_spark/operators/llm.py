@@ -4290,3 +4290,87 @@ def _q_bpe_encode(spark, sf):
 QUERIES["bpe_encode_docs"] = _q_bpe_encode
 # no ORACLE: consumes the trainer's iterative output; pinned by the
 # Python-replay encode test instead.
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-duplicate pairs (banded Hamming)
+# ---------------------------------------------------------------------------
+
+SIMHASH_PAIR_BANDS = 4
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_near_dup_pairs(documents: DataFrame,
+                           max_hamming: int = SIMHASH_MAX_HAMMING,
+                           bands: int = SIMHASH_PAIR_BANDS) -> DataFrame:
+    """Text near-dup pairs by SimHash Hamming distance — the
+    fingerprint-sized alternative to minhash candidate pairs (Charikar
+    2002; Manku, Jarlin & Sarma WWW 2007 use exactly this banded trick
+    for web-crawl dedup), and the text twin of
+    `multimodal.image_near_dup_pairs`.
+
+    The 64-bit fingerprint splits into `bands` sub-keys; by pigeonhole
+    any pair within `max_hamming` < `bands` differing bits agrees
+    exactly on SOME band, so bucketing on (band, key) is an equi-join
+    with PERFECT recall — never all-pairs. Each side of the join
+    carries 16 bytes per doc (id + fingerprint): at 100 TB the
+    candidate join runs on fingerprints three orders of magnitude
+    smaller than the corpus. Band keys use arithmetic-shift+mask and
+    Hamming uses bit_count(xor) — verified to agree between the JVM
+    and DuckDB including the sign bit, so the whole pair pipeline is
+    value-hash-checked on top of the already-portable simhash64.
+    """
+    if max_hamming >= bands:
+        raise ValueError("recall guarantee needs max_hamming < bands")
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64 (got {bands})")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sig = simhash64(documents).localCheckpoint(eager=False)
+    band = F.explode(F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit(mask)).alias("key"),
+        ) for i in range(bands)
+    ])).alias("b")
+    banded = sig.select("doc_id", "simhash", band).select(
+        "doc_id", "simhash", "b.band", "b.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .where(ham <= max_hamming)
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                ham.cast("int").alias("hamming"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _q_simhash_pairs(spark, sf):
+    return simhash_near_dup_pairs(_docs(spark, sf))
+
+
+QUERIES["simhash_near_dup_pairs"] = _q_simhash_pairs
+
+_SIMHASH_BAND_IDX = ", ".join(f"({i})" for i in range(SIMHASH_PAIR_BANDS))
+ORACLES["simhash_near_dup_pairs"] = f"""
+    WITH sig AS ({ORACLES["simhash64"]}),
+    banded AS (
+        SELECT doc_id, simhash, i AS band,
+               (simhash >> (i * {64 // SIMHASH_PAIR_BANDS}))
+                   & {(1 << (64 // SIMHASH_PAIR_BANDS)) - 1} AS key
+        FROM sig CROSS JOIN (VALUES {_SIMHASH_BAND_IDX}) bi(i)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.key = b.key
+                 AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+"""

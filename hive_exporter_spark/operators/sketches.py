@@ -996,3 +996,116 @@ def _q_ams(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES["ams_f2_user_activity"] = _q_ams
 ORACLES["ams_f2_user_activity"] = ams_f2_sql(
     "events", "user_id", "event_type")
+
+
+def ams_join_size(left: DataFrame, right: DataFrame,
+                  left_key: str, right_key: str,
+                  r: int = AMS_R,
+                  n_groups: int = AMS_GROUPS) -> DataFrame:
+    """Estimated equi-join OUTPUT size |L ⋈ R| from the two sides'
+    tug-of-war sketches: E[X_i(L)·X_i(R)] = Σ_k c_k(L)·c_k(R) — the
+    inner-product generalization of F2 (AMS 1996 §3; F2 is the
+    self-join special case). THE planner primitive: decide
+    broadcast-vs-shuffle or pre-aggregate-vs-join-first from 2·r
+    int64s, without scanning either table again — and because the
+    sketches are linear, per-slice sketches built earlier can answer
+    join-size questions about any union of slices.
+
+    Each side pays one keyed-wordcount exchange; everything after is
+    sketch-sized. Exact anchor (`join_rows`) computed from the same
+    wordcounts beside the estimate. Estimator layout mirrors
+    `ams_estimate`: products and bucket sums exact int64, bucket mean
+    a power-of-two division, median the average of the two middle
+    means — bit-for-bit reproducible by the oracle. (Signed products
+    can be negative; the median-of-means tolerates it, and the floor
+    at 0 is the standard clip for a size estimate.)
+    """
+    if r % n_groups != 0 or n_groups % 2 != 0:
+        raise ValueError(
+            f"r must split into an even number of equal buckets "
+            f"(got r={r}, n_groups={n_groups})")
+    per = r // n_groups
+    la = ams_sums(left.select(F.col(left_key).alias("__k")), "__k", [], r)
+    rb = ams_sums(right.select(F.col(right_key).alias("__k")), "__k", [], r)
+    prod = (
+        la.withColumnRenamed("xi", "xa")
+        .join(rb.withColumnRenamed("xi", "xb"), "i")
+        .select("i", (F.col("xa") * F.col("xb")).alias("p"))
+    )
+    means = (prod.groupBy(F.floor(F.col("i") / per).alias("j"))
+             .agg((F.sum("p") / F.lit(float(per))).alias("mj")))
+    w = Window.orderBy("mj", "j")
+    est = (means.withColumn("__rn", F.row_number().over(w))
+           .where(F.col("__rn").isin(n_groups // 2, n_groups // 2 + 1))
+           .agg(F.greatest(F.sum("mj") / F.lit(2.0), F.lit(0.0))
+                .alias("est_join_rows")))
+    lc = (left.where(F.col(left_key).isNotNull())
+          .groupBy(F.col(left_key).alias("__k"))
+          .agg(F.count(F.lit(1)).alias("__ca")))
+    rc = (right.where(F.col(right_key).isNotNull())
+          .groupBy(F.col(right_key).alias("__k"))
+          .agg(F.count(F.lit(1)).alias("__cb")))
+    exact = (lc.join(rc, "__k")
+             .agg(F.coalesce(F.sum(F.col("__ca") * F.col("__cb")),
+                             F.lit(0)).alias("join_rows")))
+    return exact.crossJoin(F.broadcast(est))
+
+
+def ams_join_size_sql(left_table: str, left_key: str,
+                      right_table: str, right_key: str,
+                      r: int = AMS_R, n_groups: int = AMS_GROUPS) -> str:
+    """DuckDB twin of `ams_join_size`."""
+    per = r // n_groups
+    coef_values = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(AMS_COEF[:r]))
+
+    def side(table: str, key: str, alias: str) -> str:
+        base = _MD5_BASE28.format(expr=f"CAST({key} AS VARCHAR)")
+        return f"""
+        {alias}_wc AS (
+            SELECT {key} AS k, COUNT(*) AS cnt, {base} AS x
+            FROM {table} WHERE {key} IS NOT NULL GROUP BY 1
+        ), {alias}_sums AS (
+            SELECT i,
+                   CAST(SUM((1 - 2 * (((a * x + b) % {CMS_P}) % 2)) * cnt)
+                        AS BIGINT) AS xi
+            FROM {alias}_wc CROSS JOIN coef GROUP BY 1
+        )"""
+
+    return f"""
+        WITH coef(i, a, b) AS (
+            VALUES {coef_values}
+        ), {side(left_table, left_key, 'l')}, {side(right_table, right_key, 'r')},
+        means AS (
+            SELECT CAST(floor(l_sums.i / {per}) AS INT) AS j,
+                   CAST(SUM(l_sums.xi * r_sums.xi) AS BIGINT)
+                       / {float(per)!r} AS mj
+            FROM l_sums JOIN r_sums ON l_sums.i = r_sums.i
+            GROUP BY 1
+        ), ranked AS (
+            SELECT mj, row_number() OVER (ORDER BY mj, j) AS rn FROM means
+        ), est AS (
+            SELECT greatest(SUM(mj) / 2.0, 0.0) AS est_join_rows
+            FROM ranked WHERE rn IN ({n_groups // 2}, {n_groups // 2 + 1})
+        ), exact AS (
+            SELECT CAST(COALESCE(SUM(l_wc.cnt * r_wc.cnt), 0) AS BIGINT)
+                       AS join_rows
+            FROM l_wc JOIN r_wc USING (k)
+        )
+        SELECT join_rows, est_join_rows FROM exact CROSS JOIN est
+    """
+
+
+def _q_ams_join(spark: SparkSession, sf: str) -> DataFrame:
+    # How many rows would events ⋈ events-of-another-type produce on
+    # user_id? The skew question behind every fan-out join.
+    ev = read_table(spark, sf, "events")
+    return ams_join_size(ev.where(F.col("event_type") == "click"),
+                         ev.where(F.col("event_type") == "purchase"),
+                         "user_id", "user_id")
+
+
+QUERIES["ams_join_size_click_purchase"] = _q_ams_join
+ORACLES["ams_join_size_click_purchase"] = ams_join_size_sql(
+    "(SELECT * FROM events WHERE event_type = 'click')", "user_id",
+    "(SELECT * FROM events WHERE event_type = 'purchase')", "user_id")

@@ -1054,3 +1054,27 @@ def test_bpe_apply_more_merges_never_increase_pieces(spark, docs):
     na = {r["doc_id"]: r["n_bpe_tokens"] for r in a}
     nb = {r["doc_id"]: r["n_bpe_tokens"] for r in b}
     assert all(nb[d] <= na[d] for d in na)
+
+
+def test_simhash_near_dup_pairs_recall_vs_bruteforce(spark, docs):
+    """Banded bucketing must find EXACTLY the brute-force pair set
+    within max_hamming (pigeonhole recall is perfect, and the
+    post-filter kills false candidates)."""
+    sub = docs.limit(300)
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in llm.simhash64(sub).collect()}
+    ids = sorted(sigs)
+    want = {(a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+            for i, a in enumerate(ids) for b in ids[i + 1:]
+            if bin(sigs[a] ^ sigs[b]).count("1") <= llm.SIMHASH_MAX_HAMMING}
+    got = {(r["doc_a"], r["doc_b"], r["hamming"])
+           for r in llm.simhash_near_dup_pairs(sub).collect()}
+    assert got == want
+    assert any(h == 0 for _, _, h in got) or want == got  # exact dups land at 0
+
+
+def test_simhash_near_dup_pairs_rejects_bad_params(spark, docs):
+    with pytest.raises(ValueError):
+        llm.simhash_near_dup_pairs(docs, max_hamming=4, bands=4)
+    with pytest.raises(ValueError):
+        llm.simhash_near_dup_pairs(docs, max_hamming=2, bands=5)

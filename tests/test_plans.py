@@ -421,3 +421,50 @@ def test_hist_quantiles_two_passes_total(t):
     df = sk.value_quantiles_hist(t("events"), "value", ["event_type"])
     assert len(plans.scan_read_columns(df)) <= 2, plans.formatted_plan(df)
     assert plans.num_exchanges(df) <= 4, plans.formatted_plan(df)
+
+
+def test_ams_f2_partial_agg_no_cartesian(t):
+    """F2's only data-sized exchange is the keyed wordcount; the
+    64-way sign explode must partial-aggregate map-side and nothing
+    may turn into a cartesian or sort-merge join."""
+    from hive_exporter_spark.operators import sketches as sk
+
+    df = sk.ams_f2(t("events"), "user_id", ["event_type"])
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plans.has_partial_aggregate(df)
+    assert plans.sort_merge_join_count(df) <= 1  # exact<->est join only
+
+
+def test_source_overlap_matrix_broadcasts_pair_side(t):
+    """Both label joins must broadcast (the pair graph), never
+    shuffle the corpus-sized label projection."""
+    from hive_exporter_spark.operators import llm as _llm
+
+    df = _llm.source_overlap_matrix(t("documents"))
+    assert plans.broadcast_join_count(df) >= 2
+    assert plans.sort_merge_join_count(df) == 0, plans.formatted_plan(df)
+
+
+def test_quality_prune_topp_broadcast_quota_no_global_sort(t):
+    """The quota join must broadcast; ranking must stay partitioned
+    by (lang[, salt]) — no empty-partitionBy global window."""
+    from hive_exporter_spark.operators import pipeline as pl
+
+    df = pl.quality_prune_topp(t("documents"))
+    assert plans.has_broadcast_join(df)
+    plan = plans.formatted_plan(df)
+    import re
+    for spec in re.findall(r"partitionBy=\[([^\]]*)\]", plan):
+        assert spec.strip(), "global (un-partitioned) window in plan"
+
+
+def test_bpe_apply_corpus_side_is_broadcast_join(t):
+    """The corpus encode pass must be a broadcast dictionary join —
+    merges never execute on the data-sized side."""
+    from hive_exporter_spark.operators import llm as _llm
+
+    docs = t("documents")
+    df = _llm.bpe_apply(docs, _llm.bpe_train(docs, 2))
+    assert plans.has_broadcast_join(df)
+    assert plans.sort_merge_join_count(df) == 0, plans.formatted_plan(df)

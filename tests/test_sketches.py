@@ -424,3 +424,26 @@ def test_ams_ignores_null_keys_and_rejects_bad_r(spark):
     with _pytest.raises(ValueError):
         sk.ams_estimate(sk.ams_sums(df, "k", ["grp"]), ["grp"],
                         n_groups=3)
+
+
+def test_ams_join_size_tracks_exact(spark, sf_dir):
+    """Cross-join-size estimate within the tug-of-war error envelope
+    of the true join output size, on a genuinely fanned-out join."""
+    ev = read_table(spark, sf_dir, "events")
+    (r,) = sk.ams_join_size(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "view"),
+        "user_id", "user_id").collect()
+    true = r["join_rows"]
+    assert true > 0
+    assert abs(r["est_join_rows"] - true) <= 0.6 * true, r
+
+
+def test_ams_join_size_disjoint_keys_near_zero(spark):
+    """Disjoint key sets: exact join size 0, estimate clipped >= 0 and
+    small relative to the would-be-overlap scale."""
+    a = spark.createDataFrame([(k,) for k in range(500)], "k long")
+    b = spark.createDataFrame([(k + 10_000,) for k in range(500)], "k long")
+    (r,) = sk.ams_join_size(a, b, "k", "k").collect()
+    assert r["join_rows"] == 0
+    assert 0 <= r["est_join_rows"] <= 500  # noise << the 500*500 cross scale
