@@ -450,6 +450,16 @@ def _stratified_sample_hash(spark, sf):
                                        SAMPLE_FRACTIONS, "event_id")
 
 
+SAMPLE_FIXED_N = 20
+
+
+def _sample_fixed_n(spark, sf):
+    """Exact-quota uniform sample per event_type via the md5-ranked
+    two-phase top-k; kept set and ranks are engine-portable."""
+    ev = _t(spark, sf, "events").select("event_id", "event_type", "user_id")
+    return core.sample_fixed_n(ev, "event_type", "event_id", SAMPLE_FIXED_N)
+
+
 def _window_analytics(spark, sf):
     return relational.order_window_analytics(_t(spark, sf, "orders"))
 
@@ -684,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders_columns": _profile_orders,
         "events_stratified_sample": _stratified_sample,
         "events_stratified_sample_hash": _stratified_sample_hash,
+        "events_sample_fixed_n": _sample_fixed_n,
         "orders_snapshot_diff": _snapshot_diff,
         "user_event_scd2": _scd2,
         "value_histogram": _histogram,
@@ -819,6 +830,17 @@ def oracle_sql() -> dict[str, str]:
                       f"WHEN '{s}' THEN {float(fr)}"
                       for s, fr in sorted(SAMPLE_FRACTIONS.items()))}
                     ELSE 0.0 END
+        """,
+        "events_sample_fixed_n": f"""
+            SELECT event_type, event_id, user_id, sample_rank
+            FROM (
+                SELECT event_type, event_id, user_id, ROW_NUMBER() OVER (
+                    PARTITION BY event_type
+                    ORDER BY CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                  1, 10) AS BIGINT), event_id
+                ) AS sample_rank
+                FROM events
+            ) WHERE sample_rank <= {SAMPLE_FIXED_N}
         """,
         "latest_per_key": """
             SELECT event_id, ts, user_id, event_type, value, props

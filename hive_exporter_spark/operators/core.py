@@ -198,6 +198,31 @@ def stratified_sample_hash(df: DataFrame, strata_col: str,
     return df.where(u < frac)
 
 
+def sample_fixed_n(df: DataFrame, strata_col: str, id_col: str,
+                   n: int, salt_buckets: int = 16) -> DataFrame:
+    """EXACTLY n rows per stratum (or all of a smaller stratum),
+    chosen uniformly-without-replacement by the deterministic md5
+    coin: rank rows within each stratum by their 40-bit hash and keep
+    the n smallest — a uniform order statistic, so the kept set is an
+    unbiased fixed-size sample AND a pure function of the ids
+    (reruns/backfills/other engines reproduce it; a fraction-based
+    sample can't hit an exact quota, a reservoir sample isn't
+    rerun-stable).
+
+    Selection runs through the two-phase grouped top-k
+    (`relational.topk_per_group`), so a hot stratum never sorts in one
+    task. Adds `sample_rank` (1..n within the stratum, by hash order).
+    """
+    from hive_exporter_spark.functions.rand import md5_int40
+    from hive_exporter_spark.operators.relational import topk_per_group
+
+    return topk_per_group(
+        df, [strata_col], [md5_int40(id_col), F.col(id_col)], n,
+        salt_col=F.pmod(md5_int40(id_col), F.lit(salt_buckets)),
+        rank_name="sample_rank",
+    )
+
+
 def snapshot_diff(old: DataFrame, new: DataFrame, keys: Sequence[str],
                   compare_cols: Sequence[str] | None = None) -> DataFrame:
     """CDC-style diff of two table snapshots keyed on `keys`: one row

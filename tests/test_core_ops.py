@@ -331,3 +331,36 @@ def test_event_anomaly_mad_flat_series_yields_null(spark):
     out = event_anomaly_mad(df).collect()
     assert len(out) == 5
     assert all(r["robust_z"] is None and not r["is_anomaly"] for r in out)
+
+
+def test_sample_fixed_n_exact_quota_and_determinism(spark, sf_dir):
+    """Exactly n rows per stratum (all rows when the stratum is
+    smaller), identical across reruns, and equal to the n smallest
+    md5 hashes per stratum (uniform order statistic)."""
+    from hive_exporter_spark.functions.rand import md5_int40
+    from hive_exporter_spark.operators.core import sample_fixed_n
+    from hive_exporter_spark.sources.files import read_table
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id")
+    got = sample_fixed_n(ev, "event_type", "event_id", 15).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["event_type"], set()).add(r["event_id"])
+    sizes = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    for t, ids in per.items():
+        assert len(ids) == min(15, sizes[t])
+    # rerun identical
+    again = sample_fixed_n(ev, "event_type", "event_id", 15).collect()
+    assert {(r["event_type"], r["event_id"]) for r in again} == \
+           {(r["event_type"], r["event_id"]) for r in got}
+    # matches the brute-force n smallest hashes for one stratum
+    t0 = sorted(per)[0]
+    want = [r["event_id"] for r in
+            ev.where(F.col("event_type") == t0)
+            .select("event_id", md5_int40("event_id").alias("h"))
+            .orderBy("h", "event_id").limit(15).collect()]
+    assert per[t0] == set(want)
