@@ -586,3 +586,54 @@ def read_token_topk(spark: SparkSession, summary_dir: str,
         .orderBy(F.col("cnt_lo").desc(), "token")
         .limit(k)
     )
+
+
+def f2_sketch_stream(
+    events_stream: DataFrame,
+    sums_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> object:
+    """Continuously-maintained join-size/skew state: each micro-batch's
+    AMS tug-of-war sums (operators/sketches.ams_sums) append to a
+    parquet state table. Because the sketch is LINEAR, the merged
+    state (element-wise SUM over batches) IS the sketch of the whole
+    stream — so any-time F2 / self-join-size / skew estimates come
+    from r int64s per group, and two such state tables even answer
+    cross-stream join-size questions (ams inner product) without ever
+    rescanning either stream.
+
+    Addition is not idempotent, so rows carry the checkpoint-stable
+    epoch_id and `read_f2_state` collapses (epoch, group, i)
+    duplicates before summing — the same exactly-once upgrade as
+    `token_topk_stream`. State grows r rows per group per batch.
+
+    Returns the started StreamingQuery; caller owns stop().
+    """
+    from hive_exporter_spark.operators.sketches import ams_sums
+
+    gcols = list(group_cols)
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        (ams_sums(batch_df, key_col, gcols)
+         .withColumn("epoch_id", F.lit(int(epoch_id)))
+         .write.mode("append").parquet(sums_dir))
+
+    return (
+        events_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_f2_state(spark: SparkSession, sums_dir: str,
+                  group_cols: Sequence[str] = ("event_type",)) -> DataFrame:
+    """Merged (group, i, xi) sketch state from an append-only sums dir:
+    epoch-dedup, then element-wise addition. Feed to
+    `sketches.ams_estimate` for the F2 estimate."""
+    gcols = list(group_cols)
+    raw = spark.read.parquet(sums_dir)
+    dedup = (raw.groupBy("epoch_id", *gcols, "i")
+             .agg(F.max("xi").alias("xi")))
+    return dedup.groupBy(*gcols, "i").agg(F.sum("xi").alias("xi"))

@@ -415,3 +415,51 @@ def test_token_topk_stream_bounds_and_exact_regime(spark, tmp_path):
     top_true = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert [(r["token"], r["cnt_lo"]) for r in exact] == top_true
     assert all(r["cnt_lo"] == r["cnt_hi"] for r in exact)
+
+
+def test_f2_sketch_stream_matches_batch_sketch(spark, tmp_path):
+    """Linearity through micro-batches: the merged streamed state must
+    equal the batch sketch of all the data element-wise, hence the F2
+    estimate must match exactly; replay must not double-count."""
+    from hive_exporter_spark.operators.sketches import (
+        ams_estimate, ams_sums)
+    from hive_exporter_spark.streaming.streams import (
+        f2_sketch_stream, read_f2_state)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    schema = "user_id long, event_type string"
+    rows1 = [(u % 17, "click") for u in range(300)]
+    rows2 = [(u % 5, "click") for u in range(200)] + \
+            [(u, "view") for u in range(100)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(src / "f1"))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(src / "f2"))
+    sums_dir = str(tmp_path / "sums")
+
+    def run(checkpoint: str):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(src) + "/*"))
+        q = f2_sketch_stream(stream, sums_dir, str(tmp_path / checkpoint))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run("chk1")
+    batch = ams_sums(spark.createDataFrame(rows1 + rows2, schema),
+                     "user_id", ["event_type"])
+    merged = read_f2_state(spark, sums_dir)
+    assert merged.exceptAll(batch).count() == 0
+    assert batch.exceptAll(merged).count() == 0
+    est_stream = {r["event_type"]: r["est_f2"] for r in
+                  ams_estimate(merged, ["event_type"]).collect()}
+    est_batch = {r["event_type"]: r["est_f2"] for r in
+                 ams_estimate(batch, ["event_type"]).collect()}
+    assert est_stream == est_batch
+    run("chk2")  # full replay, same epochs -> state unchanged
+    replay = read_f2_state(spark, sums_dir)
+    assert replay.exceptAll(batch).count() == 0
+    assert batch.exceptAll(replay).count() == 0
