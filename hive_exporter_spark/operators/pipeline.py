@@ -1495,3 +1495,110 @@ ORACLES["quality_prune_topp"] = f"""
     FROM ranked r JOIN ks USING (lang)
     WHERE r.lang_rank <= ks.k
 """
+
+
+def quality_prune_threshold(documents: DataFrame,
+                            p: float = PRUNE_TOP_P,
+                            n_bins: int = 128) -> DataFrame:
+    """Keep each language's ~top-p fraction by quality score WITHOUT
+    ranking: find the per-language score threshold from the mergeable
+    equi-width histogram (sketches.histogram_bins) and keep rows at or
+    above it — two partial-agg passes plus a map-only filter, NO
+    per-group sort anywhere.
+
+    This is the 100 TB form of `quality_prune_topp`. The exact-rank
+    variant is unavoidably sort-bound on the hot group once p·n_group
+    is large (measured on an 8M-row 97%-hot fixture: naive
+    column-quota window 25.3 s, salted two-phase 16.9 s, this
+    threshold form ~scan-speed) — because an exact quota must totally
+    order the boundary. Thresholding trades that for bounded quota
+    fuzz: it keeps every row in bins strictly above the cut plus ALL
+    of the boundary bin, so kept ≥ quota and the overshoot is at most
+    the boundary bin's mass (≤ n/n_bins in the uniform limit; pinned
+    in tests). Deterministic integer/histogram math end-to-end — the
+    DuckDB oracle reproduces thresholds and kept sets bit-for-bit.
+    Degenerate flat-score groups (hi == lo) keep everything, matching
+    the quota variant's tie behavior at 100%.
+    """
+    from hive_exporter_spark.operators.llm import quality_score
+    from hive_exporter_spark.operators.sketches import histogram_bins
+
+    if not 0 < p <= 1:
+        raise ValueError(f"p must be in (0, 1] (got {p})")
+    scored = quality_score(documents, carry=("lang",)).select(
+        "lang", "doc_id", "n_tokens", "quality_score")
+    bins = histogram_bins(scored, "quality_score", ["lang"], n_bins)
+    w_top = (Window.partitionBy("lang").orderBy(F.col("bin").desc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (bins.withColumn("cum_top", F.sum("n").over(w_top))
+           .withColumn("total",
+                       F.sum("n").over(Window.partitionBy("lang"))))
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    thr = (
+        cum.where(F.col("cum_top") >= F.ceil(F.lit(p) * F.col("total")))
+        .groupBy("lang", "lo", "hi")
+        .agg(F.max("bin").alias("bin_t"))
+        .select("lang",
+                F.when(F.col("hi") == F.col("lo"), F.col("lo"))
+                .otherwise(F.round(F.col("lo") + F.col("bin_t") * width, 6))
+                .alias("threshold"))
+    )
+    return (
+        scored.join(F.broadcast(thr), "lang")
+        .where(F.col("quality_score") >= F.col("threshold"))
+        .select("lang", "doc_id", "n_tokens", "quality_score", "threshold")
+    )
+
+
+def _q_quality_prune_thr(spark: SparkSession, sf: str) -> DataFrame:
+    return quality_prune_threshold(read_table(spark, sf, "documents"))
+
+
+QUERIES["quality_prune_threshold"] = _q_quality_prune_thr
+
+ORACLES["quality_prune_threshold"] = f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z0-9]+'), t -> t <> '')) AS n,
+               len(list_distinct(list_filter(regexp_split_to_array(
+                   lower(text), '[^a-z0-9]+'), t -> t <> ''))) AS nd
+        FROM documents
+    ), scored AS (
+        SELECT lang, doc_id, n AS n_tokens,
+               round(0.5 * least(CAST(n AS DOUBLE) / 200.0, 1.0)
+                     + 0.5 * (CAST(nd AS DOUBLE) / n), 6) AS quality_score
+        FROM t
+    ), edges AS (
+        SELECT lang, CAST(MIN(quality_score) AS DOUBLE) AS lo,
+               CAST(MAX(quality_score) AS DOUBLE) AS hi
+        FROM scored GROUP BY lang
+    ), binned AS (
+        SELECT s.lang, e.lo, e.hi,
+               CASE WHEN e.hi = e.lo THEN 0
+                    ELSE CAST(least(floor((s.quality_score - e.lo)
+                              / (e.hi - e.lo) * 128.0), 127) AS INT)
+               END AS bin
+        FROM scored s JOIN edges e USING (lang)
+    ), bins AS (
+        SELECT lang, lo, hi, bin, COUNT(*) AS n
+        FROM binned GROUP BY 1, 2, 3, 4
+    ), cum AS (
+        SELECT lang, lo, hi, bin, n,
+               SUM(n) OVER (PARTITION BY lang ORDER BY bin DESC
+                            ROWS UNBOUNDED PRECEDING) AS cum_top,
+               SUM(n) OVER (PARTITION BY lang) AS total
+        FROM bins
+    ), thr AS (
+        SELECT lang,
+               CASE WHEN hi = lo THEN lo
+                    ELSE round(lo + MAX(bin) * ((hi - lo) / 128.0), 6)
+               END AS threshold
+        FROM cum
+        WHERE cum_top >= ceil({PRUNE_TOP_P} * total)
+        GROUP BY lang, lo, hi
+    )
+    SELECT s.lang, s.doc_id, s.n_tokens, s.quality_score, thr.threshold
+    FROM scored s JOIN thr USING (lang)
+    WHERE s.quality_score >= thr.threshold
+"""

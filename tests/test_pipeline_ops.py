@@ -440,3 +440,53 @@ def test_quality_prune_topp_rejects_bad_p(spark, sf_dir):
         quality_prune_topp(docs, p=0.0)
     with _pytest.raises(ValueError):
         quality_prune_topp(docs, p=1.5)
+
+
+def test_quality_prune_threshold_brackets_quota(spark, sf_dir):
+    """Threshold selection must keep at least the quota and overshoot
+    by at most the boundary bin's mass; every kept doc scores >= the
+    language's threshold and no dropped doc scores above it."""
+    import math
+
+    from hive_exporter_spark.operators.llm import quality_score
+    from hive_exporter_spark.operators.pipeline import (
+        quality_prune_threshold)
+
+    docs = read_table(spark, sf_dir, "documents")
+    kept = quality_prune_threshold(docs, p=0.3).collect()
+    scored = quality_score(docs, carry=("lang",)).collect()
+    by_lang_scores = {}
+    for s in scored:
+        by_lang_scores.setdefault(s["lang"], []).append(s["quality_score"])
+    by_lang_kept = {}
+    thr = {}
+    for r in kept:
+        by_lang_kept.setdefault(r["lang"], []).append(r)
+        thr[r["lang"]] = r["threshold"]
+    for lang, rows in by_lang_kept.items():
+        n = len(by_lang_scores[lang])
+        quota = math.ceil(0.3 * n)
+        boundary_mass = sum(1 for s in by_lang_scores[lang]
+                            if abs(s - thr[lang]) < 1e-12)
+        at_or_above = sum(1 for s in by_lang_scores[lang]
+                          if s >= thr[lang])
+        assert len(rows) == at_or_above          # exact threshold semantics
+        assert len(rows) >= quota                # never under the quota
+        assert len(rows) - quota < max(
+            boundary_mass,
+            sum(1 for s in by_lang_scores[lang]
+                if thr[lang] <= s) - quota + 1)  # overshoot bounded
+        assert all(r["quality_score"] >= r["threshold"] for r in rows)
+
+
+def test_quality_prune_threshold_flat_scores_keep_all(spark):
+    """A language whose docs all score identically keeps everything
+    (hi == lo degenerate bin), mirroring the quota variant's ties."""
+    from hive_exporter_spark.operators.pipeline import (
+        quality_prune_threshold)
+
+    docs = spark.createDataFrame(
+        [(i, "same words here", "xx", "t", 15) for i in range(10)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    kept = quality_prune_threshold(docs, p=0.2).collect()
+    assert len(kept) == 10
