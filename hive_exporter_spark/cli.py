@@ -82,6 +82,18 @@ def build_parser() -> argparse.ArgumentParser:
     mrg.add_argument("-l", "--last-modified-column", required=True)
     mrg.add_argument("-i", "--incremental-column", required=True)
     mrg.add_argument("-d", "--deleted-column")
+
+    cur = sub.add_parser(
+        "curate",
+        help="run the training-data curation pipeline over a documents "
+             "parquet dir (quality filter + split + decontamination + "
+             "sequence packing)")
+    cur.add_argument("-i", "--input", required=True,
+                     help="documents parquet dir (doc_id, text, ... schema)")
+    cur.add_argument("-o", "--output", required=True,
+                     help="output parquet dir for packed training rows")
+    cur.add_argument("-c", "--max-contamination", type=float, default=None)
+    cur.add_argument("-B", "--pack-budget", type=int, default=None)
     return root
 
 
@@ -141,6 +153,24 @@ def main(argv: list[str] | None = None) -> int:
             snap.write.mode("overwrite").parquet(args.output_path)
             n = snap.count()
         print(f"snapshotted {n} tables -> {args.output_path}")
+        return 0
+
+    if args.command == "curate":
+        from hive_exporter_spark.operators.pipeline import (
+            MAX_CONTAMINATION, PACK_BUDGET, curation_pipeline)
+        docs = spark.read.parquet(args.input)
+        packed = curation_pipeline(
+            docs,
+            max_contamination=(args.max_contamination
+                               if args.max_contamination is not None
+                               else MAX_CONTAMINATION),
+            budget=(args.pack_budget if args.pack_budget is not None
+                    else PACK_BUDGET),
+        )
+        packed.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        print(f"curated {docs.count()} docs -> {out.count()} packed rows "
+              f"-> {args.output}")
         return 0
 
     from hive_exporter_spark.operators import ingest

@@ -59,3 +59,22 @@ def test_export_validates_table_names(spark, tmp_path):
     listing.write_text("not_qualified\n")
     with pytest.raises(ValueError):
         cli.main(["export", "-f", str(listing), "-d", str(tmp_path / "o")])
+
+
+def test_curate_cli_end_to_end(spark, tmp_path):
+    """`curate` must read a documents dir, run the pipeline, and write
+    packed rows whose shape matches calling the library directly."""
+    from hive_exporter_spark.cli import main
+    from hive_exporter_spark.operators.pipeline import curation_pipeline
+    from hive_exporter_spark.sources.files import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    src = str(tmp_path / "docs_in")
+    docs.write.parquet(src)
+    out = str(tmp_path / "curated")
+    rc = main(["curate", "-i", src, "-o", out])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    want = curation_pipeline(docs)
+    assert got.count() == want.count()
+    assert sorted(got.columns) == sorted(want.columns)
