@@ -96,6 +96,9 @@ BENCH_QUERIES = [
     "bpe_encode_docs",
     "ams_join_size_click_purchase",
     "simhash_near_dup_pairs",
+    "events_sample_fixed_n",
+    "quality_prune_threshold",
+    "curation_funnel_report",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -1602,3 +1602,83 @@ ORACLES["quality_prune_threshold"] = f"""
     FROM scored s JOIN thr USING (lang)
     WHERE s.quality_score >= thr.threshold
 """
+
+
+def curation_funnel_report(documents: DataFrame,
+                           max_contamination: float = MAX_CONTAMINATION
+                           ) -> DataFrame:
+    """Stage-by-stage survivor accounting for `curation_pipeline`:
+    one row per stage with rows_in / rows_out / dropped — the run
+    report a data-ops team alerts on (a quality-filter pass rate that
+    jumps 20% between crawls is an incident, not a curiosity).
+
+    Each stage's predicate is evaluated once over the corpus scan
+    (map-only signals + the broadcast decontamination probe — the
+    same plans the pipeline itself uses); the report is assembled
+    from scalar counts, so the output is stage-cardinality-sized.
+    Stages report the SEQUENTIAL funnel (each applied after the
+    previous), matching what the composed pipeline actually keeps.
+    """
+    total = documents.count()
+    q = (gopher_quality_signals(documents)
+         .where(F.col("passes_quality")).select("doc_id"))
+    s = (train_val_test_split(documents)
+         .where(F.col("split") == "train").select("doc_id"))
+    c = (ngram_contamination(documents)
+         .where(F.col("contamination_rate") <= max_contamination)
+         .select("doc_id"))
+    after_q = documents.select("doc_id").join(q, "doc_id")
+    after_s = after_q.join(s, "doc_id")
+    after_c = after_s.join(c, "doc_id")
+    n_q, n_s, n_c = after_q.count(), after_s.count(), after_c.count()
+    spark = documents.sparkSession
+    rows = [
+        (1, "input", total, total),
+        (2, "gopher_quality", total, n_q),
+        (3, "train_split", n_q, n_s),
+        (4, "decontamination", n_s, n_c),
+    ]
+    return spark.createDataFrame(
+        rows, "stage int, stage_name string, rows_in long, rows_out long"
+    ).withColumn("dropped", F.col("rows_in") - F.col("rows_out"))
+
+
+def _q_funnel_report(spark: SparkSession, sf: str) -> DataFrame:
+    return curation_funnel_report(read_table(spark, sf, "documents"))
+
+
+QUERIES["curation_funnel_report"] = _q_funnel_report
+
+
+ORACLES["curation_funnel_report"] = f"""
+    WITH q AS (
+        SELECT doc_id FROM ({ORACLES["gopher_quality_signals"]})
+        WHERE passes_quality
+    ), s AS (
+        SELECT doc_id FROM ({ORACLES["train_val_test_split"]})
+        WHERE split = 'train'
+    ), c AS (
+        SELECT doc_id FROM ({ORACLES["ngram_contamination"]})
+        WHERE contamination_rate <= {MAX_CONTAMINATION}
+    ), counts AS (
+        SELECT (SELECT COUNT(*) FROM documents) AS total,
+               (SELECT COUNT(*) FROM q) AS nq,
+               (SELECT COUNT(*) FROM q JOIN s USING (doc_id)) AS ns,
+               (SELECT COUNT(*) FROM q JOIN s USING (doc_id)
+                JOIN c USING (doc_id)) AS nc
+    )
+    SELECT stage, stage_name,
+           CAST(rows_in AS BIGINT) AS rows_in,
+           CAST(rows_out AS BIGINT) AS rows_out,
+           CAST(rows_in - rows_out AS BIGINT) AS dropped
+    FROM (
+        SELECT 1 AS stage, 'input' AS stage_name,
+               total AS rows_in, total AS rows_out FROM counts
+        UNION ALL
+        SELECT 2, 'gopher_quality', total, nq FROM counts
+        UNION ALL
+        SELECT 3, 'train_split', nq, ns FROM counts
+        UNION ALL
+        SELECT 4, 'decontamination', ns, nc FROM counts
+    )
+"""

@@ -490,3 +490,22 @@ def test_quality_prune_threshold_flat_scores_keep_all(spark):
         "doc_id long, text string, lang string, source string, n_chars long")
     kept = quality_prune_threshold(docs, p=0.2).collect()
     assert len(kept) == 10
+
+
+def test_curation_funnel_report_is_consistent_with_pipeline(spark, sf_dir):
+    """The funnel's final survivor count must equal the number of
+    distinct docs the composed pipeline actually packs, and each
+    stage must be monotone non-increasing from the previous."""
+    from hive_exporter_spark.operators.pipeline import (
+        curation_funnel_report, curation_pipeline)
+
+    docs = read_table(spark, sf_dir, "documents")
+    rows = {r["stage"]: r for r in curation_funnel_report(docs).collect()}
+    assert rows[1]["rows_out"] == docs.count()
+    for s in (2, 3, 4):
+        assert rows[s]["rows_in"] == rows[s - 1]["rows_out"]
+        assert rows[s]["rows_out"] <= rows[s]["rows_in"]
+        assert rows[s]["dropped"] == rows[s]["rows_in"] - rows[s]["rows_out"]
+    packed_docs = (curation_pipeline(docs)
+                   .select("doc_id").distinct().count())
+    assert rows[4]["rows_out"] == packed_docs
