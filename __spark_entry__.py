@@ -450,6 +450,23 @@ def _stratified_sample_hash(spark, sf):
                                        SAMPLE_FRACTIONS, "event_id")
 
 
+BLOOM_DIM_BALANCE = 9000
+
+
+def _bloom_dim_join(spark, sf):
+    """Bloom-prefiltered selective-dim join: plan differs (fact rows
+    drop before the shuffle), answer provably identical to the plain
+    join — which is what the plain-join oracle checks."""
+    from hive_exporter_spark.operators.bloom import bloom_prefiltered_join
+
+    orders = _t(spark, sf, "orders")
+    dim = (_t(spark, sf, "customer")
+           .where(F.col("c_acctbal") > BLOOM_DIM_BALANCE)
+           .select(F.col("c_custkey").alias("o_custkey"), "c_name"))
+    return bloom_prefiltered_join(orders, dim, "o_custkey").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_name")
+
+
 SAMPLE_FIXED_N = 20
 
 
@@ -695,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stratified_sample": _stratified_sample,
         "events_stratified_sample_hash": _stratified_sample_hash,
         "events_sample_fixed_n": _sample_fixed_n,
+        "orders_bloom_dim_join": _bloom_dim_join,
         "orders_snapshot_diff": _snapshot_diff,
         "user_event_scd2": _scd2,
         "value_histogram": _histogram,
@@ -830,6 +848,11 @@ def oracle_sql() -> dict[str, str]:
                       f"WHEN '{s}' THEN {float(fr)}"
                       for s, fr in sorted(SAMPLE_FRACTIONS.items()))}
                     ELSE 0.0 END
+        """,
+        "orders_bloom_dim_join": f"""
+            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_acctbal > {BLOOM_DIM_BALANCE}
         """,
         "events_sample_fixed_n": f"""
             SELECT event_type, event_id, user_id, sample_rank

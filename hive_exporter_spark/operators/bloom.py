@@ -194,3 +194,40 @@ def bloom_probe_join(values: DataFrame, bitmap: DataFrame, col: str,
         hits.groupBy(col)
         .agg((F.sum("__hit") == F.lit(n_hashes)).alias(flag_col))
     )
+
+
+def bloom_prefiltered_join(fact: DataFrame, dim: DataFrame, key: str,
+                           fpp: float = 0.01) -> DataFrame:
+    """Inner-join a huge fact side to a SELECTIVE dim side with a
+    Bloom prefilter: build the filter from dim's distinct keys (one
+    dim-sized pass), drop fact rows that cannot match BEFORE the join
+    — the classic shuffle-pruning move when the dim is too big or the
+    join too complex for a plain broadcast to win, and the manual,
+    engine-portable twin of Spark's AQE runtime bloom
+    (spark.sql.optimizer.runtime.bloomFilter.*, which Catalyst only
+    injects under its own selectivity heuristics).
+
+    Because every true match survives the filter (no false negatives)
+    and the confirming join removes the false positives, the result
+    is EXACTLY the plain join — the bloom changes the plan, never the
+    answer, which is why the composed query stays oracle-checkable
+    with plain-join SQL even though the filter hashes with xxhash64.
+
+    The filter is sized from dim's distinct-key count for the target
+    fpp and embedded as one binary literal in a codegen expression
+    (`bloom_contains`): the fact side pays j hash+mask ops per row,
+    no extra join, no shuffle. Requires the sized filter to fit the
+    literal-probe ceiling — selective dims by definition do; for
+    jumbo filters compose `bloom_probe_join` instead.
+    """
+    keys = dim.select(key).distinct()
+    n = keys.count()
+    m_bits, n_hashes = bloom_sizing(n, fpp)
+    if m_bits > LITERAL_PROBE_MAX_BITS:
+        raise ValueError(
+            f"dim has {n} distinct keys -> m={m_bits} bits exceeds the "
+            f"literal ceiling {LITERAL_PROBE_MAX_BITS}; use "
+            "bloom_probe_join for filters this large")
+    dense = collect_bloom(bloom_bitmap(keys, key, m_bits, n_hashes), m_bits)
+    pre = fact.where(bloom_contains(F.col(key), dense, m_bits, n_hashes))
+    return pre.join(dim, key)

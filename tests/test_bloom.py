@@ -154,3 +154,33 @@ def test_bloom_sizing_textbook_values():
     assert (m, j) == (64, 1)
     m, j = bloom_sizing(1000, 0.5)
     assert j >= 1 and m % 64 == 0
+
+
+def test_bloom_prefiltered_join_exact_and_selective(spark, sf_dir):
+    """The bloom-prefiltered join must return EXACTLY the plain join
+    (no false negatives, join kills false positives), and the
+    prefilter must actually drop most non-matching fact rows."""
+    from hive_exporter_spark.operators.bloom import (
+        bloom_contains, bloom_bitmap, bloom_prefiltered_join,
+        bloom_sizing, collect_bloom)
+    from hive_exporter_spark.sources.files import read_table
+    from pyspark.sql import functions as F
+
+    orders = read_table(spark, sf_dir, "orders")
+    dim = (read_table(spark, sf_dir, "customer")
+           .where(F.col("c_acctbal") > 9000)
+           .select(F.col("c_custkey").alias("o_custkey"), "c_name"))
+    got = bloom_prefiltered_join(orders, dim, "o_custkey")
+    want = orders.join(dim, "o_custkey")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # selectivity: the prefilter keeps ~|matches| + fpp*|rest|
+    keys = dim.select("o_custkey").distinct()
+    m, j = bloom_sizing(keys.count(), 0.01)
+    dense = collect_bloom(bloom_bitmap(keys, "o_custkey", m, j), m)
+    kept = orders.where(
+        bloom_contains(F.col("o_custkey"), dense, m, j)).count()
+    matched = orders.join(keys, "o_custkey").count()
+    total = orders.count()
+    assert kept < total * 0.25 + matched  # dropped the bulk pre-shuffle
+    assert kept >= matched
