@@ -872,6 +872,15 @@ def topk_per_group(df: DataFrame, group_cols: list, order_cols: list,
     end in a unique tiebreaker (same contract as global_rank) so the
     result is deterministic. `salt_col` defaults to a hash of the
     tiebreaker (the LAST order column).
+
+    Measured honesty (SCALE.md r4c): for a CONSTANT k Spark 4's own
+    `WindowGroupLimitExec` inserts a map-side partial top-k under the
+    plain ranking window, so the two formulations tie even on a
+    97%-hot fixture (1.48 s vs 1.43 s at 8M rows). The hand-rolled
+    two-phase stays the portable safety net — and becomes the ONLY
+    scale-safe exact form when the limit is a COLUMN (per-group
+    quotas, see pipeline.quality_prune_topp), where WindowGroupLimit
+    cannot fire (verified absent; naive 25.3 s vs two-phase 16.9 s).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1 (got {k})")
