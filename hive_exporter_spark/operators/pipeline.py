@@ -1682,3 +1682,92 @@ ORACLES["curation_funnel_report"] = f"""
         SELECT 4, 'decontamination', ns, nc FROM counts
     )
 """
+
+
+TOKEN_NGRAM_N = 13  # GPT-3 appx C: 13-gram eval decontamination
+
+
+def ngram_contamination_tokens(documents: DataFrame,
+                               n: int = TOKEN_NGRAM_N) -> DataFrame:
+    """Token-level n-gram decontamination — the GPT-3 appendix-C
+    standard (13-token grams, stride 1) beside the char-shingle
+    variant: token grams are tokenizer-aligned, so they catch eval
+    rows that survive whitespace/punctuation reflow, which fixed
+    char windows can miss.
+
+    Same broadcast-probe shape as `ngram_contamination`: the bench
+    side (``source = BENCH_SOURCE``) collapses to distinct gram
+    hashes and broadcasts; the training side pays one map-side gram
+    build (a transform over a STORED token array — each gram hashed
+    once) and one per-doc aggregate. Docs shorter than n tokens
+    contribute their whole token sequence as one gram, so short eval
+    rows still decontaminate.
+    """
+    from hive_exporter_spark.operators.llm import tokens_col
+
+    toked = documents.select("doc_id", "source",
+                             tokens_col().alias("__tk"))
+    n_tok = F.size("__tk")
+    grams = toked.select(
+        "doc_id", "source",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.greatest(n_tok - (n - 1), F.lit(1))),
+            lambda i: F.md5(F.concat_ws(
+                " ", F.slice("__tk", i, n))),
+        )).alias("h"),
+    )
+    bench = (grams.where(F.col("source") == BENCH_SOURCE)
+             .select("h").distinct().withColumn("in_bench", F.lit(1)))
+    train = grams.where(F.col("source") != BENCH_SOURCE)
+    return (
+        train.join(F.broadcast(bench), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_grams"),
+            F.countDistinct(F.when(F.col("in_bench") == 1, F.col("h")))
+            .alias("n_contaminated"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_contaminated",
+            F.round(F.col("n_contaminated").cast("double")
+                    / F.col("n_grams"), 6).alias("contamination_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_contamination_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    return ngram_contamination_tokens(read_table(spark, sf, "documents"))
+
+
+QUERIES["ngram_contamination_tokens"] = _q_contamination_tokens
+
+_TOKS = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+         " t -> t <> '')")
+ORACLES["ngram_contamination_tokens"] = f"""
+    WITH toked AS (
+        SELECT doc_id, source, {_TOKS} AS tk FROM documents
+    ), grams AS (
+        SELECT doc_id, source,
+               md5(array_to_string(
+                   list_slice(tk, CAST(i AS INTEGER),
+                              CAST(i AS INTEGER) + {TOKEN_NGRAM_N - 1}),
+                   ' ')) AS h
+        FROM toked,
+             LATERAL (SELECT unnest(generate_series(
+                 1, GREATEST(len(tk) - {TOKEN_NGRAM_N - 1}, 1))) AS i)
+    ), bench AS (
+        SELECT DISTINCT h FROM grams WHERE source = '{BENCH_SOURCE}'
+    )
+    SELECT doc_id,
+           COUNT(DISTINCT h) AS n_grams,
+           COUNT(DISTINCT CASE WHEN h IN (SELECT h FROM bench)
+                               THEN h END) AS n_contaminated,
+           round(CAST(COUNT(DISTINCT CASE WHEN h IN (SELECT h FROM bench)
+                                          THEN h END) AS DOUBLE)
+                 / COUNT(DISTINCT h), 6) AS contamination_rate
+    FROM grams
+    WHERE source <> '{BENCH_SOURCE}'
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""

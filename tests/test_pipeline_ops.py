@@ -509,3 +509,30 @@ def test_curation_funnel_report_is_consistent_with_pipeline(spark, sf_dir):
     packed_docs = (curation_pipeline(docs)
                    .select("doc_id").distinct().count())
     assert rows[4]["rows_out"] == packed_docs
+
+
+def test_ngram_contamination_tokens_catches_reflowed_copy(spark):
+    """A benchmark row copied into training with collapsed whitespace
+    and changed punctuation must still read ~fully contaminated at
+    token level (char windows would shift), while an unrelated doc
+    reads zero; short docs fall back to whole-sequence grams."""
+    from hive_exporter_spark.operators.pipeline import (
+        ngram_contamination_tokens)
+
+    bench_text = " ".join(f"w{i}" for i in range(30))
+    reflowed = "  " + bench_text.replace(" ", ",  ", 3) + " tail"
+    rows = [
+        (1, bench_text, "en", "src0", len(bench_text)),   # benchmark
+        (2, reflowed, "en", "src1", len(reflowed)),       # sneaky copy
+        (3, " ".join(f"z{i}" for i in range(30)), "en", "src1", 100),
+        (4, "tiny doc", "en", "src1", 8),                 # < 13 tokens
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    got = {r["doc_id"]: r for r in
+           ngram_contamination_tokens(docs).collect()}
+    assert 1 not in got                      # bench side excluded
+    assert got[2]["contamination_rate"] > 0.5, got[2]
+    assert got[3]["contamination_rate"] == 0.0
+    assert got[4]["n_grams"] == 1            # whole-doc gram
