@@ -637,3 +637,55 @@ def read_f2_state(spark: SparkSession, sums_dir: str,
     dedup = (raw.groupBy("epoch_id", *gcols, "i")
              .agg(F.max("xi").alias("xi")))
     return dedup.groupBy(*gcols, "i").agg(F.sum("xi").alias("xi"))
+
+
+def compact_hll_registers(spark: SparkSession, src_dir: str,
+                          dst_dir: str,
+                          group_cols: Sequence[str] = ("event_type",)) -> int:
+    """Blue/green compaction for the append-only HLL register table:
+    max-merge every appended batch into one row per (group, bucket)
+    and write to a NEW directory. The source dir is left intact —
+    the caller switches read paths after success (a same-dir rewrite
+    has a crash window where partially-deleted history double-counts
+    or vanishes; two dirs make every step atomic-or-harmless). Safe
+    at any time: max-merge is idempotent, so even a concurrent
+    late append to the old dir only costs re-compacting it later.
+    Returns the compacted row count."""
+    merged = read_hll_registers(spark, src_dir, group_cols)
+    merged.write.mode("overwrite").parquet(dst_dir)
+    return spark.read.parquet(dst_dir).count()
+
+
+COMPACTED_EPOCH = -1  # reserved: never a real foreachBatch epoch id
+
+
+def compact_f2_state(spark: SparkSession, src_dir: str, dst_dir: str,
+                     group_cols: Sequence[str] = ("event_type",)) -> int:
+    """Blue/green compaction for the additive AMS state. Additive
+    merges can't just collapse everything the way max-merge can:
+    Structured Streaming may re-deliver the NEWEST epoch after a
+    restart (it's the one whose sink write can race the checkpoint
+    commit), and a replayed epoch can only be collapsed by the
+    reader's (epoch, group, i) dedup if its raw rows are still
+    distinguishable. So compaction folds every epoch EXCEPT the
+    newest into one aggregate row per (group, i) stamped with the
+    reserved epoch COMPACTED_EPOCH = -1 (never a real epoch, so it
+    can never collide), and copies the newest epoch's rows through
+    verbatim. Result: reads are identical, a replay of the newest
+    epoch still dedups exactly, and state shrinks to
+    |groups|·r + one epoch's rows. Old dir untouched (blue/green —
+    a same-dir rewrite has a crash window); caller switches paths.
+    Returns the compacted row count."""
+    raw = spark.read.parquet(src_dir)
+    gcols = list(group_cols)
+    dedup = (raw.groupBy("epoch_id", *gcols, "i")
+             .agg(F.max("xi").alias("xi")))
+    max_epoch = dedup.agg(F.max("epoch_id")).collect()[0][0]
+    newest = dedup.where(F.col("epoch_id") == max_epoch)
+    folded = (dedup.where(F.col("epoch_id") != max_epoch)
+              .groupBy(*gcols, "i").agg(F.sum("xi").alias("xi"))
+              .withColumn("epoch_id", F.lit(COMPACTED_EPOCH)))
+    out = folded.select("epoch_id", *gcols, "i", "xi").unionByName(
+        newest.select("epoch_id", *gcols, "i", "xi"))
+    out.write.mode("overwrite").parquet(dst_dir)
+    return spark.read.parquet(dst_dir).count()

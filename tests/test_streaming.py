@@ -463,3 +463,69 @@ def test_f2_sketch_stream_matches_batch_sketch(spark, tmp_path):
     replay = read_f2_state(spark, sums_dir)
     assert replay.exceptAll(batch).count() == 0
     assert batch.exceptAll(replay).count() == 0
+
+
+def test_compaction_preserves_reads_and_replay_idempotence(spark, tmp_path):
+    """Compacting HLL registers and F2 sums into fresh dirs must leave
+    every read result identical, shrink the row count, and — for the
+    additive F2 state — still collapse a replay of the NEWEST epoch
+    (the only one Structured Streaming can re-deliver)."""
+    from hive_exporter_spark.operators.sketches import (
+        ams_estimate, hll_estimate)
+    from hive_exporter_spark.streaming.streams import (
+        compact_f2_state, compact_hll_registers, f2_sketch_stream,
+        distinct_users_stream_hll, read_f2_state, read_hll_registers)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    schema = "user_id long, event_type string"
+    batches = [
+        [(u, "click") for u in range(50)],
+        [(u % 7, "click") for u in range(80)],
+        [(u, "view") for u in range(40)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}"))
+    regs, sums = str(tmp_path / "regs"), str(tmp_path / "sums")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(src) + "/*"))
+    q1 = distinct_users_stream_hll(stream, regs, str(tmp_path / "c1"))
+    q1.processAllAvailable(); q1.stop()
+    stream2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1").parquet(str(src) + "/*"))
+    q2 = f2_sketch_stream(stream2, sums, str(tmp_path / "c2"))
+    q2.processAllAvailable(); q2.stop()
+
+    # --- HLL: compact, reads identical, rows not larger
+    regs2 = str(tmp_path / "regs_compact")
+    n = compact_hll_registers(spark, regs, regs2)
+    before = hll_estimate(read_hll_registers(spark, regs),
+                          ["event_type"]).collect()
+    after = hll_estimate(read_hll_registers(spark, regs2),
+                         ["event_type"]).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    assert n <= spark.read.parquet(regs).count()
+
+    # --- F2: compact, reads identical, rows strictly fewer
+    sums2 = str(tmp_path / "sums_compact")
+    n2 = compact_f2_state(spark, sums, sums2)
+    b = {(r["event_type"], r["est_f2"]) for r in
+         ams_estimate(read_f2_state(spark, sums), ["event_type"]).collect()}
+    a = {(r["event_type"], r["est_f2"]) for r in
+         ams_estimate(read_f2_state(spark, sums2), ["event_type"]).collect()}
+    assert a == b
+    assert n2 < spark.read.parquet(sums).count()
+
+    # --- replay of the newest epoch into the COMPACTED dir must be a
+    # no-op for reads (epoch rows were preserved verbatim).
+    raw = spark.read.parquet(sums)
+    from pyspark.sql import functions as F
+    max_epoch = raw.agg(F.max("epoch_id")).collect()[0][0]
+    raw.where(F.col("epoch_id") == max_epoch).write.mode(
+        "append").parquet(sums2)
+    replayed = {(r["event_type"], r["est_f2"]) for r in
+                ams_estimate(read_f2_state(spark, sums2),
+                             ["event_type"]).collect()}
+    assert replayed == b
