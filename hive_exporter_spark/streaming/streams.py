@@ -562,10 +562,22 @@ def read_token_topk(spark: SparkSession, summary_dir: str,
     """Current top-k tokens with [cnt_lo, cnt_hi] bounds from an
     append-only summary dir (the read half of `token_topk_stream`).
     Replayed epochs collapse via the (epoch_id, token) max before any
-    addition. The whole computation runs on summary-sized state."""
-    raw = spark.read.parquet(summary_dir)
+    addition. The whole computation runs on summary-sized state.
+
+    Compacted dirs (`compact_token_topk`) carry an extra `covered`
+    column on folded token rows — the sum of thresholds of the folded
+    epochs in which the token actually appeared. The error budget must
+    use THAT, not the folded pseudo-epoch's total threshold: crediting
+    a token with the whole folded threshold would silently tighten
+    (i.e. invalidate) cnt_hi for tokens absent from some folded epoch.
+    Raw rows have no such column; mergeSchema + coalesce handles both.
+    """
+    raw = spark.read.option("mergeSchema", "true").parquet(summary_dir)
+    if "covered" not in raw.columns:
+        raw = raw.withColumn("covered", F.lit(None).cast("long"))
     dedup = (raw.groupBy("epoch_id", "token", "is_thr")
-             .agg(F.max("cnt").alias("cnt")))
+             .agg(F.max("cnt").alias("cnt"),
+                  F.max("covered").alias("covered")))
     thr = (dedup.where(F.col("is_thr"))
            .select("epoch_id", F.col("cnt").alias("thr")))
     total = thr.agg(F.sum("thr").alias("total_thr"))
@@ -574,7 +586,8 @@ def read_token_topk(spark: SparkSession, summary_dir: str,
         .join(thr, "epoch_id", "left")
         .groupBy("token")
         .agg(F.sum("cnt").alias("cnt_lo"),
-             F.sum(F.coalesce(F.col("thr"), F.lit(0))).alias("__covered"))
+             F.sum(F.coalesce(F.col("covered"), F.col("thr"), F.lit(0)))
+             .alias("__covered"))
     )
     return (
         per_token.crossJoin(F.broadcast(total))
@@ -687,5 +700,57 @@ def compact_f2_state(spark: SparkSession, src_dir: str, dst_dir: str,
               .withColumn("epoch_id", F.lit(COMPACTED_EPOCH)))
     out = folded.select("epoch_id", *gcols, "i", "xi").unionByName(
         newest.select("epoch_id", *gcols, "i", "xi"))
+    out.write.mode("overwrite").parquet(dst_dir)
+    return spark.read.parquet(dst_dir).count()
+
+
+def compact_token_topk(spark: SparkSession, src_dir: str,
+                       dst_dir: str) -> int:
+    """Blue/green compaction for the heavy-hitter summary table —
+    same newest-epoch-preserved protocol as `compact_f2_state`
+    (counts and thresholds merge by addition): all older epochs fold
+    into reserved-epoch aggregate rows, the newest epoch's rows copy
+    through verbatim so its possible replay still dedups.
+
+    The subtle part is the error budget: a folded token row must
+    remember the thresholds of the folded epochs it APPEARED in
+    (`covered` column) — under the folded pseudo-epoch's total
+    threshold alone, a token absent from one folded epoch would get
+    that epoch's threshold credited as covered and its cnt_hi bound
+    would silently undershoot the truth (caught by the bound-equality
+    test). Reads via `read_token_topk` are bit-identical; state
+    shrinks to ~(distinct tokens ever reported) + m+1 rows."""
+    raw = spark.read.option("mergeSchema", "true").parquet(src_dir)
+    if "covered" not in raw.columns:
+        raw = raw.withColumn("covered", F.lit(None).cast("long"))
+    dedup = (raw.groupBy("epoch_id", "token", "is_thr")
+             .agg(F.max("cnt").alias("cnt"),
+                  F.max("covered").alias("covered")))
+    max_epoch = dedup.agg(F.max("epoch_id")).collect()[0][0]
+    newest = dedup.where(F.col("epoch_id") == max_epoch)
+    old = dedup.where(F.col("epoch_id") != max_epoch)
+    thr = (old.where(F.col("is_thr"))
+           .select("epoch_id", F.col("cnt").alias("thr")))
+    folded_tokens = (
+        old.where(~F.col("is_thr"))
+        .join(thr, "epoch_id", "left")
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("cnt"),
+             F.sum(F.coalesce(F.col("covered"), F.col("thr"), F.lit(0)))
+             .alias("covered"))
+        .select(F.lit(COMPACTED_EPOCH).alias("epoch_id"), "token",
+                "cnt", F.lit(False).alias("is_thr"), "covered")
+    )
+    folded_thr = (
+        thr.agg(F.coalesce(F.sum("thr"), F.lit(0)).alias("cnt"))
+        .select(F.lit(COMPACTED_EPOCH).alias("epoch_id"),
+                F.lit(None).cast("string").alias("token"), "cnt",
+                F.lit(True).alias("is_thr"),
+                F.lit(None).cast("long").alias("covered"))
+    )
+    cols = ["epoch_id", "token", "cnt", "is_thr", "covered"]
+    out = (folded_tokens.select(*cols)
+           .unionByName(folded_thr.select(*cols))
+           .unionByName(newest.select(*cols)))
     out.write.mode("overwrite").parquet(dst_dir)
     return spark.read.parquet(dst_dir).count()

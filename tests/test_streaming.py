@@ -529,3 +529,35 @@ def test_compaction_preserves_reads_and_replay_idempotence(spark, tmp_path):
                 ams_estimate(read_f2_state(spark, sums2),
                              ["event_type"]).collect()}
     assert replayed == b
+
+
+def test_compact_token_topk_preserves_bounds(spark, tmp_path):
+    """Heavy-hitter compaction: top-k rows, lo and hi bounds all
+    identical through compaction; row count shrinks."""
+    from hive_exporter_spark.streaming.streams import (
+        compact_token_topk, read_token_topk, token_topk_stream)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    for i, docs in enumerate([
+        [(j, "alpha beta " + f"r{j}") for j in range(20)],
+        [(100 + j, "alpha gamma " + f"s{j}") for j in range(15)],
+        [(200 + j, "beta gamma delta") for j in range(10)],
+    ]):
+        spark.createDataFrame(docs, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}"))
+    summary = str(tmp_path / "summary")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(src) + "/*"))
+    q = token_topk_stream(stream, summary, str(tmp_path / "chk"), m=4)
+    q.processAllAvailable(); q.stop()
+
+    before = [(r["token"], r["cnt_lo"], r["cnt_hi"])
+              for r in read_token_topk(spark, summary, k=8).collect()]
+    compacted = str(tmp_path / "summary_compact")
+    n = compact_token_topk(spark, summary, compacted)
+    after = [(r["token"], r["cnt_lo"], r["cnt_hi"])
+             for r in read_token_topk(spark, compacted, k=8).collect()]
+    assert after == before
+    assert n < spark.read.parquet(summary).count()
