@@ -606,3 +606,114 @@ ORACLES["event_anomaly_mad"] = f"""
     FROM dev JOIN mad USING (event_type)
     ORDER BY day, dev.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Time-bounded funnel (conversion within a horizon)
+# ---------------------------------------------------------------------------
+
+FUNNEL_WITHIN_SECONDS = 7 * 86400
+
+
+def conversion_funnel_within(events: DataFrame,
+                             steps: tuple = FUNNEL_STEPS,
+                             within_seconds: int = FUNNEL_WITHIN_SECONDS
+                             ) -> DataFrame:
+    """Funnel with a conversion horizon: step k counts only if it
+    happens AFTER step k-1's matched event and within
+    `within_seconds` of the user's anchor (first step-0 event) — the
+    product-analytics "converted within 7 days" question, which the
+    unbounded `conversion_funnel` cannot answer (it happily credits a
+    purchase a year after signup).
+
+    Semantics are greedy first-touch anchoring (the default in
+    product-analytics tools): the anchor is the user's first step-0
+    event, and each step matches its earliest occurrence after the
+    previous match inside the horizon. The step-k time is a window
+    min whose predicate references step k-1's window min — a chain of
+    Window projections over the SAME user_id partitioning, which
+    Spark executes with ONE exchange and k in-partition passes (no
+    join per step, no re-shuffle; NULL propagates down the chain
+    structurally because a NULL t_{k-1} nulls the predicate). The
+    final tally aggregates one collapsed row per user.
+    """
+    w = Window.partitionBy("user_id")
+    horizon = F.expr(f"INTERVAL {int(within_seconds)} SECONDS")
+    df = events.select("user_id", "event_type", "ts")
+    df = df.withColumn("__t0", F.min(
+        F.when(F.col("event_type") == steps[0], F.col("ts"))).over(w))
+    for i in range(1, len(steps)):
+        cond = (
+            (F.col("event_type") == steps[i])
+            & (F.col("ts") >= F.col(f"__t{i - 1}"))
+            & (F.col("ts") <= F.col("__t0") + horizon)
+        )
+        df = df.withColumn(f"__t{i}",
+                           F.min(F.when(cond, F.col("ts"))).over(w))
+    per_user = df.groupBy("user_id").agg(*[
+        F.first(f"__t{i}").alias(f"__t{i}") for i in range(len(steps))
+    ])
+    depth = F.lit(0)
+    for i in range(len(steps)):
+        depth = F.when(F.col(f"__t{i}").isNotNull(), i + 1).otherwise(depth)
+    step_names = F.array(*[F.lit(s) for s in steps])
+    return (
+        per_user.withColumn("funnel_depth", depth)
+        .where(F.col("funnel_depth") >= 1)
+        .select(F.explode(F.sequence(F.lit(1), F.col("funnel_depth")))
+                .alias("step_no"))
+        .groupBy("step_no")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .withColumn("step_name", F.element_at(step_names, F.col("step_no")))
+        .select("step_no", "step_name", "n_users")
+        .orderBy("step_no")
+    )
+
+
+def _q_funnel_within(spark, sf):
+    return conversion_funnel_within(read_table(spark, sf, "events"))
+
+
+QUERIES["conversion_funnel_within"] = _q_funnel_within
+
+
+def _funnel_within_sql(steps=FUNNEL_STEPS,
+                       within=FUNNEL_WITHIN_SECONDS) -> str:
+    ctes = [f"""u0 AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = '{steps[0]}' THEN ts END) AS t0
+        FROM events GROUP BY user_id
+    )"""]
+    for i in range(1, len(steps)):
+        prev = f"u{i - 1}"
+        ts_cols = ", ".join(
+            f"ANY_VALUE({prev}.t{j}) AS t{j}" for j in range(i))
+        ctes.append(f"""u{i} AS (
+        SELECT e.user_id, {ts_cols},
+               MIN(CASE WHEN e.event_type = '{steps[i]}'
+                         AND e.ts >= {prev}.t{i - 1}
+                         AND e.ts <= {prev}.t0
+                             + INTERVAL {within} SECOND
+                    THEN e.ts END) AS t{i}
+        FROM events e JOIN {prev} USING (user_id)
+        GROUP BY e.user_id
+    )""")
+    last = f"u{len(steps) - 1}"
+    depth = "CASE " + " ".join(
+        f"WHEN t{i} IS NOT NULL THEN {i + 1}"
+        for i in range(len(steps) - 1, -1, -1)) + " ELSE 0 END"
+    names = ", ".join(f"({i + 1}, '{s}')" for i, s in enumerate(steps))
+    return f"""
+    WITH {", ".join(ctes)},
+    depths AS (SELECT {depth} AS funnel_depth FROM {last}),
+    steps(step_no, step_name) AS (VALUES {names})
+    SELECT step_no, step_name,
+           (SELECT COUNT(*) FROM depths
+            WHERE funnel_depth >= step_no) AS n_users
+    FROM steps
+    WHERE (SELECT COUNT(*) FROM depths WHERE funnel_depth >= step_no) > 0
+    ORDER BY step_no
+    """
+
+
+ORACLES["conversion_funnel_within"] = _funnel_within_sql()

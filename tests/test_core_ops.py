@@ -364,3 +364,38 @@ def test_sample_fixed_n_exact_quota_and_determinism(spark, sf_dir):
             .select("event_id", md5_int40("event_id").alias("h"))
             .orderBy("h", "event_id").limit(15).collect()]
     assert per[t0] == set(want)
+
+
+def test_conversion_funnel_within_horizon_cuts_late_conversions(spark):
+    """User A converts fully inside the horizon; user B's purchase
+    lands after the 7-day horizon (counted by the unbounded funnel,
+    not by the windowed one); user C acts out of order."""
+    import datetime as dt
+
+    from hive_exporter_spark.operators.sessions import (
+        conversion_funnel, conversion_funnel_within)
+
+    t = lambda d, h=0: dt.datetime(2026, 1, 1 + d, h)  # noqa: E731
+    rows = [
+        # A: signup d0 -> view d1 -> click d2 -> purchase d3 (all in)
+        (1, t(0), "signup"), (1, t(1), "view"),
+        (1, t(2), "click"), (1, t(3), "purchase"),
+        # B: signup d0 -> view d1 -> click d2 -> purchase d20 (late)
+        (2, t(0), "signup"), (2, t(1), "view"),
+        (2, t(2), "click"), (2, t(20), "purchase"),
+        # C: view BEFORE signup only -> depth 1 (anchor exists, view
+        # never re-occurs after it)
+        (3, t(0), "view"), (3, t(1), "signup"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, ts, et, 0.0) for u, ts, et in rows],
+        "user_id long, ts timestamp, event_type string, value double")
+    bounded = {r["step_no"]: r["n_users"]
+               for r in conversion_funnel_within(ev).collect()}
+    unbounded = {r["step_no"]: r["n_users"]
+                 for r in conversion_funnel(ev).collect()}
+    assert bounded[1] == 3          # all three signed up
+    assert bounded[2] == 2          # A, B viewed in order within window
+    assert bounded[3] == 2
+    assert bounded.get(4, 0) == 1   # only A purchased inside horizon
+    assert unbounded.get(4, 0) == 2  # the unbounded funnel credits B
