@@ -717,3 +717,176 @@ def _funnel_within_sql(steps=FUNNEL_STEPS,
 
 
 ORACLES["conversion_funnel_within"] = _funnel_within_sql()
+
+
+# ---------------------------------------------------------------------------
+# First-order event transition matrix
+# ---------------------------------------------------------------------------
+
+def event_transition_matrix(events: DataFrame) -> DataFrame:
+    """Per-user first-order transition counts and probabilities:
+    P(next event type | current type) — the Markov view of user
+    behavior (what follows a signup? where do error loops sit?).
+
+    One lead() window over (user_id, ts, event_id) — a single
+    exchange — then a pair-count aggregate with map-side combine and
+    a broadcast of the per-source totals (|types|² table). Ties in
+    ts break on event_id, so the sequence (and thus every count) is
+    deterministic. Session boundaries are deliberately NOT applied:
+    compose over `sessionize`'s output to cut transitions at gaps.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("__next", F.lead("event_type").over(w))
+        .where(F.col("__next").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"),
+                 F.col("__next").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("__total"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select("from_type", "to_type", "n_transitions",
+                F.round(F.col("n_transitions").cast("double")
+                        / F.col("__total"), 6).alias("p_transition"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+def _q_transitions(spark, sf):
+    return event_transition_matrix(read_table(spark, sf, "events"))
+
+
+QUERIES["event_transition_matrix"] = _q_transitions
+
+ORACLES["event_transition_matrix"] = """
+    WITH seq AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+    ), pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               COUNT(*) AS n_transitions
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(n_transitions AS BIGINT) AS n_transitions,
+           round(CAST(n_transitions AS DOUBLE)
+                 / SUM(n_transitions) OVER (PARTITION BY from_type), 6)
+               AS p_transition
+    FROM pairs
+    ORDER BY from_type, to_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# RFM scoring
+# ---------------------------------------------------------------------------
+
+RFM_QS = (0.2, 0.4, 0.6, 0.8)
+
+
+def rfm_scores(events: DataFrame) -> DataFrame:
+    """Classic RFM segmentation: per-user Recency (days since last
+    activity, against the corpus max day so the query is
+    deterministic), Frequency (purchase count) and Monetary (exact
+    decimal purchase value), each scored 1–5 against the user
+    population's quintile thresholds. rfm = 100·R + 10·F + M.
+
+    Deliberately NOT NTILE: equal-size tiles need a total order over
+    all users in one task. Thresholds come from exact interpolated
+    percentiles of the (already user-aggregated, users ≪ events)
+    metric distributions — one tiny agg broadcast back — and scoring
+    is a map-only fold over the 4 thresholds, ties resolving to the
+    lower bucket identically in both engines (strict >). Recency
+    scores through its negation so 5 always means "best".
+    """
+    per_user = (
+        events.groupBy("user_id")
+        .agg(F.max("ts").alias("__last"),
+             F.sum(F.when(F.col("event_type") == "purchase", 1)
+                   .otherwise(0)).alias("frequency"),
+             dsum(F.when(F.col("event_type") == "purchase",
+                         F.col("value")).otherwise(F.lit(0.0)))
+             .alias("monetary"))
+    )
+    now = events.agg(F.max("ts").alias("__now"))
+    m = (per_user.crossJoin(F.broadcast(now))
+         .select(
+             "user_id",
+             F.datediff(F.col("__now").cast("date"),
+                        F.col("__last").cast("date")).alias("recency_days"),
+             "frequency",
+             F.coalesce(F.col("monetary").cast("double"), F.lit(0.0))
+             .alias("monetary")))
+    qs = ", ".join(str(q) for q in RFM_QS)
+    thr = m.agg(
+        F.expr(f"percentile(-recency_days, array({qs}))").alias("__tr"),
+        F.expr(f"percentile(frequency, array({qs}))").alias("__tf"),
+        F.expr(f"percentile(monetary, array({qs}))").alias("__tm"))
+
+    def score(value: F.Column, thr_col: str) -> F.Column:
+        return F.lit(1) + F.aggregate(
+            F.col(thr_col), F.lit(0),
+            lambda acc, t: acc + F.when(value > t, 1).otherwise(0))
+
+    scored = m.crossJoin(F.broadcast(thr)).select(
+        "user_id", "recency_days", "frequency", "monetary",
+        score(-F.col("recency_days"), "__tr").alias("r_score"),
+        score(F.col("frequency").cast("double"), "__tf").alias("f_score"),
+        score(F.col("monetary"), "__tm").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm", F.col("r_score") * 100 + F.col("f_score") * 10
+        + F.col("m_score")).orderBy("user_id")
+
+
+def _q_rfm(spark, sf):
+    return rfm_scores(read_table(spark, sf, "events"))
+
+
+QUERIES["rfm_scores"] = _q_rfm
+
+_RFM_QS_SQL = ", ".join(str(q) for q in RFM_QS)
+ORACLES["rfm_scores"] = f"""
+    WITH per_user AS (
+        SELECT user_id, MAX(ts) AS last_ts,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS frequency,
+               {dsum_sql("CASE WHEN event_type = 'purchase' "
+                         "THEN value ELSE 0.0 END")} AS monetary_d
+        FROM events GROUP BY user_id
+    ), m AS (
+        SELECT user_id,
+               date_diff('day', CAST(last_ts AS DATE),
+                         CAST((SELECT MAX(ts) FROM events) AS DATE))
+                   AS recency_days,
+               frequency,
+               COALESCE(CAST(monetary_d AS DOUBLE), 0.0) AS monetary
+        FROM per_user
+    ), thr AS (
+        SELECT quantile_cont(-recency_days, [{_RFM_QS_SQL}]) AS tr,
+               quantile_cont(CAST(frequency AS DOUBLE),
+                             [{_RFM_QS_SQL}]) AS tf,
+               quantile_cont(monetary, [{_RFM_QS_SQL}]) AS tm
+        FROM m
+    ), scored AS (
+        SELECT m.user_id, m.recency_days,
+               CAST(m.frequency AS BIGINT) AS frequency, m.monetary,
+               1 + len(list_filter(thr.tr, t -> -m.recency_days > t))
+                   AS r_score,
+               1 + len(list_filter(thr.tf,
+                                   t -> CAST(m.frequency AS DOUBLE) > t))
+                   AS f_score,
+               1 + len(list_filter(thr.tm, t -> m.monetary > t)) AS m_score
+        FROM m CROSS JOIN thr
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           r_score * 100 + f_score * 10 + m_score AS rfm
+    FROM scored
+    ORDER BY user_id
+"""

@@ -399,3 +399,52 @@ def test_conversion_funnel_within_horizon_cuts_late_conversions(spark):
     assert bounded[3] == 2
     assert bounded.get(4, 0) == 1   # only A purchased inside horizon
     assert unbounded.get(4, 0) == 2  # the unbounded funnel credits B
+
+
+def test_event_transition_matrix_rows_are_distributions(spark, sf_dir):
+    """Per-source probabilities sum to 1; counts are consistent with
+    a hand computation on a tiny crafted sequence."""
+    import datetime as dt
+
+    from hive_exporter_spark.operators.sessions import (
+        event_transition_matrix)
+    from hive_exporter_spark.sources.files import read_table
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, sf_dir, "events")
+    rows = event_transition_matrix(ev).collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["from_type"], 0.0)
+        per_src[r["from_type"]] += r["p_transition"]
+    assert all(abs(s - 1.0) < 1e-4 for s in per_src.values()), per_src
+    # crafted: a->b->b->a for one user
+    t = lambda i: dt.datetime(2026, 1, 1, i)  # noqa: E731
+    tiny = spark.createDataFrame(
+        [(1, t(0), 10, "a", 0.0), (1, t(1), 11, "b", 0.0),
+         (1, t(2), 12, "b", 0.0), (1, t(3), 13, "a", 0.0)],
+        "user_id long, ts timestamp, event_id long, event_type string, "
+        "value double")
+    got = {(r["from_type"], r["to_type"]): r["n_transitions"]
+           for r in event_transition_matrix(tiny).collect()}
+    assert got == {("a", "b"): 1, ("b", "b"): 1, ("b", "a"): 1}
+
+
+def test_rfm_scores_rank_heavy_buyers_highest(spark, sf_dir):
+    """Monotonicity: the user with max monetary must hold m_score 5;
+    a user with zero purchases holds f_score 1 and m_score 1; scores
+    stay in [1, 5] and rfm composes digits."""
+    from hive_exporter_spark.operators.sessions import rfm_scores
+    from hive_exporter_spark.sources.files import read_table
+
+    rows = rfm_scores(read_table(spark, sf_dir, "events")).collect()
+    assert rows
+    top_money = max(rows, key=lambda r: r["monetary"])
+    assert top_money["m_score"] == 5
+    for r in rows:
+        assert 1 <= r["r_score"] <= 5
+        assert 1 <= r["f_score"] <= 5
+        assert 1 <= r["m_score"] <= 5
+        assert r["rfm"] == r["r_score"] * 100 + r["f_score"] * 10 + r["m_score"]
+        if r["frequency"] == 0:
+            assert r["f_score"] == 1 and r["monetary"] == 0.0
