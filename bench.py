@@ -99,6 +99,11 @@ BENCH_QUERIES = [
     "events_sample_fixed_n",
     "quality_prune_threshold",
     "curation_funnel_report",
+    "ngram_contamination_tokens",
+    "orders_bloom_dim_join",
+    "conversion_funnel_within",
+    "event_transition_matrix",
+    "rfm_scores",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

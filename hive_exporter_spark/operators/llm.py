@@ -4374,3 +4374,111 @@ ORACLES["simhash_near_dup_pairs"] = f"""
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
     ORDER BY doc_a, doc_b
 """
+
+
+def near_dup_cluster_sizes(pairs: DataFrame) -> DataFrame:
+    """Duplicate-family size distribution: how many clusters of each
+    size the near-dup graph contains — the one-glance answer to "is
+    my corpus 2%% pairwise dups or one giant boilerplate blob?"
+    (cluster-size histograms also expose LSH banding gone wrong: a
+    too-loose threshold shows up as a single massive component).
+    Runs on the cluster table (graph-node-sized); the histogram
+    itself is two tiny aggregates."""
+    clusters = near_dup_clusters(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+            .orderBy("cluster_size"))
+
+
+def _q_cluster_sizes(spark, sf):
+    return near_dup_cluster_sizes(ngram_jaccard_pairs(_docs(spark, sf)))
+
+
+QUERIES["near_dup_cluster_sizes"] = _q_cluster_sizes
+
+ORACLES["near_dup_cluster_sizes"] = f"""
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM ({ORACLES["near_dup_clusters"]})
+        GROUP BY cluster_id
+    )
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+"""
+
+
+def embedding_drift(embeddings: DataFrame,
+                    label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Embedding-space drift monitor: per-label centroid shift between
+    two corpus slices (here: even vs odd vec_id, standing in for
+    yesterday's vs today's snapshot) — the embedding analog of
+    `token_drift_jsd`. A retrained or silently-updated encoder moves
+    every centroid at once; a data-mix shift moves specific labels.
+
+    Same exploded-centroid shape as `label_centroids`: one partial
+    aggregate per slice over (label, dim) — |labels|·|dims| rows of
+    exchange, means through the DECIMAL path — then a dim-level join
+    and one L2 fold per label. Everything after the scans is
+    centroid-sized.
+    """
+    from hive_exporter_spark.functions.aggs import davg
+
+    def centroid(df, name):
+        return (df.select(label_col,
+                          F.posexplode(vec_col).alias("dim", "val"))
+                .groupBy(label_col, "dim")
+                .agg(davg(F.col("val").cast("double")).alias(name)))
+
+    a = centroid(embeddings.where(F.col("vec_id") % 2 == 0), "mean_a")
+    b = centroid(embeddings.where(F.col("vec_id") % 2 == 1), "mean_b")
+    # The squared diffs are identical doubles in both engines, but a
+    # double SUM over dims is order-dependent — route it through a
+    # DECIMAL accumulator (order-independent, same trick as dsum).
+    sq = ((F.col("mean_a") - F.col("mean_b"))
+          * (F.col("mean_a") - F.col("mean_b"))).cast("decimal(38,18)")
+    return (
+        a.join(b, [label_col, "dim"])
+        .groupBy(label_col)
+        .agg(F.round(F.sqrt(F.sum(sq).cast("double")), 6).alias("l2_shift"),
+             F.count(F.lit(1)).alias("n_dims"))
+        .orderBy(label_col)
+    )
+
+
+def _q_embedding_drift(spark, sf):
+    return embedding_drift(_emb(spark, sf))
+
+
+QUERIES["embedding_drift"] = _q_embedding_drift
+
+ORACLES["embedding_drift"] = """
+    WITH ex AS (
+        SELECT vec_id, label, u.dim - 1 AS dim,
+               CAST(u.val AS DOUBLE) AS val
+        FROM embeddings,
+             unnest(list_transform(range(1, len(embedding) + 1),
+                    i -> {'dim': i, 'val': embedding[i]})) AS t(u)
+    ), a AS (
+        SELECT label, dim,
+               CAST(CAST(SUM(CAST(val AS DECIMAL(28,6))) AS DOUBLE)
+                    / COUNT(val) AS DOUBLE) AS mean_a
+        FROM ex WHERE vec_id % 2 = 0 GROUP BY label, dim
+    ), b AS (
+        SELECT label, dim,
+               CAST(CAST(SUM(CAST(val AS DECIMAL(28,6))) AS DOUBLE)
+                    / COUNT(val) AS DOUBLE) AS mean_b
+        FROM ex WHERE vec_id % 2 = 1 GROUP BY label, dim
+    )
+    SELECT a.label,
+           round(sqrt(CAST(SUM(CAST((mean_a - mean_b) * (mean_a - mean_b)
+                                    AS DECIMAL(38,18))) AS DOUBLE)), 6)
+               AS l2_shift,
+           CAST(COUNT(*) AS BIGINT) AS n_dims
+    FROM a JOIN b ON a.label = b.label AND a.dim = b.dim
+    GROUP BY a.label
+    ORDER BY a.label
+"""

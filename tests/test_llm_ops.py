@@ -1078,3 +1078,38 @@ def test_simhash_near_dup_pairs_rejects_bad_params(spark, docs):
         llm.simhash_near_dup_pairs(docs, max_hamming=4, bands=4)
     with pytest.raises(ValueError):
         llm.simhash_near_dup_pairs(docs, max_hamming=2, bands=5)
+
+
+def test_near_dup_cluster_sizes_histogram(spark):
+    """Three exact twins + a pair + singletons: the histogram must
+    show one size-3 cluster and one size-2 cluster (singletons are
+    not graph nodes)."""
+    base = ("spark table join merge window filter group sort agg key "
+            "batch stream row column value hash scan part order dup")
+    other = " ".join(f"p{j} q{j} r{j}" for j in range(8))
+    rows = [(i, base + " triple", ) for i in (1, 2, 3)]
+    rows += [(i, other + " couple") for i in (10, 11)]
+    rows += [(20, " ".join(f"x{j} y{j}" for j in range(15)))]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r["cluster_size"]: r["n_clusters"] for r in
+           llm.near_dup_cluster_sizes(
+               llm.ngram_jaccard_pairs(docs)).collect()}
+    assert got == {3: 1, 2: 1}
+
+
+def test_embedding_drift_detects_shifted_label(spark, emb):
+    """Shift ONE label's odd-half vectors by a constant: that label's
+    l2_shift must exceed every other label's by a wide margin."""
+    from pyspark.sql import functions as F
+
+    shifted = emb.withColumn(
+        "embedding",
+        F.when((F.col("label") == 0) & (F.col("vec_id") % 2 == 1),
+               F.transform("embedding", lambda v: v + F.lit(3.0)))
+        .otherwise(F.col("embedding")))
+    rows = {r["label"]: r["l2_shift"]
+            for r in llm.embedding_drift(shifted).collect()}
+    others = [v for k, v in rows.items() if k != 0]
+    assert rows[0] > 5 * max(others), rows
