@@ -468,3 +468,48 @@ def test_bpe_apply_corpus_side_is_broadcast_join(t):
     df = _llm.bpe_apply(docs, _llm.bpe_train(docs, 2))
     assert plans.has_broadcast_join(df)
     assert plans.sort_merge_join_count(df) == 0, plans.formatted_plan(df)
+
+
+def test_funnel_within_single_user_exchange(t):
+    """The chained step mins must share ONE user_id exchange (k window
+    passes, no join per step): exchanges = user window + final tally
+    shuffle + sort, and zero sort-merge joins."""
+    from hive_exporter_spark.operators import sessions as sess
+
+    df = sess.conversion_funnel_within(t("events"))
+    assert plans.sort_merge_join_count(df) == 0, plans.formatted_plan(df)
+    assert plans.num_exchanges(df) <= 4, plans.formatted_plan(df)
+
+
+def test_rfm_no_global_window_thresholds_broadcast(t):
+    """RFM must not rank users through a global window; the quintile
+    thresholds and the 'now' scalar arrive by broadcast."""
+    from hive_exporter_spark.operators import sessions as sess
+
+    df = sess.rfm_scores(t("events"))
+    plan = plans.formatted_plan(df)
+    import re
+    assert not re.search(r"Window.*partitionBy=\[\]", plan)
+    # single-row scalar sides arrive as BroadcastNestedLoopJoin (the
+    # crossJoin of the 'now' scalar and the threshold row), never a
+    # data-sized shuffle join
+    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan
+    assert plans.sort_merge_join_count(df) == 0, plan
+
+
+def test_bloom_prefiltered_join_filters_before_join(t):
+    """The bloom membership test must sit on the fact side BELOW the
+    join (a Filter containing the bitmap probe), so pruned rows never
+    reach the exchange."""
+    from pyspark.sql import functions as F
+
+    from hive_exporter_spark.operators.bloom import bloom_prefiltered_join
+
+    orders = t("orders")
+    dim = (t("customer").where(F.col("c_acctbal") > 9000)
+           .select(F.col("c_custkey").alias("o_custkey"), "c_name"))
+    df = bloom_prefiltered_join(orders, dim, "o_custkey")
+    plan = plans.formatted_plan(df)
+    assert "xxhash64" in plan  # the probe expression is in the plan
+    assert plans.has_broadcast_join(df) or \
+        plans.sort_merge_join_count(df) <= 1
