@@ -879,8 +879,19 @@ def ams_sums(df: DataFrame, key_col: str,
         df.where(F.col(key_col).isNotNull())
         .groupBy(*gcols, key_col)
         .agg(F.count(F.lit(1)).alias("__cnt"))
-        .withColumn("__x", _cms_base28(F.col(key_col).cast("string")))
     )
+    return ams_sums_from_counts(wc, key_col, gcols, r)
+
+
+def ams_sums_from_counts(wc: DataFrame, key_col: str,
+                         group_cols: Sequence[str],
+                         r: int = AMS_R) -> DataFrame:
+    """Sketch from an ALREADY-AGGREGATED (group, key, __cnt) table —
+    the shared-scan entry point: callers that also need the exact
+    counts (`ams_f2`, `ams_join_size`) build the wordcount once,
+    checkpoint it, and feed both consumers."""
+    gcols = list(group_cols)
+    wc = wc.withColumn("__x", _cms_base28(F.col(key_col).cast("string")))
     branch = F.explode(F.array(*[
         F.struct(
             F.lit(i).alias("i"),
@@ -935,14 +946,15 @@ def ams_f2(df: DataFrame, key_col: str, group_cols: Sequence[str],
     exact-anchor-beside-sketch reporting as `cms_token_freq`. Both
     sides derive from one shared wordcount scan."""
     gcols = list(group_cols)
-    sums = ams_sums(df, key_col, gcols, r)
-    exact = (
+    wc = (
         df.where(F.col(key_col).isNotNull())
         .groupBy(*gcols, key_col)
         .agg(F.count(F.lit(1)).alias("__cnt"))
-        .groupBy(*gcols)
-        .agg(F.sum(F.col("__cnt") * F.col("__cnt")).alias("f2_selfjoin_rows"))
+        .localCheckpoint(eager=False)
     )
+    sums = ams_sums_from_counts(wc, key_col, gcols, r)
+    exact = wc.groupBy(*gcols).agg(
+        F.sum(F.col("__cnt") * F.col("__cnt")).alias("f2_selfjoin_rows"))
     return exact.join(ams_estimate(sums, gcols, r), gcols).select(
         *gcols, "f2_selfjoin_rows", "est_f2")
 
@@ -1025,8 +1037,16 @@ def ams_join_size(left: DataFrame, right: DataFrame,
             f"r must split into an even number of equal buckets "
             f"(got r={r}, n_groups={n_groups})")
     per = r // n_groups
-    la = ams_sums(left.select(F.col(left_key).alias("__k")), "__k", [], r)
-    rb = ams_sums(right.select(F.col(right_key).alias("__k")), "__k", [], r)
+
+    def _wc(df: DataFrame, key: str) -> DataFrame:
+        return (df.where(F.col(key).isNotNull())
+                .groupBy(F.col(key).alias("__k"))
+                .agg(F.count(F.lit(1)).alias("__cnt"))
+                .localCheckpoint(eager=False))
+
+    lc, rc = _wc(left, left_key), _wc(right, right_key)
+    la = ams_sums_from_counts(lc, "__k", [], r)
+    rb = ams_sums_from_counts(rc, "__k", [], r)
     prod = (
         la.withColumnRenamed("xi", "xa")
         .join(rb.withColumnRenamed("xi", "xb"), "i")
@@ -1039,15 +1059,10 @@ def ams_join_size(left: DataFrame, right: DataFrame,
            .where(F.col("__rn").isin(n_groups // 2, n_groups // 2 + 1))
            .agg(F.greatest(F.sum("mj") / F.lit(2.0), F.lit(0.0))
                 .alias("est_join_rows")))
-    lc = (left.where(F.col(left_key).isNotNull())
-          .groupBy(F.col(left_key).alias("__k"))
-          .agg(F.count(F.lit(1)).alias("__ca")))
-    rc = (right.where(F.col(right_key).isNotNull())
-          .groupBy(F.col(right_key).alias("__k"))
-          .agg(F.count(F.lit(1)).alias("__cb")))
-    exact = (lc.join(rc, "__k")
-             .agg(F.coalesce(F.sum(F.col("__ca") * F.col("__cb")),
-                             F.lit(0)).alias("join_rows")))
+    exact = (
+        lc.join(rc.withColumnRenamed("__cnt", "__cnt_r"), "__k")
+        .agg(F.coalesce(F.sum(F.col("__cnt") * F.col("__cnt_r")),
+                        F.lit(0)).alias("join_rows")))
     return exact.crossJoin(F.broadcast(est))
 
 
