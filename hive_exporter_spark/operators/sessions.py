@@ -890,3 +890,157 @@ ORACLES["rfm_scores"] = f"""
     FROM scored
     ORDER BY user_id
 """
+
+
+def event_transition_matrix_sessionized(
+        events: DataFrame,
+        gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+    """`event_transition_matrix` with transitions cut at session
+    boundaries: a pair only counts when the next event follows within
+    `gap_minutes` — cross-session "transitions" (tonight's last click
+    → next week's first view) are noise, not behavior. Same single
+    lead() exchange; the gap test rides the same window."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("__next", F.lead("event_type").over(w))
+        .withColumn("__next_ts", F.lead("ts").over(w))
+        .where(F.col("__next").isNotNull()
+               & (F.col("__next_ts") <= F.col("ts") + gap))
+        .groupBy(F.col("event_type").alias("from_type"),
+                 F.col("__next").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("__total"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select("from_type", "to_type", "n_transitions",
+                F.round(F.col("n_transitions").cast("double")
+                        / F.col("__total"), 6).alias("p_transition"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+def _q_transitions_sess(spark, sf):
+    return event_transition_matrix_sessionized(
+        read_table(spark, sf, "events"))
+
+
+QUERIES["event_transition_matrix_sessionized"] = _q_transitions_sess
+
+ORACLES["event_transition_matrix_sessionized"] = f"""
+    WITH seq AS (
+        SELECT event_type, ts,
+               LEAD(event_type) OVER w AS next_type,
+               LEAD(ts) OVER w AS next_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               COUNT(*) AS n_transitions
+        FROM seq
+        WHERE next_type IS NOT NULL
+          AND next_ts <= ts + INTERVAL {SESSION_GAP_MINUTES} MINUTE
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(n_transitions AS BIGINT) AS n_transitions,
+           round(CAST(n_transitions AS DOUBLE)
+                 / SUM(n_transitions) OVER (PARTITION BY from_type), 6)
+               AS p_transition
+    FROM pairs
+    ORDER BY from_type, to_type
+"""
+
+
+def time_to_convert_stats(events: DataFrame,
+                          steps: tuple = FUNNEL_STEPS,
+                          within_seconds: int = FUNNEL_WITHIN_SECONDS
+                          ) -> DataFrame:
+    """How long full conversions take: for users who completed the
+    bounded funnel, the distribution of anchor→final-step seconds —
+    converted-user count plus exact min / median / p90 / max. Runs on
+    the one-row-per-user funnel table (users ≪ events), so the exact
+    interpolated percentiles aggregate summary-sized state; the only
+    data-sized work is the funnel chain's single user exchange."""
+    w = Window.partitionBy("user_id")
+    horizon = F.expr(f"INTERVAL {int(within_seconds)} SECONDS")
+    df = events.select("user_id", "event_type", "ts")
+    df = df.withColumn("__t0", F.min(
+        F.when(F.col("event_type") == steps[0], F.col("ts"))).over(w))
+    for i in range(1, len(steps)):
+        cond = ((F.col("event_type") == steps[i])
+                & (F.col("ts") >= F.col(f"__t{i - 1}"))
+                & (F.col("ts") <= F.col("__t0") + horizon))
+        df = df.withColumn(f"__t{i}",
+                           F.min(F.when(cond, F.col("ts"))).over(w))
+    last = f"__t{len(steps) - 1}"
+    per_user = (df.groupBy("user_id")
+                .agg(F.first("__t0").alias("t0"),
+                     F.first(last).alias("tN"))
+                .where(F.col("tN").isNotNull())
+                # exact integer microseconds — unix_timestamp() would
+                # truncate each endpoint to seconds BEFORE subtracting
+                # while an epoch()-based oracle truncates AFTER, an
+                # off-by-one caught by the value hash.
+                # NTZ fixtures reject unix_micros; the session tz is
+                # UTC, so the cast is the identity on the difference.
+                .select((F.unix_micros(F.col("tN").cast("timestamp"))
+                         - F.unix_micros(F.col("t0").cast("timestamp")))
+                        .alias("us")))
+    secs = F.col("us") / F.lit(1_000_000.0)
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.min(secs), 6).alias("min_secs"),
+        F.round(F.percentile("us", 0.5) / 1_000_000.0, 4)
+        .alias("median_secs"),
+        F.round(F.percentile("us", 0.9) / 1_000_000.0, 4)
+        .alias("p90_secs"),
+        F.round(F.max(secs), 6).alias("max_secs"),
+    )
+
+
+def _q_time_to_convert(spark, sf):
+    return time_to_convert_stats(read_table(spark, sf, "events"))
+
+
+QUERIES["time_to_convert_stats"] = _q_time_to_convert
+
+
+def _ttc_sql(steps=FUNNEL_STEPS, within=FUNNEL_WITHIN_SECONDS) -> str:
+    ctes = [f"""u0 AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = '{steps[0]}' THEN ts END) AS t0
+        FROM events GROUP BY user_id
+    )"""]
+    for i in range(1, len(steps)):
+        prev = f"u{i - 1}"
+        ts_cols = ", ".join(
+            f"ANY_VALUE({prev}.t{j}) AS t{j}" for j in range(i))
+        ctes.append(f"""u{i} AS (
+        SELECT e.user_id, {ts_cols},
+               MIN(CASE WHEN e.event_type = '{steps[i]}'
+                         AND e.ts >= {prev}.t{i - 1}
+                         AND e.ts <= {prev}.t0 + INTERVAL {within} SECOND
+                    THEN e.ts END) AS t{i}
+        FROM events e JOIN {prev} USING (user_id)
+        GROUP BY e.user_id
+    )""")
+    last_t = f"t{len(steps) - 1}"
+    return f"""
+    WITH {", ".join(ctes)},
+    conv AS (
+        SELECT epoch_us({last_t}) - epoch_us(t0) AS us
+        FROM u{len(steps) - 1} WHERE {last_t} IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           round(MIN(us) / 1000000.0, 6) AS min_secs,
+           round(quantile_cont(us, 0.5) / 1000000.0, 4) AS median_secs,
+           round(quantile_cont(us, 0.9) / 1000000.0, 4) AS p90_secs,
+           round(MAX(us) / 1000000.0, 6) AS max_secs
+    FROM conv
+    """
+
+
+ORACLES["time_to_convert_stats"] = _ttc_sql()

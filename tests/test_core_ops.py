@@ -448,3 +448,51 @@ def test_rfm_scores_rank_heavy_buyers_highest(spark, sf_dir):
         assert r["rfm"] == r["r_score"] * 100 + r["f_score"] * 10 + r["m_score"]
         if r["frequency"] == 0:
             assert r["f_score"] == 1 and r["monetary"] == 0.0
+
+
+def test_sessionized_transitions_drop_cross_session_pairs(spark):
+    """A pair separated by more than the session gap must not count;
+    within-gap pairs must match the unsessionized matrix."""
+    import datetime as dt
+
+    from hive_exporter_spark.operators.sessions import (
+        event_transition_matrix, event_transition_matrix_sessionized)
+
+    rows = [
+        (1, dt.datetime(2026, 1, 1, 10, 0), 1, "a", 0.0),
+        (1, dt.datetime(2026, 1, 1, 10, 10), 2, "b", 0.0),  # in gap
+        (1, dt.datetime(2026, 1, 2, 10, 0), 3, "c", 0.0),   # next day
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, "
+              "event_type string, value double")
+    sess = {(r["from_type"], r["to_type"])
+            for r in event_transition_matrix_sessionized(ev).collect()}
+    full = {(r["from_type"], r["to_type"])
+            for r in event_transition_matrix(ev).collect()}
+    assert sess == {("a", "b")}
+    assert full == {("a", "b"), ("b", "c")}
+
+
+def test_time_to_convert_stats_on_crafted_timeline(spark):
+    """Two converted users (1 day and 2 days anchor-to-purchase) and
+    one non-converter: count 2, min 86400s, max 172800s."""
+    import datetime as dt
+
+    from hive_exporter_spark.operators.sessions import (
+        time_to_convert_stats)
+
+    t = lambda d, h=0: dt.datetime(2026, 1, 1 + d, h)  # noqa: E731
+    rows = []
+    for u, final_day in ((1, 1), (2, 2)):
+        rows += [(u, t(0), "signup"), (u, t(0, 6), "view"),
+                 (u, t(0, 12), "click"), (u, t(final_day), "purchase")]
+    rows += [(3, t(0), "signup")]
+    ev = spark.createDataFrame(
+        [(u, ts, et, 0.0) for u, ts, et in rows],
+        "user_id long, ts timestamp, event_type string, value double")
+    (r,) = time_to_convert_stats(ev).collect()
+    assert r["n_converted"] == 2
+    assert r["min_secs"] == 86400.0
+    assert r["max_secs"] == 172800.0
+    assert 86400.0 <= r["median_secs"] <= 172800.0
