@@ -133,3 +133,64 @@ def test_trim_outliers_subset_and_tail_drop(spark, rows):
             assert (g, float(max(vals))) not in {
                 (r["event_type"], r["value"]) for r in kept
             }
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 30), st.sampled_from(["a", "b"]),
+              st.booleans()),
+    min_size=2, max_size=40))
+@SETTINGS
+def test_ams_linearity_any_split(spark, rows):
+    """sketch(A ∪ B) == sketch(A) + sketch(B) element-wise for ANY
+    split of the rows, and the exact F2 anchor equals the Python
+    computation."""
+    from collections import Counter
+
+    from hive_exporter_spark.operators import sketches as sk
+
+    df = spark.createDataFrame(
+        [(k, g) for k, g, _ in rows], "k long, grp string")
+    half_a = spark.createDataFrame(
+        [(k, g) for k, g, side in rows if side] or [(999999, "zz")],
+        "k long, grp string")
+    half_b = spark.createDataFrame(
+        [(k, g) for k, g, side in rows if not side] or [(999999, "zz")],
+        "k long, grp string")
+    whole = sk.ams_sums(df, "k", ["grp"], r=8)
+    merged = (sk.ams_sums(half_a, "k", ["grp"], r=8)
+              .unionByName(sk.ams_sums(half_b, "k", ["grp"], r=8))
+              .groupBy("grp", "i").agg(F.sum("xi").alias("xi")))
+    w = {(r["grp"], r["i"]): r["xi"] for r in whole.collect()}
+    m = {(r["grp"], r["i"]): r["xi"] for r in merged.collect()
+         if r["grp"] != "zz" or ("zz", r["i"]) in w}
+    # merged minus filler must equal whole exactly
+    assert {k: v for k, v in m.items() if k[0] != "zz"} == w or \
+        m == w
+    counts = Counter((k, g) for k, g, _ in rows)
+    f2 = {}
+    for (k, g), c in counts.items():
+        f2[g] = f2.get(g, 0) + c * c
+    got = {r["grp"]: r["f2_selfjoin_rows"]
+           for r in sk.ams_f2(df, "k", ["grp"], r=8).collect()}
+    assert got == f2
+
+
+@given(words=st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=6),
+    min_size=1, max_size=15))
+@SETTINGS
+def test_bpe_train_replay_any_corpus(spark, words):
+    """The distributed trainer equals the sequential reference
+    algorithm on ANY random word multiset (3 merges)."""
+    from collections import Counter
+
+    import tests.test_llm_ops as tl
+    from hive_exporter_spark.operators import llm
+
+    text = " ".join(words)
+    df = spark.createDataFrame(
+        [(0, text, "en", "t", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = [(r["rank"], r["left"], r["right"], r["pair_count"])
+           for r in llm.bpe_train(df, 3).orderBy("rank").collect()]
+    assert got == tl._bpe_replay(Counter(words), 3)
