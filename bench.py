@@ -104,6 +104,10 @@ BENCH_QUERIES = [
     "conversion_funnel_within",
     "event_transition_matrix",
     "rfm_scores",
+    "event_transition_matrix_sessionized",
+    "time_to_convert_stats",
+    "near_dup_cluster_sizes",
+    "embedding_drift",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
