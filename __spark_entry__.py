@@ -453,6 +453,10 @@ def _stratified_sample_hash(spark, sf):
 BLOOM_DIM_BALANCE = 9000
 
 
+def _events_contract(spark, sf):
+    return profile.validate_events_contract(_t(spark, sf, "events"))
+
+
 def _bloom_dim_join(spark, sf):
     """Bloom-prefiltered selective-dim join: plan differs (fact rows
     drop before the shuffle), answer provably identical to the plain
@@ -713,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stratified_sample_hash": _stratified_sample_hash,
         "events_sample_fixed_n": _sample_fixed_n,
         "orders_bloom_dim_join": _bloom_dim_join,
+        "validate_events_contract": _events_contract,
         "orders_snapshot_diff": _snapshot_diff,
         "user_event_scd2": _scd2,
         "value_histogram": _histogram,
@@ -853,6 +858,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_acctbal > {BLOOM_DIM_BALANCE}
+        """,
+        "validate_events_contract": f"""
+            WITH base AS (
+                SELECT COUNT(*) AS n,
+                       SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                           AS id_null,
+                       SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS ts_null,
+                       SUM(CASE WHEN ts < TIMESTAMP
+                                '{profile.CONTRACT_TS_MIN} 00:00:00'
+                                THEN 1 ELSE 0 END) AS ts_early,
+                       SUM(CASE WHEN event_type NOT IN
+                                {profile.CONTRACT_EVENT_TYPES}
+                                THEN 1 ELSE 0 END) AS type_bad,
+                       SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS val_neg,
+                       SUM(CASE WHEN NOT (props LIKE '{{%'
+                                          AND props LIKE '%}}')
+                                THEN 1 ELSE 0 END) AS props_bad
+                FROM events
+            ), uniq AS (
+                SELECT COUNT(*) - COUNT(DISTINCT event_id) AS id_dup,
+                       COUNT(*) AS n_ids
+                FROM events WHERE event_id IS NOT NULL
+            )
+            SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
+                   CAST(n_violations AS BIGINT) AS n_violations,
+                   n_violations = 0 AS passed
+            FROM base CROSS JOIN uniq,
+            LATERAL (VALUES
+                ('event_id_not_null', n, id_null),
+                ('event_id_unique', n_ids, id_dup),
+                ('ts_not_null', n, ts_null),
+                ('ts_after_floor', n, ts_early),
+                ('event_type_in_enum', n, type_bad),
+                ('value_non_negative', n, val_neg),
+                ('props_object_shaped', n, props_bad)
+            ) AS t(rule, n_checked, n_violations)
+            ORDER BY rule
         """,
         "events_sample_fixed_n": f"""
             SELECT event_type, event_id, user_id, sample_rank

@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "time_to_convert_stats",
     "near_dup_cluster_sizes",
     "embedding_drift",
+    "top_event_paths",
+    "validate_events_contract",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

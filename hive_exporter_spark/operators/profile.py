@@ -96,3 +96,61 @@ def suggest_shuffle_partitions(
     size = plan_size_bytes(df)
     n = (size + target_partition_bytes - 1) // target_partition_bytes
     return int(min(max(n, min_partitions), max_partitions))
+
+
+# ---------------------------------------------------------------------------
+# Data-contract validation
+# ---------------------------------------------------------------------------
+
+CONTRACT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+CONTRACT_TS_MIN = "2020-01-01"
+
+
+def validate_events_contract(events: DataFrame) -> DataFrame:
+    """Contract report for the events table: one row per rule with
+    checked/violation counts — the machine-readable gate an ingestion
+    job asserts on before publishing a batch (a nonzero row blocks
+    the publish; the report names exactly which promise broke).
+
+    Rules: ids present and UNIQUE, timestamps present and not before
+    the epoch floor, types from the enum, values non-negative, props
+    object-shaped. Everything except uniqueness folds into ONE
+    conditional-sum pass over the scan (map-side combined);
+    uniqueness adds the one distinct aggregate it fundamentally
+    needs. The report itself is rules-sized.
+    """
+    base = events.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.when(F.col("event_id").isNull(), 1).otherwise(0))
+        .alias("id_null"),
+        F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0))
+        .alias("ts_null"),
+        F.sum(F.when(F.col("ts") < F.lit(CONTRACT_TS_MIN).cast("timestamp"),
+                     1).otherwise(0)).alias("ts_early"),
+        F.sum(F.when(~F.col("event_type").isin(*CONTRACT_EVENT_TYPES), 1)
+              .otherwise(0)).alias("type_bad"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("val_neg"),
+        F.sum(F.when(~(F.col("props").startswith("{")
+                       & F.col("props").endswith("}")), 1).otherwise(0))
+        .alias("props_bad"),
+    )
+    uniq = events.where(F.col("event_id").isNotNull()).agg(
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("id_dup"),
+        F.count(F.lit(1)).alias("__n_ids"))
+    r = base.crossJoin(F.broadcast(uniq))
+    rules = [
+        ("event_id_not_null", "__n", "id_null"),
+        ("event_id_unique", "__n_ids", "id_dup"),
+        ("ts_not_null", "__n", "ts_null"),
+        ("ts_after_floor", "__n", "ts_early"),
+        ("event_type_in_enum", "__n", "type_bad"),
+        ("value_non_negative", "__n", "val_neg"),
+        ("props_object_shaped", "__n", "props_bad"),
+    ]
+    stack = ", ".join(f"'{name}', {n}, {v}" for name, n, v in rules)
+    return (
+        r.selectExpr(
+            f"stack({len(rules)}, {stack}) AS (rule, n_checked, n_violations)")
+        .withColumn("passed", F.col("n_violations") == 0)
+        .orderBy("rule")
+    )

@@ -1044,3 +1044,75 @@ def _ttc_sql(steps=FUNNEL_STEPS, within=FUNNEL_WITHIN_SECONDS) -> str:
 
 
 ORACLES["time_to_convert_stats"] = _ttc_sql()
+
+
+# ---------------------------------------------------------------------------
+# Top user paths
+# ---------------------------------------------------------------------------
+
+PATH_LEN = 3
+PATH_TOPK = 20
+
+
+def top_event_paths(events: DataFrame, path_len: int = PATH_LEN,
+                    k: int = PATH_TOPK,
+                    gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+    """The k most common length-`path_len` event sequences (user
+    journeys), counted within session gaps — "view → click →
+    purchase" vs "view → error → view" is the product question the
+    transition matrix's one-step memory can't answer.
+
+    One lead() window per lookahead step over the SAME (user, ts)
+    partitioning — a single exchange regardless of path_len — then a
+    path-string aggregate with map-side combine and a distributed
+    TakeOrdered(k). Paths crossing a session boundary are cut by the
+    same gap rule as `event_transition_matrix_sessionized`.
+    """
+    if path_len < 2:
+        raise ValueError(f"path_len must be >= 2 (got {path_len})")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")
+    df = events.select("user_id", "ts", "event_id", "event_type")
+    cols, ok = [F.col("event_type")], F.lit(True)
+    for j in range(1, path_len):
+        df = (df.withColumn(f"__e{j}", F.lead("event_type", j).over(w))
+              .withColumn(f"__ts{j}", F.lead("ts", j).over(w)))
+        prev_ts = F.col("ts") if j == 1 else F.col(f"__ts{j - 1}")
+        ok = ok & F.col(f"__e{j}").isNotNull() & (
+            F.col(f"__ts{j}") <= prev_ts + gap)
+        cols.append(F.col(f"__e{j}"))
+    return (
+        df.where(ok)
+        .groupBy(F.concat_ws(" > ", *cols).alias("path"))
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "path")
+        .limit(k)
+    )
+
+
+def _q_top_paths(spark, sf):
+    return top_event_paths(read_table(spark, sf, "events"))
+
+
+QUERIES["top_event_paths"] = _q_top_paths
+
+ORACLES["top_event_paths"] = f"""
+    WITH seq AS (
+        SELECT event_type, ts,
+               LEAD(event_type, 1) OVER w AS e1,
+               LEAD(ts, 1) OVER w AS ts1,
+               LEAD(event_type, 2) OVER w AS e2,
+               LEAD(ts, 2) OVER w AS ts2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT concat_ws(' > ', event_type, e1, e2) AS path,
+           CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM seq
+    WHERE e1 IS NOT NULL AND e2 IS NOT NULL
+      AND ts1 <= ts + INTERVAL {SESSION_GAP_MINUTES} MINUTE
+      AND ts2 <= ts1 + INTERVAL {SESSION_GAP_MINUTES} MINUTE
+    GROUP BY 1
+    ORDER BY n_paths DESC, path
+    LIMIT {PATH_TOPK}
+"""

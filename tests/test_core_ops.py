@@ -496,3 +496,56 @@ def test_time_to_convert_stats_on_crafted_timeline(spark):
     assert r["min_secs"] == 86400.0
     assert r["max_secs"] == 172800.0
     assert 86400.0 <= r["median_secs"] <= 172800.0
+
+
+def test_validate_events_contract_flags_injected_violations(spark, sf_dir):
+    """Clean fixture passes every rule; injecting a duplicate id, a
+    negative value, an unknown type, and malformed props flips exactly
+    those rules with exact violation counts."""
+    import datetime as dt
+
+    from hive_exporter_spark.operators.profile import (
+        validate_events_contract)
+    from hive_exporter_spark.sources.files import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    clean = {r["rule"]: r for r in validate_events_contract(ev).collect()}
+    assert all(r["passed"] for r in clean.values()), clean
+    assert clean["event_id_not_null"]["n_checked"] == ev.count()
+
+    bad = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 5), 7, "click", -5.0, "not json"),
+         (1, dt.datetime(2019, 1, 5), 8, "weird", 1.0, "{\"k\": 1}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    dirty = {r["rule"]: r for r in validate_events_contract(
+        ev.unionByName(bad)).collect()}
+    # id 1 appears 3x (fixture + both injected rows): 2 extra copies
+    assert dirty["event_id_unique"]["n_violations"] == 2
+    assert dirty["value_non_negative"]["n_violations"] == 1
+    assert dirty["event_type_in_enum"]["n_violations"] == 1
+    assert dirty["props_object_shaped"]["n_violations"] == 1
+    assert dirty["ts_after_floor"]["n_violations"] == 1
+    assert not dirty["event_id_unique"]["passed"]
+
+
+def test_top_event_paths_session_cut_and_counts(spark):
+    """Paths must respect session gaps and count exact trigrams."""
+    import datetime as dt
+
+    from hive_exporter_spark.operators.sessions import top_event_paths
+
+    t = lambda m: dt.datetime(2026, 1, 1, 10, m)  # noqa: E731
+    rows = [
+        (1, t(0), 1, "view"), (1, t(1), 2, "click"), (1, t(2), 3, "purchase"),
+        (2, t(0), 4, "view"), (2, t(1), 5, "click"), (2, t(2), 6, "purchase"),
+        # user 3: same shape but a >30min gap before purchase
+        (3, t(0), 7, "view"), (3, t(1), 8, "click"),
+        (3, dt.datetime(2026, 1, 1, 12, 0), 9, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, ts, e, et, 0.0) for u, ts, e, et in rows],
+        "user_id long, ts timestamp, event_id long, event_type string, "
+        "value double")
+    got = {r["path"]: r["n_paths"] for r in top_event_paths(ev).collect()}
+    assert got == {"view > click > purchase": 2}
