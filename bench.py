@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "embedding_drift",
     "top_event_paths",
     "validate_events_contract",
+    "decayed_user_activity",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -1116,3 +1116,77 @@ ORACLES["top_event_paths"] = f"""
     ORDER BY n_paths DESC, path
     LIMIT {PATH_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# Recency-decayed activity scoring
+# ---------------------------------------------------------------------------
+
+DECAY_HALFLIFE_DAYS = 7
+DECAY_TOPK = 50
+
+
+def decayed_user_activity(events: DataFrame,
+                          halflife_days: int = DECAY_HALFLIFE_DAYS,
+                          k: int = DECAY_TOPK) -> DataFrame:
+    """Top-k users by exponentially-decayed activity: each event
+    weighs 2^(-age/halflife), so "active yesterday" outranks "active
+    all of last quarter" — the standard recency-weighted engagement
+    score, and (by exponential self-similarity) one that can be
+    maintained incrementally: advancing the reference day d days
+    multiplies every score by the same 2^(-d/h), so stored scores
+    decay in place without re-scanning history.
+
+    Portability is the design constraint: a float pow(2, -age/h)
+    differs between JVM StrictMath and C libm in the last ulp, which
+    the driver's value hash would catch. Ages quantize to WHOLE
+    half-life buckets instead — weights become exact binary fractions
+    (1, 1/2, 1/4, ...) whose decimal-cast sums are order-independent
+    and bit-identical in both engines. The rollup partial-aggregates
+    per user; the top-k is a TakeOrdered with id tiebreak.
+    """
+    if halflife_days < 1:
+        raise ValueError(f"halflife_days must be >= 1 (got {halflife_days})")
+    now = events.agg(F.max(F.date_trunc("day", "ts")).alias("__now"))
+    aged = events.crossJoin(F.broadcast(now)).select(
+        "user_id",
+        # explicit floor: DuckDB's double->INT cast ROUNDS while
+        # Spark's truncates — an off-by-one bucket for every age in
+        # the upper half of a half-life (caught by the value hash).
+        F.floor(F.datediff(F.col("__now"), F.date_trunc("day", "ts"))
+                / F.lit(halflife_days)).cast("int").alias("__buckets"),
+    )
+    weight = F.lit(1.0) / F.pow(F.lit(2.0), F.col("__buckets"))
+    return (
+        aged.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(weight.cast("decimal(28,18)")).cast("double")
+             .alias("decayed_score"))
+        .orderBy(F.col("decayed_score").desc(), "user_id")
+        .limit(k)
+    )
+
+
+def _q_decayed(spark, sf):
+    return decayed_user_activity(read_table(spark, sf, "events"))
+
+
+QUERIES["decayed_user_activity"] = _q_decayed
+
+ORACLES["decayed_user_activity"] = f"""
+    WITH nowd AS (
+        SELECT MAX(date_trunc('day', ts)) AS now_day FROM events
+    ), aged AS (
+        SELECT user_id,
+               CAST(floor(date_diff('day', date_trunc('day', ts), now_day)
+                    / {DECAY_HALFLIFE_DAYS}.0) AS INT) AS buckets
+        FROM events CROSS JOIN nowd
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(1.0 / power(2.0, buckets)
+                         AS DECIMAL(28,18))) AS DOUBLE) AS decayed_score
+    FROM aged
+    GROUP BY user_id
+    ORDER BY decayed_score DESC, user_id
+    LIMIT {DECAY_TOPK}
+"""

@@ -549,3 +549,33 @@ def test_top_event_paths_session_cut_and_counts(spark):
         "value double")
     got = {r["path"]: r["n_paths"] for r in top_event_paths(ev).collect()}
     assert got == {"view > click > purchase": 2}
+
+
+def test_decayed_activity_recency_beats_volume(spark):
+    """A user active 10x yesterday must outrank one active 30x ten
+    half-lives ago, and the self-similarity property must hold:
+    advancing the clock one half-life halves every score."""
+    import datetime as dt
+
+    from hive_exporter_spark.operators.sessions import (
+        decayed_user_activity)
+
+    t0 = dt.datetime(2026, 3, 1)
+    rows = [(1, t0, i, "click", 0.0) for i in range(10)]
+    rows += [(2, t0 - dt.timedelta(days=70), 100 + i, "click", 0.0)
+             for i in range(30)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, "
+              "event_type string, value double")
+    got = {r["user_id"]: r["decayed_score"]
+           for r in decayed_user_activity(ev).collect()}
+    assert got[1] > got[2]
+    assert got[1] == 10.0                  # bucket 0: full weight
+    assert got[2] == 30.0 / 1024           # 10 half-lives: /2^10
+    # advance the reference day one half-life via a dummy newer event
+    bumped = ev.unionByName(spark.createDataFrame(
+        [(99, t0 + dt.timedelta(days=7), 999, "view", 0.0)],
+        ev.schema))
+    later = {r["user_id"]: r["decayed_score"]
+             for r in decayed_user_activity(bumped).collect()}
+    assert later[1] == got[1] / 2 and later[2] == got[2] / 2
