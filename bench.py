@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "top_event_paths",
     "validate_events_contract",
     "decayed_user_activity",
+    "build_inverted_index",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -4482,3 +4482,64 @@ ORACLES["embedding_drift"] = """
     GROUP BY a.label
     ORDER BY a.label
 """
+
+
+# ---------------------------------------------------------------------------
+# Inverted index
+# ---------------------------------------------------------------------------
+
+INDEX_MAX_POSTINGS = 100
+
+
+def build_inverted_index(documents: DataFrame,
+                         max_postings: int = INDEX_MAX_POSTINGS) -> DataFrame:
+    """Token → posting-list index: per token its full document
+    frequency plus the first `max_postings` doc ids (ascending) — the
+    retrieval structure under `bm25_scores`/`tfidf_topk_terms`
+    materialized as a table a search service can serve from.
+
+    The posting cap is enforced BEFORE any list materializes: docs
+    rank within their token through the two-phase grouped top-k
+    (salted — a stopword's millions of postings never sort in one
+    task, and `collect_list`-then-truncate would have buffered them
+    all). Only the ≤ max_postings survivors per token reach the
+    array_agg; df comes from the same pre-rank distinct pairs via a
+    count that never builds a list.
+    """
+    from hive_exporter_spark.operators.relational import topk_per_group
+
+    pairs = (documents.select("doc_id", F.explode(tokens_col())
+                              .alias("token"))
+             .distinct().localCheckpoint(eager=False))
+    df_counts = pairs.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"))
+    kept = topk_per_group(pairs, ["token"], [F.col("doc_id")],
+                          max_postings)
+    postings = (kept.groupBy("token")
+                .agg(F.sort_array(F.collect_list("doc_id"))
+                     .alias("postings")))
+    return (df_counts.join(postings, "token")
+            .select("token", "df", F.size("postings").alias("n_postings"),
+                    "postings")
+            .orderBy("token"))
+
+
+def _q_inverted_index(spark, sf):
+    return build_inverted_index(_docs(spark, sf))
+
+
+QUERIES["build_inverted_index"] = _q_inverted_index
+
+ORACLES["build_inverted_index"] = f"""
+    WITH pairs AS (
+        SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS token
+        FROM documents
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(least(COUNT(*), {INDEX_MAX_POSTINGS}) AS INT) AS n_postings,
+           list_slice(list_sort(list(doc_id)), 1, {INDEX_MAX_POSTINGS})
+               AS postings
+    FROM pairs
+    GROUP BY token
+    ORDER BY token
+"""

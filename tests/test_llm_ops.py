@@ -1113,3 +1113,19 @@ def test_embedding_drift_detects_shifted_label(spark, emb):
             for r in llm.embedding_drift(shifted).collect()}
     others = [v for k, v in rows.items() if k != 0]
     assert rows[0] > 5 * max(others), rows
+
+
+def test_build_inverted_index_caps_and_df(spark):
+    """df counts the FULL posting set while the list caps at
+    max_postings with the smallest doc ids; rare tokens keep all."""
+    rows = [(i, "common " + f"rare{i}") for i in range(20)]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r["token"]: r for r in
+           llm.build_inverted_index(docs, max_postings=5).collect()}
+    c = got["common"]
+    assert c["df"] == 20 and c["n_postings"] == 5
+    assert c["postings"] == [0, 1, 2, 3, 4]
+    r7 = got["rare7"]
+    assert r7["df"] == 1 and r7["postings"] == [7]
