@@ -868,12 +868,13 @@ def oracle_sql() -> dict[str, str]:
                        SUM(CASE WHEN ts < TIMESTAMP
                                 '{profile.CONTRACT_TS_MIN} 00:00:00'
                                 THEN 1 ELSE 0 END) AS ts_early,
-                       SUM(CASE WHEN event_type NOT IN
-                                {profile.CONTRACT_EVENT_TYPES}
+                       SUM(CASE WHEN COALESCE(event_type NOT IN
+                                {profile.CONTRACT_EVENT_TYPES}, TRUE)
                                 THEN 1 ELSE 0 END) AS type_bad,
-                       SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS val_neg,
-                       SUM(CASE WHEN NOT (props LIKE '{{%'
-                                          AND props LIKE '%}}')
+                       SUM(CASE WHEN COALESCE(value < 0, TRUE)
+                                THEN 1 ELSE 0 END) AS val_neg,
+                       SUM(CASE WHEN COALESCE(NOT (props LIKE '{{%'
+                                                   AND props LIKE '%}}'), TRUE)
                                 THEN 1 ELSE 0 END) AS props_bad
                 FROM events
             ), uniq AS (

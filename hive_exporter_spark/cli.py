@@ -39,6 +39,18 @@ def _add_jdbc_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-T", "--query-timeout", type=int)
     p.add_argument("-I", "--session-init-statement")
     p.add_argument("-o", "--output", required=True, help="destination db.tbl")
+    # Reference knobs (spark_loaders.py:29-33): the tag-column override,
+    # the destination storage format, and verbose logging. The short
+    # -i/-s are taken by subcommand flags here, so long-form for the
+    # first; semantics are identical.
+    p.add_argument("--ingestion-tag-column", default="dl_ingest_date",
+                   help="name of the per-batch tag column "
+                        "(reference -i/--ingestion-tag-column)")
+    p.add_argument("-s", "--storageformat", default="parquet",
+                   help="destination table storage format "
+                        "(reference -s/--storageformat)")
+    p.add_argument("-v", "--verbose", action="store_true", default=False,
+                   help="INFO-level Spark logs (reference -v/--verbose)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -57,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
     imp.add_argument("paths", nargs="+")
     imp.add_argument("-d", "--database", required=True)
     imp.add_argument("-m", "--format", default="parquet")
+    imp.add_argument("-O", "--overwrite", action="store_true", default=False,
+                     help="replace existing tables (reference "
+                          "hive_importer_spark2.py:22 -o/--overwrite; "
+                          "without it an existing table is an error)")
 
     meta = sub.add_parser("export-metadata", help="snapshot DDL of all tables")
     meta.add_argument("-o", "--output-path", required=True)
@@ -120,7 +136,10 @@ def main(argv: list[str] | None = None) -> int:
     # Hive support: catalog metadata must survive across CLI invocations
     # (local Derby metastore; a real deployment points at the shared
     # Hive metastore, reference README.rst:5-9).
-    spark = build_session("hive-exporter-spark-cli", enable_hive=True)
+    spark = build_session(
+        "hive-exporter-spark-cli", enable_hive=True,
+        log_level="INFO" if getattr(args, "verbose", False) else "WARN",
+    )
     tag = default_batch_tag()
 
     if args.command == "export":
@@ -138,7 +157,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "import":
         from hive_exporter_spark.sinks import import_tables
         created = import_tables(spark, args.paths, args.database,
-                                fmt=args.format)
+                                fmt=args.format, overwrite=args.overwrite)
         for t in created:
             print(f"imported {t}")
         return 0
@@ -178,17 +197,21 @@ def main(argv: list[str] | None = None) -> int:
     source = _jdbc_source(spark, args)
     if args.command == "full":
         rep = ingest.full_refresh(spark, source, dest, tag,
+                                  fmt=args.storageformat,
+                                  tag_column=args.ingestion_tag_column,
                                   drop_first=args.drop_first)
     elif args.command == "append":
         rep = ingest.incremental_append(
             spark, source, dest, args.incremental_column, tag,
             partition_cols=args.output_partition,
+            fmt=args.storageformat, tag_column=args.ingestion_tag_column,
         )
     else:  # merge
         rep = ingest.incremental_merge(
             spark, source, dest, args.key_columns.split(","),
             args.last_modified_column, args.incremental_column, tag,
             deleted_column=args.deleted_column,
+            fmt=args.storageformat, tag_column=args.ingestion_tag_column,
         )
     # A2 reconciliation triple, logged like the reference loaders do
     print(f"source={rep.source_count} ingested={rep.ingested_count} "

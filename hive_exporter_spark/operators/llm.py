@@ -2820,7 +2820,18 @@ def _q_bm25(spark, sf):
 
 
 def _q_quantize(spark, sf):
-    return quantize_embeddings(_emb(spark, sf))
+    """Window entry: the driver's canonicalizer sorts the pandas frame
+    before hashing and cannot sort top-level array columns (r4's one
+    red row), so the int8 vector is projected to a comma-joined string
+    — ints render identically in Spark and DuckDB, keeping the hash
+    bit-exact."""
+    return quantize_embeddings(_emb(spark, sf)).select(
+        "vec_id",
+        F.concat_ws(",", F.transform(F.col("qvec"),
+                                     lambda x: x.cast("string")))
+        .alias("qvec"),
+        "scale",
+    )
 
 
 def _q_minhash(spark, sf):
@@ -3048,8 +3059,16 @@ def _q_incremental_dedup_bloom(spark, sf):
 
 
 def _q_pca(spark, sf):
-    """Rows-only: eigenvector sign/order is implementation-defined."""
-    return embedding_pca(_emb(spark, sf))
+    """Rows-only: eigenvector sign/order is implementation-defined.
+    The projected vector still renders as a string — the driver
+    canonicalizer chokes on top-level array columns even before any
+    hash compare, so no window entry may emit one."""
+    return embedding_pca(_emb(spark, sf)).select(
+        "vec_id",
+        F.concat_ws(",", F.transform(F.col("pca_embedding"),
+                                     lambda x: x.cast("string")))
+        .alias("pca_embedding"),
+    )
 
 
 QUERIES = {
@@ -3515,10 +3534,12 @@ ORACLES["quantize_embeddings"] = f"""
         FROM embeddings
     )
     SELECT vec_id,
-           CASE WHEN sc > 0 THEN list_transform(embedding,
-                    v -> CAST(round(CAST(v AS DOUBLE) * {QUANT_LEVELS} / sc)
-                              AS INTEGER))
-                ELSE list_transform(embedding, v -> 0) END AS qvec,
+           array_to_string(
+               CASE WHEN sc > 0 THEN list_transform(embedding,
+                        v -> CAST(round(CAST(v AS DOUBLE) * {QUANT_LEVELS} / sc)
+                                  AS INTEGER))
+                    ELSE list_transform(embedding, v -> 0) END,
+               ',') AS qvec,
            round(sc, 6) AS scale
     FROM s
 """
@@ -4234,9 +4255,18 @@ def _bpe_merge_fold(left: str, right: str) -> F.Column:
 
 
 BPE_APPLY_CHECKPOINT_EVERY = 4
+# Broadcast the token->piece-count dictionary only while it plausibly
+# fits in executor memory. A 100 TB web corpus's distinct-token table
+# (typos, URLs, hashes) runs 10^8-10^9 rows; forcing the hint there
+# would OOM the driver building the broadcast relation. Above the
+# threshold the join degrades to a plain shuffle on the word key —
+# correct at any vocabulary size, just not broadcast-fast.
+BPE_BROADCAST_VOCAB_MAX = 10_000_000
 
 
-def bpe_apply(documents: DataFrame, merges: DataFrame) -> DataFrame:
+def bpe_apply(documents: DataFrame, merges: DataFrame,
+              broadcast_vocab_max: int = BPE_BROADCAST_VOCAB_MAX,
+              ) -> DataFrame:
     """Encode the corpus with a learned BPE merge table: per-doc
     whitespace-token count next to the BPE piece count — the number
     that actually prices a document against a context window (and the
@@ -4263,10 +4293,18 @@ def bpe_apply(documents: DataFrame, merges: DataFrame) -> DataFrame:
             "w", _bpe_merge_fold(m["left"], m["right"]).alias("syms"))
         if (i + 1) % BPE_APPLY_CHECKPOINT_EVERY == 0:
             vocab = vocab.localCheckpoint()
+    # Final materialization: the strategy-deciding count below and the
+    # corpus join both read this, so the tail merge folds run once.
+    vocab = vocab.localCheckpoint()
     enc = vocab.select("w", F.size("syms").alias("__pieces"))
+    # The vocab is checkpointed, so this count re-scans a materialized
+    # RDD, not the merge-fold lineage — one cheap job that decides the
+    # join strategy instead of betting the executors on a hint.
+    if vocab.count() <= broadcast_vocab_max:
+        enc = F.broadcast(enc)
     toks = documents.select("doc_id", F.explode(tokens_col()).alias("w"))
     return (
-        toks.join(F.broadcast(enc), "w", "left")
+        toks.join(enc, "w", "left")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_tokens"),
              F.sum(F.coalesce(F.col("__pieces"), F.length("w") + 1))
@@ -4525,7 +4563,15 @@ def build_inverted_index(documents: DataFrame,
 
 
 def _q_inverted_index(spark, sf):
-    return build_inverted_index(_docs(spark, sf))
+    """Window entry: posting lists render as comma-joined id strings
+    (driver-harness constraint — no top-level array columns; ints
+    stringify identically in both engines)."""
+    return build_inverted_index(_docs(spark, sf)).select(
+        "token", "df", "n_postings",
+        F.concat_ws(",", F.transform(F.col("postings"),
+                                     lambda x: x.cast("string")))
+        .alias("postings"),
+    )
 
 
 QUERIES["build_inverted_index"] = _q_inverted_index
@@ -4537,8 +4583,9 @@ ORACLES["build_inverted_index"] = f"""
     )
     SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
            CAST(least(COUNT(*), {INDEX_MAX_POSTINGS}) AS INT) AS n_postings,
-           list_slice(list_sort(list(doc_id)), 1, {INDEX_MAX_POSTINGS})
-               AS postings
+           array_to_string(
+               list_slice(list_sort(list(doc_id)), 1, {INDEX_MAX_POSTINGS}),
+               ',') AS postings
     FROM pairs
     GROUP BY token
     ORDER BY token

@@ -299,8 +299,17 @@ def _q_frames(spark, sf):
 
 
 def _q_audio(spark, sf):
+    """Window entry: the MFCC vector posexplodes to (doc_id,
+    coeff_idx, mfcc_value) rows — the driver canonicalizer cannot sort
+    top-level array columns, and byte/255.0 is the same IEEE double in
+    both engines so the exploded numeric column hash-matches where a
+    stringified array of doubles would not."""
     from hive_exporter_spark.sources.files import read_table
-    return audio_features(read_table(spark, sf, "documents"))
+    df = audio_features(read_table(spark, sf, "documents"))
+    return df.select(
+        "doc_id",
+        F.posexplode("mfcc").alias("coeff_idx", "mfcc_value"),
+    )
 
 
 def _q_phash_pairs(spark, sf):
@@ -366,9 +375,9 @@ ORACLES = {
     """,
     "audio_features": f"""
         SELECT doc_id,
-               list_transform(range(0, {N_MFCC}),
-                   i -> CAST(CAST(concat('0x', substr(sha256(text), i * 2 + 1, 2))
-                             AS INTEGER) AS DOUBLE) / 255.0) AS mfcc
-        FROM documents
+               CAST(t.i AS INTEGER) AS coeff_idx,
+               CAST(CAST(concat('0x', substr(sha256(text), t.i * 2 + 1, 2))
+                         AS INTEGER) AS DOUBLE) / 255.0 AS mfcc_value
+        FROM documents, range(0, {N_MFCC}) t(i)
     """,
 }

@@ -127,12 +127,18 @@ def validate_events_contract(events: DataFrame) -> DataFrame:
         .alias("ts_null"),
         F.sum(F.when(F.col("ts") < F.lit(CONTRACT_TS_MIN).cast("timestamp"),
                      1).otherwise(0)).alias("ts_early"),
-        F.sum(F.when(~F.col("event_type").isin(*CONTRACT_EVENT_TYPES), 1)
-              .otherwise(0)).alias("type_bad"),
-        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("val_neg"),
-        F.sum(F.when(~(F.col("props").startswith("{")
-                       & F.col("props").endswith("}")), 1).otherwise(0))
-        .alias("props_bad"),
+        # NULL-hostile: a three-valued ~isin(...) evaluates to NULL for a
+        # NULL input and would fall through otherwise(0) — an all-NULL
+        # event_type batch must NOT pass the enum rule, so each
+        # violation predicate coalesces NULL to "violated".
+        F.sum(F.when(F.coalesce(
+            ~F.col("event_type").isin(*CONTRACT_EVENT_TYPES), F.lit(True)),
+            1).otherwise(0)).alias("type_bad"),
+        F.sum(F.when(F.coalesce(F.col("value") < 0, F.lit(True)), 1)
+              .otherwise(0)).alias("val_neg"),
+        F.sum(F.when(F.coalesce(
+            ~(F.col("props").startswith("{") & F.col("props").endswith("}")),
+            F.lit(True)), 1).otherwise(0)).alias("props_bad"),
     )
     uniq = events.where(F.col("event_id").isNotNull()).agg(
         (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("id_dup"),

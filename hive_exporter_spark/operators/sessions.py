@@ -1153,8 +1153,17 @@ def decayed_user_activity(events: DataFrame,
         # explicit floor: DuckDB's double->INT cast ROUNDS while
         # Spark's truncates — an off-by-one bucket for every age in
         # the upper half of a half-life (caught by the value hash).
-        F.floor(F.datediff(F.col("__now"), F.date_trunc("day", "ts"))
-                / F.lit(halflife_days)).cast("int").alias("__buckets"),
+        # Clamp at 18 buckets: 2^-b needs exactly b decimal digits, so
+        # DECIMAL(28,18) holds every weight EXACTLY only through b=18;
+        # beyond that the double->decimal cast must round and Spark's
+        # HALF_UP is not guaranteed to match DuckDB's. Weights below
+        # 2^-18 (~4e-6) are noise for a top-k score; the floor keeps
+        # both engines bit-exact at any history length.
+        F.least(
+            F.floor(F.datediff(F.col("__now"), F.date_trunc("day", "ts"))
+                    / F.lit(halflife_days)).cast("int"),
+            F.lit(18),
+        ).alias("__buckets"),
     )
     weight = F.lit(1.0) / F.pow(F.lit(2.0), F.col("__buckets"))
     return (
@@ -1178,8 +1187,9 @@ ORACLES["decayed_user_activity"] = f"""
         SELECT MAX(date_trunc('day', ts)) AS now_day FROM events
     ), aged AS (
         SELECT user_id,
-               CAST(floor(date_diff('day', date_trunc('day', ts), now_day)
-                    / {DECAY_HALFLIFE_DAYS}.0) AS INT) AS buckets
+               least(CAST(floor(date_diff('day', date_trunc('day', ts),
+                                          now_day)
+                    / {DECAY_HALFLIFE_DAYS}.0) AS INT), 18) AS buckets
         FROM events CROSS JOIN nowd
     )
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,

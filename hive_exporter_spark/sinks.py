@@ -65,11 +65,15 @@ def export_tables(spark: SparkSession, tables: Iterable[str], out_dir: str,
 def import_tables(spark: SparkSession, paths: Iterable[str], db: str,
                   fmt: str = "parquet", table_fmt: str = "parquet",
                   options: dict[str, str] | None = None,
-                  schema: str | None = None) -> list[str]:
+                  schema: str | None = None,
+                  overwrite: bool = True) -> list[str]:
     """K2: import exported dataset dirs as managed tables; the table
     name is the dir basename's `db.tbl` with the target db override
     (reference hive_importer_spark2.py:27-35). `schema` pins text
-    formats (csv/json) whose files don't self-describe types."""
+    formats (csv/json) whose files don't self-describe types.
+    `overwrite=False` reproduces the reference CLI's default: an
+    existing table is an error unless -o/--overwrite dropped it
+    (hive_importer_spark2.py:22,33-35)."""
     create_database(spark, db)
     opts = {**FORMAT_READ_OPTIONS.get(fmt, {}), **(options or {})}
     created = []
@@ -81,7 +85,8 @@ def import_tables(spark: SparkSession, paths: Iterable[str], db: str,
         if schema is not None:
             reader = reader.schema(schema)
         df = reader.load(path)
-        df.write.format(table_fmt).mode("overwrite").saveAsTable(str(dest))
+        mode = "overwrite" if overwrite else "errorifexists"
+        df.write.format(table_fmt).mode(mode).saveAsTable(str(dest))
         created.append(str(dest))
     return created
 

@@ -25,6 +25,80 @@ def test_parser_table_query_mutual_exclusion():
     assert args.key_columns.split(",") == ["id", "region"]
 
 
+def test_reference_knobs_parse_with_defaults():
+    """Reference flag parity (spark_loaders.py:29-33,
+    hive_importer_spark2.py:22): tag-column / storageformat / verbose
+    on ingestion subcommands, overwrite on import."""
+    p = cli.build_parser()
+    args = p.parse_args(["append", "-j", "jdbc:x", "-t", "t", "-o", "db.t",
+                         "-i", "id"])
+    assert args.ingestion_tag_column == "dl_ingest_date"
+    assert args.storageformat == "parquet"
+    assert args.verbose is False
+    args = p.parse_args(["merge", "-j", "jdbc:x", "-t", "t", "-o", "db.t",
+                         "-k", "id", "-l", "lm", "-i", "id",
+                         "-s", "orc", "--ingestion-tag-column", "load_dt",
+                         "-v"])
+    assert (args.storageformat, args.ingestion_tag_column,
+            args.verbose) == ("orc", "load_dt", True)
+    args = p.parse_args(["import", "x", "-d", "db"])
+    assert args.overwrite is False
+    args = p.parse_args(["import", "x", "-d", "db", "-O"])
+    assert args.overwrite is True
+
+
+class _Rep:
+    source_count = ingested_count = destination_count = 1
+    reconciled = True
+
+
+def test_jdbc_knobs_reach_library_calls(spark, monkeypatch):
+    """-s/--ingestion-tag-column/-v must actually reach full_refresh /
+    build_session, not just parse."""
+    from hive_exporter_spark.operators import ingest as ingest_mod
+
+    seen = {}
+
+    def fake_full(spark_, source, dest, tag, fmt="parquet",
+                  drop_first=False, tag_column="dl_ingest_date"):
+        seen["fmt"], seen["tag_column"] = fmt, tag_column
+        return _Rep()
+
+    def fake_session(name, enable_hive=False, log_level="WARN", **kw):
+        seen["log_level"] = log_level
+        return spark
+
+    monkeypatch.setattr(ingest_mod, "full_refresh", fake_full)
+    monkeypatch.setattr(cli, "build_session", fake_session)
+    monkeypatch.setattr(cli, "_jdbc_source", lambda s, a: s.range(1))
+    rc = cli.main(["full", "-j", "jdbc:x", "-t", "t", "-o", "db.t",
+                   "-s", "orc", "--ingestion-tag-column", "load_dt", "-v"])
+    assert rc == 0
+    assert seen == {"fmt": "orc", "tag_column": "load_dt",
+                    "log_level": "INFO"}
+
+
+def test_import_overwrite_flag_reaches_sink(spark, monkeypatch, tmp_path):
+    """import without -O must refuse to replace an existing table
+    (reference default); with -O it overwrites."""
+    import hive_exporter_spark.sinks as sinks_mod
+
+    seen = {}
+
+    def fake_import(spark_, paths, db, fmt="parquet", overwrite=None,
+                    **kw):
+        seen["overwrite"] = overwrite
+        return []
+
+    monkeypatch.setattr(sinks_mod, "import_tables", fake_import)
+    monkeypatch.setattr(cli, "build_session",
+                        lambda name, **kw: spark)
+    assert cli.main(["import", str(tmp_path), "-d", "db"]) == 0
+    assert seen["overwrite"] is False
+    assert cli.main(["import", str(tmp_path), "-d", "db", "-O"]) == 0
+    assert seen["overwrite"] is True
+
+
 def test_batch_tag_format():
     tag = cli.default_batch_tag()
     assert len(tag) == 15 and tag[8] == "T"

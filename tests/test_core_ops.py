@@ -515,16 +515,19 @@ def test_validate_events_contract_flags_injected_violations(spark, sf_dir):
 
     bad = spark.createDataFrame(
         [(1, dt.datetime(2024, 1, 5), 7, "click", -5.0, "not json"),
-         (1, dt.datetime(2019, 1, 5), 8, "weird", 1.0, "{\"k\": 1}")],
+         (1, dt.datetime(2019, 1, 5), 8, "weird", 1.0, "{\"k\": 1}"),
+         # all-NULL payload: type/value/props rules must flag it, not
+         # let three-valued logic fall through to "clean"
+         (2, dt.datetime(2024, 1, 6), 9, None, None, None)],
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string")
     dirty = {r["rule"]: r for r in validate_events_contract(
         ev.unionByName(bad)).collect()}
-    # id 1 appears 3x (fixture + both injected rows): 2 extra copies
-    assert dirty["event_id_unique"]["n_violations"] == 2
-    assert dirty["value_non_negative"]["n_violations"] == 1
-    assert dirty["event_type_in_enum"]["n_violations"] == 1
-    assert dirty["props_object_shaped"]["n_violations"] == 1
+    # ids 1 and 2 each appear once in the fixture + injected copies
+    assert dirty["event_id_unique"]["n_violations"] == 3
+    assert dirty["value_non_negative"]["n_violations"] == 2
+    assert dirty["event_type_in_enum"]["n_violations"] == 2
+    assert dirty["props_object_shaped"]["n_violations"] == 2
     assert dirty["ts_after_floor"]["n_violations"] == 1
     assert not dirty["event_id_unique"]["passed"]
 

@@ -470,6 +470,28 @@ def test_bpe_apply_corpus_side_is_broadcast_join(t):
     assert plans.sort_merge_join_count(df) == 0, plans.formatted_plan(df)
 
 
+def test_bpe_apply_vocab_broadcast_gated_on_size(t):
+    """Above the vocab threshold the FORCED broadcast hint must not
+    fire — on a web-scale corpus the distinct-token dictionary is
+    10^8+ rows and the hint would OOM regardless of planner stats.
+    (The tiny test fixture still broadcasts by PLANNER CHOICE, which
+    is correct — at scale the size estimate flips it to shuffle; the
+    gate removes only the unconditional override.)"""
+    from hive_exporter_spark.operators import llm as _llm
+
+    docs = t("documents")
+    merges = _llm.bpe_train(docs, 2)
+    gated = _llm.bpe_apply(docs, merges, broadcast_vocab_max=0)
+    hinted = _llm.bpe_apply(docs, merges)
+    analyzed = lambda d: d._jdf.queryExecution().analyzed().toString()  # noqa: E731
+    assert "ResolvedHint" in analyzed(hinted)
+    assert "ResolvedHint" not in analyzed(gated), analyzed(gated)
+    # and the result is identical either way — strategy, not semantics
+    a = sorted(map(tuple, hinted.collect()))
+    b = sorted(map(tuple, gated.collect()))
+    assert a == b
+
+
 def test_funnel_within_single_user_exchange(t):
     """The chained step mins must share ONE user_id exchange (k window
     passes, no join per step): exchanges = user window + final tally
