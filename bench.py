@@ -53,7 +53,7 @@ BENCH_QUERIES = [
     "quantize_embeddings",
     # r2 dedup/layout additions.
     "incremental_dedup",
-    "semantic_dedup",
+    "semantic_dedup_baseline",
     "dedup_lines",
     "cdc_dup_spans",
     "tfidf_topk_terms",
@@ -112,6 +112,11 @@ BENCH_QUERIES = [
     "validate_events_contract",
     "decayed_user_activity",
     "build_inverted_index",
+    # r5 additions: the two ANN index paths that flipped from
+    # rows-only to hash-checked (portable LSH planes / fixed-codebook
+    # PQ), timed so the oracle-friendly variants stay honest on cost.
+    "embedding_topk_cosine_lsh",
+    "embedding_topk_cosine_pq_fixed",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -617,6 +617,27 @@ LSH_PLANES = 4
 LSH_TABLES = 8
 
 
+def _portable_planes(seed: int, tables: int, planes: int,
+                     dim: int) -> list[list[list[float]]]:
+    """Hyperplane weights from the repo's canonical md5 coin
+    (functions/rand.py): w = 2·u − 1 with u = (int40 + 0.5)/2^40 over
+    the key "lsh:{seed}:{t}:{p}:{d}". Uniform in (−1, 1) instead of
+    Gaussian — sign-LSH only needs a symmetric direction distribution
+    — and, unlike `random.gauss`, reproducible OUTSIDE Python: the
+    DuckDB oracle regenerates the identical doubles in SQL ((k+0.5)
+    and the /2^40, ×2 steps are exact in binary; the −1 rounds the
+    same way in every IEEE engine), which is what lets the whole LSH
+    path hash-check instead of rows-only."""
+    import hashlib
+
+    def u(t: int, p: int, d: int) -> float:
+        h = hashlib.md5(f"lsh:{seed}:{t}:{p}:{d}".encode()).hexdigest()
+        return (int(h[:10], 16) + 0.5) / float(1 << 40)
+
+    return [[[2.0 * u(t, p, d) - 1.0 for d in range(dim)]
+             for p in range(planes)] for t in range(tables)]
+
+
 def _rp_buckets(vec_col: str, tables: list[list[list[float]]]) -> F.Column:
     """Multi-table random-hyperplane bucket ids: for each table, pack
     one sign bit per plane into an int; returns array<struct<tbl,bucket>>."""
@@ -661,13 +682,7 @@ def topk_cosine_lsh(
     once, partitioned by (tbl, bucket); per-query probes then hit
     2^planes-fold-pruned partitions only.
     """
-    import random
-
-    rnd = random.Random(seed)
-    plane_tabs = [
-        [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(planes)]
-        for _ in range(tables)
-    ]
+    plane_tabs = _portable_planes(seed, tables, planes, dim)
     buckets = _rp_buckets(vec_col, plane_tabs)
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"),
@@ -1941,6 +1956,138 @@ def topk_cosine_pq(embeddings: DataFrame, queries: DataFrame,
     )
 
 
+PQF_K = 16       # codes per subspace for the fixed-codebook variant
+PQF_SCALE = 0.25  # centroid scale ~ the magnitude of unit-vector dims
+
+
+def _portable_codebooks(seed: int = 42, m: int = PQ_M, k: int = PQF_K,
+                        dsub: int = 2) -> list[list[list[float]]]:
+    """Data-independent PQ codebooks from the canonical md5 coin
+    (same scheme as `_portable_planes`): c[j][k][d] = (2·u − 1)·0.25
+    over the key "pqf:{seed}:{j}:{k}:{d}". No k-means — worse
+    quantization than trained codebooks, but reproducible in SQL,
+    which is what lets a PQ entry hash-check against DuckDB instead
+    of rows-only."""
+    import hashlib
+
+    def u(j: int, c: int, d: int) -> float:
+        h = hashlib.md5(f"pqf:{seed}:{j}:{c}:{d}".encode()).hexdigest()
+        return (int(h[:10], 16) + 0.5) / float(1 << 40)
+
+    return [[[(2.0 * u(j, c, d) - 1.0) * PQF_SCALE for d in range(dsub)]
+             for c in range(k)] for j in range(m)]
+
+
+def _pqf_assign(embeddings: DataFrame, books: list[list[list[float]]],
+                id_col: str, vec_col: str) -> DataFrame:
+    """Column-algebra PQ encode against literal codebooks: one struct
+    column `__s{j}` per subspace holding the winning (dist, c, r0, r1)
+    — `array_min` over structs is lexicographic, i.e. argmin by
+    distance with the code id as deterministic tiebreak, and the
+    winner carries its reconstruction values so the gather is free.
+
+    Built as SQL text, not Column objects: 32 subspaces x 16 codes of
+    `F.struct(...)` arithmetic is ~4000 py4j round-trips (~10 s of
+    driver time per call); the equivalent selectExpr strings parse
+    JVM-side in one hop. Codebook literals go through
+    CAST('<repr>' AS DOUBLE) so the parsed double is the bit-exact
+    Python value at any magnitude (repr round-trips; a bare decimal
+    literal would parse as DECIMAL). Normalized components index the
+    RAW stored array and divide by the fold-norm per use — division
+    is deterministic, and element_at over a computed transform()
+    column would re-run the lambda per reference (the repo's standing
+    HOF gotcha)."""
+    from hive_exporter_spark.functions.vectors import l2_norm
+
+    def d(v: float) -> str:
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    base = (embeddings.select(id_col, vec_col)
+            .withColumn("__norm", l2_norm(F.col(vec_col))))
+    comps = [
+        f"CAST(element_at({vec_col}, {2 * j + k + 1}) AS DOUBLE) / __norm"
+        f" AS __e{j}_{k}"
+        for j in range(len(books)) for k in (0, 1)
+    ]
+    base = base.selectExpr(id_col, *comps)
+    subs = []
+    for j, book in enumerate(books):
+        structs = ", ".join(
+            f"named_struct("
+            f"'dist', (__e{j}_0 - {d(r0)}) * (__e{j}_0 - {d(r0)})"
+            f" + (__e{j}_1 - {d(r1)}) * (__e{j}_1 - {d(r1)}), "
+            f"'c', {c}, 'r0', {d(r0)}, 'r1', {d(r1)})"
+            for c, (r0, r1) in enumerate(book))
+        subs.append(f"array_min(array({structs})) AS __s{j}")
+    return base.selectExpr(id_col, *subs)
+
+
+def topk_cosine_pq_fixed(embeddings: DataFrame, queries: DataFrame,
+                         k: int = TOPK, m: int = PQ_M,
+                         n_codes: int = PQF_K, seed: int = 42,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """PQ ANN top-k with FIXED md5-derived codebooks and the encode /
+    reconstruct / score pipeline expressed entirely in JVM column
+    algebra — the hash-checkable twin of `topk_cosine_pq`.
+
+    Why it exists: the trained path's k-means fit and numpy kernels
+    have no DuckDB twin, so the driver could only rows-check it. This
+    variant keeps the exact PQ dataflow — normalize, per-subspace
+    nearest-code assignment (argmin with code-id tiebreak),
+    codebook-gather reconstruction, asymmetric cosine scoring, rank —
+    but sources the codebooks from the portable coin and every
+    floating-point step from deterministic sequential folds, so the
+    oracle replays it bit-for-bit. `test_pq_fixed_codes_match_numpy`
+    then pins the numpy `_pq_assign` kernel to THIS path's
+    assignments, chaining the trained implementation to the oracle.
+
+    Plan shape (and the 100 TB story) is identical to the trained
+    variant: encode+reconstruct is map-only over the corpus (the
+    argmin is a literal-struct `array_min`, no shuffle, no Python),
+    queries broadcast, one window rank. Recall is below the trained
+    codebooks' — use this as the verification anchor, the trained
+    path in production."""
+    from hive_exporter_spark.functions.vectors import cosine_similarity
+
+    books = _portable_codebooks(seed, m, n_codes, 2)
+    enc = _pqf_assign(embeddings, books, id_col, vec_col)
+    recon = "array(" + ", ".join(
+        f"__s{j}.r0, __s{j}.r1" for j in range(m)) + ") AS recon"
+    corpus = (enc.selectExpr(f"{id_col} AS neighbor_id", recon))
+    q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
+                                   F.col(vec_col).alias("qvec")))
+    scored = (corpus.join(q, F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("score", cosine_similarity("qvec", "recon")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("score", 6).alias("score"))
+    )
+
+
+def pq_fixed_codes(embeddings: DataFrame, m: int = PQ_M,
+                   n_codes: int = PQF_K, seed: int = 42,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """The fixed-codebook assignment alone: (vec_id, subspace, code) —
+    the column-algebra encode that `test_pq_fixed_codes_match_numpy`
+    compares against the numpy `_pq_assign` kernel, one row per
+    (vector, subspace) so the comparison needs no array handling."""
+    from hive_exporter_spark.functions.vectors import l2_norm
+
+    books = _portable_codebooks(seed, m, n_codes, 2)
+    enc = _pqf_assign(embeddings, books, id_col, vec_col)
+    pairs = "explode(array(" + ", ".join(
+        f"named_struct('subspace', {j}, 'code', __s{j}.c)"
+        for j in range(len(books))) + ")) AS p"
+    return (enc.selectExpr(id_col, pairs)
+            .select(id_col, "p.subspace", "p.code"))
+
+
 def ngram_jaccard_pairs_capped(
     documents: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
@@ -2878,9 +3025,16 @@ def _q_topk_ivf_pq(spark, sf):
 
 def _q_topk_pq(spark, sf):
     """Rows-only: PQ codebooks are k-means-fit (not SQL-expressible);
-    recall vs the exact path is pinned in tests."""
+    recall vs the exact path is pinned in tests, and the encode kernel
+    is chained to the hash-checked `embedding_topk_cosine_pq_fixed`
+    via test_pq_fixed_codes_match_numpy."""
     emb = _emb(spark, sf)
     return topk_cosine_pq(emb, emb.where(F.col("vec_id") < N_QUERIES))
+
+
+def _q_topk_pq_fixed(spark, sf):
+    emb = _emb(spark, sf)
+    return topk_cosine_pq_fixed(emb, emb.where(F.col("vec_id") < N_QUERIES))
 
 
 def _q_text_stats(spark, sf):
@@ -3028,8 +3182,11 @@ def _q_remove_dup_spans(spark, sf):
 
 
 def _q_semantic_dedup(spark, sf):
-    """Rows-only: k-means centroids have no SQL twin; numpy replay in
-    tests asserts survivor-set equality."""
+    """Rows-only BY DESIGN — this is the labeled k-means baseline
+    (sampled centroids have no SQL twin; numpy replay in tests asserts
+    survivor-set equality). The verification anchor is its
+    hash-checked twin `semantic_dedup_fixed`, which swaps the fit for
+    deterministic centroids and keeps the assignment/prune pipeline."""
     return semantic_dedup(_docs(spark, sf), _emb(spark, sf))
 
 
@@ -3096,6 +3253,7 @@ QUERIES = {
     "embedding_topk_cosine_ivf": _q_topk_ivf,
     "embedding_topk_cosine_brp_lsh": _q_topk_brp,
     "embedding_topk_cosine_pq": _q_topk_pq,
+    "embedding_topk_cosine_pq_fixed": _q_topk_pq_fixed,
     "embedding_topk_cosine_ivf_pq": _q_topk_ivf_pq,
     "embedding_label_centroids": _q_centroids,
     "doc_embedding_norms": _q_norms,
@@ -3113,7 +3271,7 @@ QUERIES = {
     "incremental_dedup": _q_incremental_dedup,
     "cdc_dup_spans": _q_cdc_dup_spans,
     "tfidf_topk_terms": _q_tfidf_topk,
-    "semantic_dedup": _q_semantic_dedup,
+    "semantic_dedup_baseline": _q_semantic_dedup,
     "heavy_hitters_terms": _q_heavy_hitters,
     "heavy_hitters_exact": _q_heavy_hitters_exact,
     "incremental_dedup_bloom": _q_incremental_dedup_bloom,
@@ -3295,11 +3453,14 @@ ORACLES = {
               ON a.vec_id < b.vec_id
         ) WHERE score >= {COSINE_DUP_THRESHOLD}
     """,
-    # minhash_lsh_pairs_ml / embedding_topk_cosine_lsh (_brp_lsh,
-    # _pandas, _ivf) / embedding_near_dup_lsh_pairs: spark.ml-hash /
-    # seeded-hyperplane / numpy-summation based — no exact DuckDB
-    # twin; rows-only checked (equivalence to their exact baselines
-    # is asserted in tests instead).
+    # minhash_lsh_pairs_ml / embedding_topk_cosine_{brp_lsh,ivf} /
+    # embedding_near_dup_lsh_pairs: spark.ml-hash / numpy-kmeans
+    # based — no exact DuckDB twin; rows-only checked (equivalence to
+    # their exact baselines is asserted in tests instead).
+    # embedding_topk_cosine_lsh IS hash-checked (below): its
+    # hyperplanes are md5-derived (_portable_planes), so the oracle
+    # regenerates the identical doubles and replays the whole
+    # bucket-join + cosine-rank pipeline in SQL.
     # minhash_lsh_pairs, dedup_near_minhash, and simhash64 ARE
     # oracle-checked (below): their Carter-Wegman-on-md5 hashing was
     # chosen to be engine-portable.
@@ -3524,6 +3685,104 @@ ORACLES["ngram_jaccard_pairs_capped"] = f"""
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
           >= {JACCARD_THRESHOLD}
+"""
+
+# Full DuckDB replay of the multi-table sign-LSH ANN path: regenerate
+# the md5-derived hyperplanes (same key scheme as _portable_planes,
+# seed 42, dim 64 — the fixture's embedding width), fold the same
+# sequential dot products, OR-combine tables via the bucket join, then
+# exact cosine + rank over candidates only. Every arithmetic step
+# mirrors the Spark fold order, so the driver value-hash is bit-exact.
+ORACLES["embedding_topk_cosine_lsh"] = f"""
+    WITH planes AS (
+        SELECT t.t AS tbl, p.p AS p,
+               list_transform(range(0, 64), d ->
+                   ((CAST('0x' || substr(md5('lsh:42:' || t.t || ':' || p.p
+                                         || ':' || d), 1, 10) AS BIGINT)
+                     + 0.5) / {float(1 << 40)}) * 2 - 1) AS wvec
+        FROM range(0, {LSH_TABLES}) t(t), range(0, {LSH_PLANES}) p(p)
+    ), sigs AS (
+        SELECT e.vec_id, pl.tbl,
+               SUM(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(range(1, len(e.embedding) + 1),
+                            i -> CAST(e.embedding[i] AS DOUBLE) * pl.wvec[i])),
+                        (acc, x) -> acc + x) >= 0
+                        THEN (1 << pl.p) ELSE 0 END) AS bucket
+        FROM embeddings e, planes pl
+        GROUP BY e.vec_id, pl.tbl
+    ), cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    ), scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               {_cos_sql('a.qvec', 'b.nvec')} AS score
+        FROM cand
+        JOIN (SELECT vec_id, embedding AS qvec FROM embeddings) a(vec_id, qvec)
+          ON a.vec_id = cand.query_id
+        JOIN (SELECT vec_id, embedding AS nvec FROM embeddings) b(vec_id, nvec)
+          ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM (
+        SELECT query_id, neighbor_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOPK}
+"""
+
+# DuckDB replay of the fixed-codebook PQ path: regenerate the md5
+# codebooks (key scheme of _portable_codebooks, seed 42, dsub=2),
+# normalize by the same sequential-fold norm, assign each subspace by
+# (dist, code) order, gather the winners' reconstruction values in
+# subspace order, then the standard cosine-rank tail. Every double is
+# produced by the same IEEE op sequence as the Spark column algebra.
+ORACLES["embedding_topk_cosine_pq_fixed"] = f"""
+    WITH cb AS (
+        SELECT j.j, c.c,
+               (((CAST('0x' || substr(md5('pqf:42:' || j.j || ':' || c.c
+                                      || ':0'), 1, 10) AS BIGINT) + 0.5)
+                 / {float(1 << 40)}) * 2 - 1) * {PQF_SCALE} AS r0,
+               (((CAST('0x' || substr(md5('pqf:42:' || j.j || ':' || c.c
+                                      || ':1'), 1, 10) AS BIGINT) + 0.5)
+                 / {float(1 << 40)}) * 2 - 1) * {PQF_SCALE} AS r1
+        FROM range(0, {PQ_M}) j(j), range(0, {PQF_K}) c(c)
+    ), nrm AS (
+        SELECT vec_id, embedding,
+               sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, len(embedding) + 1),
+                       i -> CAST(embedding[i] AS DOUBLE)
+                            * CAST(embedding[i] AS DOUBLE))),
+                   (a, x) -> a + x)) AS nn
+        FROM embeddings
+    ), nv AS (
+        SELECT vec_id,
+               list_transform(range(1, len(embedding) + 1),
+                   i -> CAST(embedding[i] AS DOUBLE) / nn) AS nvec
+        FROM nrm
+    ), win AS (
+        SELECT vec_id, j, r0, r1,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY
+                   (nvec[2 * j + 1] - r0) * (nvec[2 * j + 1] - r0)
+                   + (nvec[2 * j + 2] - r1) * (nvec[2 * j + 2] - r1),
+                   c) AS rn
+        FROM nv, cb
+    ), recon AS (
+        SELECT vec_id, flatten(list([r0, r1] ORDER BY j)) AS rvec
+        FROM win WHERE rn = 1 GROUP BY vec_id
+    ), scored AS (
+        SELECT a.vec_id AS query_id, r.vec_id AS neighbor_id,
+               {_cos_sql('a.qvec', 'r.rvec')} AS score
+        FROM (SELECT vec_id, embedding AS qvec FROM embeddings
+              WHERE vec_id < {N_QUERIES}) a(vec_id, qvec)
+        JOIN recon r ON a.vec_id <> r.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM (
+        SELECT query_id, neighbor_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOPK}
 """
 
 ORACLES["quantize_embeddings"] = f"""

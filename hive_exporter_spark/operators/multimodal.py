@@ -29,8 +29,11 @@ DECODED_IMAGE_SCHEMA = (
 
 def with_binary_content(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Fixture adapter: materialize an opaque binary column (UTF-8
-    bytes of the text). Real pipelines read binary columns straight
-    from parquet."""
+    bytes of the text). A frame that ALREADY carries a binary
+    `content` column — the real-pipeline shape, read straight from
+    parquet — passes through untouched."""
+    if "content" in documents.columns:
+        return documents.select("doc_id", "content")
     return documents.select(
         "doc_id", F.encode(F.col(text_col), "UTF-8").alias("content")
     )
@@ -115,7 +118,36 @@ def decode_images(documents: DataFrame, fake: bool = True) -> DataFrame:
                 "decode_status": "fake",
             })
 
-    return binary.mapInPandas(kernel, DECODED_IMAGE_SCHEMA)
+    def kernel_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Same schema and batch shape as the fake path; activates only
+        # when PIL is importable (test_decode_images_real_path_with_pil
+        # is skip-marked on PIL's absence so this cannot rot silently).
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            ws, hs, cs, st = [], [], [], []
+            for b in pdf["content"]:
+                try:
+                    img = Image.open(io.BytesIO(bytes(b)))
+                    ws.append(img.width)
+                    hs.append(img.height)
+                    cs.append(len(img.getbands()))
+                    st.append("ok")
+                except Exception:
+                    ws.append(0), hs.append(0), cs.append(0)
+                    st.append("error")
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "n_channels": pd.Series(cs, dtype="int32"),
+                "decode_status": st,
+            })
+
+    return binary.mapInPandas(kernel if fake else kernel_real,
+                              DECODED_IMAGE_SCHEMA)
 
 
 def frame_sample_plan(documents: DataFrame, every_n: int = 10) -> DataFrame:

@@ -459,6 +459,51 @@ def test_bm25_scores_ranking_sane(spark):
     assert rows[1] > rows[2] > 0
 
 
+def test_pq_fixed_codes_match_numpy(spark, emb):
+    """Chain the trained PQ path's numpy kernel to the hash-checked
+    fixed-codebook path: `_pq_assign` fed the SAME portable codebooks
+    and the SAME fold-normalized vectors must produce the identical
+    per-subspace code for every vector. With this green, the DuckDB
+    oracle (embedding_topk_cosine_pq_fixed) transitively verifies the
+    encode arithmetic the trained `pq_encode`/`topk_cosine_pq` use."""
+    import numpy as np
+
+    from hive_exporter_spark.functions.vectors import l2_norm
+
+    books = np.array(llm._portable_codebooks())
+    # Fold-normalized vectors from the column-algebra side, so both
+    # kernels see bit-identical inputs (numpy's pairwise-summation
+    # norm would differ in the last ulp from the sequential fold).
+    rows = (emb.withColumn("__n", l2_norm(F.col("embedding")))
+            .select("vec_id", F.transform(
+                "embedding",
+                lambda x: x.cast("double") / F.col("__n")).alias("nv"))
+            .collect())
+    ids = [r["vec_id"] for r in rows]
+    mat = np.array([r["nv"] for r in rows])
+    np_codes = llm._pq_assign(mat, books)
+    spark_codes = {(r["vec_id"], r["subspace"]): r["code"]
+                   for r in llm.pq_fixed_codes(emb).collect()}
+    mismatches = [
+        (vid, j, int(np_codes[i, j]), spark_codes[(vid, j)])
+        for i, vid in enumerate(ids) for j in range(books.shape[0])
+        if spark_codes[(vid, j)] != int(np_codes[i, j])
+    ]
+    assert not mismatches, mismatches[:5]
+
+
+def test_pq_fixed_recall_nonzero(spark, emb):
+    """Fixed codebooks quantize worse than trained ones, but the path
+    must still rank: recall@5 vs exact stays above a floor."""
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in llm.topk_cosine(emb, queries).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in llm.topk_cosine_pq_fixed(emb, queries).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"fixed-PQ recall {recall} too low"
+
+
 def test_quantize_embeddings_preserves_ranking(spark, emb):
     """int8 quantization must preserve cosine top-k ranking: top-5
     neighbor sets from quantized vectors overlap the float top-5 at

@@ -42,6 +42,28 @@ def test_decode_images_real_path_gated(spark, docs):
             multimodal.decode_images(docs, fake=False)
 
 
+@pytest.mark.skipif(multimodal._try_import_pil() is None,
+                    reason="PIL not installed in this container")
+def test_decode_images_real_path_with_pil(spark):
+    """When the container gains PIL, the real kernel must actually
+    decode: a generated 12x7 RGB PNG comes back with its true
+    geometry, and junk bytes report decode_status='error' instead of
+    fabricated dimensions."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (12, 7)).save(buf, format="PNG")
+    rows = [(1, buf.getvalue()), (2, b"not an image")]
+    docs = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r["doc_id"]: r for r in
+           multimodal.decode_images(docs, fake=False).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_channels"],
+            got[1]["decode_status"]) == (12, 7, 3, "ok")
+    assert got[2]["decode_status"] == "error"
+
+
 def test_frame_sample_fan_out(spark, docs):
     out = multimodal.frame_sample_plan(docs, every_n=10)
     n_docs = docs.count()
