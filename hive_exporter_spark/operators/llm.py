@@ -813,6 +813,86 @@ def topk_cosine_ivf(
     )
 
 
+def build_ivf_index(embeddings: DataFrame, path: str,
+                    n_clusters: int = IVF_CLUSTERS, seed: int = 42,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> list[list[float]]:
+    """Materialize the IVF index ONCE: fit centroids on a bounded
+    sample, bucket-assign every vector in one Arrow map pass (no
+    shuffle), and write parquet PARTITIONED BY bucket. Returns the
+    centroids (plain nested list — store them next to the index; they
+    are the probe's routing table).
+
+    This is the production shape `topk_cosine_ivf`'s docstring
+    promises: at 100 TB the corpus-sized work happens exactly once
+    here, and every subsequent `query_ivf_index` is a partition-pruned
+    scan of ~nprobe/n_clusters of the data — the scan never touches
+    the other buckets' files (plan-gated by
+    test_ivf_index_probe_partition_pruned)."""
+    import numpy as np
+    import pandas as pd
+
+    cent = _kmeans_centroids(embeddings, n_clusters, seed, id_col, vec_col)
+
+    def assign_kernel(batches):
+        for pdf in batches:
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                vec_col: pdf[vec_col],
+                "bucket": np.argmax(m @ cent.T, axis=1).astype("int32"),
+            })
+
+    assigned = embeddings.select(id_col, vec_col).mapInPandas(
+        assign_kernel, f"{id_col} long, {vec_col} array<float>, bucket int")
+    assigned.write.partitionBy("bucket").mode("overwrite").parquet(path)
+    return cent.tolist()
+
+
+def query_ivf_index(spark: SparkSession, path: str,
+                    centroids: list[list[float]], queries: DataFrame,
+                    k: int = TOPK, nprobe: int = IVF_NPROBE,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Probe a `build_ivf_index` index: route each query to its
+    `nprobe` closest centroids driver-side (queries are small by
+    contract), then read ONLY those bucket partitions — the IN-filter
+    on the partition column prunes at the file index, so probe cost is
+    ~nprobe/n_clusters of the corpus regardless of corpus size. Same
+    output contract as `topk_cosine_ivf`, and bit-identical to it for
+    the same centroids (asserted in tests)."""
+    import numpy as np
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    probe_rows = []
+    for r in queries.select(id_col, vec_col).collect():
+        v = np.array(r[vec_col], dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        for b in np.argsort(-(cent @ v))[:nprobe]:
+            probe_rows.append((r[id_col], list(r[vec_col]), int(b)))
+    q = F.broadcast(spark.createDataFrame(
+        probe_rows, "query_id long, qvec array<float>, bucket int"))
+    probed = sorted({b for _, _, b in probe_rows})
+    idx = (spark.read.parquet(path)
+           .where(F.col("bucket").isin(probed))
+           .select(F.col(id_col).alias("neighbor_id"),
+                   F.col(vec_col).alias("nvec"), "bucket"))
+    scored = (
+        idx.join(q, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", cosine_similarity("qvec", "nvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("score", 6).alias("score"))
+    )
+
+
 PQ_M = 32   # subspaces (fixture dim 64 -> 2 dims per subspace)
 PQ_K = 64   # codes per subspace (6 bits; a code always fits a byte)
 

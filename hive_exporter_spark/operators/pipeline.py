@@ -144,6 +144,70 @@ def pack_sequences(documents: DataFrame,
     )
 
 
+def group_split(documents: DataFrame, group_col: str = "source",
+                pcts: tuple[int, int, int] = SPLIT_PCTS) -> DataFrame:
+    """Leakage-safe train/val/test: every document sharing a group
+    (source/domain) lands in the SAME split. Near-duplicates and
+    templated pages cluster within a source, so the per-document split
+    of `train_val_test_split` leaks paraphrases of training pages into
+    test; grouping the split by the contamination unit is the standard
+    fix (the "dedup across splits" rule of web-corpus papers).
+
+    Same execution shape as the per-doc split — a narrow map-only
+    projection, no shuffle, no stored assignment — but bucketed by the
+    md5 coin of the group key (string-safe, unlike the Knuth bigint
+    hash), so any job at any scale recomputes the identical split from
+    the group value alone."""
+    from hive_exporter_spark.functions.rand import md5_int40
+
+    train_hi, val_hi = pcts[0], pcts[0] + pcts[1]
+    b = md5_int40(group_col) % 100
+    split = (
+        F.when(b < train_hi, F.lit("train"))
+        .when(b < val_hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return documents.select("doc_id", "lang", group_col,
+                            split.alias("split"))
+
+
+def pack_efficiency_report(documents: DataFrame,
+                           budget: int = PACK_BUDGET) -> DataFrame:
+    """Context-window utilization audit over `pack_sequences`: per
+    source, how many packs, how full they are, and how many OVERFLOW
+    the budget (a document longer than the budget is not split, so its
+    pack blows past it — those need chunking upstream). This is the
+    number that prices a pretraining run: utilization is the fraction
+    of paid-for context actually filled with tokens.
+
+    Two shuffles total — the packer's per-source window, then one
+    partial-agg rollup to sources; report is |sources| rows.
+    Utilization is computed from INTEGER token/pack sums with one
+    final double division (mean per-pack fill == total/(packs·budget)
+    algebraically), so it is order-independent and oracle-exact with
+    no decimal plumbing."""
+    per_pack = (
+        pack_sequences(documents, budget)
+        .groupBy("source", "pack_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("pack_tokens"))
+    )
+    return (
+        per_pack.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_packs"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("pack_tokens").alias("total_tokens"),
+            F.sum(F.when(F.col("pack_tokens") > budget, 1).otherwise(0))
+            .alias("n_overflow_packs"),
+        )
+        .withColumn("utilization", F.round(
+            F.col("total_tokens")
+            / (F.col("n_packs") * F.lit(budget)).cast("double"), 6))
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Calendar gap-fill (date spine)
 # ---------------------------------------------------------------------------
@@ -603,8 +667,18 @@ def _q_curation(spark, sf):
     return curation_pipeline(_docs(spark, sf))
 
 
+def _q_group_split(spark, sf):
+    return group_split(_docs(spark, sf))
+
+
+def _q_pack_efficiency(spark, sf):
+    return pack_efficiency_report(_docs(spark, sf))
+
+
 QUERIES = {
     "train_val_test_split": _q_split,
+    "group_split": _q_group_split,
+    "pack_efficiency_report": _q_pack_efficiency,
     "gopher_quality_signals": _q_gopher,
     "pack_sequences": _q_pack,
     "fill_missing_days": _q_fill_days,
@@ -1770,4 +1844,46 @@ ORACLES["ngram_contamination_tokens"] = f"""
     WHERE source <> '{BENCH_SOURCE}'
     GROUP BY doc_id
     ORDER BY doc_id
+"""
+
+from hive_exporter_spark.functions.rand import md5_int40_sql  # noqa: E402
+
+ORACLES["group_split"] = f"""
+    SELECT doc_id, lang, source,
+           CASE WHEN {md5_int40_sql('source')} % 100 < {SPLIT_PCTS[0]}
+                THEN 'train'
+                WHEN {md5_int40_sql('source')} % 100
+                     < {SPLIT_PCTS[0] + SPLIT_PCTS[1]} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+"""
+
+ORACLES["pack_efficiency_report"] = f"""
+    WITH toks AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(floor((SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS pack_id
+        FROM toks
+    ), per_pack AS (
+        SELECT source, pack_id, COUNT(*) AS n_docs,
+               SUM(n_tokens) AS pack_tokens
+        FROM packed GROUP BY source, pack_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_packs,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN pack_tokens > {PACK_BUDGET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overflow_packs,
+           round(CAST(SUM(pack_tokens) AS BIGINT)
+                 / CAST(COUNT(*) * {PACK_BUDGET} AS DOUBLE), 6)
+               AS utilization
+    FROM per_pack
+    GROUP BY source
+    ORDER BY source
 """

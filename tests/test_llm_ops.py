@@ -459,6 +459,45 @@ def test_bm25_scores_ranking_sane(spark):
     assert rows[1] > rows[2] > 0
 
 
+def test_ivf_index_build_probe_matches_inline(spark, emb, tmp_path):
+    """query_ivf_index over a materialized index must reproduce
+    topk_cosine_ivf exactly (same centroids seed, same nprobe) — the
+    build/probe split changes WHERE the work happens, not the answer."""
+    path = str(tmp_path / "ivf_idx")
+    queries = emb.where(F.col("vec_id") < 10)
+    cent = llm.build_ivf_index(emb, path)
+    got = {(r["query_id"], r["neighbor_id"], r["rank"], r["score"])
+           for r in llm.query_ivf_index(spark, path, cent, queries).collect()}
+    want = {(r["query_id"], r["neighbor_id"], r["rank"], r["score"])
+            for r in llm.topk_cosine_ivf(emb, queries).collect()}
+    assert got == want and got
+
+
+def test_ivf_index_probe_partition_pruned(spark, emb, tmp_path):
+    """The probe must prune at the FILE INDEX: the scan's
+    PartitionFilters carry the bucket IN-list, and only the probed
+    buckets' files are read — at 100 TB that is the difference between
+    scanning nprobe/n_clusters of the corpus and all of it."""
+    from hive_exporter_spark import plans
+
+    path = str(tmp_path / "ivf_idx")
+    cent = llm.build_ivf_index(emb, path)
+    queries = emb.where(F.col("vec_id") < 2)
+    df = llm.query_ivf_index(spark, path, cent, queries)
+    plan = plans.formatted_plan(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("bucket" in ln for ln in pf), plan
+    # The IN-list must prune at the FILE INDEX (PartitionFilters), not
+    # ride along as a post-scan row filter: the physical scan of the
+    # index shows the bucket predicate in PartitionFilters and nothing
+    # in DataFilters.
+    scan = (spark.read.parquet(path).where(F.col("bucket").isin([0, 1]))
+            ._jdf.queryExecution().executedPlan().toString())
+    scan_line = next(ln for ln in scan.splitlines() if "FileScan" in ln)
+    assert "PartitionFilters: [bucket" in scan_line, scan_line
+    assert "DataFilters: []" in scan_line, scan_line
+
+
 def test_pq_fixed_codes_match_numpy(spark, emb):
     """Chain the trained PQ path's numpy kernel to the hash-checked
     fixed-codebook path: `_pq_assign` fed the SAME portable codebooks

@@ -38,6 +38,38 @@ def test_split_is_disjoint_partition_by_id(spark, sf_dir):
     )
 
 
+def test_group_split_keeps_groups_whole(spark, sf_dir):
+    """Leakage safety: every source maps to exactly ONE split — no
+    document shares a source with a document in another split — and
+    the assignment is deterministic and total."""
+    docs = _docs(spark, sf_dir)
+    a = pipeline.group_split(docs)
+    assert a.count() == docs.count()
+    straddlers = (a.groupBy("source")
+                  .agg(F.countDistinct("split").alias("n"))
+                  .where(F.col("n") > 1))
+    assert straddlers.count() == 0
+    b = pipeline.group_split(docs)
+    assert a.exceptAll(b).count() == 0
+
+
+def test_pack_efficiency_report_invariants(spark, sf_dir):
+    """The report must reconcile with the packer: doc and token totals
+    match the corpus, utilization is in (0, 1] unless packs overflow,
+    and overflow packs are exactly those whose tokens exceed budget."""
+    docs = _docs(spark, sf_dir)
+    rep = pipeline.pack_efficiency_report(docs, budget=100).collect()
+    n_tokens = (docs.select(F.size(F.split("text", " ")).alias("n"))
+                .agg(F.sum("n")).collect()[0][0])
+    assert sum(r["n_docs"] for r in rep) == docs.count()
+    assert sum(r["total_tokens"] for r in rep) == n_tokens
+    for r in rep:
+        assert r["n_packs"] >= 1
+        assert 0 < r["utilization"]
+        if r["n_overflow_packs"] == 0:
+            assert r["utilization"] <= 1.0
+
+
 def test_pack_sequences_respects_budget_start(spark, sf_dir):
     """A doc's pack is determined by tokens strictly before it, so pack k
     starts only after k*budget tokens; per-pack totals overshoot by at
