@@ -378,6 +378,55 @@ def running_user_totals(events: DataFrame, timeout_minutes: int | None = None) -
     )
 
 
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Spark-4-native twin of `running_user_totals`, on the
+    `transformWithStateInPandas` StatefulProcessor API — the successor
+    to applyInPandasWithState: typed state handles (value/list/map),
+    per-key timers, TTL, and RocksDB-only state storage (changelog
+    checkpointing, bounded memory at 100 TB/day key cardinalities).
+    New custom stateful operators should land on this API; the
+    applyInPandasWithState twin stays as the comparison baseline and
+    `test_running_user_totals_tws_matches_legacy` pins the two to the
+    same answer.
+
+    Requires `spark.sql.streaming.stateStore.providerClass` =
+    RocksDBStateStoreProvider (the API rejects the HDFS-backed store)
+    AND the `protobuf` Python package: transformWithState's state
+    server speaks protobuf to the Python worker, and this container
+    does not ship it — so the equality test
+    (`test_running_user_totals_tws_matches_legacy`) is skip-marked on
+    `google.protobuf` availability, exactly like the PIL decode
+    kernel, and activates the moment the dependency appears.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", USER_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._state.update((n, total))
+            yield pd.DataFrame({
+                "user_id": [key[0]], "n_events": [n], "total_value": [total],
+            })
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _Totals(), USER_TOTALS_SCHEMA, "update", "none")
+    )
+
+
 def dedup_stream(events: DataFrame, keys: list[str] | None = None,
                  watermark: str = "2 hours", ts_col: str = "ts") -> DataFrame:
     """Streaming exact dedup: dropDuplicatesWithinWatermark keeps one

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import uuid
 
+import pytest
 from pyspark.sql import functions as F
 
 from hive_exporter_spark.operators.sessions import sessionize
@@ -71,6 +72,53 @@ def test_foreach_batch_cdc_bridge(spark, sf_dir, tmp_path):
         assert tags >= 1
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_protobuf(),
+                    reason="transformWithState's state server needs the "
+                           "protobuf package, absent in this container")
+def test_running_user_totals_tws_matches_legacy(spark, sf_dir):
+    """The transformWithStateInPandas twin must reach the same final
+    per-user totals as the applyInPandasWithState implementation (and
+    hence the batch groupBy). RocksDB state store is required by the
+    new API; restore the provider conf afterwards."""
+    from hive_exporter_spark.streaming.streams import running_user_totals_tws
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        out = run_to_memory_sink(
+            running_user_totals_tws(stream), f"tws_{uuid.uuid4().hex[:8]}",
+            output_mode="update",
+        )
+        got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+               for r in out.collect()}
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    batch = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("tv"))
+    )
+    want = {r["user_id"]: (r["n"], round(r["tv"], 6)) for r in batch.collect()}
+    assert got == want
 
 
 def test_running_user_totals_stateful_agrees_with_batch(spark, sf_dir):
