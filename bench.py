@@ -117,6 +117,9 @@ BENCH_QUERIES = [
     # PQ), timed so the oracle-friendly variants stay honest on cost.
     "embedding_topk_cosine_lsh",
     "embedding_topk_cosine_pq_fixed",
+    "dataset_fingerprint",
+    "group_split",
+    "pack_efficiency_report",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -208,6 +208,50 @@ def pack_efficiency_report(documents: DataFrame,
     )
 
 
+FP_MOD_40 = 1 << 40
+
+
+def dataset_fingerprint(df: DataFrame, key_cols: list[str],
+                        group_col: str | None = "source") -> DataFrame:
+    """Order-independent dataset digest for reproducibility checks:
+    per group (or one global row), the row count plus TWO lanes over
+    the md5 coin of the concatenated key columns — a bit_xor fold and
+    a modular sum. XOR and integer-sum are commutative/associative,
+    so the digest is identical at any partitioning, any engine, any
+    row order: one map-side-combined scan answers "is this EXACTLY
+    the dataset the manifest promised?" at 100 TB without a sort or a
+    canonical ordering anywhere.
+
+    Two lanes because each alone has a blind spot: XOR cancels
+    duplicate-pair insertions; a plain sum shifts predictably under
+    single-bit edits. An adversary-free pipeline only needs drift
+    DETECTION, and flipping both lanes simultaneously by accident is
+    ~2^-80. The modular sum runs through DECIMAL(38,0) — exact at any
+    row count — and reduces mod 2^40 so it lands in a BIGINT both
+    engines hash identically.
+
+    Key columns are concatenated as STRINGS (unit-separator joined):
+    pass pre-formatted deterministic columns for non-string data —
+    float/timestamp default casts differ across engines."""
+    from hive_exporter_spark.functions.rand import md5_int40
+
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    cols = ([F.col(group_col).alias("grp")] if group_col else []) + [
+        key.alias("__k")]
+    base = df.select(*cols).select(
+        *(["grp"] if group_col else []), md5_int40("__k").alias("__h"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(__h)").alias("xor_fp"),
+        (F.sum(F.col("__h").cast("decimal(38,0)")) % F.lit(FP_MOD_40))
+        .cast("long").alias("sum_fp"),
+    ]
+    if group_col:
+        return (base.groupBy(F.col("grp").alias(group_col)).agg(*aggs)
+                .orderBy(group_col))
+    return base.agg(*aggs)
+
+
 # ---------------------------------------------------------------------------
 # Calendar gap-fill (date spine)
 # ---------------------------------------------------------------------------
@@ -1884,6 +1928,28 @@ ORACLES["pack_efficiency_report"] = f"""
                  / CAST(COUNT(*) * {PACK_BUDGET} AS DOUBLE), 6)
                AS utilization
     FROM per_pack
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+def _q_dataset_fingerprint(spark, sf):
+    return dataset_fingerprint(_docs(spark, sf), ["doc_id", "text"])
+
+
+QUERIES["dataset_fingerprint"] = _q_dataset_fingerprint
+
+ORACLES["dataset_fingerprint"] = f"""
+    WITH h AS (
+        SELECT source,
+               {md5_int40_sql("concat_ws(chr(31), CAST(doc_id AS VARCHAR), text)")} AS h
+        FROM documents
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(h) AS xor_fp,
+           CAST(CAST(SUM(h) AS DECIMAL(38,0)) % {FP_MOD_40} AS BIGINT)
+               AS sum_fp
+    FROM h
     GROUP BY source
     ORDER BY source
 """

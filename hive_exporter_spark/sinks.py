@@ -240,3 +240,93 @@ def optimize_table(spark: SparkSession, table: TableName,
                    scratch_suffix="optimize")
     return (spark.table(str(table))
             .select(F.input_file_name().alias("f")).distinct().count())
+
+
+def write_training_shards(documents: DataFrame, path: str,
+                          n_shards: int | None = None,
+                          fmt: str = "parquet",
+                          balanced: bool = True) -> DataFrame:
+    """Materialize a training corpus as token-balanced shards plus a
+    verifiable manifest — the hand-off artifact between a curation
+    pipeline and a trainer's data loader.
+
+    `balanced=True` (snake-ranked `shard_by_tokens`) costs one corpus
+    shuffle: the rank itself moves only 16-byte pairs, but joining the
+    assignment back onto the full rows shuffles the data once.
+    `balanced=False` shards by the md5 coin of doc_id — MAP-ONLY end
+    to end (assignment is a pure per-row function), trading per-shard
+    token equality for expected-equal sharding; at 100 TB with ~10^7
+    docs/shard the relative imbalance is ~1/sqrt(n) and the saved
+    shuffle is the whole corpus. Both layouts produce the same
+    manifest contract.
+
+    Layout: `<path>/data/shard=K/` (one directory per shard, written
+    via the snake-ranked `shard_by_tokens` assignment so no loader
+    idles behind a fat shard; partition layout means a loader or a
+    re-verification job reads exactly its shard, nothing else) and
+    `<path>/_manifest/` holding per-shard row counts, token totals,
+    and the order-independent `dataset_fingerprint` lanes. Returns the
+    manifest as read back from disk.
+
+    The manifest is computed from the data AS RE-READ from the shard
+    files, not from the in-flight DataFrame — it attests to the bytes
+    a consumer will actually load, so `verify_training_shards` on an
+    intact copy always matches and any post-write corruption or edit
+    flips a lane."""
+    from hive_exporter_spark.functions.rand import md5_int40
+    from hive_exporter_spark.operators.pipeline import (
+        N_SHARDS, dataset_fingerprint, shard_by_tokens)
+
+    spark = documents.sparkSession
+    n = n_shards if n_shards is not None else N_SHARDS
+    if balanced:
+        assigned = shard_by_tokens(documents, n)
+        data = documents.join(assigned.select("doc_id", "shard"), "doc_id")
+    else:
+        data = documents.withColumn(
+            "shard", (md5_int40("doc_id") % n).cast("int"))
+    (data.write.partitionBy("shard").mode("overwrite")
+     .format(fmt).save(f"{path}/data"))
+    written = spark.read.format(fmt).load(f"{path}/data")
+    manifest = (
+        dataset_fingerprint(written, ["doc_id", "text"], group_col="shard")
+        .join(written.groupBy("shard").agg(
+            F.sum(F.size(F.split("text", " "))).alias("n_tokens")), "shard")
+        .orderBy("shard")
+    )
+    manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
+    return spark.read.parquet(f"{path}/_manifest")
+
+
+def verify_training_shards(spark: SparkSession, path: str,
+                           fmt: str = "parquet") -> DataFrame:
+    """Re-fingerprint a shard directory and diff it against its
+    manifest: one row per shard with `ok` = every lane (rows, xor,
+    modular sum, tokens) matches. One partition-parallel scan at any
+    corpus size; a false `ok` names the exact shard to re-fetch —
+    this is the integrity gate a trainer runs before burning GPU time
+    on a corrupt or stale copy."""
+    from hive_exporter_spark.operators.pipeline import dataset_fingerprint
+
+    data = spark.read.format(fmt).load(f"{path}/data")
+    actual = (
+        dataset_fingerprint(data, ["doc_id", "text"], group_col="shard")
+        .join(data.groupBy("shard").agg(
+            F.sum(F.size(F.split("text", " "))).alias("n_tokens")), "shard")
+    )
+    manifest = spark.read.parquet(f"{path}/_manifest")
+    m = manifest.select(
+        "shard", F.col("n_rows").alias("m_rows"),
+        F.col("xor_fp").alias("m_xor"), F.col("sum_fp").alias("m_sum"),
+        F.col("n_tokens").alias("m_tokens"))
+    return (
+        actual.join(m, "shard", "full")
+        .select(
+            "shard",
+            (F.col("n_rows").eqNullSafe(F.col("m_rows"))
+             & F.col("xor_fp").eqNullSafe(F.col("m_xor"))
+             & F.col("sum_fp").eqNullSafe(F.col("m_sum"))
+             & F.col("n_tokens").eqNullSafe(F.col("m_tokens"))).alias("ok"),
+            "n_rows", "m_rows", "xor_fp", "m_xor")
+        .orderBy("shard")
+    )

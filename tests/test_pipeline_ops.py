@@ -70,6 +70,86 @@ def test_pack_efficiency_report_invariants(spark, sf_dir):
             assert r["utilization"] <= 1.0
 
 
+def test_dataset_fingerprint_detects_any_drift(spark, sf_dir):
+    """The digest must be invariant to partitioning/row order and flip
+    on any row insertion, deletion, or content edit."""
+    docs = _docs(spark, sf_dir)
+    base = {r["source"]: (r["n_rows"], r["xor_fp"], r["sum_fp"])
+            for r in pipeline.dataset_fingerprint(
+                docs, ["doc_id", "text"]).collect()}
+    shuffled = {r["source"]: (r["n_rows"], r["xor_fp"], r["sum_fp"])
+                for r in pipeline.dataset_fingerprint(
+                    docs.repartition(7).orderBy(F.rand(1)),
+                    ["doc_id", "text"]).collect()}
+    assert base == shuffled
+    # One edited row flips that source's digest, others untouched.
+    edited = docs.withColumn(
+        "text", F.when(F.col("doc_id") == 0,
+                       F.concat(F.col("text"), F.lit("!")))
+        .otherwise(F.col("text")))
+    src0 = docs.where(F.col("doc_id") == 0).collect()[0]["source"]
+    after = {r["source"]: (r["n_rows"], r["xor_fp"], r["sum_fp"])
+             for r in pipeline.dataset_fingerprint(
+                 edited, ["doc_id", "text"]).collect()}
+    assert after[src0] != base[src0]
+    assert {s: v for s, v in after.items() if s != src0} == \
+           {s: v for s, v in base.items() if s != src0}
+    # Deletion flips n_rows AND the lanes.
+    dropped = pipeline.dataset_fingerprint(
+        docs.where(F.col("doc_id") != 0), ["doc_id", "text"]).collect()
+    d0 = {r["source"]: (r["n_rows"], r["xor_fp"], r["sum_fp"])
+          for r in dropped}[src0]
+    assert d0 != base[src0] and d0[0] == base[src0][0] - 1
+    # Global (ungrouped) form returns one row.
+    assert pipeline.dataset_fingerprint(
+        docs, ["doc_id", "text"], group_col=None).count() == 1
+
+
+def test_training_shards_roundtrip_and_verify(spark, sf_dir, tmp_path):
+    """write_training_shards -> verify_training_shards closes green on
+    an intact copy; corrupting one shard's file flips exactly that
+    shard's `ok`; shard token totals stay balanced (snake bound: gap
+    <= the largest document)."""
+    from hive_exporter_spark.sinks import (
+        verify_training_shards, write_training_shards)
+
+    docs = _docs(spark, sf_dir)
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, path, n_shards=4)
+    rows = manifest.collect()
+    assert len(rows) == 4
+    assert sum(r["n_rows"] for r in rows) == docs.count()
+    toks = [r["n_tokens"] for r in rows]
+    max_doc = (docs.select(F.size(F.split("text", " ")).alias("n"))
+               .agg(F.max("n")).collect()[0][0])
+    assert max(toks) - min(toks) <= max_doc
+    ok = verify_training_shards(spark, path)
+    assert ok.where(~F.col("ok")).count() == 0
+
+    # Tamper with shard 0: rewrite it minus one row.
+    import glob
+    import shutil
+
+    s0 = f"{path}/data/shard=0"
+    kept = spark.read.parquet(s0).orderBy("doc_id").offset(1)
+    kept_rows = kept.collect()
+    shutil.rmtree(s0)
+    spark.createDataFrame(kept_rows, kept.schema).write.parquet(s0)
+    assert glob.glob(f"{s0}/*.parquet")
+    bad = {r["shard"]: r["ok"]
+           for r in verify_training_shards(spark, path).collect()}
+    assert bad[0] is False
+    assert all(v for s, v in bad.items() if s != 0)
+
+    # Map-only hash sharding: same manifest contract, verify green,
+    # every doc present exactly once.
+    path2 = str(tmp_path / "shards_hash")
+    m2 = write_training_shards(docs, path2, n_shards=4, balanced=False)
+    assert sum(r["n_rows"] for r in m2.collect()) == docs.count()
+    ok2 = verify_training_shards(spark, path2)
+    assert ok2.where(~F.col("ok")).count() == 0
+
+
 def test_pack_sequences_respects_budget_start(spark, sf_dir):
     """A doc's pack is determined by tokens strictly before it, so pack k
     starts only after k*budget tokens; per-pack totals overshoot by at
