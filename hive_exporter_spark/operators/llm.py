@@ -1025,14 +1025,11 @@ def embedding_near_dup_lsh_pairs(
     """Near-dup pairs via multi-table sign-LSH: only vectors sharing a
     bucket in some table are scored — linear in true-neighbor count
     instead of O(n²). Recall vs the exact baseline is measured in
-    tests."""
-    import random
-
-    rnd = random.Random(seed)
-    plane_tabs = [
-        [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(planes)]
-        for _ in range(tables)
-    ]
+    tests, and the whole path is hash-checked: the md5-derived planes
+    (`_portable_planes`, shared with `topk_cosine_lsh`) let the DuckDB
+    oracle replay bucketing, the pair join, and the threshold score
+    bit-exactly."""
+    plane_tabs = _portable_planes(seed, tables, planes, dim)
     buckets = _rp_buckets(vec_col, plane_tabs)
     banded = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
@@ -3533,14 +3530,14 @@ ORACLES = {
               ON a.vec_id < b.vec_id
         ) WHERE score >= {COSINE_DUP_THRESHOLD}
     """,
-    # minhash_lsh_pairs_ml / embedding_topk_cosine_{brp_lsh,ivf} /
-    # embedding_near_dup_lsh_pairs: spark.ml-hash / numpy-kmeans
-    # based — no exact DuckDB twin; rows-only checked (equivalence to
-    # their exact baselines is asserted in tests instead).
-    # embedding_topk_cosine_lsh IS hash-checked (below): its
+    # minhash_lsh_pairs_ml / embedding_topk_cosine_{brp_lsh,ivf}:
+    # spark.ml-hash / numpy-kmeans based — no exact DuckDB twin;
+    # rows-only checked (equivalence to their exact baselines is
+    # asserted in tests instead). embedding_topk_cosine_lsh AND
+    # embedding_near_dup_lsh_pairs ARE hash-checked (below): their
     # hyperplanes are md5-derived (_portable_planes), so the oracle
     # regenerates the identical doubles and replays the whole
-    # bucket-join + cosine-rank pipeline in SQL.
+    # bucket-join + cosine pipeline in SQL.
     # minhash_lsh_pairs, dedup_near_minhash, and simhash64 ARE
     # oracle-checked (below): their Carter-Wegman-on-md5 hashing was
     # chosen to be engine-portable.
@@ -3809,6 +3806,41 @@ ORACLES["embedding_topk_cosine_lsh"] = f"""
                                   ORDER BY score DESC, neighbor_id) AS rank
         FROM scored
     ) WHERE rank <= {TOPK}
+"""
+
+# Near-dup pair twin of the LSH replay above: same planes/sigs CTEs,
+# then the lower-id self-join and the threshold cut.
+ORACLES["embedding_near_dup_lsh_pairs"] = f"""
+    WITH planes AS (
+        SELECT t.t AS tbl, p.p AS p,
+               list_transform(range(0, 64), d ->
+                   ((CAST('0x' || substr(md5('lsh:42:' || t.t || ':' || p.p
+                                         || ':' || d), 1, 10) AS BIGINT)
+                     + 0.5) / {float(1 << 40)}) * 2 - 1) AS wvec
+        FROM range(0, {LSH_TABLES}) t(t), range(0, {LSH_PLANES}) p(p)
+    ), sigs AS (
+        SELECT e.vec_id, pl.tbl,
+               SUM(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(range(1, len(e.embedding) + 1),
+                            i -> CAST(e.embedding[i] AS DOUBLE) * pl.wvec[i])),
+                        (acc, x) -> acc + x) >= 0
+                        THEN (1 << pl.p) ELSE 0 END) AS bucket
+        FROM embeddings e, planes pl
+        GROUP BY e.vec_id, pl.tbl
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM sigs a JOIN sigs b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round(score, 6) AS score FROM (
+        SELECT cand.vec_a, cand.vec_b,
+               {_cos_sql('x.va', 'y.vb')} AS score
+        FROM cand
+        JOIN (SELECT vec_id, embedding AS va FROM embeddings) x(vec_id, va)
+          ON x.vec_id = cand.vec_a
+        JOIN (SELECT vec_id, embedding AS vb FROM embeddings) y(vec_id, vb)
+          ON y.vec_id = cand.vec_b
+    ) WHERE score >= {COSINE_DUP_THRESHOLD}
 """
 
 # DuckDB replay of the fixed-codebook PQ path: regenerate the md5
