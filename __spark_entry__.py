@@ -646,8 +646,8 @@ _PRIORITY = (
     # --- never green: rows-only whose only prior check hit the r1
     # nanos parquet bug (since fixed).
     "approx_value_stats",
-    # --- re-verification anchor.
-    "q1_pricing_summary",
+    # --- new in r5: order-independent dataset digest (hash-checked).
+    "dataset_fingerprint",
 )
 
 

@@ -110,6 +110,23 @@ def build_parser() -> argparse.ArgumentParser:
                      help="output parquet dir for packed training rows")
     cur.add_argument("-c", "--max-contamination", type=float, default=None)
     cur.add_argument("-B", "--pack-budget", type=int, default=None)
+
+    shd = sub.add_parser(
+        "shards",
+        help="write a documents parquet dir as token-balanced training "
+             "shards with a verifiable manifest")
+    shd.add_argument("-i", "--input", required=True)
+    shd.add_argument("-o", "--output", required=True)
+    shd.add_argument("-n", "--num-shards", type=int, default=None)
+    shd.add_argument("--hash", action="store_true",
+                     help="map-only hash sharding (skip the token-balance "
+                          "shuffle; expected-equal shards)")
+
+    vfy = sub.add_parser(
+        "verify-shards",
+        help="re-fingerprint a shard dir against its manifest; exits "
+             "nonzero naming any corrupt shard")
+    vfy.add_argument("-i", "--input", required=True)
     return root
 
 
@@ -190,6 +207,28 @@ def main(argv: list[str] | None = None) -> int:
         out = spark.read.parquet(args.output)
         print(f"curated {docs.count()} docs -> {out.count()} packed rows "
               f"-> {args.output}")
+        return 0
+
+    if args.command == "shards":
+        from hive_exporter_spark.sinks import write_training_shards
+        docs = spark.read.parquet(args.input)
+        manifest = write_training_shards(
+            docs, args.output, n_shards=args.num_shards,
+            balanced=not args.hash)
+        for r in manifest.orderBy("shard").collect():
+            print(f"shard={r['shard']} rows={r['n_rows']} "
+                  f"tokens={r['n_tokens']} xor={r['xor_fp']}")
+        return 0
+
+    if args.command == "verify-shards":
+        from hive_exporter_spark.sinks import verify_training_shards
+        bad = [r["shard"] for r in
+               verify_training_shards(spark, args.input).collect()
+               if not r["ok"]]
+        if bad:
+            print(f"CORRUPT shards: {bad}")
+            return 1
+        print("all shards verify against the manifest")
         return 0
 
     from hive_exporter_spark.operators import ingest

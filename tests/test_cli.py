@@ -135,6 +135,23 @@ def test_export_validates_table_names(spark, tmp_path):
         cli.main(["export", "-f", str(listing), "-d", str(tmp_path / "o")])
 
 
+def test_shards_cli_end_to_end(spark, tmp_path):
+    """`shards` writes the layout + manifest; `verify-shards` exits 0
+    on the intact copy and 1 after tampering, naming the shard."""
+    from hive_exporter_spark.sources.files import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    src = str(tmp_path / "docs_in")
+    docs.write.parquet(src)
+    out = str(tmp_path / "sharded")
+    assert cli.main(["shards", "-i", src, "-o", out, "-n", "3"]) == 0
+    assert cli.main(["verify-shards", "-i", out]) == 0
+    import shutil
+    shutil.rmtree(f"{out}/data/shard=1")
+    spark.catalog.clearCache()
+    assert cli.main(["verify-shards", "-i", out]) == 1
+
+
 def test_curate_cli_end_to_end(spark, tmp_path):
     """`curate` must read a documents dir, run the pipeline, and write
     packed rows whose shape matches calling the library directly."""
