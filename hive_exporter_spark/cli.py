@@ -51,6 +51,10 @@ def _add_jdbc_args(p: argparse.ArgumentParser) -> None:
                         "(reference -s/--storageformat)")
     p.add_argument("-v", "--verbose", action="store_true", default=False,
                    help="INFO-level Spark logs (reference -v/--verbose)")
+    p.add_argument("-y", "--output-partition-columns",
+                   help="comma-separated destination partition columns "
+                        "(reference -y; append defaults to the ingest "
+                        "tag column when omitted)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -88,8 +92,6 @@ def build_parser() -> argparse.ArgumentParser:
     app = sub.add_parser("append", help="incremental append ingestion")
     _add_jdbc_args(app)
     app.add_argument("-i", "--incremental-column", required=True)
-    app.add_argument("-O", "--output-partition", nargs="*",
-                     help="output partition columns (default: ingest tag)")
 
     mrg = sub.add_parser("merge", help="incremental merge (upsert) ingestion")
     _add_jdbc_args(mrg)
@@ -234,15 +236,18 @@ def main(argv: list[str] | None = None) -> int:
     from hive_exporter_spark.operators import ingest
     dest = TableName.parse(args.output)
     source = _jdbc_source(spark, args)
+    pcols = (args.output_partition_columns.split(",")
+             if args.output_partition_columns else None)
     if args.command == "full":
         rep = ingest.full_refresh(spark, source, dest, tag,
                                   fmt=args.storageformat,
                                   tag_column=args.ingestion_tag_column,
-                                  drop_first=args.drop_first)
+                                  drop_first=args.drop_first,
+                                  partition_cols=pcols)
     elif args.command == "append":
         rep = ingest.incremental_append(
             spark, source, dest, args.incremental_column, tag,
-            partition_cols=args.output_partition,
+            partition_cols=pcols,
             fmt=args.storageformat, tag_column=args.ingestion_tag_column,
         )
     else:  # merge
@@ -251,6 +256,7 @@ def main(argv: list[str] | None = None) -> int:
             args.last_modified_column, args.incremental_column, tag,
             deleted_column=args.deleted_column,
             fmt=args.storageformat, tag_column=args.ingestion_tag_column,
+            partition_cols=pcols,
         )
     # A2 reconciliation triple, logged like the reference loaders do
     print(f"source={rep.source_count} ingested={rep.ingested_count} "

@@ -92,10 +92,13 @@ def full_refresh(
     fmt: str = "parquet",
     drop_first: bool = False,
     tag_column: str = core.INGEST_TAG_COLUMN,
+    partition_cols: Sequence[str] | None = None,
 ) -> IngestReport:
     """Full refresh: tag, persist (the source — e.g. a JDBC relation —
     must be scanned exactly once; reference spark_loaders.py:123-126),
-    schema-clone, insert-overwrite."""
+    schema-clone, insert-overwrite. `partition_cols` lays the
+    destination out partitioned (reference -y/--output-partition-
+    columns on full loads, spark_loaders.py:115,168)."""
     source_count = source.count()
     tagged = core.tag_batch(source, batch_tag, tag_column).persist()
     try:
@@ -103,8 +106,12 @@ def full_refresh(
         create_database(spark, dest.db)
         if drop_first:
             drop_table(spark, dest)
-        clone_schema(spark, tagged, dest, fmt)
-        insert_by_name(tagged, dest, overwrite=True)
+        if partition_cols:
+            write_partitioned(tagged, dest, list(partition_cols), fmt,
+                              overwrite=True)
+        else:
+            clone_schema(spark, tagged, dest, fmt)
+            insert_by_name(tagged, dest, overwrite=True)
     finally:
         tagged.unpersist()
     return IngestReport(source_count, ingested_count, spark.table(str(dest)).count())
@@ -156,6 +163,7 @@ def incremental_merge(
     fmt: str = "parquet",
     tag_column: str = core.INGEST_TAG_COLUMN,
     scratch_db: str = "spark_scratch",
+    partition_cols: Sequence[str] | None = None,
 ) -> IngestReport:
     """Incremental merge (upsert): filter new-or-modified rows, append
     to the `<tbl>_incremental` CDC log, then consolidate latest-per-key
@@ -199,5 +207,5 @@ def incremental_merge(
     if deleted_column is not None:
         consolidated = core.not_soft_deleted(consolidated, deleted_column)
     safe_overwrite(spark, consolidated, dest, fmt, scratch_db=scratch_db,
-                   scratch_suffix=batch_tag)
+                   scratch_suffix=batch_tag, partition_cols=partition_cols)
     return IngestReport(source_count, ingested_count, spark.table(str(dest)).count())

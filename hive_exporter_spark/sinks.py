@@ -103,7 +103,8 @@ def insert_by_name(df: DataFrame, dest: TableName, overwrite: bool = True) -> No
 
 def safe_overwrite(spark: SparkSession, df: DataFrame, dest: TableName,
                    fmt: str = "parquet", scratch_db: str = "spark_scratch",
-                   scratch_suffix: str = "persist") -> None:
+                   scratch_suffix: str = "persist",
+                   partition_cols: Sequence[str] | None = None) -> None:
     """K6: two-phase overwrite for plans that READ the destination
     table (Spark forbids overwriting a path being read — the
     reference's scratch-table dance at spark_loaders.py:246-262).
@@ -113,7 +114,11 @@ def safe_overwrite(spark: SparkSession, df: DataFrame, dest: TableName,
     and insert-overwrites the destination from the scratch table; the
     scratch is dropped. `scratch_suffix` is injectable — the reference
     used a random 6-letter name (spark_loaders.py:246), which breaks
-    resumability (SURVEY.md §7.4.6).
+    resumability (SURVEY.md §7.4.6). With `partition_cols` phase 2
+    replaces the destination as a PARTITIONED table (reference
+    -y/--output-partition-columns on the merge writer,
+    spark_loaders.py:252-253) — partition-pruned consolidated reads
+    for the price of the same single rewrite.
     """
     create_database(spark, scratch_db)
     scratch = TableName(scratch_db, f"temp_{dest.table}_{scratch_suffix}")
@@ -121,8 +126,12 @@ def safe_overwrite(spark: SparkSession, df: DataFrame, dest: TableName,
     try:
         materialized = spark.table(str(scratch))
         create_database(spark, dest.db)
-        clone_schema(spark, materialized, dest, fmt)
-        insert_by_name(materialized, dest, overwrite=True)
+        if partition_cols:
+            (materialized.write.format(fmt).mode("overwrite")
+             .partitionBy(*partition_cols).saveAsTable(str(dest)))
+        else:
+            clone_schema(spark, materialized, dest, fmt)
+            insert_by_name(materialized, dest, overwrite=True)
     finally:
         drop_table(spark, scratch)
 

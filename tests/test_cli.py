@@ -38,9 +38,10 @@ def test_reference_knobs_parse_with_defaults():
     args = p.parse_args(["merge", "-j", "jdbc:x", "-t", "t", "-o", "db.t",
                          "-k", "id", "-l", "lm", "-i", "id",
                          "-s", "orc", "--ingestion-tag-column", "load_dt",
-                         "-v"])
+                         "-v", "-y", "date,region"])
     assert (args.storageformat, args.ingestion_tag_column,
             args.verbose) == ("orc", "load_dt", True)
+    assert args.output_partition_columns == "date,region"
     args = p.parse_args(["import", "x", "-d", "db"])
     assert args.overwrite is False
     args = p.parse_args(["import", "x", "-d", "db", "-O"])
@@ -60,7 +61,7 @@ def test_jdbc_knobs_reach_library_calls(spark, monkeypatch):
     seen = {}
 
     def fake_full(spark_, source, dest, tag, fmt="parquet",
-                  drop_first=False, tag_column="dl_ingest_date"):
+                  drop_first=False, tag_column="dl_ingest_date", **kw):
         seen["fmt"], seen["tag_column"] = fmt, tag_column
         return _Rep()
 

@@ -47,6 +47,33 @@ def test_full_refresh_reconciles(spark, db):
     assert [r[0] for r in tags] == ["b2"]
 
 
+def test_full_and_merge_output_partition_columns(spark, db):
+    """Reference -y/--output-partition-columns: full loads and merge
+    consolidation lay the destination out partitioned by the given
+    columns (spark_loaders.py:115,168,252-253); values and counts are
+    unchanged, and the catalog reports the partitioning."""
+    dest = TableName(db, "full_part")
+    rep = full_refresh(spark, _append_rows(spark, range(10)), dest, "b1",
+                       partition_cols=["date"])
+    assert rep.reconciled and rep.destination_count == 10
+    ddl = spark.sql(f"DESCRIBE TABLE {dest}").collect()
+    assert any("Partition" in (r["col_name"] or "") for r in ddl), ddl
+
+    mdest = TableName(db, "merge_part")
+    t = datetime(2024, 1, 1)
+    src = spark.createDataFrame(
+        [(i, f"v{i}", t, t, "2024-01-01", 0) for i in range(5)],
+        MERGE_SCHEMA)
+    rep2 = incremental_merge(
+        spark, src, mdest, ["id"], "last_modified", "id", "m1",
+        partition_cols=["date"])
+    assert rep2.destination_count == 5
+    ddl2 = spark.sql(f"DESCRIBE TABLE {mdest}").collect()
+    assert any("Partition" in (r["col_name"] or "") for r in ddl2), ddl2
+    got = {r["id"]: r["value"] for r in spark.table(str(mdest)).collect()}
+    assert got == {i: f"v{i}" for i in range(5)}
+
+
 def test_incremental_append_narrative(spark, db):
     """Reference narrative: ids 0-9 -> count 10; ids 10-19 -> count 20
     (tests/test_incremental_append.py:82-102); re-run with no new rows
