@@ -498,6 +498,16 @@ def test_ivf_index_probe_partition_pruned(spark, emb, tmp_path):
     assert "DataFilters: []" in scan_line, scan_line
 
 
+def test_dedup_exact_ids_matches_full_row(spark, docs):
+    """The keep-list variant must select exactly the full-row
+    survivors — same canonical-id choice, only the shuffle payload
+    differs."""
+    ids = llm.dedup_exact_ids(docs)
+    full = llm.dedup_exact(docs).select("doc_id")
+    assert ids.exceptAll(full).count() == 0
+    assert full.exceptAll(ids).count() == 0
+
+
 def test_pq_fixed_codes_match_numpy(spark, emb):
     """Chain the trained PQ path's numpy kernel to the hash-checked
     fixed-codebook path: `_pq_assign` fed the SAME portable codebooks

@@ -91,10 +91,15 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--vanilla"]
+    argv = [a for a in sys.argv[1:] if a not in ("--vanilla", "--window")]
     vanilla = "--vanilla" in sys.argv[1:]
+    window = "--window" in sys.argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+    if window:
+        # The driver's 50-entry CORRECTNESS window — pair with
+        # --vanilla to reproduce the real gate exactly.
+        only |= set(entrymod._PRIORITY)
     if vanilla:
         # Reproduce the driver harness: a default SparkSession with NONE of
         # build_session's confs — catches any hidden session dependency.
