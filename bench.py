@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "dataset_fingerprint",
     "group_split",
     "pack_efficiency_report",
+    "dedup_exact_ids",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -535,3 +535,26 @@ def test_bloom_prefiltered_join_filters_before_join(t):
     assert "xxhash64" in plan  # the probe expression is in the plan
     assert plans.has_broadcast_join(df) or \
         plans.sort_merge_join_count(df) <= 1
+
+
+def test_r5_new_ops_exchange_budgets(t):
+    """Shuffle budgets for the round-5 additions: the fingerprint and
+    keep-list dedup are one-exchange aggregates, the group split is
+    map-only, the pack report pays the packer's window plus its
+    rollups and nothing more."""
+    from hive_exporter_spark.operators import llm as _llm
+    from hive_exporter_spark.operators import pipeline as _pl
+
+    docs = t("documents")
+    fp = _pl.dataset_fingerprint(docs, ["doc_id", "text"])
+    # one agg exchange + the orderBy sort over the groups-sized result
+    assert plans.num_exchanges(fp) <= 2, plans.formatted_plan(fp)
+    assert plans.has_partial_aggregate(fp)
+    gfp = _pl.dataset_fingerprint(docs, ["doc_id", "text"], group_col=None)
+    assert plans.num_exchanges(gfp) <= 1, plans.formatted_plan(gfp)
+    ids = _llm.dedup_exact_ids(docs)
+    assert plans.num_exchanges(ids) == 1, plans.formatted_plan(ids)
+    gs = _pl.group_split(docs)
+    assert plans.num_exchanges(gs) == 0, plans.formatted_plan(gs)
+    rep = _pl.pack_efficiency_report(docs)
+    assert plans.num_exchanges(rep) <= 3, plans.formatted_plan(rep)
