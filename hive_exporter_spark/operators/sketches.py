@@ -1032,19 +1032,31 @@ def ams_join_size(left: DataFrame, right: DataFrame,
     can be negative; the median-of-means tolerates it, and the floor
     at 0 is the standard clip for a size estimate.)
     """
-    if r % n_groups != 0 or n_groups % 2 != 0:
-        raise ValueError(
-            f"r must split into an even number of equal buckets "
-            f"(got r={r}, n_groups={n_groups})")
-    per = r // n_groups
-
     def _wc(df: DataFrame, key: str) -> DataFrame:
         return (df.where(F.col(key).isNotNull())
                 .groupBy(F.col(key).alias("__k"))
                 .agg(F.count(F.lit(1)).alias("__cnt"))
                 .localCheckpoint(eager=False))
 
-    lc, rc = _wc(left, left_key), _wc(right, right_key)
+    return ams_join_size_from_counts(
+        _wc(left, left_key), _wc(right, right_key), r, n_groups)
+
+
+def ams_join_size_from_counts(lc: DataFrame, rc: DataFrame,
+                              r: int = AMS_R,
+                              n_groups: int = AMS_GROUPS) -> DataFrame:
+    """`ams_join_size` from PRE-BUILT (__k, __cnt) wordcounts. The
+    split matters when both join sides slice the SAME table (the
+    usual planner question — "click ⋈ purchase on user_id"): one
+    grouped count over the union of slices feeds both sides, so the
+    table is scanned ONCE instead of once per side — at 100 TB that
+    halves the cost of the estimate."""
+    if r % n_groups != 0 or n_groups % 2 != 0:
+        raise ValueError(
+            f"r must split into an even number of equal buckets "
+            f"(got r={r}, n_groups={n_groups})")
+    per = r // n_groups
+
     la = ams_sums_from_counts(lc, "__k", [], r)
     rb = ams_sums_from_counts(rc, "__k", [], r)
     prod = (
@@ -1113,11 +1125,18 @@ def ams_join_size_sql(left_table: str, left_key: str,
 
 def _q_ams_join(spark: SparkSession, sf: str) -> DataFrame:
     # How many rows would events ⋈ events-of-another-type produce on
-    # user_id? The skew question behind every fan-out join.
+    # user_id? The skew question behind every fan-out join. Both
+    # sides slice the same table, so ONE grouped count over the
+    # two-type union feeds both sketches (single events scan).
     ev = read_table(spark, sf, "events")
-    return ams_join_size(ev.where(F.col("event_type") == "click"),
-                         ev.where(F.col("event_type") == "purchase"),
-                         "user_id", "user_id")
+    wc = (ev.where(F.col("event_type").isin("click", "purchase")
+                   & F.col("user_id").isNotNull())
+          .groupBy("event_type", F.col("user_id").alias("__k"))
+          .agg(F.count(F.lit(1)).alias("__cnt"))
+          .localCheckpoint(eager=False))
+    return ams_join_size_from_counts(
+        wc.where(F.col("event_type") == "click").select("__k", "__cnt"),
+        wc.where(F.col("event_type") == "purchase").select("__k", "__cnt"))
 
 
 QUERIES["ams_join_size_click_purchase"] = _q_ams_join

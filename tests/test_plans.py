@@ -558,3 +558,15 @@ def test_r5_new_ops_exchange_budgets(t):
     assert plans.num_exchanges(gs) == 0, plans.formatted_plan(gs)
     rep = _pl.pack_efficiency_report(docs)
     assert plans.num_exchanges(rep) <= 3, plans.formatted_plan(rep)
+
+
+def test_ams_join_size_fused_wrapper_single_scan(t, spark, sf_dir):
+    """When both join sides slice the same table, the registry wrapper
+    must feed both sketches from ONE grouped count — exactly one
+    events scan in the plan (the generic two-DataFrame form pays
+    two)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["ams_join_size_click_purchase"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plan.count("events.parquet") <= 1, plan
