@@ -1053,10 +1053,13 @@ def embedding_near_dup_lsh_pairs(
     bit-exactly."""
     plane_tabs = _portable_planes(seed, tables, planes, dim)
     buckets = _rp_buckets(vec_col, plane_tabs)
+    # Checkpointed: the pair self-join references the banded frame
+    # twice and would otherwise evaluate the tables x planes fold dot
+    # products once per side.
     banded = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
         F.explode(buckets).alias("bb"),
-    ).select("vid", "vec", "bb.tbl", "bb.bucket")
+    ).select("vid", "vec", "bb.tbl", "bb.bucket").localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
@@ -2315,24 +2318,35 @@ def bm25_scores(documents: DataFrame, query_terms: list[str] | None = None,
         idf(t)   = ln(1 + (N - df + 0.5)/(df + 0.5))
         score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
 
-    Spark shape: one posexplode of the corpus into (doc, term) counts
-    (the same shuffle the vocab build uses), filtered to the broadcast
-    query-term list BEFORE the aggregate — so the per-term join is a
-    map-side hash probe of a handful of terms, and corpus statistics
-    (N, avgdl, df) are single-row / per-term aggregates broadcast back.
-    Per-term scores are rounded to 6 dp and summed through DECIMAL so
-    the result is order-independent and oracle-stable."""
+    Spark shape: the corpus is TOKENIZED ONCE — a single grouped pass
+    emits per-doc length alongside one conditional-sum tf lane per
+    query term, checkpointed doc-sized (the earlier formulation
+    derived dl / tf / df from separate references to the token stream
+    and Catalyst re-ran the tokenize+explode THREE times — caught by
+    the registry-wide multi-scan audit). The per-term melt is a
+    stack() over the tiny term list, df/avgdl are term-/single-row
+    aggregates broadcast back, and dl rides the melt so no per-doc
+    join remains. Per-term scores are rounded to 6 dp and summed
+    through DECIMAL so the result is order-independent and
+    oracle-stable."""
     terms = query_terms if query_terms is not None else ["spark", "hash", "join"]
     toks = documents.select("doc_id", F.explode(tokens_col()).alias("tok"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     n_docs = documents.count()
-    avgdl = dl.agg((F.sum(F.col("dl").cast("decimal(28,6)")) / F.count(F.lit(1)))
-                   .cast("double").alias("avgdl"))
-    tf = (
-        toks.where(F.col("tok").isin(terms))
-        .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    tf_lanes = [
+        F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"__tf{i}")
+        for i, t in enumerate(terms)
+    ]
+    stats = (toks.groupBy("doc_id")
+             .agg(F.count(F.lit(1)).alias("dl"), *tf_lanes)
+             .localCheckpoint(eager=False))
+    avgdl = stats.agg(
+        (F.sum(F.col("dl").cast("decimal(28,6)")) / F.count(F.lit(1)))
+        .cast("double").alias("avgdl"))
+    melt = ", ".join(f"'{t}', __tf{i}" for i, t in enumerate(terms))
+    tf = (stats.selectExpr(
+        "doc_id", "dl", f"stack({len(terms)}, {melt}) AS (tok, tf)")
+        .where(F.col("tf") > 0))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     term_score = (
         F.col("idf") * F.col("tf") * (k1 + 1)
@@ -2340,7 +2354,6 @@ def bm25_scores(documents: DataFrame, query_terms: list[str] | None = None,
     )
     return (
         tf.join(F.broadcast(df_.withColumn("idf", idf)), "tok")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(avgdl))
         .withColumn("term_score", F.round(term_score, 6))
         .groupBy("doc_id")

@@ -283,6 +283,11 @@ def image_near_dup_pairs(hashes: DataFrame, max_hamming: int = PHASH_BANDS - 1,
     distinct over three scalar columns."""
     if max_hamming >= bands:
         raise ValueError("recall guarantee needs max_hamming < bands")
+    # 16-bytes/row checkpoint: the banded self-join references the
+    # hash frame twice, and unchecked lineage re-runs the upstream
+    # decode/DCT kernel once PER SIDE — the dominant cost at image
+    # scale, paid double for nothing.
+    hashes = hashes.select("doc_id", "phash").localCheckpoint(eager=False)
     width = 64 // bands
     band = F.explode(F.array(*[
         F.struct(

@@ -586,11 +586,17 @@ def temperature_mix(documents: DataFrame, alpha: float = TEMP_MIX_ALPHA,
 
     Plan shape: the rate table is three dimension-sized aggregates
     (group counts → Σ, Σ p^alpha, max up-weight) chained by single-row
-    broadcasts; the corpus is touched ONCE, by a broadcast join +
-    map-side filter. No shuffle of data rows at any size.
+    broadcasts; the corpus is touched TWICE — once for the group
+    counts, once by the final broadcast join + map-side filter. The
+    counts are localCheckpointed: WITHOUT that, Catalyst re-expands
+    the count-aggregate subtree at every reference in the rate chain
+    and the "dimension-sized" scalars each re-scan the corpus (nine
+    scans total at one point — caught by the registry-wide multi-scan
+    audit). No shuffle of data rows at any size.
     """
-    counts = documents.groupBy(F.col(group_col).alias("grp")).agg(
-        F.count(F.lit(1)).alias("__n"))
+    counts = (documents.groupBy(F.col(group_col).alias("grp"))
+              .agg(F.count(F.lit(1)).alias("__n"))
+              .localCheckpoint(eager=False))
     total = counts.agg(F.sum("__n").alias("__t"))
     w = counts.crossJoin(F.broadcast(total)).select(
         "grp", "__n",
@@ -628,9 +634,11 @@ def source_mix_rebalance(documents: DataFrame,
     can only discard, never mint rows — every other group is
     down-sampled relative to the binding constraint; factors round to
     6 dp). One grouped count + a single-row total broadcast: the plan
-    is dimension-sized regardless of corpus size."""
-    counts = documents.groupBy(F.col(group_col).alias("grp")).agg(
-        F.count(F.lit(1)).alias("n_docs"))
+    is dimension-sized regardless of corpus size. The grouped count is
+    checkpointed — its subtree is referenced four times downstream and
+    would otherwise re-scan the corpus per reference."""
+    counts = (documents.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs")).localCheckpoint(eager=False))
     total = counts.agg(F.sum("n_docs").alias("__total"),
                        F.count(F.lit(1)).alias("__groups"))
     w = counts.crossJoin(F.broadcast(total))
@@ -976,10 +984,13 @@ def dsir_weights(documents: DataFrame,
     toks = documents.select(
         "doc_id", "source", F.explode(tokens_col()).alias("tok"))
     is_t = (F.col("source") == target_source).cast("long")
-    vocab = toks.groupBy("tok").agg(
+    # Vocabulary-sized checkpoint: totals and the log-ratio table both
+    # reference this aggregate — unchecked, each reference re-runs the
+    # corpus tokenize (three passes where two suffice).
+    vocab = (toks.groupBy("tok").agg(
         F.sum(is_t).alias("ct"),
         F.sum(1 - is_t).alias("cr"),
-    )
+    ).localCheckpoint(eager=False))
     totals = vocab.agg(
         F.sum("ct").alias("nt"), F.sum("cr").alias("nr"),
         F.count(F.lit(1)).alias("v"))
@@ -1361,13 +1372,20 @@ def ngram_lm_perplexity(documents: DataFrame,
     """
     from hive_exporter_spark.operators.llm import exploded_shingles
 
-    bigrams = exploded_shingles(documents, k=2, distinct=False).select(
-        "doc_id", F.col("shingle").alias("bg"),
-        F.split(F.col("shingle"), " ")[0].alias("ctx"),
-    )
+    def _bigrams(docs: DataFrame) -> DataFrame:
+        return exploded_shingles(docs, k=2, distinct=False).select(
+            "doc_id", F.col("shingle").alias("bg"),
+            F.split(F.col("shingle"), " ")[0].alias("ctx"),
+        )
+
+    # Model passes read ONLY the target slice (pushed source filter),
+    # and the slice's bigram stream is checkpointed so the two count
+    # tables and nothing else re-run the shingling. The earlier
+    # formulation shingled the FULL corpus and filtered after the
+    # fact, once per model table — four corpus-sized tokenize passes
+    # where one slice pass suffices (caught by the multi-scan audit).
     target_ids = documents.where(F.col("source") == target_source)
-    tb = bigrams.join(
-        target_ids.select("doc_id"), "doc_id")
+    tb = _bigrams(target_ids).localCheckpoint(eager=False)
     big_counts = tb.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
     ctx_counts = tb.groupBy("ctx").agg(F.count(F.lit(1)).alias("cc"))
     from hive_exporter_spark.operators.llm import tokens_col
@@ -1375,6 +1393,7 @@ def ngram_lm_perplexity(documents: DataFrame,
         target_ids.select(F.explode(tokens_col()).alias("tok"))
         .agg(F.count_distinct("tok").alias("v"))
     )
+    bigrams = _bigrams(documents)
     lp = F.round(
         F.log((F.coalesce("cb", F.lit(0)) + 1).cast("double")
               / (F.coalesce("cc", F.lit(0)) + F.col("v")).cast("double")),
@@ -1643,8 +1662,12 @@ def quality_prune_threshold(documents: DataFrame,
 
     if not 0 < p <= 1:
         raise ValueError(f"p must be in (0, 1] (got {p})")
-    scored = quality_score(documents, carry=("lang",)).select(
+    # Doc-sized (4 narrow columns) checkpoint: the histogram pass and
+    # the final filter both reference the scored frame — unchecked,
+    # the quality tokenization runs twice over the corpus.
+    scored = (quality_score(documents, carry=("lang",)).select(
         "lang", "doc_id", "n_tokens", "quality_score")
+        .localCheckpoint(eager=False))
     bins = histogram_bins(scored, "quality_score", ["lang"], n_bins)
     w_top = (Window.partitionBy("lang").orderBy(F.col("bin").desc())
              .rowsBetween(Window.unboundedPreceding, 0))

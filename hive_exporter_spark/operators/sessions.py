@@ -539,12 +539,16 @@ def event_anomaly_mad(events: DataFrame,
     engines, rounded to 6 dp. Days where MAD = 0 (over half the days
     identical — a degenerate flat series) yield NULL z, flagged false.
     """
+    # days x types-sized checkpoint: the median, the deviation frame,
+    # and (through it) the MAD all reference this rollup — unchecked,
+    # each reference re-scans events (four corpus passes for one).
     daily = (
         events.groupBy(
             F.date_trunc("day", F.col("ts")).alias("day"),
             F.col("event_type"),
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
+        .localCheckpoint(eager=False)
     )
     med = daily.groupBy("event_type").agg(
         F.percentile("n_events", 0.5).alias("med"))
@@ -814,6 +818,9 @@ def rfm_scores(events: DataFrame) -> DataFrame:
              .alias("monetary"))
     )
     now = events.agg(F.max("ts").alias("__now"))
+    # User-sized checkpoint: the threshold agg AND the scoring pass
+    # both reference this frame — unchecked, each re-runs the events
+    # rollup (two extra corpus scans for nothing).
     m = (per_user.crossJoin(F.broadcast(now))
          .select(
              "user_id",
@@ -821,7 +828,8 @@ def rfm_scores(events: DataFrame) -> DataFrame:
                         F.col("__last").cast("date")).alias("recency_days"),
              "frequency",
              F.coalesce(F.col("monetary").cast("double"), F.lit(0.0))
-             .alias("monetary")))
+             .alias("monetary"))
+         .localCheckpoint(eager=False))
     qs = ", ".join(str(q) for q in RFM_QS)
     thr = m.agg(
         F.expr(f"percentile(-recency_days, array({qs}))").alias("__tr"),
