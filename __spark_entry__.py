@@ -19,7 +19,7 @@ from hive_exporter_spark.functions.rand import md5_uniform_sql
 from hive_exporter_spark.functions.aggs import davg_sql, dsum_sql
 from hive_exporter_spark.operators import (
     asof, core, joins, layout, llm, multimodal, pipeline, profile,
-    relational, sessions, sketches,
+    relational, sessions, sketches, webclean,
 )
 from hive_exporter_spark.sources.files import TESTDATA_TABLES, read_table
 
@@ -727,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(multimodal.QUERIES)
     q.update(pipeline.QUERIES)
     q.update(sketches.QUERIES)
+    q.update(webclean.QUERIES)
     ordered = {k: q[k] for k in _PRIORITY if k in q}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
@@ -1488,4 +1489,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(multimodal.ORACLES)
     o.update(pipeline.ORACLES)
     o.update(sketches.ORACLES)
+    o.update(webclean.ORACLES)
     return o

@@ -121,6 +121,12 @@ BENCH_QUERIES = [
     "group_split",
     "pack_efficiency_report",
     "dedup_exact_ids",
+    # r5b additions: C4-style web cleanup (map-only family) + the
+    # language-filter acceptance gate.
+    "c4_quality_signals",
+    "strip_boilerplate",
+    "language_id_eval",
+    "tokenizer_fertility",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -129,6 +129,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="re-fingerprint a shard dir against its manifest; exits "
              "nonzero naming any corrupt shard")
     vfy.add_argument("-i", "--input", required=True)
+
+    cpt = sub.add_parser(
+        "compact",
+        help="rewrite a many-small-files table dir as ~target-sized "
+             "files (shuffle-free coalesce rebin)")
+    cpt.add_argument("-i", "--input", required=True)
+    cpt.add_argument("-o", "--output", required=True)
+    cpt.add_argument("-t", "--target-bytes", type=int, default=None)
+    cpt.add_argument("-f", "--format", default="parquet")
+    cpt.add_argument("--plan-only", action="store_true",
+                     help="print the compaction plan without rewriting")
     return root
 
 
@@ -220,6 +231,25 @@ def main(argv: list[str] | None = None) -> int:
         for r in manifest.orderBy("shard").collect():
             print(f"shard={r['shard']} rows={r['n_rows']} "
                   f"tokens={r['n_tokens']} xor={r['xor_fp']}")
+        return 0
+
+    if args.command == "compact":
+        from hive_exporter_spark.operators.layout import (
+            COMPACT_TARGET_BYTES, compact_files, small_file_report)
+        target = (args.target_bytes if args.target_bytes is not None
+                  else COMPACT_TARGET_BYTES)
+        plan = small_file_report(spark, args.input, target).collect()[0]
+        print(f"plan: {plan['n_files']} files / {plan['total_bytes']} B "
+              f"({plan['n_small_files']} small) -> "
+              f"{plan['n_output_files']} files of "
+              f"~{plan['avg_bytes_after']} B")
+        if args.plan_only:
+            return 0
+        rep = compact_files(spark, args.input, args.output, target,
+                            fmt=args.format)
+        print(f"compacted {rep['n_files_before']} -> "
+              f"{rep['n_files_after']} files, {rep['rows']} rows "
+              f"-> {args.output}")
         return 0
 
     if args.command == "verify-shards":

@@ -112,3 +112,84 @@ def skipping_effectiveness(df: DataFrame, zcol_parts: DataFrame,
         .drop("__full_span")
         .orderBy("__pid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET_BYTES = 128 * 1024 * 1024  # HDFS-block-sized outputs
+
+
+def _list_data_files(spark, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) for every data file under `path`, via the Hadoop
+    FileSystem API (works for any supported scheme, not just local).
+    Driver-sized metadata: one entry per file — the same listing any
+    planner (or the reader itself) performs."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue  # _SUCCESS, checksums, hidden
+        out.append((st.getPath().toString(), int(st.getLen())))
+    return out
+
+
+def small_file_report(spark, path: str,
+                      target_bytes: int = COMPACT_TARGET_BYTES) -> DataFrame:
+    """One-row compaction plan for a table directory: file count,
+    total bytes, how many are below half the target ("small"), and the
+    output file count a compaction would produce. The operational
+    early-warning for the classic 100 TB failure mode — millions of
+    KB-sized files from over-parallel or incremental writers turning
+    every scan into a NameNode/listing storm."""
+    files = _list_data_files(spark, path)
+    total = sum(b for _, b in files)
+    n_small = sum(1 for _, b in files if b < target_bytes // 2)
+    n_out = max(1, -(-total // target_bytes))  # ceil
+    return spark.createDataFrame(
+        [(len(files), total, n_small, n_out,
+          int(total / max(len(files), 1)), int(total / n_out))],
+        "n_files long, total_bytes long, n_small_files long, "
+        "n_output_files long, avg_bytes_now long, avg_bytes_after long",
+    )
+
+
+def compact_files(spark, src_dir: str, dst_dir: str,
+                  target_bytes: int = COMPACT_TARGET_BYTES,
+                  fmt: str = "parquet") -> dict:
+    """Rewrite a many-small-files directory as ~target-sized files.
+
+    The one hard requirement at scale: compaction must NOT shuffle —
+    it is a pure re-bin of existing bytes. `coalesce(n)` merges input
+    splits into n output tasks with zero exchange (each task reads a
+    contiguous set of source files and streams them out); contrast
+    `repartition(n)`, which would round-robin every row through a full
+    network shuffle. The trade (coalesce can't split a pathological
+    giant file across tasks) is irrelevant here: inputs are small by
+    premise.
+
+    Returns {n_files_before, n_files_after, total_bytes, rows} so
+    callers can assert row preservation — the same reconciliation
+    contract as the ingest reporters (reference spark_loaders.py
+    count-check idiom).
+    """
+    before = _list_data_files(spark, src_dir)
+    total = sum(b for _, b in before)
+    n_out = max(1, -(-total // target_bytes))
+    df = spark.read.format(fmt).load(src_dir)
+    df.coalesce(n_out).write.format(fmt).mode("overwrite").save(dst_dir)
+    after = _list_data_files(spark, dst_dir)
+    rows = spark.read.format(fmt).load(dst_dir).count()
+    return {
+        "n_files_before": len(before),
+        "n_files_after": len(after),
+        "total_bytes": total,
+        "rows": rows,
+    }

@@ -1161,6 +1161,42 @@ def token_count_bpe(documents: DataFrame) -> DataFrame:
     )
 
 
+def tokenizer_fertility(documents: DataFrame,
+                        group_col: str = "lang") -> DataFrame:
+    """Tokenizer-efficiency report per corpus slice: fertility
+    (BPE-ish tokens per whitespace word) and bytes-per-token — the
+    two numbers that decide whether a tokenizer is wasting context
+    budget on a language (high fertility = more tokens for the same
+    text = less effective context and higher training cost per word).
+    The standard multilingual-tokenizer acceptance metric.
+
+    Integer totals per group (exact, portable), division only in the
+    final tiny projection. One corpus scan into a groups-sized
+    aggregate — scan-bound at 100 TB.
+    """
+    words = F.size(F.split(F.col("text"), " "))
+    bpe = F.size(F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(BPE_PATTERN), F.lit(0)))
+    return (
+        documents
+        .select(group_col, words.alias("__w"), bpe.alias("__t"),
+                F.length("text").alias("__b"))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("__w").alias("total_words"),
+             F.sum("__t").alias("total_tokens"),
+             F.sum("__b").alias("total_bytes"))
+        .select(
+            group_col, "n_docs", "total_words", "total_tokens",
+            F.round(F.col("total_tokens").cast("double")
+                    / F.col("total_words"), 6).alias("fertility"),
+            F.round(F.col("total_bytes").cast("double")
+                    / F.col("total_tokens"), 6).alias("bytes_per_token"),
+        )
+        .orderBy(group_col)
+    )
+
+
 BPE_PAIR_TOPK = 50
 
 
@@ -1202,20 +1238,49 @@ def bpe_pair_counts(documents: DataFrame, k: int = BPE_PAIR_TOPK,
     )
 
 
-def language_id(documents: DataFrame) -> DataFrame:
+def language_id(documents: DataFrame,
+                carry: tuple[str, ...] = ()) -> DataFrame:
     """Heuristic language ID: stopword-hit ratio against an English
     stopword list (the container has no langid lib; the operator shape
-    — per-language token-set scoring — is the real thing)."""
+    — per-language token-set scoring — is the real thing). `carry`
+    passes source columns through so evaluators don't re-join the
+    corpus to get labels back."""
     toks = tokens_col()
     sw = F.array(*[F.lit(s) for s in EN_STOPWORDS])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     ratio = hits.cast("double") / F.size(toks)
     return documents.select(
-        "doc_id",
+        *carry, "doc_id",
         F.size(toks).alias("n_tokens"),
         hits.alias("en_stopword_hits"),
         ratio.alias("en_stopword_ratio"),
         F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("predicted_lang"),
+    )
+
+
+def language_id_eval(documents: DataFrame) -> DataFrame:
+    """Classifier evaluation for `language_id` against the corpus's
+    ground-truth `lang` label: the (lang, predicted_lang) confusion
+    matrix with each cell's share of its true class. The standard
+    acceptance gate before trusting a cheap language filter to curate
+    a multilingual corpus.
+
+    Single corpus scan (labels are carried through the scoring
+    projection — no corpus self-join), one exchange into a
+    languages²-sized aggregate, window over that tiny frame. At
+    100 TB the cost is the scan; the confusion matrix is bytes.
+    """
+    scored = language_id(documents, carry=("lang",))
+    cells = scored.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    per_true = Window.partitionBy("lang")
+    return (
+        cells
+        .withColumn(
+            "share_of_true",
+            F.round(F.col("n_docs").cast("double")
+                    / F.sum("n_docs").over(per_true), 6))
+        .orderBy("lang", "predicted_lang")
     )
 
 
@@ -3169,6 +3234,14 @@ def _q_lang(spark, sf):
     return language_id(_docs(spark, sf))
 
 
+def _q_lang_eval(spark, sf):
+    return language_id_eval(_docs(spark, sf))
+
+
+def _q_tok_fertility(spark, sf):
+    return tokenizer_fertility(_docs(spark, sf))
+
+
 def _q_quality(spark, sf):
     return quality_score(_docs(spark, sf))
 
@@ -3383,6 +3456,8 @@ QUERIES = {
     "token_count_bpe": _q_bpe,
     "bpe_pair_counts": _q_bpe_pairs,
     "language_id": _q_lang,
+    "language_id_eval": _q_lang_eval,
+    "tokenizer_fertility": _q_tok_fertility,
     "quality_score": _q_quality,
     "doc_fingerprint": _q_fingerprint,
     "incremental_dedup": _q_incremental_dedup,
@@ -3522,6 +3597,25 @@ ORACLES = {
                     (a, x) -> a + x) AS DOUBLE) / len({_TOKS_SQL}) AS avg_token_len
         FROM documents
     """,
+    "tokenizer_fertility": f"""
+        WITH t AS (
+            SELECT lang,
+                   len(string_split(text, ' ')) AS w,
+                   len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS tk,
+                   length(text) AS b
+            FROM documents
+        ), g AS (
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(w) AS BIGINT) AS total_words,
+                   CAST(SUM(tk) AS BIGINT) AS total_tokens,
+                   CAST(SUM(b) AS BIGINT) AS total_bytes
+            FROM t GROUP BY lang
+        )
+        SELECT lang, n_docs, total_words, total_tokens,
+               round(CAST(total_tokens AS DOUBLE) / total_words, 6) AS fertility,
+               round(CAST(total_bytes AS DOUBLE) / total_tokens, 6) AS bytes_per_token
+        FROM g
+    """,
     "token_count_bpe": f"""
         SELECT doc_id,
                len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS n_bpe_tokens
@@ -3537,6 +3631,23 @@ ORACLES = {
                          / len({_TOKS_SQL}) >= 0.05
                     THEN 'en' ELSE 'other' END AS predicted_lang
         FROM documents
+    """,
+    "language_id_eval": f"""
+        WITH pred AS (
+            SELECT lang,
+                   CASE WHEN CAST(len(list_filter({_TOKS_SQL}, t -> t IN {EN_STOPWORDS})) AS DOUBLE)
+                             / len({_TOKS_SQL}) >= 0.05
+                        THEN 'en' ELSE 'other' END AS predicted_lang
+            FROM documents
+        ), cells AS (
+            SELECT lang, predicted_lang, COUNT(*) AS n_docs
+            FROM pred GROUP BY lang, predicted_lang
+        )
+        SELECT lang, predicted_lang, n_docs,
+               round(CAST(n_docs AS DOUBLE)
+                     / SUM(n_docs) OVER (PARTITION BY lang), 6)
+                   AS share_of_true
+        FROM cells
     """,
     "quality_score": f"""
         WITH t AS (

@@ -153,6 +153,30 @@ def test_shards_cli_end_to_end(spark, tmp_path):
     assert cli.main(["verify-shards", "-i", out]) == 1
 
 
+def test_compact_cli_end_to_end(spark, tmp_path, capsys):
+    """`compact` rewrites a fragmented dir as one file, preserving
+    rows; `--plan-only` prints the plan without writing anything."""
+    from hive_exporter_spark.sources.files import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    src = str(tmp_path / "frag")
+    docs.repartition(6).write.parquet(src)
+    out = str(tmp_path / "compacted")
+
+    assert cli.main(["compact", "-i", src, "-o", out, "--plan-only",
+                     "-t", str(1 << 30)]) == 0
+    assert "6 files" in capsys.readouterr().out
+    import os
+    assert not os.path.exists(out)
+
+    assert cli.main(["compact", "-i", src, "-o", out,
+                     "-t", str(1 << 30)]) == 0
+    got = spark.read.parquet(out)
+    assert got.count() == docs.count()
+    data_files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(data_files) == 1
+
+
 def test_curate_cli_end_to_end(spark, tmp_path):
     """`curate` must read a documents dir, run the pipeline, and write
     packed rows whose shape matches calling the library directly."""

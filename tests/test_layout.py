@@ -118,3 +118,47 @@ def test_optimize_table_compacts_and_clusters(spark, sf_dir, tmp_path):
     full = after.agg(F.max("value") - F.min("value")).first()[0]
     assert all(r["span"] < full for r in spans)
     spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_small_file_report_counts_and_plan(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "frag")
+    read_table(spark, sf_dir, "documents").repartition(8) \
+        .write.mode("overwrite").parquet(src)
+    rep = layout.small_file_report(spark, src, target_bytes=1 << 30).first()
+    assert rep["n_files"] == 8
+    assert rep["n_small_files"] == 8          # all tiny vs a 1 GiB target
+    assert rep["n_output_files"] == 1         # total << target
+    assert rep["total_bytes"] > 0
+    assert rep["avg_bytes_after"] >= rep["avg_bytes_now"]
+
+
+def test_compact_files_preserves_rows_without_shuffle(spark, sf_dir, tmp_path):
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    docs = read_table(spark, sf_dir, "documents")
+    docs.repartition(16).write.mode("overwrite").parquet(src)
+    rep = layout.compact_files(spark, src, dst, target_bytes=1 << 30)
+    assert rep["n_files_before"] == 16
+    assert rep["n_files_after"] == 1
+    assert rep["rows"] == docs.count()
+    # contract: coalesce re-bin, never a shuffle
+    from hive_exporter_spark import plans
+    plan = plans.formatted_plan(
+        spark.read.parquet(src).coalesce(1))
+    assert "Exchange" not in plan, plan
+    # unlike optimize_table (z-order shuffle + cluster), this path is
+    # a pure byte rebin: output bytes ~ input bytes
+    out_rep = layout.small_file_report(spark, dst, target_bytes=1 << 30).first()
+    assert out_rep["total_bytes"] > 0
+
+
+def test_compact_cli_verb(spark, sf_dir, tmp_path, capsys):
+    from hive_exporter_spark.cli import main
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "out")
+    read_table(spark, sf_dir, "region").repartition(4) \
+        .write.mode("overwrite").parquet(src)
+    assert main(["compact", "-i", src, "-o", dst,
+                 "-t", str(1 << 30)]) == 0
+    outp = capsys.readouterr().out
+    assert "plan: 4 files" in outp and "compacted 4 -> 1 files" in outp
+    assert main(["compact", "-i", src, "-o", dst, "--plan-only",
+                 "-t", str(1 << 30)]) == 0

@@ -1,0 +1,127 @@
+"""Tests for the web-corpus cleaning operators (operators/webclean.py)
+and the r5b corpus-evaluation reports (language_id_eval,
+tokenizer_fertility): C4 rule semantics on crafted pages, within-doc
+boilerplate removal invariants, evaluation-report reconciliation, and
+the map-only (zero-exchange) plan shapes — the properties beyond the
+DuckDB value-hash oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_exporter_spark import plans
+from hive_exporter_spark.operators import webclean
+from hive_exporter_spark.sources.files import read_table
+
+
+def _docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents")
+
+
+def _crafted(spark):
+    rows = [
+        (1, "a clean page with plenty of words here today"),   # keep
+        (2, "too short"),                                      # < 5 words
+        (3, "this page contains Lorem Ipsum filler text ok"),  # lorem
+        (4, "function() { return leaked javascript code }"),   # brace
+        (5, "a slow page that hits the blocklist word set"),   # blocked
+        (6, "one. two! three? sentences with punctuation end."),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_c4_rules_fire_on_crafted_pages(spark):
+    sig = {r["doc_id"]: r for r in
+           webclean.c4_quality_signals(_crafted(spark)).collect()}
+    assert sig[1]["keep"] and not sig[1]["has_blocked_word"]
+    assert not sig[2]["keep"] and sig[2]["n_words"] < webclean.C4_MIN_WORDS
+    assert sig[3]["has_lorem_ipsum"] and not sig[3]["keep"]
+    assert sig[4]["has_brace"] and not sig[4]["keep"]
+    assert sig[5]["has_blocked_word"] and not sig[5]["keep"]
+    assert sig[6]["n_sentences"] == 4 and sig[6]["keep"]
+
+
+def test_c4_report_counts_match_signals(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    sig = webclean.c4_quality_signals(docs)
+    rep = webclean.c4_filter_report(docs).collect()[0]
+    assert rep["n_docs"] == docs.count()
+    assert rep["n_kept"] == sig.where("keep").count()
+    assert rep["n_blocked"] == sig.where("has_blocked_word").count()
+    # Fixture corpus has no punctuation/braces/lorem.
+    assert rep["n_lorem"] == 0 and rep["n_brace"] == 0
+
+
+def test_c4_empty_blocklist_never_blocks(spark):
+    sig = webclean.c4_quality_signals(_crafted(spark), blocklist=())
+    assert sig.where("has_blocked_word").count() == 0
+
+
+def test_strip_boilerplate_removes_repeats_keeps_order(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z w x y q r"),     # 2-word segs: [x y][z w][x y][q r]
+         (2, "a b c d")],            # no repeats
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in webclean.strip_boilerplate(df).collect()}
+    assert out[1]["n_segs"] == 4 and out[1]["n_kept"] == 3
+    assert out[1]["clean_text"] == "x y z w q r"   # first occurrence, in order
+    assert out[1]["was_changed"]
+    assert out[2]["n_kept"] == 2 and not out[2]["was_changed"]
+    assert out[2]["clean_text"] == "a b c d"
+
+
+def test_strip_boilerplate_idempotent(spark, sf_dir):
+    # Materialize between the two applications (the operator's
+    # documented composition rule): collapsing two strip passes into
+    # one projection re-evaluates the inner segment chain per outer
+    # segment — quadratic interpreted eval once the fused expression
+    # tree falls out of codegen.
+    once = webclean.strip_boilerplate(_docs(spark, sf_dir)).collect()
+    redo = spark.createDataFrame(
+        [(r["doc_id"], r["clean_text"]) for r in once],
+        ["doc_id", "text"])
+    again = {r["doc_id"]: r for r in
+             webclean.strip_boilerplate(redo).collect()}
+    for r in once:
+        b = again[r["doc_id"]]
+        # a clean document stays clean: second pass removes nothing
+        assert b["n_kept"] == b["n_segs"]
+        assert b["n_kept"] <= r["n_kept"]
+
+
+def test_webclean_plans_are_map_only(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    assert plans.num_exchanges(webclean.c4_quality_signals(docs)) == 0
+    assert plans.num_exchanges(webclean.strip_boilerplate(docs)) == 0
+    # The report is one partial+final agg: a single exchange at most.
+    assert plans.num_exchanges(webclean.c4_filter_report(docs)) <= 1
+
+
+def test_language_id_eval_shares_sum_to_one(spark, sf_dir):
+    from hive_exporter_spark.operators import llm
+    ev = llm.language_id_eval(_docs(spark, sf_dir))
+    by_lang = ev.groupBy("lang").agg(
+        F.round(F.sum("share_of_true"), 4).alias("s"),
+        F.sum("n_docs").alias("n"))
+    assert by_lang.where(F.abs(F.col("s") - 1.0) > 0.001).count() == 0
+    # cell counts reconcile with the corpus
+    total = ev.agg(F.sum("n_docs")).first()[0]
+    assert total == _docs(spark, sf_dir).count()
+
+
+def test_tokenizer_fertility_reconciles(spark, sf_dir):
+    from hive_exporter_spark.operators import llm
+    docs = _docs(spark, sf_dir)
+    rep = llm.tokenizer_fertility(docs)
+    rows = rep.collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        # fertility: BPE-ish tokens can only split words, never merge
+        assert r["fertility"] >= 1.0
+        assert r["bytes_per_token"] > 0
+    # crafted check: "ab1cd ef" -> words=2, bpe tokens=4 (ab|1|cd|ef)
+    one = llm.tokenizer_fertility(
+        spark.createDataFrame([(1, "ab1cd ef", "xx")],
+                              ["doc_id", "text", "lang"])).first()
+    assert one["total_words"] == 2 and one["total_tokens"] == 4
+    assert one["fertility"] == 2.0
