@@ -2255,6 +2255,63 @@ def pq_fixed_codes(embeddings: DataFrame, m: int = PQ_M,
             .select(id_col, "p.subspace", "p.code"))
 
 
+def ann_recall_report(embeddings: DataFrame,
+                      k: int = TOPK,
+                      n_queries: int = N_QUERIES) -> DataFrame:
+    """Recall@k of the portable ANN index paths vs the exact
+    brute-force ranking, as a per-method report the driver can
+    hash-check — the acceptance gate you run before trusting an index
+    to replace exact search on a corpus.
+
+    Covers the two paths whose parameters are md5-derived and hence
+    engine-portable (`topk_cosine_lsh` hyperplanes,
+    `topk_cosine_pq_fixed` codebooks): their recall tables are exact,
+    deterministic, and replayed by the DuckDB oracle. The TRAINED
+    paths (IVF / PQ / IVF-PQ / BRP-LSH) fit k-means or use engine RNG
+    — no SQL twin exists, so their recall stays pinned in pytest
+    (`test_llm_ann.py`) instead of here.
+
+    Plan shape: one exact pass (corpus never shuffles; queries
+    broadcast), one run per index path, then joins against the
+    50-row exact result — which is lazily localCheckpoint'd so
+    Catalyst's subtree re-expansion can't re-run the exact scan once
+    per method (the multi-scan audit rule, SCALE.md). At 100 TB the
+    cost is the index paths themselves; the report adds only
+    dimension-sized joins.
+    """
+    queries = embeddings.where(F.col("vec_id") < n_queries)
+    exact = (topk_cosine(embeddings, queries, k)
+             .select("query_id", "neighbor_id")
+             .localCheckpoint(eager=False))
+    n_exp = F.broadcast(
+        exact.agg(F.count(F.lit(1)).alias("n_expected")))
+    methods = (
+        ("lsh", topk_cosine_lsh),
+        ("pq_fixed", topk_cosine_pq_fixed),
+    )
+    reports = []
+    for name, fn in methods:
+        hits = (
+            fn(embeddings, queries, k)
+            .select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        reports.append(
+            hits.crossJoin(n_exp).select(
+                F.lit(name).alias("method"),
+                "n_expected",
+                "n_hits",
+                F.round(F.col("n_hits").cast("double")
+                        / F.col("n_expected"), 6).alias("recall_at_k"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("method")
+
+
 def ngram_jaccard_pairs_capped(
     documents: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
@@ -3218,6 +3275,10 @@ def _q_topk_pq_fixed(spark, sf):
     return topk_cosine_pq_fixed(emb, emb.where(F.col("vec_id") < N_QUERIES))
 
 
+def _q_ann_recall(spark, sf):
+    return ann_recall_report(_emb(spark, sf))
+
+
 def _q_text_stats(spark, sf):
     return text_stats(_docs(spark, sf))
 
@@ -3444,6 +3505,7 @@ QUERIES = {
     "embedding_topk_cosine_brp_lsh": _q_topk_brp,
     "embedding_topk_cosine_pq": _q_topk_pq,
     "embedding_topk_cosine_pq_fixed": _q_topk_pq_fixed,
+    "ann_recall_report": _q_ann_recall,
     "embedding_topk_cosine_ivf_pq": _q_topk_ivf_pq,
     "embedding_label_centroids": _q_centroids,
     "doc_embedding_norms": _q_norms,
@@ -4068,6 +4130,26 @@ ORACLES["quantize_embeddings"] = f"""
                ',') AS qvec,
            round(sc, 6) AS scale
     FROM s
+"""
+
+# Recall audit: composes the three existing ANN oracles (exact, portable
+# LSH, fixed-codebook PQ) and counts top-k agreement — the whole index
+# dataflow replays in SQL, so the recall table itself hash-checks.
+ORACLES["ann_recall_report"] = f"""
+    WITH exact AS ({ORACLES['embedding_topk_cosine']}),
+         lsh AS ({ORACLES['embedding_topk_cosine_lsh']}),
+         pqf AS ({ORACLES['embedding_topk_cosine_pq_fixed']}),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_expected FROM exact)
+    SELECT method, n_expected, n_hits,
+           round(CAST(n_hits AS DOUBLE) / n_expected, 6) AS recall_at_k
+    FROM (
+        SELECT 'lsh' AS method, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM lsh JOIN exact USING (query_id, neighbor_id)
+        UNION ALL
+        SELECT 'pq_fixed' AS method, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM pqf JOIN exact USING (query_id, neighbor_id)
+    ) CROSS JOIN n
+    ORDER BY method
 """
 
 ORACLES["normalize_text"] = r"""

@@ -227,6 +227,26 @@ def test_topk_lsh_recall(spark, emb):
     assert recall >= 0.3, f"ANN recall {recall} too low"
 
 
+def test_ann_recall_report_matches_set_arithmetic(spark, emb):
+    """The report's recall rows must equal the set-overlap recall
+    computed directly from the underlying paths, and n_hits can never
+    exceed n_expected."""
+    rows = {r["method"]: r for r in llm.ann_recall_report(emb).collect()}
+    assert set(rows) == {"lsh", "pq_fixed"}
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in llm.topk_cosine(emb, queries).collect()}
+    for method, fn in (("lsh", llm.topk_cosine_lsh),
+                       ("pq_fixed", llm.topk_cosine_pq_fixed)):
+        approx = {(r["query_id"], r["neighbor_id"])
+                  for r in fn(emb, queries).collect()}
+        r = rows[method]
+        assert r["n_expected"] == len(exact)
+        assert r["n_hits"] == len(exact & approx)
+        assert 0 <= r["n_hits"] <= r["n_expected"]
+        assert r["recall_at_k"] == round(r["n_hits"] / r["n_expected"], 6)
+
+
 def test_topk_cosine_self_excluded_and_k(spark, emb):
     out = llm.topk_cosine(emb, emb.where(F.col("vec_id") < 3), k=5).collect()
     assert len(out) == 15
