@@ -118,13 +118,14 @@ def strip_boilerplate(documents: DataFrame,
 
     Contrast with `llm.segment_dedup` (corpus-wide first-occurrence
     wins, needs a shuffle on the segment digest): this dedupes only
-    within each document, so it is MAP-ONLY — the keep-first filter
-    is a higher-order array function (`filter` with the index lambda;
-    `array_position` returns the FIRST occurrence, so a segment
-    survives iff it sits at its own first position). No shuffle, no
-    Python, no per-document state beyond the row itself — the ideal
-    shape at 100 TB, where a per-page cleanup must not cost a single
-    exchange.
+    within each document, so it is MAP-ONLY — keep-first is exactly
+    `array_distinct` (hash-based, linear in segments, preserves
+    first-occurrence order). An `array_position`-in-`filter` HOF
+    would compute the same thing but scans the list per element —
+    quadratic in segments per document, which matters for book-length
+    pages at corpus scale. No shuffle, no Python, no per-document
+    state beyond the row itself — the ideal shape at 100 TB, where a
+    per-page cleanup must not cost a single exchange.
 
     Composition rule: MATERIALIZE (write/cache/localCheckpoint)
     before feeding `clean_text` into another text-rewriting operator.
@@ -138,7 +139,7 @@ def strip_boilerplate(documents: DataFrame,
         f"transform(sequence(0, cast(ceil(size(__w) / {seg_words}.0) as int) - 1), "
         f"i -> concat_ws(' ', slice(__w, i * {seg_words} + 1, {seg_words})))"
     )
-    kept = F.expr("filter(__segs, (s, i) -> array_position(__segs, s) - 1 = i)")
+    kept = F.array_distinct(F.col("__segs"))
     return (
         documents
         .select("doc_id", F.split(F.col(text_col), " ").alias("__w"))
