@@ -1197,6 +1197,63 @@ def tokenizer_fertility(documents: DataFrame,
     )
 
 
+VOCAB_COVERAGE_V = 20
+
+
+def vocab_coverage(documents: DataFrame,
+                   vocab_size: int = VOCAB_COVERAGE_V,
+                   group_col: str = "lang") -> DataFrame:
+    """Top-V vocabulary coverage and OOV rate per corpus slice — the
+    other half of the tokenizer acceptance gate next to
+    `tokenizer_fertility`: what fraction of token occurrences a
+    V-entry vocabulary captures per language, and what fraction falls
+    out-of-vocabulary. A vocab trained on the majority language can
+    look fine in aggregate while a minority slice runs 30% OOV; this
+    report is how you catch that before training.
+
+    Plan shape: ONE corpus scan into (group × token)-sized counts,
+    lazily checkpointed (three downstream references — global top-V,
+    per-group totals, covered sums — must not re-expand the corpus
+    aggregate; SCALE.md multi-scan audit rule). Top-V selection is
+    `orderBy().limit(V)` = TakeOrdered (map-side partial top-V, no
+    global sort shuffle), ties broken by token for determinism; the
+    V-row vocab broadcasts into a semi join. Everything after the
+    first aggregate is dimension-sized. Integer totals; division only
+    in the final projection, so the DuckDB oracle is exact.
+    """
+    tl = (
+        documents
+        .select(group_col, F.explode(tokens_col()).alias("token"))
+        .groupBy(group_col, "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    topv = (
+        tl.groupBy("token").agg(F.sum("n").alias("n_total"))
+        .orderBy(F.col("n_total").desc(), "token")
+        .limit(vocab_size)
+        .select("token")
+    )
+    tot = tl.groupBy(group_col).agg(
+        F.sum("n").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"))
+    cov = (tl.join(F.broadcast(topv), "token", "left_semi")
+           .groupBy(group_col).agg(F.sum("n").alias("covered_tokens")))
+    covered = F.coalesce(F.col("covered_tokens"), F.lit(0))
+    return (
+        tot.join(cov, group_col, "left")
+        .select(
+            group_col, "total_tokens", "n_distinct_tokens",
+            covered.alias("covered_tokens"),
+            F.round(covered.cast("double") / F.col("total_tokens"), 6)
+             .alias("coverage"),
+            F.round((F.col("total_tokens") - covered).cast("double")
+                    / F.col("total_tokens"), 6).alias("oov_rate"),
+        )
+        .orderBy(group_col)
+    )
+
+
 BPE_PAIR_TOPK = 50
 
 
@@ -3303,6 +3360,10 @@ def _q_tok_fertility(spark, sf):
     return tokenizer_fertility(_docs(spark, sf))
 
 
+def _q_vocab_coverage(spark, sf):
+    return vocab_coverage(_docs(spark, sf))
+
+
 def _q_quality(spark, sf):
     return quality_score(_docs(spark, sf))
 
@@ -3520,6 +3581,7 @@ QUERIES = {
     "language_id": _q_lang,
     "language_id_eval": _q_lang_eval,
     "tokenizer_fertility": _q_tok_fertility,
+    "vocab_coverage": _q_vocab_coverage,
     "quality_score": _q_quality,
     "doc_fingerprint": _q_fingerprint,
     "incremental_dedup": _q_incremental_dedup,
@@ -3677,6 +3739,33 @@ ORACLES = {
                round(CAST(total_tokens AS DOUBLE) / total_words, 6) AS fertility,
                round(CAST(total_bytes AS DOUBLE) / total_tokens, 6) AS bytes_per_token
         FROM g
+    """,
+    "vocab_coverage": f"""
+        WITH tl AS (
+            SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+                SELECT lang, unnest({_TOKS_SQL}) AS token FROM documents)
+            GROUP BY lang, token
+        ), top AS (
+            SELECT token FROM (
+                SELECT token, SUM(n) AS nt FROM tl GROUP BY token)
+            ORDER BY nt DESC, token LIMIT {VOCAB_COVERAGE_V}
+        ), tot AS (
+            SELECT lang, CAST(SUM(n) AS BIGINT) AS total_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens
+            FROM tl GROUP BY lang
+        ), cov AS (
+            SELECT lang, CAST(SUM(n) AS BIGINT) AS covered_tokens
+            FROM tl WHERE token IN (SELECT token FROM top)
+            GROUP BY lang
+        )
+        SELECT t.lang, total_tokens, n_distinct_tokens,
+               CAST(COALESCE(covered_tokens, 0) AS BIGINT) AS covered_tokens,
+               round(CAST(COALESCE(covered_tokens, 0) AS DOUBLE)
+                     / total_tokens, 6) AS coverage,
+               round(CAST(total_tokens - COALESCE(covered_tokens, 0) AS DOUBLE)
+                     / total_tokens, 6) AS oov_rate
+        FROM tot t LEFT JOIN cov c ON t.lang = c.lang
+        ORDER BY t.lang
     """,
     "token_count_bpe": f"""
         SELECT doc_id,

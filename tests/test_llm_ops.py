@@ -227,6 +227,22 @@ def test_topk_lsh_recall(spark, emb):
     assert recall >= 0.3, f"ANN recall {recall} too low"
 
 
+def test_vocab_coverage_bounds_and_full_vocab(spark, docs):
+    """Small V → strict partial coverage; V ≥ |vocab| → exact 1.0/0.0.
+    Top-V must be selected via TakeOrdered, not a global sort."""
+    rows = llm.vocab_coverage(docs, vocab_size=5).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 < r["covered_tokens"] < r["total_tokens"]
+        assert 0 < r["coverage"] < 1
+        assert abs(r["coverage"] + r["oov_rate"] - 1.0) < 2e-6
+    full = llm.vocab_coverage(docs, vocab_size=10_000).collect()
+    assert all(r["coverage"] == 1.0 and r["oov_rate"] == 0.0 for r in full)
+    from hive_exporter_spark import plans
+    plan = plans.formatted_plan(llm.vocab_coverage(docs, vocab_size=5))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_ann_recall_report_matches_set_arithmetic(spark, emb):
     """The report's recall rows must equal the set-overlap recall
     computed directly from the underlying paths, and n_hits can never
