@@ -570,3 +570,18 @@ def test_ams_join_size_fused_wrapper_single_scan(t, spark, sf_dir):
     df = entrymod.queries()["ams_join_size_click_purchase"](spark, sf_dir)
     plan = plans.formatted_plan(df)
     assert plan.count("events.parquet") <= 1, plan
+
+
+def test_new_reports_single_corpus_scan(t):
+    """The r5 evaluation reports must each read the documents corpus
+    exactly once: labels/totals are carried through one projection or
+    one grouped count (lazily checkpointed), never re-joined against a
+    second scan."""
+    docs = t("documents")
+    for df in (
+        llm.language_id_eval(docs),
+        llm.tokenizer_fertility(docs),
+        llm.vocab_coverage(docs, vocab_size=5),
+    ):
+        plan = plans.formatted_plan(df)
+        assert plan.count("documents.parquet") <= 1, plan
