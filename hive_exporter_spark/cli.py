@@ -140,6 +140,18 @@ def build_parser() -> argparse.ArgumentParser:
     cpt.add_argument("-f", "--format", default="parquet")
     cpt.add_argument("--plan-only", action="store_true",
                      help="print the compaction plan without rewriting")
+
+    aud = sub.add_parser(
+        "audit-plan",
+        help="lint a SQL query's physical plan for 100 TB "
+             "anti-patterns (cartesian, single-partition funnel, "
+             "repeated scans, per-row Python)")
+    aud.add_argument("-i", "--input", required=True,
+                     help="dir of <name>.parquet tables, registered as "
+                          "views by filename")
+    aud.add_argument("-q", "--sql", required=True)
+    aud.add_argument("--strict", action="store_true",
+                     help="exit 1 if any error-severity finding")
     return root
 
 
@@ -232,6 +244,21 @@ def main(argv: list[str] | None = None) -> int:
             print(f"shard={r['shard']} rows={r['n_rows']} "
                   f"tokens={r['n_tokens']} xor={r['xor_fp']}")
         return 0
+
+    if args.command == "audit-plan":
+        import glob as _glob
+        import os as _os
+
+        from hive_exporter_spark.plans import audit_plan
+        for pq in _glob.glob(_os.path.join(args.input, "*.parquet")):
+            name = _os.path.splitext(_os.path.basename(pq))[0]
+            spark.read.parquet(pq).createOrReplaceTempView(name)
+        findings = audit_plan(spark.sql(args.sql))
+        for f in findings:
+            print(f"{f['severity']:5s} {f['rule']}: {f['detail']}")
+        n_err = sum(1 for f in findings if f["severity"] == "error")
+        print(f"{len(findings)} finding(s), {n_err} error(s)")
+        return 1 if (args.strict and n_err) else 0
 
     if args.command == "compact":
         from hive_exporter_spark.operators.layout import (

@@ -74,3 +74,71 @@ def has_partial_aggregate(df: DataFrame) -> bool:
     """Map-side combine present (partial_* functions in a
     HashAggregate below the exchange)."""
     return bool(re.search(r"partial_(sum|count|min|max|avg)", formatted_plan(df)))
+
+
+def scan_locations(df: DataFrame) -> list[str]:
+    """File-index locations of every file scan in the plan, one entry
+    per scan node (duplicates = the same data read more than once)."""
+    return re.findall(r"Location: \w+FileIndex \[([^\]]*)\]", formatted_plan(df))
+
+
+def audit_plan(df: DataFrame) -> list[dict]:
+    """Lint a DataFrame's physical plan for the anti-patterns that are
+    survivable on a laptop and fatal at 100 TB. Returns findings as
+    ``{"rule", "severity", "detail"}`` dicts (empty list = clean).
+
+    Rules:
+      - ``cartesian_product`` (error): CartesianProduct — both sides
+        partitioned, O(n·m) pair blowup with no small side.
+      - ``cross_broadcast_join`` (warn): Cross
+        BroadcastNestedLoopJoin — fine when the build side is a
+        scalar/bounded aggregate (the deliberate pattern this repo
+        uses for sketch scalars), fatal when it is data-sized; the
+        plan alone can't tell, so this is a review flag.
+      - ``single_partition_exchange`` (error): Exchange
+        SinglePartition / global-ordered Window — the whole dataset
+        funnels through ONE task (global window/sort without
+        partitioning). Use a partitioned window or the two-phase
+        top-k pattern.
+      - ``repeated_scan`` (warn): the same file location scanned more
+        than once — Catalyst re-expanded a shared subtree; feed the
+        shared intermediate through localCheckpoint (SCALE.md
+        multi-scan audit).
+      - ``python_row_udf`` (error): BatchEvalPython — row-at-a-time
+        Python in the hot path; use built-ins or Arrow.
+      - ``python_arrow_udf`` (info): ArrowEvalPython / pandas
+        map nodes — vectorized Python; acceptable where built-ins
+        can't express the kernel, but JVM-side is still faster.
+    """
+    plan = formatted_plan(df)
+    findings: list[dict] = []
+
+    def _hit(rule: str, severity: str, detail: str) -> None:
+        findings.append({"rule": rule, "severity": severity,
+                         "detail": detail})
+
+    if "CartesianProduct" in plan:
+        _hit("cartesian_product", "error", "CartesianProduct node")
+    n_cross = len(re.findall(r"BroadcastNestedLoopJoin Cross", plan))
+    if n_cross:
+        _hit("cross_broadcast_join", "warn",
+             f"{n_cross} Cross BroadcastNestedLoopJoin(s): fine iff "
+             "the build side is a scalar/bounded aggregate")
+    n_single = len(re.findall(r"Exchange SinglePartition", plan)) + len(
+        re.findall(r"Arguments: SinglePartition", plan))
+    if n_single:
+        _hit("single_partition_exchange", "error",
+             f"{n_single} single-partition exchange(s): global "
+             "sort/window/limit funnels all data through one task")
+    locs = scan_locations(df)
+    for loc in sorted({l for l in locs if locs.count(l) > 1}):
+        _hit("repeated_scan", "warn",
+             f"{loc} scanned {locs.count(loc)}x — localCheckpoint the "
+             "shared intermediate")
+    if "BatchEvalPython" in plan:
+        _hit("python_row_udf", "error",
+             "row-at-a-time Python UDF in the plan")
+    for node in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        if node in plan:
+            _hit("python_arrow_udf", "info", f"{node} (vectorized Python)")
+    return findings

@@ -177,6 +177,27 @@ def test_compact_cli_end_to_end(spark, tmp_path, capsys):
     assert len(data_files) == 1
 
 
+def test_audit_plan_cli(spark, tmp_path, capsys):
+    """`audit-plan` registers tables from a dir, lints the SQL's plan,
+    and (with --strict) exits nonzero on error-severity findings."""
+    from hive_exporter_spark.sources.files import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    src = str(tmp_path / "tbl")
+    docs.write.parquet(f"{src}/documents.parquet")
+
+    bad = ("SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn "
+           "FROM documents")
+    assert cli.main(["audit-plan", "-i", src, "-q", bad]) == 0
+    out = capsys.readouterr().out
+    assert "single_partition_exchange" in out
+    assert cli.main(["audit-plan", "-i", src, "-q", bad, "--strict"]) == 1
+
+    good = "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang"
+    assert cli.main(["audit-plan", "-i", src, "-q", good, "--strict"]) == 0
+    assert "0 error(s)" in capsys.readouterr().out
+
+
 def test_curate_cli_end_to_end(spark, tmp_path):
     """`curate` must read a documents dir, run the pipeline, and write
     packed rows whose shape matches calling the library directly."""

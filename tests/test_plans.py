@@ -585,3 +585,38 @@ def test_new_reports_single_corpus_scan(t):
     ):
         plan = plans.formatted_plan(df)
         assert plan.count("documents.parquet") <= 1, plan
+
+
+def test_audit_plan_flags_antipatterns(t, spark, tmp_path):
+    """audit_plan must flag the classic 100 TB killers on deliberately
+    bad plans and stay quiet on a production-shaped one."""
+    from pyspark.sql import Window
+
+    docs = t("documents")
+
+    # global window → single-partition exchange (error)
+    bad_win = docs.withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id")))
+    rules = {f["rule"] for f in plans.audit_plan(bad_win)}
+    assert "single_partition_exchange" in rules
+
+    # self-referencing aggregate subtree → repeated scan (warn)
+    path = str(tmp_path / "docs_audit")
+    docs.limit(50).write.parquet(path)
+    p = spark.read.parquet(path)
+    rescan = p.crossJoin(p.groupBy().agg(F.count("*").alias("n")))
+    rules = {f["rule"] for f in plans.audit_plan(rescan)}
+    assert "repeated_scan" in rules
+    assert "cross_broadcast_join" in rules
+
+    # row-at-a-time Python UDF (error)
+    from pyspark.sql.functions import udf
+    bad_udf = docs.select(udf(lambda s: s and s.upper())("text"))
+    rules = {f["rule"] for f in plans.audit_plan(bad_udf)}
+    assert "python_row_udf" in rules
+
+    # a production-shaped query must produce NO error-severity findings
+    from hive_exporter_spark.operators import relational
+    clean = relational.pricing_summary(t("lineitem"))
+    errors = [f for f in plans.audit_plan(clean) if f["severity"] == "error"]
+    assert errors == [], errors
