@@ -454,9 +454,13 @@ def top_suppliers_by_revenue(supplier: DataFrame, lineitem: DataFrame,
                              date_from: str = "1996-01-01",
                              date_to: str = "1996-04-01") -> DataFrame:
     """TPC-H-Q15-style argmax: supplier(s) whose quarterly revenue
-    equals the maximum. The window-max over an unpartitioned frame is
-    evaluated on the already-aggregated per-supplier rows (one row per
-    supplier), so the single-partition window is tiny, not fact-sized."""
+    equals the maximum. The max is a SCALAR aggregate broadcast back
+    over the per-supplier rows — not an unpartitioned window, which
+    would serialize every supplier through one task (the supplier
+    dimension scales with SF: ~1e9 rows at the 100 TB scale factor;
+    flagged by plans.audit_plan and fixed). The scalar agg's
+    single-partition exchange carries one partial row per input
+    partition, which is the benign shape."""
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_supp = (
         lineitem.where(
@@ -466,11 +470,12 @@ def top_suppliers_by_revenue(supplier: DataFrame, lineitem: DataFrame,
         .groupBy("l_suppkey")
         .agg(dsum(rev).alias("total_revenue"))
     )
+    per_supp = per_supp.localCheckpoint(eager=False)
+    mx = per_supp.agg(F.max("total_revenue").alias("__max_rev"))
     best = (
-        per_supp.withColumn("max_rev", F.max("total_revenue").over(
-            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-        .where(F.col("total_revenue") == F.col("max_rev"))
-        .drop("max_rev")
+        per_supp.join(F.broadcast(mx),
+                      F.col("total_revenue") == F.col("__max_rev"))
+        .drop("__max_rev")
     )
     return (
         best.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))

@@ -82,6 +82,37 @@ def scan_locations(df: DataFrame) -> list[str]:
     return re.findall(r"Location: \w+FileIndex \[([^\]]*)\]", formatted_plan(df))
 
 
+def _single_partition_funnels(tree: str) -> int:
+    """Count Exchange SinglePartition nodes whose CONSUMER (the
+    nearest ancestor in the executed-plan tree, i.e. the first
+    less-indented node above) is a Sort or Window — the shapes where
+    the full input serializes through one task. A SinglePartition
+    exchange consumed by a final aggregate carries one partial row
+    per input partition and is not a funnel."""
+    lines = tree.splitlines()
+
+    def indent(s: str) -> int:
+        # tree prefix is spaces, ':', '|', '+-', ':-'; the '*(n)'
+        # codegen marker is part of the node content, not the prefix
+        body = re.sub(r"^[\s:+|-]*", "", s)
+        return len(s) - len(body)
+
+    n = 0
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        my = indent(line)
+        for j in range(i - 1, -1, -1):
+            if not lines[j].strip():
+                continue
+            if indent(lines[j]) < my:
+                consumer = lines[j]
+                if re.search(r"\bSort\b|\bWindow", consumer):
+                    n += 1
+                break
+    return n
+
+
 def audit_plan(df: DataFrame) -> list[dict]:
     """Lint a DataFrame's physical plan for the anti-patterns that are
     survivable on a laptop and fatal at 100 TB. Returns findings as
@@ -95,15 +126,21 @@ def audit_plan(df: DataFrame) -> list[dict]:
         scalar/bounded aggregate (the deliberate pattern this repo
         uses for sketch scalars), fatal when it is data-sized; the
         plan alone can't tell, so this is a review flag.
-      - ``single_partition_exchange`` (error): Exchange
-        SinglePartition / global-ordered Window — the whole dataset
+      - ``single_partition_exchange`` (error): an Exchange
+        SinglePartition feeding a Sort or Window — the whole input
         funnels through ONE task (global window/sort without
         partitioning). Use a partitioned window or the two-phase
-        top-k pattern.
+        top-k pattern. A SinglePartition exchange under a FINAL
+        aggregate is NOT flagged: only one partial row per input
+        partition crosses it — the normal scalar-aggregate shape.
+        Review flags on windows over already-dimension-sized frames
+        (daily rollups etc.) are expected and dismissible with
+        context — the plan alone cannot see frame sizes.
       - ``repeated_scan`` (warn): the same file location scanned more
-        than once — Catalyst re-expanded a shared subtree; feed the
-        shared intermediate through localCheckpoint (SCALE.md
-        multi-scan audit).
+        than once. Fine for small dims (re-scanning beats a
+        checkpoint); for a data-sized input it means Catalyst
+        re-expanded a shared subtree — feed the shared intermediate
+        through localCheckpoint (SCALE.md multi-scan audit).
       - ``python_row_udf`` (error): BatchEvalPython — row-at-a-time
         Python in the hot path; use built-ins or Arrow.
       - ``python_arrow_udf`` (info): ArrowEvalPython / pandas
@@ -124,17 +161,17 @@ def audit_plan(df: DataFrame) -> list[dict]:
         _hit("cross_broadcast_join", "warn",
              f"{n_cross} Cross BroadcastNestedLoopJoin(s): fine iff "
              "the build side is a scalar/bounded aggregate")
-    n_single = len(re.findall(r"Exchange SinglePartition", plan)) + len(
-        re.findall(r"Arguments: SinglePartition", plan))
+    n_single = _single_partition_funnels(executed_plan(df))
     if n_single:
         _hit("single_partition_exchange", "error",
-             f"{n_single} single-partition exchange(s): global "
-             "sort/window/limit funnels all data through one task")
+             f"{n_single} single-partition exchange(s) feeding a "
+             "Sort/Window: that stage runs as ONE task")
     locs = scan_locations(df)
     for loc in sorted({l for l in locs if locs.count(l) > 1}):
         _hit("repeated_scan", "warn",
-             f"{loc} scanned {locs.count(loc)}x — localCheckpoint the "
-             "shared intermediate")
+             f"{loc} scanned {locs.count(loc)}x — fine for small "
+             "dims; localCheckpoint the shared intermediate if "
+             "data-sized")
     if "BatchEvalPython" in plan:
         _hit("python_row_udf", "error",
              "row-at-a-time Python UDF in the plan")
