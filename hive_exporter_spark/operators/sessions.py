@@ -786,6 +786,149 @@ ORACLES["event_transition_matrix"] = """
 """
 
 
+PAGERANK_ITERS = 3
+PAGERANK_SCALE = 10 ** 12   # rank unit: 1.0 == 10^12
+PAGERANK_PSCALE = 10 ** 6   # transition-probability fixed-point scale
+PAGERANK_D_NUM, PAGERANK_D_DEN = 85, 100  # damping d = 0.85
+
+
+def event_transition_pagerank(events: DataFrame,
+                              iters: int = PAGERANK_ITERS) -> DataFrame:
+    """PageRank over the event-type transition graph — which states a
+    user's behavior gravitates to under the Markov dynamics
+    `event_transition_matrix` estimates (error loops and terminal
+    screens rank high; pass-through states rank low).
+
+    The whole iteration runs in FIXED-POINT INTEGER arithmetic so the
+    result is bit-exact and engine-portable (hash-checked vs DuckDB —
+    rare for an iterative algorithm): ranks are integers scaled by
+    10^12, transition probabilities by 10^6, and each step is the
+    integer recurrence
+
+        p_uv   = (n_uv * 10^6) DIV n_u
+        c_uv   = (85 * ((r_u * p_uv) DIV 10^6)) DIV 100
+        r'_v   = (15 * 10^12) DIV (100 * N)  +  Σ_u c_uv
+
+    (successive floor divisions, so every engine that truncates
+    positive integer division identically — all of them — reproduces
+    the same bits; the ≤1-unit floor loss per step is 10^-12-scale).
+    Dangling-node mass is dropped, not redistributed: ranks sum to
+    slightly under 1, identically in both engines.
+
+    Scale shape: ONE corpus pass builds the |types|² edge frame
+    (lead window — the same single exchange as the transition
+    matrix), checkpointed; every iteration is a join over that
+    dimension-sized frame, checkpointed per round like the
+    connected-components loop. N (node count) is a driver-side count
+    of the types dimension — bounded by contract.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("__next", F.lead("event_type").over(w))
+        .where(F.col("__next").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"),
+                 F.col("__next").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("n_out"))
+    edges = (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select("from_type", "to_type",
+                F.expr(f"(n * {PAGERANK_PSCALE}) DIV n_out").alias("p"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = (events.select("event_type").distinct()
+             .localCheckpoint(eager=False))
+    n_nodes = nodes.count()
+    teleport = (((PAGERANK_D_DEN - PAGERANK_D_NUM) * PAGERANK_SCALE)
+                // (PAGERANK_D_DEN * n_nodes))
+    ranks = nodes.select(
+        "event_type",
+        F.lit(PAGERANK_SCALE // n_nodes).cast("long").alias("r"))
+    for _ in range(iters):
+        inc = (
+            edges.join(
+                ranks.select(F.col("event_type").alias("from_type"),
+                             F.col("r").alias("__r")),
+                "from_type")
+            .select(
+                F.col("to_type").alias("event_type"),
+                F.expr(f"({PAGERANK_D_NUM} * ((__r * p) DIV "
+                       f"{PAGERANK_PSCALE})) DIV {PAGERANK_D_DEN}")
+                 .alias("c"))
+            .groupBy("event_type").agg(F.sum("c").alias("__inc"))
+        )
+        ranks = (
+            nodes.join(inc, "event_type", "left")
+            .select(
+                "event_type",
+                (F.lit(teleport).cast("long")
+                 + F.coalesce(F.col("__inc"), F.lit(0))).alias("r"))
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        "event_type",
+        F.col("r").alias("pagerank_scaled"),
+        F.round(F.col("r").cast("double") / PAGERANK_SCALE, 6)
+         .alias("pagerank"),
+    ).orderBy("event_type")
+
+
+def _q_pagerank(spark, sf):
+    return event_transition_pagerank(read_table(spark, sf, "events"))
+
+
+QUERIES["event_transition_pagerank"] = _q_pagerank
+
+# 3 unrolled integer iterations: every division is `//` on positive
+# BIGINTs, matching Spark's DIV bit-for-bit.
+_PR_ITER_SQL = """
+    SELECT n.event_type,
+           (15 * 1000000000000) // (100 * (SELECT n FROM nn))
+           + COALESCE(SUM((85 * ((r.r * e.p) // 1000000)) // 100), 0) AS r
+    FROM nodes n
+    LEFT JOIN edges e ON e.to_type = n.event_type
+    LEFT JOIN {prev} r ON r.event_type = e.from_type
+    GROUP BY n.event_type
+"""
+
+ORACLES["event_transition_pagerank"] = f"""
+    WITH seq AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+    ), pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ), totals AS (
+        SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_out
+        FROM pairs GROUP BY from_type
+    ), edges AS (
+        SELECT from_type, to_type, (n * 1000000) // n_out AS p
+        FROM pairs JOIN totals USING (from_type)
+    ), nodes AS (
+        SELECT DISTINCT event_type FROM events
+    ), nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+    ), r0 AS (
+        SELECT event_type,
+               1000000000000 // (SELECT n FROM nn) AS r
+        FROM nodes
+    ), r1 AS ({_PR_ITER_SQL.format(prev="r0")}
+    ), r2 AS ({_PR_ITER_SQL.format(prev="r1")}
+    ), r3 AS ({_PR_ITER_SQL.format(prev="r2")})
+    SELECT event_type,
+           CAST(r AS BIGINT) AS pagerank_scaled,
+           round(CAST(r AS DOUBLE) / 1000000000000, 6) AS pagerank
+    FROM r3
+    ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # RFM scoring
 # ---------------------------------------------------------------------------

@@ -582,3 +582,48 @@ def test_decayed_activity_recency_beats_volume(spark):
     later = {r["user_id"]: r["decayed_score"]
              for r in decayed_user_activity(bumped).collect()}
     assert later[1] == got[1] / 2 and later[2] == got[2] / 2
+
+
+def test_pagerank_matches_sequential_integer_replay(spark):
+    """The distributed fixed-point PageRank must reproduce a pure-
+    Python replay of the same integer recurrence on a crafted graph,
+    and the scaled ranks must sum to ≤ 1.0 with bounded dangling
+    loss."""
+    import datetime as dt
+
+    from hive_exporter_spark.operators.sessions import (
+        PAGERANK_D_DEN, PAGERANK_D_NUM, PAGERANK_PSCALE, PAGERANK_SCALE,
+        event_transition_pagerank)
+
+    # u1: a->b->a->b ; u2: a->c ; c is dangling (no outgoing edge)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i, (u, ty) in enumerate([(1, "a"), (1, "b"), (1, "a"), (1, "b"),
+                                 (2, "a"), (2, "c")]):
+        rows.append((i, u, t0 + dt.timedelta(minutes=i), ty))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    got = {r["event_type"]: r["pagerank_scaled"]
+           for r in event_transition_pagerank(ev).collect()}
+
+    # sequential replay of the documented recurrence
+    edges = {("a", "b"): 2, ("b", "a"): 1, ("a", "c"): 1}
+    n_out = {"a": 3, "b": 1}
+    p = {e: (n * PAGERANK_PSCALE) // n_out[e[0]] for e, n in edges.items()}
+    nodes = ["a", "b", "c"]
+    tele = ((PAGERANK_D_DEN - PAGERANK_D_NUM) * PAGERANK_SCALE) // (
+        PAGERANK_D_DEN * len(nodes))
+    r = {v: PAGERANK_SCALE // len(nodes) for v in nodes}
+    for _ in range(3):
+        nxt = {v: tele for v in nodes}
+        for (u, v), pv in p.items():
+            nxt[v] += (PAGERANK_D_NUM * ((r[u] * pv) // PAGERANK_PSCALE)
+                       ) // PAGERANK_D_DEN
+        r = nxt
+    assert got == r, (got, r)
+    total = sum(got.values()) / PAGERANK_SCALE
+    assert 0.5 < total <= 1.0  # dangling mass dropped, never created
+    # 'a' ranks highest: b returns ALL its mass to a each round,
+    # while a splits 2/3 to b and 1/3 to dangling c
+    assert got["a"] == max(got.values())
+    assert got["c"] == min(got.values())
