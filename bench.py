@@ -127,6 +127,9 @@ BENCH_QUERIES = [
     "strip_boilerplate",
     "language_id_eval",
     "tokenizer_fertility",
+    # r5c additions: tokenizer OOV gate + iterative integer PageRank.
+    "vocab_coverage",
+    "event_transition_pagerank",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
