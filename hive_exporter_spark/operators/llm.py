@@ -2369,6 +2369,46 @@ def ann_recall_report(embeddings: DataFrame,
     return out.orderBy("method")
 
 
+def dedup_recall_report(documents: DataFrame) -> DataFrame:
+    """Precision/recall of the banded MinHash-LSH near-dup pairs
+    against the exact n-gram-Jaccard pair set, as a one-row report the
+    driver can hash-check — the dedup twin of `ann_recall_report`:
+    the acceptance gate you run (on a sample) before trusting the LSH
+    screen to delete documents at corpus scale.
+
+    Both pair sets use the same threshold contract (Jaccard ≥ 0.5
+    exact vs signature-estimated), and both dataflows already replay
+    in SQL, so the composed DuckDB oracle verifies the counts and the
+    derived precision/recall bit-exactly. The exact side is the
+    O(df²) inverted-index baseline — this report is a sample-sized
+    audit by construction, not a corpus-wide join (at 100 TB you run
+    it on a stratified sample; the LSH path alone is the production
+    screen). Both pair frames are lazily checkpointed: each is
+    referenced twice (own count + agreement join) and must not re-run
+    the shingle/signature passes per reference.
+    """
+    truth = (ngram_jaccard_pairs(documents)
+             .select("doc_a", "doc_b").localCheckpoint(eager=False))
+    pred = (minhash_lsh_pairs(documents)
+            .select("doc_a", "doc_b").localCheckpoint(eager=False))
+    n_truth = F.broadcast(truth.agg(F.count(F.lit(1)).alias("n_truth")))
+    n_pred = F.broadcast(pred.agg(F.count(F.lit(1)).alias("n_pred")))
+    hits = pred.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hits"))
+    return (
+        hits.crossJoin(n_truth).crossJoin(n_pred)
+        .select(
+            "n_truth", "n_pred", "n_hits",
+            F.round(F.col("n_hits").cast("double")
+                    / F.nullif(F.col("n_pred"), F.lit(0)), 6)
+             .alias("precision"),
+            F.round(F.col("n_hits").cast("double")
+                    / F.nullif(F.col("n_truth"), F.lit(0)), 6)
+             .alias("recall"),
+        )
+    )
+
+
 def ngram_jaccard_pairs_capped(
     documents: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
@@ -3557,6 +3597,8 @@ QUERIES = {
     "bm25_scores": _q_bm25,
     "quantize_embeddings": _q_quantize,
     "minhash_lsh_pairs": _q_minhash,
+    "dedup_recall_report": lambda spark, sf: dedup_recall_report(
+        _docs(spark, sf)),
     "minhash_lsh_pairs_ml": _q_minhash_ml,
     "simhash64": _q_simhash,
     "embedding_topk_cosine": _q_topk,
@@ -4033,6 +4075,27 @@ def _ngram_pairs_sql(src: str = "documents") -> str:
 
 _NGRAM_PAIRS_SQL = _ngram_pairs_sql()
 ORACLES["ngram_jaccard_pairs"] = _NGRAM_PAIRS_SQL
+
+# Dedup acceptance audit: compose the exact-Jaccard and LSH pair
+# oracles and verify the precision/recall arithmetic bit-exactly.
+ORACLES["dedup_recall_report"] = f"""
+    WITH truth AS (
+        SELECT doc_a, doc_b FROM ({_NGRAM_PAIRS_SQL})
+    ), pred AS (
+        SELECT doc_a, doc_b FROM ({ORACLES["minhash_lsh_pairs"]})
+    ), nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+       np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pred FROM pred),
+       nh AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM pred JOIN truth USING (doc_a, doc_b)
+    )
+    SELECT n_truth, n_pred, n_hits,
+           round(CAST(n_hits AS DOUBLE) / NULLIF(n_pred, 0), 6)
+               AS precision,
+           round(CAST(n_hits AS DOUBLE) / NULLIF(n_truth, 0), 6)
+               AS recall
+    FROM nh CROSS JOIN nt CROSS JOIN np
+"""
 
 # The numpy kernel is rank-pinned to the JVM fold (tests), and scores
 # are rounded to 6 dp on both sides — the same oracle applies.

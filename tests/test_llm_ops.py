@@ -1259,3 +1259,20 @@ def test_build_inverted_index_caps_and_df(spark):
     assert c["postings"] == [0, 1, 2, 3, 4]
     r7 = got["rare7"]
     assert r7["df"] == 1 and r7["postings"] == [7]
+
+
+def test_dedup_recall_report_matches_set_arithmetic(spark, docs):
+    """The report's precision/recall must equal the set overlap of the
+    underlying pair frames."""
+    r = llm.dedup_recall_report(docs).collect()[0]
+    truth = {(x["doc_a"], x["doc_b"])
+             for x in llm.ngram_jaccard_pairs(docs).collect()}
+    pred = {(x["doc_a"], x["doc_b"])
+            for x in llm.minhash_lsh_pairs(docs).collect()}
+    assert r["n_truth"] == len(truth)
+    assert r["n_pred"] == len(pred)
+    assert r["n_hits"] == len(truth & pred)
+    if pred:
+        assert r["precision"] == round(len(truth & pred) / len(pred), 6)
+    if truth:
+        assert r["recall"] == round(len(truth & pred) / len(truth), 6)
