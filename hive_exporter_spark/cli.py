@@ -112,6 +112,8 @@ def build_parser() -> argparse.ArgumentParser:
                      help="output parquet dir for packed training rows")
     cur.add_argument("-c", "--max-contamination", type=float, default=None)
     cur.add_argument("-B", "--pack-budget", type=int, default=None)
+    cur.add_argument("--c4", action="store_true",
+                     help="also apply the C4 page rules (webclean)")
 
     shd = sub.add_parser(
         "shards",
@@ -227,6 +229,7 @@ def main(argv: list[str] | None = None) -> int:
                                else MAX_CONTAMINATION),
             budget=(args.pack_budget if args.pack_budget is not None
                     else PACK_BUDGET),
+            c4=args.c4,
         )
         packed.write.mode("overwrite").parquet(args.output)
         out = spark.read.parquet(args.output)

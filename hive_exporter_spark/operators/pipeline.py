@@ -526,10 +526,12 @@ MAX_CONTAMINATION = 0.2
 
 def curation_pipeline(documents: DataFrame,
                       max_contamination: float = MAX_CONTAMINATION,
-                      budget: int = PACK_BUDGET) -> DataFrame:
+                      budget: int = PACK_BUDGET,
+                      c4: bool = False) -> DataFrame:
     """End-to-end curation: Gopher quality filter ∧ deterministic
-    train split ∧ benchmark decontamination, survivors packed into
-    context windows — the composition a pretraining data job runs.
+    train split ∧ benchmark decontamination (∧ optionally the C4 page
+    rules, ``c4=True``), survivors packed into context windows — the
+    composition a pretraining data job runs.
 
     Composition order is the scale order: the quality and split
     predicates are map-only projections that prune before anything
@@ -538,7 +540,8 @@ def curation_pipeline(documents: DataFrame,
     contamination side also drops the benchmark source itself from
     the training mix (contamination is only defined for non-benchmark
     docs). Each stage is independently oracle-checked; this query
-    checks their composition.
+    checks their composition (the default keeps c4 off so the checked
+    composition is stable; the CLI exposes ``--c4``).
     """
     quality_ids = (
         gopher_quality_signals(documents)
@@ -558,6 +561,11 @@ def curation_pipeline(documents: DataFrame,
         .join(train_ids, "doc_id")
         .join(clean_ids, "doc_id")
     )
+    if c4:
+        from hive_exporter_spark.operators import webclean
+        c4_ids = (webclean.c4_quality_signals(documents)
+                  .where(F.col("keep")).select("doc_id"))
+        kept = kept.join(c4_ids, "doc_id")
     return pack_sequences(kept, budget).orderBy("doc_id")
 
 

@@ -125,3 +125,20 @@ def test_tokenizer_fertility_reconciles(spark, sf_dir):
                               ["doc_id", "text", "lang"])).first()
     assert one["total_words"] == 2 and one["total_tokens"] == 4
     assert one["fertility"] == 2.0
+
+
+def test_curation_pipeline_c4_stage_composes(spark, sf_dir):
+    """c4=True must intersect the pipeline's survivors with the C4
+    keep set — never add rows — and match the manual composition."""
+    from hive_exporter_spark.operators import pipeline
+
+    docs = _docs(spark, sf_dir)
+    base = pipeline.curation_pipeline(docs)
+    with_c4 = pipeline.curation_pipeline(docs, c4=True)
+    keep_ids = {r["doc_id"] for r in
+                webclean.c4_quality_signals(docs)
+                .where(F.col("keep")).select("doc_id").collect()}
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    got_ids = {r["doc_id"] for r in with_c4.select("doc_id").collect()}
+    assert got_ids == base_ids & keep_ids
+    assert with_c4.columns == base.columns
