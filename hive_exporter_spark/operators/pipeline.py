@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_exporter_spark.functions.aggs import dsum, dsum_sql
-from hive_exporter_spark.functions.rand import md5_uniform_sql
+from hive_exporter_spark.functions.rand import md5_uniform, md5_uniform_sql
 from hive_exporter_spark.sources.files import read_table
 
 KNUTH = 2654435761  # 2^32 * (golden ratio - 1), classic multiplicative hash
@@ -569,6 +569,61 @@ def curation_pipeline(documents: DataFrame,
     return pack_sequences(kept, budget).orderBy("doc_id")
 
 
+SAMPLE_ACCURACY_PCT = 10
+
+
+def sample_accuracy_report(documents: DataFrame,
+                           pct: int = SAMPLE_ACCURACY_PCT) -> DataFrame:
+    """How much can you trust a pct% sample? Exact vs sample-estimated
+    corpus means (chars/doc, whitespace tokens/doc) with absolute and
+    relative error — the audit you run before letting sampled
+    profiling stand in for full scans at 100 TB. Completes the
+    audit-report family (`ann_recall_report`, `dedup_recall_report`,
+    `language_id_eval`, `vocab_coverage`).
+
+    The sample is the md5-coin (`functions/rand.py`): deterministic,
+    engine-portable, a pure function of doc_id — so the whole report,
+    errors included, hash-checks against DuckDB. ONE corpus scan:
+    exact and sampled totals ride the same conditional aggregate
+    (integer sums; doubles only in the final 2-row projection).
+    """
+    toks = F.size(F.split(F.col("text"), " "))
+    coin = md5_uniform("doc_id") < pct / 100.0
+    a = documents.select(
+        toks.alias("__t"), F.length("text").alias("__c"),
+        coin.alias("__in"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__t").alias("st"),
+        F.sum("__c").alias("sc"),
+        F.sum(F.when(F.col("__in"), 1).otherwise(0)).alias("ns"),
+        F.sum(F.when(F.col("__in"), F.col("__t")).otherwise(0)).alias("sst"),
+        F.sum(F.when(F.col("__in"), F.col("__c")).otherwise(0)).alias("ssc"),
+    )
+
+    def _row(name: str, tot: str, stot: str):
+        exact = F.col(tot).cast("double") / F.col("n")
+        est = (F.col(stot).cast("double")
+               / F.nullif(F.col("ns"), F.lit(0)))
+        return a.select(
+            F.lit(name).alias("metric"),
+            F.col("n").alias("n_exact"),
+            F.col("ns").alias("n_sample"),
+            F.round(exact, 6).alias("exact_mean"),
+            F.round(est, 6).alias("sample_mean"),
+            F.round(F.abs(exact - est), 6).alias("abs_err"),
+            F.round(F.abs(exact - est) / exact, 6).alias("rel_err"),
+        )
+
+    return (_row("chars_per_doc", "sc", "ssc")
+            .unionAll(_row("tokens_per_doc", "st", "sst"))
+            .orderBy("metric"))
+
+
+def _q_sample_accuracy(spark, sf):
+    return sample_accuracy_report(_docs(spark, sf))
+
+
 # -- driver-contract wiring -------------------------------------------------
 
 TEMP_MIX_ALPHA = 0.5
@@ -750,6 +805,7 @@ QUERIES = {
     "source_mix_rebalance": _q_source_mix,
     "temperature_mix": _q_temperature_mix,
     "curation_pipeline": _q_curation,
+    "sample_accuracy_report": _q_sample_accuracy,
 }
 
 _SPLIT_BUCKET = _hash_bucket_sql("doc_id", 100)
@@ -925,6 +981,38 @@ ORACLES["source_mix_rebalance"] = """
                AS sample_factor
     FROM w
     ORDER BY grp
+"""
+
+_SA_COIN = f"{md5_uniform_sql('doc_id')} < {SAMPLE_ACCURACY_PCT} / 100.0"
+ORACLES["sample_accuracy_report"] = f"""
+    WITH a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS st,
+               CAST(SUM(length(text)) AS BIGINT) AS sc,
+               CAST(SUM(CASE WHEN {_SA_COIN} THEN 1 ELSE 0 END) AS BIGINT) AS ns,
+               CAST(SUM(CASE WHEN {_SA_COIN}
+                    THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS sst,
+               CAST(SUM(CASE WHEN {_SA_COIN}
+                    THEN length(text) ELSE 0 END) AS BIGINT) AS ssc
+        FROM documents
+    )
+    SELECT metric, n_exact, n_sample,
+           round(exact, 6) AS exact_mean,
+           round(est, 6) AS sample_mean,
+           round(abs(exact - est), 6) AS abs_err,
+           round(abs(exact - est) / exact, 6) AS rel_err
+    FROM (
+        SELECT 'chars_per_doc' AS metric, n AS n_exact, ns AS n_sample,
+               CAST(sc AS DOUBLE) / n AS exact,
+               CAST(ssc AS DOUBLE) / NULLIF(ns, 0) AS est
+        FROM a
+        UNION ALL
+        SELECT 'tokens_per_doc', n, ns,
+               CAST(st AS DOUBLE) / n,
+               CAST(sst AS DOUBLE) / NULLIF(ns, 0)
+        FROM a
+    )
+    ORDER BY metric
 """
 
 ORACLES["curation_pipeline"] = f"""

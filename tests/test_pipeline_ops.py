@@ -648,3 +648,36 @@ def test_ngram_contamination_tokens_catches_reflowed_copy(spark):
     assert got[2]["contamination_rate"] > 0.5, got[2]
     assert got[3]["contamination_rate"] == 0.0
     assert got[4]["n_grams"] == 1            # whole-doc gram
+
+
+def test_sample_accuracy_report_reconciles(spark, sf_dir):
+    """The report's exact means must equal directly-computed corpus
+    means; the sample estimate must equal the mean over exactly the
+    md5-coin-selected docs; 100% sampling gives zero error."""
+    from hive_exporter_spark.functions.rand import md5_uniform
+
+    docs = read_table(spark, sf_dir, "documents")
+    rows = {r["metric"]: r for r in
+            pipeline.sample_accuracy_report(docs).collect()}
+    assert set(rows) == {"chars_per_doc", "tokens_per_doc"}
+
+    exact = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("sc")).first()
+    assert rows["chars_per_doc"]["n_exact"] == exact["n"]
+    assert rows["chars_per_doc"]["exact_mean"] == round(
+        exact["sc"] / exact["n"], 6)
+
+    sampled = docs.where(md5_uniform("doc_id") < 0.10)
+    s = sampled.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.length("text")).alias("sc")).first()
+    assert rows["chars_per_doc"]["n_sample"] == s["n"]
+    assert rows["chars_per_doc"]["sample_mean"] == round(s["sc"] / s["n"], 6)
+    for r in rows.values():
+        assert r["rel_err"] < 0.5  # a 10% sample is in the ballpark
+
+    full = {r["metric"]: r for r in
+            pipeline.sample_accuracy_report(docs, pct=100).collect()}
+    for r in full.values():
+        assert r["n_sample"] == r["n_exact"]
+        assert r["abs_err"] == 0.0 and r["rel_err"] == 0.0

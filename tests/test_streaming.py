@@ -609,3 +609,31 @@ def test_compact_token_topk_preserves_bounds(spark, tmp_path):
              for r in read_token_topk(spark, compacted, k=8).collect()]
     assert after == before
     assert n < spark.read.parquet(summary).count()
+
+
+def test_webclean_ops_stream_batch_parity(spark, tmp_path):
+    """The map-only web-cleanup projections must apply unchanged to a
+    streaming DataFrame and emit exactly the batch results — the
+    zero-exchange plan shape is what makes them legal in append mode
+    with no watermark."""
+    from hive_exporter_spark.operators import webclean
+    from hive_exporter_spark.streaming.streams import run_to_memory_sink
+
+    schema = "doc_id long, text string"
+    rows = [
+        (1, "a clean page with plenty of words here today"),
+        (2, "too short"),
+        (3, "dup seg dup seg unique tail words"),
+    ]
+    src = tmp_path / "docs_in"
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    for fn, sort_col in ((webclean.c4_quality_signals, "doc_id"),
+                         (webclean.strip_boilerplate, "doc_id")):
+        got = run_to_memory_sink(
+            fn(stream), f"wc_{fn.__name__}").orderBy(sort_col).collect()
+        want = fn(spark.createDataFrame(rows, schema)) \
+            .orderBy(sort_col).collect()
+        assert got == want
