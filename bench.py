@@ -127,9 +127,11 @@ BENCH_QUERIES = [
     "strip_boilerplate",
     "language_id_eval",
     "tokenizer_fertility",
-    # r5c additions: tokenizer OOV gate + iterative integer PageRank.
+    # r5c additions: tokenizer OOV gate + iterative integer PageRank
+    # + the single-scan sampling-accuracy audit.
     "vocab_coverage",
     "event_transition_pagerank",
+    "sample_accuracy_report",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
