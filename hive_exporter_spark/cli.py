@@ -142,6 +142,9 @@ def build_parser() -> argparse.ArgumentParser:
     cpt.add_argument("-f", "--format", default="parquet")
     cpt.add_argument("--plan-only", action="store_true",
                      help="print the compaction plan without rewriting")
+    cpt.add_argument("--partitioned", action="store_true",
+                     help="rebin each key=val leaf dir independently, "
+                          "preserving the partition layout")
 
     aud = sub.add_parser(
         "audit-plan",
@@ -274,6 +277,16 @@ def main(argv: list[str] | None = None) -> int:
               f"{plan['n_output_files']} files of "
               f"~{plan['avg_bytes_after']} B")
         if args.plan_only:
+            return 0
+        if args.partitioned:
+            from hive_exporter_spark.operators.layout import (
+                compact_partitioned)
+            rep = compact_partitioned(spark, args.input, args.output,
+                                      target, fmt=args.format)
+            print(f"compacted {rep['n_files_before']} -> "
+                  f"{rep['n_files_after']} files across "
+                  f"{rep['n_partitions']} partitions, {rep['rows']} rows "
+                  f"-> {args.output}")
             return 0
         rep = compact_files(spark, args.input, args.output, target,
                             fmt=args.format)

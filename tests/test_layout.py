@@ -162,3 +162,26 @@ def test_compact_cli_verb(spark, sf_dir, tmp_path, capsys):
     assert "plan: 4 files" in outp and "compacted 4 -> 1 files" in outp
     assert main(["compact", "-i", src, "-o", dst, "--plan-only",
                  "-t", str(1 << 30)]) == 0
+
+
+def test_compact_partitioned_preserves_layout_and_rows(spark, sf_dir, tmp_path):
+    """Per-partition rebin: the key=val dirs survive, each holds one
+    output file, rows and partition-column values are intact, and the
+    compacted table still partition-prunes."""
+    src, dst = str(tmp_path / "part_frag"), str(tmp_path / "part_compact")
+    docs = read_table(spark, sf_dir, "documents")
+    docs.repartition(4).write.partitionBy("lang").mode("overwrite") \
+        .parquet(src)
+    rep = layout.compact_partitioned(spark, src, dst, target_bytes=1 << 30)
+    n_langs = docs.select("lang").distinct().count()
+    assert rep["n_partitions"] == n_langs
+    assert rep["n_files_after"] == n_langs          # one file per leaf
+    assert rep["n_files_before"] > rep["n_files_after"]
+    assert rep["rows"] == docs.count()
+    out = spark.read.option("basePath", dst).parquet(dst)
+    assert sorted(out.columns) == sorted(docs.columns)
+    per_lang = {r["lang"]: r["n"] for r in
+                out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    want = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_lang == want
