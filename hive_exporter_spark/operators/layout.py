@@ -220,7 +220,8 @@ def _leaf_partition_dirs(spark, path: str) -> list[str]:
 
 def compact_partitioned(spark, src_dir: str, dst_dir: str,
                         target_bytes: int = COMPACT_TARGET_BYTES,
-                        fmt: str = "parquet") -> dict:
+                        fmt: str = "parquet",
+                        parallelism: int = 1) -> dict:
     """Partition-preserving compaction: rebin each Hive-style leaf
     partition dir of `src_dir` independently into `dst_dir`, keeping
     the `key=val` layout (so downstream partition pruning still
@@ -231,22 +232,32 @@ def compact_partitioned(spark, src_dir: str, dst_dir: str,
     Shape: a driver loop over the partition-dir list (driver-sized
     metadata, one entry per partition) launching one shuffle-free
     coalesce rebin per partition. Per-partition jobs are small and
-    independent — an orchestrator can run them concurrently or
-    restart partway (each leaf overwrite is idempotent); the
-
-    incremental-friendly unit is the partition, exactly like the
-    reference's partition-per-batch layout. No job ever shuffles:
-    compaction stays a pure byte rebin per leaf.
+    independent — each leaf overwrite is idempotent, so a restart can
+    resume partway; the incremental-friendly unit is the partition,
+    exactly like the reference's partition-per-batch layout. No job
+    ever shuffles: compaction stays a pure byte rebin per leaf.
+    `parallelism > 1` submits leaves from a driver thread pool (the
+    `export_tables` idiom, sinks.py): each leaf job is tiny, so with
+    thousands of partitions the pool — not per-job parallelism — is
+    what keeps executors busy.
 
     Returns {n_partitions, n_files_before, n_files_after, rows}.
     """
     leaves = _leaf_partition_dirs(spark, src_dir)
-    nb = na = 0
-    for rel in leaves:
-        rep = compact_files(spark, f"{src_dir}/{rel}", f"{dst_dir}/{rel}",
-                            target_bytes, fmt=fmt)
-        nb += rep["n_files_before"]
-        na += rep["n_files_after"]
+
+    def _one(rel: str) -> dict:
+        return compact_files(spark, f"{src_dir}/{rel}", f"{dst_dir}/{rel}",
+                             target_bytes, fmt=fmt)
+
+    if parallelism <= 1:
+        reports = [_one(rel) for rel in leaves]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=parallelism) as pool:
+            reports = list(pool.map(_one, leaves))
+    nb = sum(r["n_files_before"] for r in reports)
+    na = sum(r["n_files_after"] for r in reports)
     rows = (spark.read.format(fmt)
             .option("basePath", dst_dir).load(dst_dir).count())
     return {

@@ -185,3 +185,19 @@ def test_compact_partitioned_preserves_layout_and_rows(spark, sf_dir, tmp_path):
     want = {r["lang"]: r["n"] for r in
             docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert per_lang == want
+
+
+def test_compact_partitioned_parallel_matches_serial(spark, sf_dir, tmp_path):
+    """The thread-pooled leaf loop must produce the identical report
+    and the identical per-partition contents as the serial loop."""
+    src = str(tmp_path / "pfrag")
+    d1, d2 = str(tmp_path / "serial"), str(tmp_path / "pooled")
+    docs = read_table(spark, sf_dir, "documents")
+    docs.repartition(3).write.partitionBy("lang").parquet(src)
+    r1 = layout.compact_partitioned(spark, src, d1, target_bytes=1 << 30)
+    r2 = layout.compact_partitioned(spark, src, d2, target_bytes=1 << 30,
+                                    parallelism=4)
+    assert r1 == r2
+    a = spark.read.option("basePath", d1).parquet(d1)
+    b = spark.read.option("basePath", d2).parquet(d2)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
