@@ -2009,6 +2009,78 @@ ORACLES["ngram_contamination_tokens"] = f"""
     ORDER BY doc_id
 """
 
+
+def contamination_detector_agreement(
+        documents: DataFrame,
+        threshold: float = MAX_CONTAMINATION) -> DataFrame:
+    """Do the cheap char-shingle and the GPT-3-style token-13-gram
+    contamination detectors flag the same documents? One-row agreement
+    report: per-detector flag counts at the shared `threshold`, the
+    overlap, and the Jaccard agreement of the flagged sets — the
+    audit that decides whether the cheaper detector suffices before a
+    corpus-scale decontamination run.
+
+    Both detectors already replay in SQL, so the composed oracle
+    verifies the agreement arithmetic bit-exactly. Each per-doc rate
+    frame is lazily checkpointed (the join must not re-run the
+    shingle/gram passes); both filter the benchmark source the same
+    way, so the doc sets align and the join is inner on doc_id.
+    """
+    char = (ngram_contamination(documents)
+            .select("doc_id",
+                    (F.col("contamination_rate") > threshold).alias("cf"))
+            .localCheckpoint(eager=False))
+    tok = (ngram_contamination_tokens(documents)
+           .select("doc_id",
+                   (F.col("contamination_rate") > threshold).alias("tf"))
+           .localCheckpoint(eager=False))
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    j = char.join(tok, "doc_id")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        one(F.col("cf")).alias("n_char_flagged"),
+        one(F.col("tf")).alias("n_token_flagged"),
+        one(F.col("cf") & F.col("tf")).alias("n_both"),
+        one(F.col("cf") | F.col("tf")).alias("n_either"),
+    ).select(
+        "n_docs", "n_char_flagged", "n_token_flagged", "n_both",
+        "n_either",
+        F.round(F.col("n_both").cast("double")
+                / F.nullif(F.col("n_either"), F.lit(0)), 6)
+         .alias("flag_jaccard"),
+    )
+
+
+def _q_detector_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    return contamination_detector_agreement(
+        read_table(spark, sf, "documents"))
+
+
+QUERIES["contamination_detector_agreement"] = _q_detector_agreement
+
+ORACLES["contamination_detector_agreement"] = f"""
+    WITH c AS (
+        SELECT doc_id, contamination_rate > {MAX_CONTAMINATION} AS cf
+        FROM ({ORACLES["ngram_contamination"]})
+    ), t AS (
+        SELECT doc_id, contamination_rate > {MAX_CONTAMINATION} AS tf
+        FROM ({ORACLES["ngram_contamination_tokens"]})
+    ), j AS (SELECT cf, tf FROM c JOIN t USING (doc_id))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN cf THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_char_flagged,
+           CAST(SUM(CASE WHEN tf THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_token_flagged,
+           CAST(SUM(CASE WHEN cf AND tf THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_both,
+           CAST(SUM(CASE WHEN cf OR tf THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_either,
+           round(CAST(SUM(CASE WHEN cf AND tf THEN 1 ELSE 0 END) AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN cf OR tf THEN 1 ELSE 0 END), 0), 6)
+               AS flag_jaccard
+    FROM j
+"""
+
 from hive_exporter_spark.functions.rand import md5_int40_sql  # noqa: E402
 
 ORACLES["group_split"] = f"""

@@ -681,3 +681,22 @@ def test_sample_accuracy_report_reconciles(spark, sf_dir):
     for r in full.values():
         assert r["n_sample"] == r["n_exact"]
         assert r["abs_err"] == 0.0 and r["rel_err"] == 0.0
+
+
+def test_detector_agreement_matches_set_arithmetic(spark, sf_dir):
+    """The agreement row must equal direct set arithmetic over the two
+    detectors' per-doc rates at the shared threshold."""
+    docs = read_table(spark, sf_dir, "documents")
+    r = pipeline.contamination_detector_agreement(docs).collect()[0]
+    T = pipeline.MAX_CONTAMINATION
+    cf = {x["doc_id"] for x in pipeline.ngram_contamination(docs).collect()
+          if x["contamination_rate"] > T}
+    tf = {x["doc_id"]
+          for x in pipeline.ngram_contamination_tokens(docs).collect()
+          if x["contamination_rate"] > T}
+    assert r["n_char_flagged"] == len(cf)
+    assert r["n_token_flagged"] == len(tf)
+    assert r["n_both"] == len(cf & tf)
+    assert r["n_either"] == len(cf | tf)
+    if cf | tf:
+        assert r["flag_jaccard"] == round(len(cf & tf) / len(cf | tf), 6)
