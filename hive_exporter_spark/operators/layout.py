@@ -203,8 +203,12 @@ def _leaf_partition_dirs(spark, path: str) -> list[str]:
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(path)
     fs = root.getFileSystem(conf)
-    root_str = root.toUri().getPath()
+    # Qualify BEFORE slicing: a relative `path` (or one whose string
+    # form differs from the resolved URI) would otherwise make every
+    # rel-path computation garbage and silently return zero leaves.
+    root_str = fs.makeQualified(root).toUri().getPath()
     leaves: set[str] = set()
+    strays: list[str] = []
     it = fs.listFiles(root, True)
     while it.hasNext():
         st = it.next()
@@ -215,6 +219,14 @@ def _leaf_partition_dirs(spark, path: str) -> list[str]:
         rel = parent[len(root_str):].strip("/")
         if rel and all("=" in seg for seg in rel.split("/")):
             leaves.add(rel)
+        else:
+            strays.append(f"{rel}/{name}" if rel else name)
+    if strays:
+        raise ValueError(
+            "data files outside key=val leaf dirs would be silently "
+            f"dropped by a per-partition rebin: {strays[:5]}"
+            f"{' ...' if len(strays) > 5 else ''} — compact the dir "
+            "with compact_files (flat) or clean the strays first")
     return sorted(leaves)
 
 
@@ -258,8 +270,10 @@ def compact_partitioned(spark, src_dir: str, dst_dir: str,
             reports = list(pool.map(_one, leaves))
     nb = sum(r["n_files_before"] for r in reports)
     na = sum(r["n_files_after"] for r in reports)
-    rows = (spark.read.format(fmt)
-            .option("basePath", dst_dir).load(dst_dir).count())
+    # leaves are disjoint, so the global count is the sum of the
+    # per-leaf counts compact_files already paid for — re-reading the
+    # whole compacted tree would be a second full pass over the output
+    rows = sum(r["rows"] for r in reports)
     return {
         "n_partitions": len(leaves),
         "n_files_before": nb,

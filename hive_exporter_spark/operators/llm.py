@@ -1180,7 +1180,9 @@ def tokenizer_fertility(documents: DataFrame,
     return (
         documents
         .select(group_col, words.alias("__w"), bpe.alias("__t"),
-                F.length("text").alias("__b"))
+                # octet_length, not length: BYTES per token is the
+                # metric, and char counts understate CJK/Cyrillic 3x
+                F.octet_length("text").alias("__b"))
         .groupBy(group_col)
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("__w").alias("total_words"),
@@ -3768,7 +3770,7 @@ ORACLES = {
             SELECT lang,
                    len(string_split(text, ' ')) AS w,
                    len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS tk,
-                   length(text) AS b
+                   strlen(text) AS b
             FROM documents
         ), g AS (
             SELECT lang, COUNT(*) AS n_docs,

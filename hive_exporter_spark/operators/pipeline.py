@@ -599,7 +599,9 @@ def sample_accuracy_report(documents: DataFrame,
         F.sum(F.when(F.col("__in"), 1).otherwise(0)).alias("ns"),
         F.sum(F.when(F.col("__in"), F.col("__t")).otherwise(0)).alias("sst"),
         F.sum(F.when(F.col("__in"), F.col("__c")).otherwise(0)).alias("ssc"),
-    )
+    ).localCheckpoint(eager=False)  # one row; referenced per metric row —
+    # without the lineage break Catalyst re-expands the corpus aggregate
+    # per union branch (two full scans; caught by audit_plan)
 
     def _row(name: str, tot: str, stot: str):
         exact = F.col(tot).cast("double") / F.col("n")

@@ -99,6 +99,7 @@ def c4_filter_report(documents: DataFrame,
     return sig.agg(
         F.count("*").alias("n_docs"),
         one(F.col("n_words") < C4_MIN_WORDS).alias("n_too_short"),
+        one(F.col("n_words") > C4_MAX_WORDS).alias("n_too_long"),
         one(F.col("has_lorem_ipsum")).alias("n_lorem"),
         one(F.col("has_brace")).alias("n_brace"),
         one(F.col("has_blocked_word")).alias("n_blocked"),
@@ -205,6 +206,7 @@ ORACLES = {
     "c4_filter_report": f"""
         SELECT COUNT(*) AS n_docs,
                CAST(COALESCE(SUM(CASE WHEN n_words < {C4_MIN_WORDS} THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_too_short,
+               CAST(COALESCE(SUM(CASE WHEN n_words > {C4_MAX_WORDS} THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_too_long,
                CAST(COALESCE(SUM(CASE WHEN has_lorem_ipsum THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_lorem,
                CAST(COALESCE(SUM(CASE WHEN has_brace THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_brace,
                CAST(COALESCE(SUM(CASE WHEN has_blocked_word THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_blocked,

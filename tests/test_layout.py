@@ -201,3 +201,20 @@ def test_compact_partitioned_parallel_matches_serial(spark, sf_dir, tmp_path):
     a = spark.read.option("basePath", d1).parquet(d1)
     b = spark.read.option("basePath", d2).parquet(d2)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_compact_partitioned_refuses_stray_root_files(spark, sf_dir, tmp_path):
+    """A data file outside any key=val leaf dir must abort the rebin
+    loudly instead of being silently dropped from the output."""
+    import pytest as _pytest
+
+    src = str(tmp_path / "mixed")
+    docs = read_table(spark, sf_dir, "documents")
+    docs.write.partitionBy("lang").parquet(src)
+    docs.limit(3).coalesce(1).write.parquet(str(tmp_path / "stray"))
+    import glob, shutil
+    stray = glob.glob(str(tmp_path / "stray" / "*.parquet"))[0]
+    shutil.copy(stray, f"{src}/stray-part.parquet")
+    with _pytest.raises(ValueError, match="stray-part"):
+        layout.compact_partitioned(spark, src, str(tmp_path / "out"),
+                                   target_bytes=1 << 30)

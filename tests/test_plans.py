@@ -577,11 +577,14 @@ def test_new_reports_single_corpus_scan(t):
     exactly once: labels/totals are carried through one projection or
     one grouped count (lazily checkpointed), never re-joined against a
     second scan."""
+    from hive_exporter_spark.operators import pipeline as _pl2
+
     docs = t("documents")
     for df in (
         llm.language_id_eval(docs),
         llm.tokenizer_fertility(docs),
         llm.vocab_coverage(docs, vocab_size=5),
+        _pl2.sample_accuracy_report(docs),
     ):
         plan = plans.formatted_plan(df)
         assert plan.count("documents.parquet") <= 1, plan

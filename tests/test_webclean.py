@@ -48,8 +48,14 @@ def test_c4_report_counts_match_signals(spark, sf_dir):
     assert rep["n_docs"] == docs.count()
     assert rep["n_kept"] == sig.where("keep").count()
     assert rep["n_blocked"] == sig.where("has_blocked_word").count()
-    # Fixture corpus has no punctuation/braces/lorem.
+    # Fixture corpus has no punctuation/braces/lorem/100k-word pages.
     assert rep["n_lorem"] == 0 and rep["n_brace"] == 0
+    assert rep["n_too_long"] == 0
+    # every drop rule is accounted: docs kept + docs hit by >=1 rule
+    n_dropped = sig.where("NOT keep").count()
+    assert rep["n_docs"] - rep["n_kept"] == n_dropped
+    assert (rep["n_too_short"] + rep["n_too_long"] + rep["n_lorem"]
+            + rep["n_brace"] + rep["n_blocked"]) >= n_dropped
 
 
 def test_c4_empty_blocklist_never_blocks(spark):
@@ -142,3 +148,18 @@ def test_curation_pipeline_c4_stage_composes(spark, sf_dir):
     got_ids = {r["doc_id"] for r in with_c4.select("doc_id").collect()}
     assert got_ids == base_ids & keep_ids
     assert with_c4.columns == base.columns
+
+
+def test_tokenizer_fertility_counts_bytes_not_chars(spark):
+    """bytes_per_token must reflect UTF-8 BYTES: a 3-byte-per-char
+    text must report 3x the bytes of its ASCII twin."""
+    from hive_exporter_spark.operators.llm import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [(1, "abc abc", "ascii"), (2, "世界界 世界界", "cjk")],
+        "doc_id long, text string, lang string")
+    rows = {r["lang"]: r for r in tokenizer_fertility(df).collect()}
+    # ascii: 7 bytes / 2 tokens; cjk: 6 chars * 3 bytes + space = 19
+    # bytes / 6 single-char tokens — char counting would give 7/6
+    assert rows["ascii"]["bytes_per_token"] == 3.5
+    assert rows["cjk"]["bytes_per_token"] == round(19 / 6, 6)
