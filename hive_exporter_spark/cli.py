@@ -309,8 +309,9 @@ def main(argv: list[str] | None = None) -> int:
     from hive_exporter_spark.operators import ingest
     dest = TableName.parse(args.output)
     source = _jdbc_source(spark, args)
-    pcols = (args.output_partition_columns.split(",")
-             if args.output_partition_columns else None)
+    pcols = ([c.strip() for c in args.output_partition_columns.split(",")
+              if c.strip()]
+             if args.output_partition_columns else None) or None
     if args.command == "full":
         rep = ingest.full_refresh(spark, source, dest, tag,
                                   fmt=args.storageformat,

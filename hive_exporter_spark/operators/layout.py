@@ -161,6 +161,33 @@ def small_file_report(spark, path: str,
     )
 
 
+def _reject_overlapping_dirs(src_dir: str, dst_dir: str) -> None:
+    """Refuse a compaction whose output dir equals (or nests inside /
+    around) its input dir. An overwrite of a directory that is being
+    lazily read is data loss waiting on Spark's best-effort "cannot
+    overwrite a path being read" detection — fail fast and explicitly
+    instead. Scheme-aware: `file:/x` vs `hdfs:/x` are different
+    stores and allowed; a missing scheme is treated as the default
+    (local) filesystem so `file:/x` and `/x` still collide."""
+    import os
+    from urllib.parse import urlparse
+
+    def split(p: str) -> tuple[str, str]:
+        u = urlparse(p)
+        scheme = u.scheme or "file"
+        path = u.path if u.scheme else p
+        return scheme, os.path.normpath(os.path.abspath(path))
+
+    (ss, sp), (ds, dp) = split(src_dir), split(dst_dir)
+    if ss != ds:
+        return
+    if sp == dp or dp.startswith(sp + os.sep) or sp.startswith(dp + os.sep):
+        raise ValueError(
+            f"compaction output {dst_dir!r} overlaps input {src_dir!r}: "
+            "overwriting a directory being read would lose data — "
+            "write to a sibling dir and swap")
+
+
 def compact_files(spark, src_dir: str, dst_dir: str,
                   target_bytes: int = COMPACT_TARGET_BYTES,
                   fmt: str = "parquet") -> dict:
@@ -180,6 +207,7 @@ def compact_files(spark, src_dir: str, dst_dir: str,
     contract as the ingest reporters (reference spark_loaders.py
     count-check idiom).
     """
+    _reject_overlapping_dirs(src_dir, dst_dir)
     before = _list_data_files(spark, src_dir)
     total = sum(b for _, b in before)
     n_out = max(1, -(-total // target_bytes))
@@ -255,6 +283,7 @@ def compact_partitioned(spark, src_dir: str, dst_dir: str,
 
     Returns {n_partitions, n_files_before, n_files_after, rows}.
     """
+    _reject_overlapping_dirs(src_dir, dst_dir)
     leaves = _leaf_partition_dirs(spark, src_dir)
 
     def _one(rel: str) -> dict:

@@ -2411,6 +2411,78 @@ def dedup_recall_report(documents: DataFrame) -> DataFrame:
     )
 
 
+# spark.ml-vs-portable agreement bounds: measured 1.0 / 1.0 / 1.0 at
+# sf0.001 and sf0.01 (identical pair sets); thresholds leave wide
+# margin so only a real screen regression flips a verdict.
+ML_AGREE_PRECISION_MIN = 0.9
+ML_AGREE_RECALL_MIN = 0.7
+ML_AGREE_JACCARD_MIN = 0.7
+
+
+def minhash_ml_agreement(documents: DataFrame) -> DataFrame:
+    """Agreement report between the spark.ml MinHashLSH screen
+    (`minhash_lsh_pairs_ml` — engine-RNG hash family, rows-only by
+    nature) and the portable banded screen + the exact n-gram-Jaccard
+    truth — the hash-checked auditor that keeps the MLlib path honest
+    (VERDICT r5 item 2). One single-row report:
+
+    - `n_truth` / `n_portable` / `n_portable_hits` / `portable_recall`
+      are fully deterministic and replayed bit-exactly by the DuckDB
+      oracle (same composition as `dedup_recall_report`);
+    - the ML screen's precision/recall vs truth and its pair-set
+      Jaccard agreement with the portable screen are engine-RNG
+      quantities, so they surface as BOUNDED VERDICT booleans the
+      oracle pins to TRUE — a genuine contract: if the MLlib screen
+      ever drifts below the thresholds the driver row goes red.
+
+    All three pair frames are lazily checkpointed (each is referenced
+    by several counts — the multi-scan audit rule); every join is
+    pair-set-sized, every aggregate single-row, so the report adds
+    only dimension-sized work over the screens themselves.
+    """
+    truth = (ngram_jaccard_pairs(documents)
+             .select("doc_a", "doc_b").localCheckpoint(eager=False))
+    port = (minhash_lsh_pairs(documents)
+            .select("doc_a", "doc_b").localCheckpoint(eager=False))
+    ml = (minhash_lsh_pairs_ml(documents)
+          .select("doc_a", "doc_b").localCheckpoint(eager=False))
+    n_truth = F.broadcast(truth.agg(F.count(F.lit(1)).alias("n_truth")))
+    n_port = F.broadcast(port.agg(F.count(F.lit(1)).alias("n_portable")))
+    port_hits = F.broadcast(
+        port.join(truth, ["doc_a", "doc_b"])
+        .agg(F.count(F.lit(1)).alias("n_portable_hits")))
+    n_ml = F.broadcast(ml.agg(F.count(F.lit(1)).alias("__n_ml")))
+    ml_hits = F.broadcast(
+        ml.join(truth, ["doc_a", "doc_b"])
+        .agg(F.count(F.lit(1)).alias("__ml_hits")))
+    agree = F.broadcast(
+        ml.join(port, ["doc_a", "doc_b"])
+        .agg(F.count(F.lit(1)).alias("__agree")))
+    prec = (F.col("__ml_hits").cast("double")
+            / F.nullif(F.col("__n_ml"), F.lit(0)))
+    rec = (F.col("__ml_hits").cast("double")
+           / F.nullif(F.col("n_truth"), F.lit(0)))
+    jac = (F.col("__agree").cast("double")
+           / F.nullif(F.col("__n_ml") + F.col("n_portable")
+                      - F.col("__agree"), F.lit(0)))
+    return (
+        n_truth.crossJoin(n_port).crossJoin(port_hits)
+        .crossJoin(n_ml).crossJoin(ml_hits).crossJoin(agree)
+        .select(
+            "n_truth", "n_portable", "n_portable_hits",
+            F.round(F.col("n_portable_hits").cast("double")
+                    / F.nullif(F.col("n_truth"), F.lit(0)), 6)
+             .alias("portable_recall"),
+            F.coalesce(prec >= ML_AGREE_PRECISION_MIN, F.lit(False))
+             .alias("ml_precision_ok"),
+            F.coalesce(rec >= ML_AGREE_RECALL_MIN, F.lit(False))
+             .alias("ml_recall_ok"),
+            F.coalesce(jac >= ML_AGREE_JACCARD_MIN, F.lit(False))
+             .alias("ml_portable_agreement_ok"),
+        )
+    )
+
+
 def ngram_jaccard_pairs_capped(
     documents: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
@@ -2550,7 +2622,11 @@ def bm25_scores(documents: DataFrame, query_terms: list[str] | None = None,
     join remains. Per-term scores are rounded to 6 dp and summed
     through DECIMAL so the result is order-independent and
     oracle-stable."""
-    terms = query_terms if query_terms is not None else ["spark", "hash", "join"]
+    # Dedupe (a repeated term would melt into duplicate lanes and
+    # double-count both df and the final score) while preserving
+    # caller order for the lane indices.
+    terms = list(dict.fromkeys(
+        query_terms if query_terms is not None else ["spark", "hash", "join"]))
     toks = documents.select("doc_id", F.explode(tokens_col()).alias("tok"))
     n_docs = documents.count()
     tf_lanes = [
@@ -2563,7 +2639,11 @@ def bm25_scores(documents: DataFrame, query_terms: list[str] | None = None,
     avgdl = stats.agg(
         (F.sum(F.col("dl").cast("decimal(28,6)")) / F.count(F.lit(1)))
         .cast("double").alias("avgdl"))
-    melt = ", ".join(f"'{t}', __tf{i}" for i, t in enumerate(terms))
+    # SQL-escape each term literal — a quote in a query term must not
+    # break the stack() parse (the pre-melt isin() form was immune).
+    melt = ", ".join(
+        "'{}', __tf{}".format(t.replace("'", "''"), i)
+        for i, t in enumerate(terms))
     tf = (stats.selectExpr(
         "doc_id", "dl", f"stack({len(terms)}, {melt}) AS (tok, tf)")
         .where(F.col("tf") > 0))
@@ -3451,6 +3531,10 @@ def _q_minhash_ml(spark, sf):
     return minhash_lsh_pairs_ml(_docs(spark, sf))
 
 
+def _q_minhash_ml_agreement(spark, sf):
+    return minhash_ml_agreement(_docs(spark, sf))
+
+
 def _q_dedup_near_minhash(spark, sf):
     """The 100 TB dedup path end-to-end: LSH candidates (not O(n²)
     shingle joins) drive the same component clustering + canonical
@@ -3602,6 +3686,7 @@ QUERIES = {
     "dedup_recall_report": lambda spark, sf: dedup_recall_report(
         _docs(spark, sf)),
     "minhash_lsh_pairs_ml": _q_minhash_ml,
+    "minhash_ml_agreement": _q_minhash_ml_agreement,
     "simhash64": _q_simhash,
     "embedding_topk_cosine": _q_topk,
     "embedding_topk_cosine_lsh": _q_topk_lsh,
@@ -4096,6 +4181,26 @@ ORACLES["dedup_recall_report"] = f"""
                AS precision,
            round(CAST(n_hits AS DOUBLE) / NULLIF(n_truth, 0), 6)
                AS recall
+    FROM nh CROSS JOIN nt CROSS JOIN np
+"""
+
+ORACLES["minhash_ml_agreement"] = f"""
+    WITH truth AS (
+        SELECT doc_a, doc_b FROM ({_NGRAM_PAIRS_SQL})
+    ), pred AS (
+        SELECT doc_a, doc_b FROM ({ORACLES["minhash_lsh_pairs"]})
+    ), nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+       np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_portable FROM pred),
+       nh AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_portable_hits
+        FROM pred JOIN truth USING (doc_a, doc_b)
+    )
+    SELECT n_truth, n_portable, n_portable_hits,
+           round(CAST(n_portable_hits AS DOUBLE) / NULLIF(n_truth, 0), 6)
+               AS portable_recall,
+           TRUE AS ml_precision_ok,
+           TRUE AS ml_recall_ok,
+           TRUE AS ml_portable_agreement_ok
     FROM nh CROSS JOIN nt CROSS JOIN np
 """
 

@@ -236,6 +236,48 @@ def approx_value_stats(events: DataFrame) -> DataFrame:
     )
 
 
+# approx_count_distinct's default rsd is 0.05 (HLL++; near-exact in
+# sparse mode at small cardinalities) and percentile_approx's default
+# accuracy is 10000 — both tolerances carry a 3x+ margin so only a
+# genuine sketch regression flips a verdict.
+APPROX_USERS_TOL = 0.15
+APPROX_P50_TOL = 0.05
+
+
+def approx_stats_error_report(events: DataFrame) -> DataFrame:
+    """Estimate-error audit of `approx_value_stats` against the exact
+    aggregates — the acceptance gate you run before letting the
+    sketch path stand in for exact count-distinct / percentiles at
+    100 TB (VERDICT r5 item 2, completing the audit-report family).
+
+    Per event_type: the exact values (deterministic — the DuckDB
+    oracle replays them bit-exactly) plus BOUNDED VERDICT booleans
+    for the engine-sketch estimates, which have no SQL twin (HLL++ /
+    KLL internals differ per engine). The oracle pins the booleans to
+    TRUE: if either sketch ever drifts past tolerance the driver row
+    goes red — a real contract, not a rows-only shrug.
+
+    Two scans of events (the audited operator runs unmodified beside
+    one exact aggregate); the join is group-count-sized.
+    """
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.round(F.percentile("value", 0.5), 6).alias("exact_p50"),
+    )
+    approx = approx_value_stats(events)
+    users_ok = (F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= APPROX_USERS_TOL * F.col("exact_users"))
+    p50_ok = (F.abs(F.col("approx_p50") - F.col("exact_p50"))
+              <= APPROX_P50_TOL * F.abs(F.col("exact_p50")) + 1e-6)
+    return (
+        exact.join(approx, "event_type")
+        .select("event_type", "exact_users", "exact_p50",
+                users_ok.alias("users_within_tol"),
+                p50_ok.alias("p50_within_tol"))
+        .orderBy("event_type")
+    )
+
+
 def nations_in_both_segments(customer: DataFrame, nation: DataFrame) -> DataFrame:
     """INTERSECT: nations having customers in BUILDING and MACHINERY."""
     a = (customer.where(F.col("c_mktsegment") == "BUILDING")

@@ -289,6 +289,85 @@ def hll_distinct_sql(table: str, key_expr: str, group_cols: Sequence[str],
     """
 
 
+# Datasketches HLL default lgConfigK=12 -> rsd ~1.6%; a 15% band is
+# a ~9x margin, so only a broken sketch flips the verdict.
+DS_HLL_TOL = 0.15
+
+
+def hll_kmv_crosscheck(events: DataFrame) -> DataFrame:
+    """Cross-engine distinct-estimate audit for the Datasketches HLL
+    entries (`daily_distinct_users_hll` / `rolling_distinct_users_hll`
+    — rows-only: their sketch internals have no DuckDB twin), closing
+    VERDICT r5 item 2's last gap. Per event_type:
+
+    - `exact_users`, the portable KMV estimate, and its relative
+      error are fully deterministic — the oracle replays them
+      bit-exactly (same hash family, same estimator arithmetic);
+    - the Datasketches estimate gets a BOUNDED VERDICT boolean
+      (within `DS_HLL_TOL` of exact) and a merge-losslessness boolean
+      (union of per-day sketches == one direct sketch), both pinned
+      TRUE by the oracle — if the engine sketch ever drifts or
+      merging stops being lossless, the driver row goes red.
+
+    Four scans of events (exact, KMV, direct sketch, daily+merge
+    sketch — the latter two ARE the audited operators' shapes); all
+    joins are group-count-sized.
+    """
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"))
+    kmv = kmv_distinct(events, "user_id", ["event_type"]).select(
+        "event_type", F.col("est_distinct").alias("kmv_est"))
+    direct = (
+        events.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .select("event_type",
+                F.hll_sketch_estimate("sk").cast("long").alias("__ds")))
+    merged = (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type").agg(F.hll_union_agg("sk").alias("sk"))
+        .select("event_type",
+                F.hll_sketch_estimate("sk").cast("long").alias("__ds_merged")))
+    ds_ok = (F.abs(F.col("__ds") - F.col("exact_users"))
+             <= DS_HLL_TOL * F.col("exact_users"))
+    return (
+        exact.join(kmv, "event_type")
+        .join(direct, "event_type")
+        .join(merged, "event_type")
+        .select(
+            "event_type", "exact_users", "kmv_est",
+            F.round(F.abs(F.col("kmv_est") - F.col("exact_users"))
+                    / F.col("exact_users"), 6).alias("kmv_rel_err"),
+            ds_ok.alias("ds_hll_within_tol"),
+            (F.col("__ds") == F.col("__ds_merged"))
+            .alias("ds_hll_merge_lossless"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q_hll_kmv_crosscheck(spark: SparkSession, sf: str) -> DataFrame:
+    return hll_kmv_crosscheck(read_table(spark, sf, "events"))
+
+
+HLL_KMV_CROSSCHECK_SQL = f"""
+    WITH kmv AS ({kmv_distinct_sql("events", "user_id", ["event_type"])}),
+    ex AS (
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+        FROM events GROUP BY event_type
+    )
+    SELECT ex.event_type, exact_users,
+           kmv.est_distinct AS kmv_est,
+           round(abs(kmv.est_distinct - exact_users) / exact_users, 6)
+               AS kmv_rel_err,
+           TRUE AS ds_hll_within_tol,
+           TRUE AS ds_hll_merge_lossless
+    FROM ex JOIN kmv ON ex.event_type = kmv.event_type
+    ORDER BY ex.event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry queries
 # --------------------------------------------------------------------------
@@ -319,6 +398,7 @@ QUERIES = {
     "kmv_distinct_users": _q_kmv,
     "hll_distinct_users": _q_hll,
     "hll_distinct_users_merged": _q_hll_merged,
+    "hll_kmv_crosscheck": _q_hll_kmv_crosscheck,
 }
 
 ORACLES = {
@@ -329,6 +409,7 @@ ORACLES = {
     # single-pass sketch.
     "hll_distinct_users_merged": hll_distinct_sql(
         "events", "user_id", ["event_type"]),
+    "hll_kmv_crosscheck": HLL_KMV_CROSSCHECK_SQL,
 }
 
 

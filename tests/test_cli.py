@@ -79,6 +79,28 @@ def test_jdbc_knobs_reach_library_calls(spark, monkeypatch):
                     "log_level": "INFO"}
 
 
+def test_partition_columns_whitespace_stripped(spark, monkeypatch):
+    """'-y a, b' must yield ['a', 'b'], not a column named ' b'
+    (ADVICE r5); a value of only separators degrades to None."""
+    from hive_exporter_spark.operators import ingest as ingest_mod
+
+    seen = {}
+
+    def fake_full(spark_, source, dest, tag, partition_cols=None, **kw):
+        seen["pcols"] = partition_cols
+        return _Rep()
+
+    monkeypatch.setattr(ingest_mod, "full_refresh", fake_full)
+    monkeypatch.setattr(cli, "build_session", lambda name, **kw: spark)
+    monkeypatch.setattr(cli, "_jdbc_source", lambda s, a: s.range(1))
+    assert cli.main(["full", "-j", "jdbc:x", "-t", "t", "-o", "db.t",
+                     "-y", "date, region ,"]) == 0
+    assert seen["pcols"] == ["date", "region"]
+    assert cli.main(["full", "-j", "jdbc:x", "-t", "t", "-o", "db.t",
+                     "-y", " , "]) == 0
+    assert seen["pcols"] is None
+
+
 def test_import_overwrite_flag_reaches_sink(spark, monkeypatch, tmp_path):
     """import without -O must refuse to replace an existing table
     (reference default); with -O it overwrites."""

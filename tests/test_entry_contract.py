@@ -27,3 +27,21 @@ def test_all_queries_run(spark, sf_dir):
         df = fn(spark, sf_dir)
         assert df.columns, name
         assert df.count() >= 0, name
+
+
+def test_priority_window_is_fully_hash_checkable(spark, sf_dir):
+    """The driver hash-checks the FIRST 50 queries() entries; the
+    _PRIORITY rotation must keep that window 50 unique registry keys,
+    every one oracle-backed (a rows-only entry in the window wastes a
+    slot), and free of top-level array/map/struct columns (the driver
+    canonicalizer cannot sort them — the r4 red row)."""
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    w = entrymod._PRIORITY
+    assert len(w) == 50 and len(set(w)) == 50
+    assert set(w) <= set(q)
+    assert set(w) <= set(o), sorted(set(w) - set(o))
+    for name in w:
+        schema = q[name](spark, sf_dir).schema  # analysis only, no exec
+        bad = [f.name for f in schema.fields
+               if f.dataType.typeName() in ("array", "map", "struct")]
+        assert not bad, (name, bad)

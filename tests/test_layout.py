@@ -218,3 +218,77 @@ def test_compact_partitioned_refuses_stray_root_files(spark, sf_dir, tmp_path):
     with _pytest.raises(ValueError, match="stray-part"):
         layout.compact_partitioned(spark, src, str(tmp_path / "out"),
                                    target_bytes=1 << 30)
+
+
+def test_compact_refuses_overlapping_src_dst(spark, sf_dir, tmp_path):
+    """src == dst (or nested either way) must be rejected up front —
+    overwriting a directory being lazily read is data loss (ADVICE
+    r5). Scheme-equivalent spellings of the same local path collide;
+    distinct schemes do not."""
+    import pytest as _pytest
+
+    src = str(tmp_path / "frag")
+    read_table(spark, sf_dir, "region").coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    for dst in (src, src + "/", f"file:{src}", src + "/sub",
+                str(tmp_path)):
+        with _pytest.raises(ValueError, match="overlaps"):
+            layout.compact_files(spark, src, dst)
+    with _pytest.raises(ValueError, match="overlaps"):
+        layout.compact_partitioned(spark, src, src)
+    # different scheme, same path string: different store, allowed
+    layout._reject_overlapping_dirs(f"hdfs://nn{src}", src)
+
+
+def test_compact_partitioned_deep_tree_500_leaves(spark, tmp_path):
+    """The driver-threaded leaf loop at realistic partition-tree
+    depth: 500 key=val leaves (two files each) rebin to one file per
+    leaf, every leaf survives, rows reconcile, and the pool beats the
+    serial loop on wall clock (VERDICT r5 item 5)."""
+    import glob
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n_leaves = 500
+    src = str(tmp_path / "deep")
+    for i in range(n_leaves):
+        leaf = f"{src}/day={i // 25}/k={i}"
+        os.makedirs(leaf)
+        pq.write_table(pa.table({"v": [i, i + 1]}), f"{leaf}/a.parquet")
+        pq.write_table(pa.table({"v": [i + 2]}), f"{leaf}/b.parquet")
+    # hidden/system files must be ignored, not treated as strays
+    open(f"{src}/_SUCCESS", "w").close()
+    open(f"{src}/day=0/.crc-ish", "w").close()
+
+    t0 = time.monotonic()
+    rep = layout.compact_partitioned(spark, src, str(tmp_path / "out"),
+                                     target_bytes=1 << 30, parallelism=16)
+    pooled = time.monotonic() - t0
+    assert rep["n_partitions"] == n_leaves
+    assert rep["n_files_before"] == 2 * n_leaves
+    assert rep["n_files_after"] == n_leaves
+    assert rep["rows"] == 3 * n_leaves
+    out_leaves = {os.path.relpath(os.path.dirname(p), str(tmp_path / "out"))
+                  for p in glob.glob(str(tmp_path / "out/day=*/k=*/*.parquet"))}
+    assert len(out_leaves) == n_leaves
+
+    # serial loop over a 60-leaf subset vs the same subset pooled:
+    # the pool must win by a clear margin (launch latency dominates
+    # per-leaf work, so 16 threads >> 1; assert a conservative 1.5x)
+    sub = str(tmp_path / "sub")
+    for i in range(60):
+        leaf = f"{sub}/k={i}"
+        os.makedirs(leaf)
+        pq.write_table(pa.table({"v": [i]}), f"{leaf}/a.parquet")
+    t0 = time.monotonic()
+    layout.compact_partitioned(spark, sub, str(tmp_path / "sub_serial"),
+                               target_bytes=1 << 30, parallelism=1)
+    serial = time.monotonic() - t0
+    t0 = time.monotonic()
+    layout.compact_partitioned(spark, sub, str(tmp_path / "sub_pooled"),
+                               target_bytes=1 << 30, parallelism=16)
+    pooled_sub = time.monotonic() - t0
+    assert pooled_sub < serial / 1.5, (serial, pooled_sub, pooled)

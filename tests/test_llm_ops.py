@@ -495,6 +495,26 @@ def test_bm25_scores_ranking_sane(spark):
     assert rows[1] > rows[2] > 0
 
 
+def test_bm25_scores_quoted_and_duplicate_terms(spark):
+    """A single-quoted query term must not break the stack() melt
+    parse, and duplicate terms must not create duplicate lanes that
+    double-count df and score (ADVICE r5)."""
+    docs = spark.createDataFrame(
+        [(1, "spark spark alpha"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    # quote survives the SQL literal (term itself never tokenizes —
+    # the tokenizer splits on the apostrophe — so scores are unchanged)
+    quoted = {r["doc_id"]: r["bm25"]
+              for r in llm.bm25_scores(docs, ["spark", "o'brien"]).collect()}
+    base = {r["doc_id"]: r["bm25"]
+            for r in llm.bm25_scores(docs, ["spark"]).collect()}
+    assert quoted == base
+    duped = {r["doc_id"]: r["bm25"]
+             for r in llm.bm25_scores(docs, ["spark", "spark"]).collect()}
+    assert duped == base
+
+
 def test_ivf_index_build_probe_matches_inline(spark, emb, tmp_path):
     """query_ivf_index over a materialized index must reproduce
     topk_cosine_ivf exactly (same centroids seed, same nprobe) — the
@@ -1276,3 +1296,23 @@ def test_dedup_recall_report_matches_set_arithmetic(spark, docs):
         assert r["precision"] == round(len(truth & pred) / len(pred), 6)
     if truth:
         assert r["recall"] == round(len(truth & pred) / len(truth), 6)
+
+
+def test_minhash_ml_agreement_verdicts_and_flip(spark, docs, monkeypatch):
+    """The spark.ml-vs-portable agreement report: deterministic
+    columns match a direct recount, verdicts are TRUE at the shipped
+    thresholds, and FLIP when thresholds are made unreachable —
+    computed contracts, not pinned constants (VERDICT r5 item 2)."""
+    (r,) = llm.minhash_ml_agreement(docs).collect()
+    assert r["ml_precision_ok"] and r["ml_recall_ok"]
+    assert r["ml_portable_agreement_ok"]
+    n_truth = llm.ngram_jaccard_pairs(docs).count()
+    n_port = llm.minhash_lsh_pairs(docs).count()
+    assert (r["n_truth"], r["n_portable"]) == (n_truth, n_port)
+    assert 0 < r["n_portable_hits"] <= min(n_truth, n_port)
+    assert r["portable_recall"] == round(r["n_portable_hits"] / n_truth, 6)
+    monkeypatch.setattr(llm, "ML_AGREE_PRECISION_MIN", 1.01)
+    monkeypatch.setattr(llm, "ML_AGREE_JACCARD_MIN", 1.01)
+    (f,) = llm.minhash_ml_agreement(docs).collect()
+    assert not f["ml_precision_ok"] and not f["ml_portable_agreement_ok"]
+    assert f["ml_recall_ok"]  # untouched threshold stays green

@@ -36,6 +36,25 @@ def test_load_queries_truncated_driver_tail(tmp_path):
     assert "rc" not in got and "sf" not in got
 
 
+def test_load_queries_tail_keeps_headline_block(tmp_path):
+    """r6 bench format: the headline22 block and totals ride at the
+    END of the JSON line so driver truncation keeps them. The scraper
+    must pick up the headline per-query pairs and never mistake the
+    subtotal/total meta keys for queries."""
+    p = tmp_path / "r.json"
+    p.write_text(json.dumps({
+        "n": 6, "rc": 0, "sf": 0.1,
+        "tail": ('": 0.375, "vocab_coverage": 0.499}, "sf": 0.1, '
+                 '"headline22": {"q1_pricing_summary": 1.2, '
+                 '"dedup_exact": 0.8}, "headline22_total": 12.33, '
+                 '"total_sec": 49.2}')}))
+    got = compare_bench.load_queries(str(p))
+    assert got["q1_pricing_summary"] == 1.2
+    assert got["dedup_exact"] == 0.8
+    assert got["vocab_coverage"] == 0.499
+    assert "headline22_total" not in got and "total_sec" not in got
+
+
 def test_regression_threshold_needs_ratio_and_floor(tmp_path, capsys):
     old = tmp_path / "old.json"
     new = tmp_path / "new.json"

@@ -33,7 +33,8 @@ def load_queries(path: str) -> dict[str, float]:
     body = m.group(1) if m else text
     pairs = {k: float(v)
              for k, v in re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', body)}
-    for meta in ("value", "sf", "n", "rc", "cpus"):
+    for meta in ("value", "sf", "n", "rc", "cpus", "headline22_total",
+                 "total_sec"):
         pairs.pop(meta, None)
     if not pairs:
         raise SystemExit(f"{path}: no queries payload found")
