@@ -851,10 +851,20 @@ def build_ivf_index(embeddings: DataFrame, path: str,
     scan of ~nprobe/n_clusters of the data — the scan never touches
     the other buckets' files (plan-gated by
     test_ivf_index_probe_partition_pruned)."""
+    cent = _kmeans_centroids(embeddings, n_clusters, seed, id_col, vec_col)
+    _ivf_assign(embeddings, cent, id_col, vec_col) \
+        .write.partitionBy("bucket").mode("overwrite").parquet(path)
+    return cent.tolist()
+
+
+def _ivf_assign(embeddings: DataFrame, centroids, id_col: str,
+                vec_col: str) -> DataFrame:
+    """Route each vector to its nearest centroid in one Arrow map pass
+    (centroids broadcast as a kernel closure; no shuffle)."""
     import numpy as np
     import pandas as pd
 
-    cent = _kmeans_centroids(embeddings, n_clusters, seed, id_col, vec_col)
+    cent = np.asarray(centroids, dtype=np.float64)
 
     def assign_kernel(batches):
         for pdf in batches:
@@ -866,10 +876,65 @@ def build_ivf_index(embeddings: DataFrame, path: str,
                 "bucket": np.argmax(m @ cent.T, axis=1).astype("int32"),
             })
 
-    assigned = embeddings.select(id_col, vec_col).mapInPandas(
+    return embeddings.select(id_col, vec_col).mapInPandas(
         assign_kernel, f"{id_col} long, {vec_col} array<float>, bucket int")
-    assigned.write.partitionBy("bucket").mode("overwrite").parquet(path)
-    return cent.tolist()
+
+
+def update_ivf_index(spark: SparkSession, path: str,
+                     centroids: list[list[float]],
+                     new_embeddings: DataFrame,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Admit NEW vectors into an existing `build_ivf_index` index
+    without a rebuild — the maintenance verb that makes the
+    materialized index viable at 100 TB, where a daily re-cluster of
+    the whole corpus is off the table:
+
+    - the centroids stay FROZEN (they are the routing table every
+      existing bucket file was written against — re-fitting them would
+      strand the old assignments), so admission is one shuffle-free
+      Arrow pass over only the NEW vectors;
+    - the writer APPENDS: untouched buckets' files are never rewritten
+      (pinned in tests), touched buckets gain one file set per update
+      — `layout.compact_partitioned` is the periodic counterpart when
+      small update files accumulate;
+    - `query_ivf_index` needs no change: partition discovery picks up
+      the new files, probes stay nprobe/n_clusters-pruned.
+
+    Returns a per-bucket admission report (bucket, n_added, plus the
+    mean routing similarity `mean_top_sim`): a falling mean similarity
+    on new data is the drift signal that the frozen centroids no
+    longer describe the distribution and a rebuild is due — the
+    decision this report exists to inform. Caller contract: ids are
+    new (screen with `incremental_dedup`/`incremental_dedup_bloom`
+    first; append cannot un-admit a duplicate).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    assigned = _ivf_assign(new_embeddings, cent, id_col, vec_col)
+    assigned.write.partitionBy("bucket").mode("append").parquet(path)
+
+    def sim_kernel(batches):
+        for pdf in batches:
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ cent.T
+            b = np.argmax(sims, axis=1)
+            yield pd.DataFrame({
+                "bucket": b.astype("int32"),
+                "top_sim": sims[np.arange(len(b)), b],
+            })
+
+    routed = new_embeddings.select(id_col, vec_col).mapInPandas(
+        sim_kernel, "bucket int, top_sim double")
+    return (
+        routed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_added"),
+             F.round(F.avg("top_sim"), 6).alias("mean_top_sim"))
+        .orderBy("bucket")
+    )
 
 
 def query_ivf_index(spark: SparkSession, path: str,

@@ -1316,3 +1316,47 @@ def test_minhash_ml_agreement_verdicts_and_flip(spark, docs, monkeypatch):
     (f,) = llm.minhash_ml_agreement(docs).collect()
     assert not f["ml_precision_ok"] and not f["ml_portable_agreement_ok"]
     assert f["ml_recall_ok"]  # untouched threshold stays green
+
+
+def test_ivf_index_incremental_update(spark, emb, tmp_path):
+    """update_ivf_index admits new vectors with FROZEN centroids:
+    existing bucket files are never rewritten, every vector lands in
+    its argmax bucket, the admission report reconciles, and probes of
+    the updated index are bit-identical to probes of an index where
+    all vectors were assigned with the same centroids in one pass."""
+    import glob
+
+    import numpy as np
+
+    path = str(tmp_path / "ivf")
+    half1 = emb.where(F.col("vec_id") % 2 == 0)
+    half2 = emb.where(F.col("vec_id") % 2 == 1)
+    cent = llm.build_ivf_index(half1, path)
+    files_before = set(glob.glob(path + "/bucket=*/*.parquet"))
+    rep = llm.update_ivf_index(spark, path, cent, half2).collect()
+    files_after = set(glob.glob(path + "/bucket=*/*.parquet"))
+    assert files_before < files_after  # append only: old files intact
+
+    idx = spark.read.parquet(path)
+    assert idx.count() == emb.count()
+    got = {r["vec_id"]: r["bucket"] for r in idx.collect()}
+    C = np.asarray(cent, dtype=np.float64)
+    rows = emb.select("vec_id", "embedding").collect()
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    want = np.argmax(m @ C.T, axis=1)
+    assert all(got[r["vec_id"]] == int(w) for r, w in zip(rows, want))
+
+    assert sum(r["n_added"] for r in rep) == half2.count()
+    assert all(-1.0 <= r["mean_top_sim"] <= 1.0 for r in rep)
+
+    # one-pass reference index with the same frozen centroids
+    ref = str(tmp_path / "ivf_ref")
+    llm._ivf_assign(emb, cent, "vec_id", "embedding") \
+        .write.partitionBy("bucket").mode("overwrite").parquet(ref)
+    queries = emb.where(F.col("vec_id") < 10)
+    a = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+               for r in llm.query_ivf_index(spark, path, cent, queries).collect())
+    b = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+               for r in llm.query_ivf_index(spark, ref, cent, queries).collect())
+    assert a == b and a
