@@ -638,9 +638,10 @@ _PRIORITY = (
     "group_split", "pack_efficiency_report", "dedup_exact_ids",
     "event_transition_pagerank",
     # --- never driver-checked: the r6 auditors that give every
-    # remaining rows-only operator a hash-checked contract.
+    # remaining rows-only operator a hash-checked contract, plus the
+    # IVF-maintenance admission report (frozen portable centroids).
     "approx_stats_error_report", "stratified_sample_report",
-    "minhash_ml_agreement", "hll_kmv_crosscheck",
+    "minhash_ml_agreement", "hll_kmv_crosscheck", "ivf_admission_report",
     # --- re-verification anchors: operators changed since last green.
     "q15_top_suppliers", "temperature_mix", "rfm_scores", "bm25_scores",
     "dsir_weights", "validate_events_contract", "decayed_user_activity",
@@ -656,7 +657,6 @@ _PRIORITY = (
     "curation_funnel_report", "ngram_contamination_tokens",
     "embedding_topk_cosine", "embedding_topk_cosine_lsh",
     "dataset_fingerprint", "hll_distinct_users_merged",
-    "ams_join_size_click_purchase",
 )
 
 

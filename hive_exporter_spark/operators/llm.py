@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hive_exporter_spark.functions.aggs import davg_sql
 from hive_exporter_spark.functions.rand import md5_uniform_sql
 from hive_exporter_spark.functions.vectors import cosine_similarity
 from hive_exporter_spark.sources.files import read_table
@@ -933,6 +934,51 @@ def update_ivf_index(spark: SparkSession, path: str,
         routed.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_added"),
              F.round(F.avg("top_sim"), 6).alias("mean_top_sim"))
+        .orderBy("bucket")
+    )
+
+
+def ivf_admission_report(embeddings: DataFrame,
+                         n_clusters: int = IVF_CLUSTERS,
+                         vec_col: str = "embedding") -> DataFrame:
+    """Hash-checked relational twin of `update_ivf_index`'s admission
+    report — the auditor that puts the IVF *maintenance* path under
+    the driver's value-hash gate (the build/probe paths already have
+    `ann_recall_report`). Even vec_ids stand in for the standing
+    index, odd vec_ids for today's arrivals (the `embedding_drift`
+    split); centroids are the first `n_clusters` base vectors by
+    vec_id — frozen and deterministic, the `semantic_dedup_fixed`
+    trick — so routing (argmax cosine, ties → lowest centroid id) and
+    the per-bucket mean routing similarity are pure relational algebra
+    over the fold cosine that DuckDB replays bit-for-bit. The same
+    numbers the Arrow kernel produces are pinned approximately equal
+    in tests (np matmul vs fold differ only in summation order).
+
+    Spark shape: centroid set broadcast into a nested-loop join (one
+    map-side pass over only the NEW vectors, no shuffle to route);
+    everything after the argmax window is bucket-count-sized. A
+    falling `mean_top_sim` round-over-round is the centroid-drift
+    signal that schedules a rebuild.
+    """
+    from hive_exporter_spark.functions.aggs import davg
+
+    emb = embeddings.select("vec_id", vec_col)
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    cent = F.broadcast(
+        base.orderBy("vec_id").limit(n_clusters)
+        .select(F.col("vec_id").alias("cent_id"), F.col(vec_col).alias("cvec"))
+    )
+    scored = new.crossJoin(cent).withColumn(
+        "score", cosine_similarity(vec_col, "cvec"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("cent_id"))
+    assigned = (scored.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1))
+    return (
+        assigned.groupBy(F.col("cent_id").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_added"),
+             F.round(davg("score"), 6).alias("mean_top_sim"))
         .orderBy("bucket")
     )
 
@@ -4911,6 +4957,37 @@ def _q_semantic_dedup_fixed(spark, sf):
 
 
 QUERIES["semantic_dedup_fixed"] = _q_semantic_dedup_fixed
+
+
+def _q_ivf_admission_report(spark, sf):
+    return ivf_admission_report(_emb(spark, sf))
+
+
+QUERIES["ivf_admission_report"] = _q_ivf_admission_report
+
+# Relational replay of the IVF admission report: frozen first-K-of-base
+# centroids, fold-cosine argmax routing of the odd-id arrivals, decimal
+# mean of the routing similarity per bucket.
+ORACLES["ivf_admission_report"] = f"""
+    WITH cent AS (
+        SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+        WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT {IVF_CLUSTERS}
+    ), scored AS (
+        SELECT e.vec_id, c.cent_id,
+               {_cos_sql('e.embedding', 'c.cvec')} AS score
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.vec_id % 2 = 1
+    ), assigned AS (
+        SELECT vec_id, cent_id, score FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, cent_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT cent_id AS bucket, CAST(COUNT(*) AS BIGINT) AS n_added,
+           round({davg_sql('score')}, 6) AS mean_top_sim
+    FROM assigned GROUP BY cent_id ORDER BY bucket
+"""
 
 # Full SQL twin of the fixed-centroid SemDeDup: nearest-of-the-first-K
 # centroids assignment + intra-cluster lower-id cosine prune, over the

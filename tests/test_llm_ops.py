@@ -1360,3 +1360,39 @@ def test_ivf_index_incremental_update(spark, emb, tmp_path):
     b = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["score"])
                for r in llm.query_ivf_index(spark, ref, cent, queries).collect())
     assert a == b and a
+
+
+def test_ivf_admission_report_matches_update_report(spark, emb, tmp_path):
+    """The hash-checked relational admission report must agree with the
+    Arrow update_ivf_index report when update is given the SAME frozen
+    centroids (first-K base vectors, unit-normalized — matching the
+    spherical-kmeans contract): identical bucket routing and per-bucket
+    counts, mean similarities equal to fold-vs-matmul rounding."""
+    import numpy as np
+
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    cent_rows = base.orderBy("vec_id").limit(llm.IVF_CLUSTERS) \
+        .select("embedding").collect()
+    C = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    path = str(tmp_path / "ivf")
+    llm._ivf_assign(base, C, "vec_id", "embedding") \
+        .write.partitionBy("bucket").mode("overwrite").parquet(path)
+    # Arrow buckets are centroid ROW indexes; the relational report
+    # labels buckets by centroid vec_id — map index -> vec_id.
+    cent_ids = [r["vec_id"] for r in
+                base.orderBy("vec_id").limit(llm.IVF_CLUSTERS)
+                .select("vec_id").collect()]
+    arrow = {cent_ids[r["bucket"]]: r for r in
+             llm.update_ivf_index(spark, path, C.tolist(), new).collect()}
+    rel = {r["bucket"]: r for r in llm.ivf_admission_report(emb).collect()}
+
+    assert set(arrow) == set(rel)
+    assert {b: r["n_added"] for b, r in arrow.items()} == \
+           {b: r["n_added"] for b, r in rel.items()}
+    for b in rel:
+        assert abs(arrow[b]["mean_top_sim"] - rel[b]["mean_top_sim"]) <= 1e-5, \
+            (b, arrow[b], rel[b])
+    assert sum(r["n_added"] for r in rel.values()) == new.count()
