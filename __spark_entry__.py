@@ -624,7 +624,8 @@ def _session_window_overlap(spark, sf):
 # preferring operators that changed since their last green row (q15's
 # argmax fix, the multi-scan-audit checkpoint queries, bm25's term
 # escaping) and the q1 flagship. After a green r6 window, driver-lifetime
-# coverage is the complete 207-entry registry. Displaced entries stay
+# coverage is the complete 208-entry registry (207 pre-existing + the
+# new ivf_admission_report, also windowed). Displaced entries stay
 # covered by tools/check_oracle.py's full sweep (run before each submit).
 # NO top-level array/map/struct columns in any window entry — the driver
 # canonicalizer cannot sort them.
@@ -897,8 +898,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, n_total, expected_frac, n_hash_kept,
                    abs(CAST(n_hash_kept AS DOUBLE)
                            / CAST(n_total AS DOUBLE) - expected_frac)
-                       <= 6.0 * sqrt(expected_frac * (1 - expected_frac)
-                                     / CAST(n_total AS DOUBLE))
+                       <= {core.SAMPLE_TOL_SD}
+                          * sqrt(expected_frac * (1 - expected_frac)
+                                 / CAST(n_total AS DOUBLE))
                           + 1.0 / CAST(n_total AS DOUBLE)
                        AS hash_frac_ok,
                    TRUE AS rng_frac_ok

@@ -161,31 +161,52 @@ def small_file_report(spark, path: str,
     )
 
 
-def _reject_overlapping_dirs(src_dir: str, dst_dir: str) -> None:
+def _reject_overlapping_dirs(src_dir: str, dst_dir: str,
+                             default_fs: str | None = None) -> None:
     """Refuse a compaction whose output dir equals (or nests inside /
     around) its input dir. An overwrite of a directory that is being
     lazily read is data loss waiting on Spark's best-effort "cannot
     overwrite a path being read" detection — fail fast and explicitly
-    instead. Scheme-aware: `file:/x` vs `hdfs:/x` are different
-    stores and allowed; a missing scheme is treated as the default
-    (local) filesystem so `file:/x` and `/x` still collide."""
+    instead. Store-aware: paths overlap only when scheme AND authority
+    AND path prefix collide (`s3a://a/x` vs `s3a://b/x` are different
+    buckets, allowed). A scheme-less path resolves against
+    ``default_fs`` — Hadoop's ``fs.defaultFS``, which callers pass
+    from the live session — because that is how Spark itself resolves
+    it; assuming "local" would wave through `hdfs://nn/data` vs
+    `/data` on a cluster whose defaultFS is that very namenode."""
     import os
     from urllib.parse import urlparse
 
-    def split(p: str) -> tuple[str, str]:
-        u = urlparse(p)
-        scheme = u.scheme or "file"
-        path = u.path if u.scheme else p
-        return scheme, os.path.normpath(os.path.abspath(path))
+    d = urlparse(default_fs) if default_fs else None
 
-    (ss, sp), (ds, dp) = split(src_dir), split(dst_dir)
-    if ss != ds:
+    def split(p: str) -> tuple[str, str, str]:
+        u = urlparse(p)
+        if u.scheme:
+            scheme, netloc, path = u.scheme, u.netloc, u.path
+        elif d is not None:
+            scheme, netloc, path = (d.scheme or "file"), d.netloc, p
+        else:
+            scheme, netloc, path = "file", "", p
+        if scheme == "file":
+            path = os.path.abspath(path)
+        return scheme, netloc, os.path.normpath(path)
+
+    (ss, sn, sp), (ds_, dn, dp) = split(src_dir), split(dst_dir)
+    if (ss, sn) != (ds_, dn):
         return
     if sp == dp or dp.startswith(sp + os.sep) or sp.startswith(dp + os.sep):
         raise ValueError(
             f"compaction output {dst_dir!r} overlaps input {src_dir!r}: "
             "overwriting a directory being read would lose data — "
             "write to a sibling dir and swap")
+
+
+def _default_fs(spark) -> str:
+    """The session's ``fs.defaultFS`` (e.g. ``file:///`` locally,
+    ``hdfs://nn`` on a cluster) — the authority scheme-less paths
+    resolve against."""
+    return (spark.sparkContext._jsc.hadoopConfiguration()
+            .get("fs.defaultFS", "file:///"))
 
 
 def compact_files(spark, src_dir: str, dst_dir: str,
@@ -207,7 +228,7 @@ def compact_files(spark, src_dir: str, dst_dir: str,
     contract as the ingest reporters (reference spark_loaders.py
     count-check idiom).
     """
-    _reject_overlapping_dirs(src_dir, dst_dir)
+    _reject_overlapping_dirs(src_dir, dst_dir, _default_fs(spark))
     before = _list_data_files(spark, src_dir)
     total = sum(b for _, b in before)
     n_out = max(1, -(-total // target_bytes))
@@ -283,7 +304,7 @@ def compact_partitioned(spark, src_dir: str, dst_dir: str,
 
     Returns {n_partitions, n_files_before, n_files_after, rows}.
     """
-    _reject_overlapping_dirs(src_dir, dst_dir)
+    _reject_overlapping_dirs(src_dir, dst_dir, _default_fs(spark))
     leaves = _leaf_partition_dirs(spark, src_dir)
 
     def _one(rel: str) -> dict:

@@ -914,28 +914,41 @@ def update_ivf_index(spark: SparkSession, path: str,
     import pandas as pd
 
     cent = np.asarray(centroids, dtype=np.float64)
-    assigned = _ivf_assign(new_embeddings, cent, id_col, vec_col)
-    assigned.write.partitionBy("bucket").mode("append").parquet(path)
 
-    def sim_kernel(batches):
+    def admit_kernel(batches):
         for pdf in batches:
             m = np.array(list(pdf[vec_col]), dtype=np.float64)
             m = m / np.linalg.norm(m, axis=1, keepdims=True)
             sims = m @ cent.T
             b = np.argmax(sims, axis=1)
             yield pd.DataFrame({
+                id_col: pdf[id_col],
+                vec_col: pdf[vec_col],
                 "bucket": b.astype("int32"),
                 "top_sim": sims[np.arange(len(b)), b],
             })
 
-    routed = new_embeddings.select(id_col, vec_col).mapInPandas(
-        sim_kernel, "bucket int, top_sim double")
-    return (
-        routed.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_added"),
-             F.round(F.avg("top_sim"), 6).alias("mean_top_sim"))
-        .orderBy("bucket")
-    )
+    # ONE fused kernel computes routing + similarity; persist the
+    # admission batch (O(new data), never the corpus) so the write and
+    # the report share the single pass.
+    admitted = new_embeddings.select(id_col, vec_col).mapInPandas(
+        admit_kernel,
+        f"{id_col} long, {vec_col} array<float>, bucket int, top_sim double",
+    ).persist()
+    try:
+        admitted.select(id_col, vec_col, "bucket") \
+            .write.partitionBy("bucket").mode("append").parquet(path)
+        report_rows = (
+            admitted.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_added"),
+                 F.round(F.avg("top_sim"), 6).alias("mean_top_sim"))
+            .orderBy("bucket")
+            .collect()
+        )
+    finally:
+        admitted.unpersist()
+    return spark.createDataFrame(
+        report_rows, "bucket int, n_added bigint, mean_top_sim double")
 
 
 def ivf_admission_report(embeddings: DataFrame,
@@ -2750,10 +2763,12 @@ def bm25_scores(documents: DataFrame, query_terms: list[str] | None = None,
     avgdl = stats.agg(
         (F.sum(F.col("dl").cast("decimal(28,6)")) / F.count(F.lit(1)))
         .cast("double").alias("avgdl"))
-    # SQL-escape each term literal — a quote in a query term must not
-    # break the stack() parse (the pre-melt isin() form was immune).
+    # SQL-escape each term literal — neither a quote nor a backslash in
+    # a query term may break the stack() parse (Spark string literals
+    # treat backslash as an escape; double it FIRST, then the quotes).
     melt = ", ".join(
-        "'{}', __tf{}".format(t.replace("'", "''"), i)
+        "'{}', __tf{}".format(
+            t.replace("\\", "\\\\").replace("'", "''"), i)
         for i, t in enumerate(terms))
     tf = (stats.selectExpr(
         "doc_id", "dl", f"stack({len(terms)}, {melt}) AS (tok, tf)")

@@ -507,9 +507,12 @@ def test_bm25_scores_quoted_and_duplicate_terms(spark):
     # the tokenizer splits on the apostrophe — so scores are unchanged)
     quoted = {r["doc_id"]: r["bm25"]
               for r in llm.bm25_scores(docs, ["spark", "o'brien"]).collect()}
+    slashed = {r["doc_id"]: r["bm25"]
+               for r in llm.bm25_scores(docs, ["spark", "a\\", "a\\b"]).collect()}
     base = {r["doc_id"]: r["bm25"]
             for r in llm.bm25_scores(docs, ["spark"]).collect()}
     assert quoted == base
+    assert slashed == base  # backslash terms must not break the parse
     duped = {r["doc_id"]: r["bm25"]
              for r in llm.bm25_scores(docs, ["spark", "spark"]).collect()}
     assert duped == base
