@@ -1399,3 +1399,40 @@ def test_ivf_admission_report_matches_update_report(spark, emb, tmp_path):
         assert abs(arrow[b]["mean_top_sim"] - rel[b]["mean_top_sim"]) <= 1e-5, \
             (b, arrow[b], rel[b])
     assert sum(r["n_added"] for r in rel.values()) == new.count()
+
+
+def test_ivf_update_then_compact_preserves_probes(spark, emb, tmp_path):
+    """The full index-maintenance lifecycle: build, admit three update
+    batches (small-file accumulation), then compact_partitioned rebins
+    each bucket leaf — file count drops to one per bucket, the bucket=
+    layout survives (probes stay partition-prunable), and probe
+    results are bit-identical before and after compaction."""
+    import glob
+
+    from hive_exporter_spark.operators import layout
+
+    path = str(tmp_path / "ivf")
+    base = emb.where(F.col("vec_id") % 4 == 0)
+    cent = llm.build_ivf_index(base, path)
+    for m in (1, 2, 3):
+        llm.update_ivf_index(spark, path, cent,
+                             emb.where(F.col("vec_id") % 4 == m))
+    files = glob.glob(path + "/bucket=*/*.parquet")
+    n_buckets = len({f.rsplit("/", 2)[1] for f in files})
+    assert len(files) > n_buckets  # updates accumulated small files
+
+    queries = emb.where(F.col("vec_id") < 10)
+    before = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+                    for r in llm.query_ivf_index(spark, path, cent,
+                                                 queries).collect())
+
+    compacted = str(tmp_path / "ivf_compact")
+    rep = layout.compact_partitioned(spark, path, compacted,
+                                     target_bytes=1 << 30)
+    assert rep["n_partitions"] == n_buckets
+    assert rep["n_files_after"] == n_buckets  # one file per bucket leaf
+    assert rep["rows"] == emb.count()
+    after = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+                   for r in llm.query_ivf_index(spark, compacted, cent,
+                                                queries).collect())
+    assert before == after and before
