@@ -146,6 +146,32 @@ def build_parser() -> argparse.ArgumentParser:
                      help="rebin each key=val leaf dir independently, "
                           "preserving the partition layout")
 
+    ivf = sub.add_parser(
+        "ivf",
+        help="materialized IVF ANN index lifecycle: build (fit + "
+             "bucket-partitioned write, centroids persisted beside the "
+             "index), update (frozen-centroid append-only admission), "
+             "query (partition-pruned top-k probe)")
+    ivf.add_argument("action", choices=["build", "update", "query"])
+    ivf.add_argument("-i", "--input", required=True,
+                     help="parquet of vectors (build/update: corpus or "
+                          "new batch; query: query vectors)")
+    ivf.add_argument("-o", "--index-dir", required=True,
+                     help="index directory (bucket=N partitions + "
+                          "_centroids.json routing table)")
+    ivf.add_argument("--clusters", type=int, default=None,
+                     help="build: number of coarse clusters")
+    ivf.add_argument("--seed", type=int, default=42)
+    ivf.add_argument("-k", "--topk", type=int, default=None,
+                     help="query: neighbors per query")
+    ivf.add_argument("--nprobe", type=int, default=None,
+                     help="query: probed clusters per query")
+    ivf.add_argument("--id-col", default="vec_id")
+    ivf.add_argument("--vec-col", default="embedding")
+    ivf.add_argument("--out",
+                     help="query: write results parquet here instead "
+                          "of printing the first rows")
+
     aud = sub.add_parser(
         "audit-plan",
         help="lint a SQL query's physical plan for 100 TB "
@@ -249,6 +275,50 @@ def main(argv: list[str] | None = None) -> int:
         for r in manifest.orderBy("shard").collect():
             print(f"shard={r['shard']} rows={r['n_rows']} "
                   f"tokens={r['n_tokens']} xor={r['xor_fp']}")
+        return 0
+
+    if args.command == "ivf":
+        import json as _json
+        import os as _os
+
+        from hive_exporter_spark.operators import llm
+        cent_path = _os.path.join(args.index_dir, "_centroids.json")
+        df = spark.read.parquet(args.input)
+        if args.action == "build":
+            cent = llm.build_ivf_index(
+                df, args.index_dir,
+                n_clusters=args.clusters or llm.IVF_CLUSTERS,
+                seed=args.seed, id_col=args.id_col, vec_col=args.vec_col)
+            # The routing table lives WITH the index (underscore prefix:
+            # invisible to data readers). After a compaction to a new
+            # dir, copy it along.
+            with open(cent_path, "w") as fh:
+                _json.dump(cent, fh)
+            print(f"built {args.index_dir}: {len(cent)} clusters, "
+                  f"{df.count()} vectors")
+            return 0
+        with open(cent_path) as fh:
+            cent = _json.load(fh)
+        if args.action == "update":
+            rep = llm.update_ivf_index(spark, args.index_dir, cent, df,
+                                       id_col=args.id_col,
+                                       vec_col=args.vec_col)
+            for r in rep.collect():
+                print(f"bucket={r['bucket']} added={r['n_added']} "
+                      f"mean_top_sim={r['mean_top_sim']}")
+            return 0
+        res = llm.query_ivf_index(
+            spark, args.index_dir, cent, df,
+            k=args.topk or llm.TOPK, nprobe=args.nprobe or llm.IVF_NPROBE,
+            id_col=args.id_col, vec_col=args.vec_col)
+        if args.out:
+            res.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {spark.read.parquet(args.out).count()} result "
+                  f"rows -> {args.out}")
+        else:
+            for r in res.orderBy("query_id", "rank").limit(20).collect():
+                print(f"query={r['query_id']} rank={r['rank']} "
+                      f"neighbor={r['neighbor_id']} score={r['score']}")
         return 0
 
     if args.command == "audit-plan":

@@ -6,6 +6,7 @@ from __future__ import annotations
 import uuid
 
 import pytest
+from pyspark.sql import functions as F
 
 from hive_exporter_spark import cli
 
@@ -237,3 +238,45 @@ def test_curate_cli_end_to_end(spark, tmp_path):
     want = curation_pipeline(docs)
     assert got.count() == want.count()
     assert sorted(got.columns) == sorted(want.columns)
+
+
+def test_ivf_cli_lifecycle(spark, tmp_path, capsys):
+    """`ivf build/update/query`: the centroid routing table persists
+    beside the index, update admits a new batch against it, and query
+    probes the updated index (results include admitted vectors)."""
+    import json
+    import os
+
+    from hive_exporter_spark.sources.files import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base_p = str(tmp_path / "base.parquet")
+    new_p = str(tmp_path / "new.parquet")
+    q_p = str(tmp_path / "queries.parquet")
+    emb.where(F.col("vec_id") % 2 == 0).write.parquet(base_p)
+    emb.where(F.col("vec_id") % 2 == 1).write.parquet(new_p)
+    emb.where(F.col("vec_id") < 4).write.parquet(q_p)
+    idx = str(tmp_path / "idx")
+
+    assert cli.main(["ivf", "build", "-i", base_p, "-o", idx,
+                     "--clusters", "8"]) == 0
+    assert "8 clusters" in capsys.readouterr().out
+    cent = json.load(open(os.path.join(idx, "_centroids.json")))
+    assert len(cent) == 8 and len(cent[0]) > 0
+
+    assert cli.main(["ivf", "update", "-i", new_p, "-o", idx]) == 0
+    out = capsys.readouterr().out
+    n_added = sum(int(ln.split("added=")[1].split()[0])
+                  for ln in out.splitlines() if "added=" in ln)
+    assert n_added == emb.where(F.col("vec_id") % 2 == 1).count()
+
+    res_p = str(tmp_path / "res.parquet")
+    assert cli.main(["ivf", "query", "-i", q_p, "-o", idx,
+                     "-k", "5", "--out", res_p]) == 0
+    res = spark.read.parquet(res_p)
+    assert res.groupBy("query_id").count().count() == 4
+    # admitted (odd-id) vectors are reachable as neighbors
+    assert res.where(F.col("neighbor_id") % 2 == 1).count() > 0
+    # printing mode works too
+    assert cli.main(["ivf", "query", "-i", q_p, "-o", idx, "-k", "3"]) == 0
+    assert "rank=1" in capsys.readouterr().out
