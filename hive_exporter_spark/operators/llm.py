@@ -548,6 +548,81 @@ def minhash_lsh_pairs(
     )
 
 
+# Band buckets above this size switch from all-pairs to the consecutive
+# chain: 64² /2 ≈ 2k pairs is the most any single bucket may quadratically
+# emit; everything hotter degrades gracefully to linear.
+LSH_BUCKET_CAP = 64
+
+
+def minhash_lsh_pairs_capped(
+    documents: DataFrame,
+    slots: int = MINHASH_SLOTS,
+    bands: int = LSH_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+    bucket_cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """Skew-armored `minhash_lsh_pairs` — the shape that survives a
+    viral cluster at 100 TB. The banded equi-join emits B(B-1)/2
+    candidates from a bucket of B members: ONE 1M-doc boilerplate
+    cluster is 5·10¹¹ pairs through a single join key, the classic
+    LSH-dedup job killer. Here buckets above `bucket_cap` emit only
+    their doc_id-sorted CONSECUTIVE chain (B-1 pairs) — within-bucket
+    connectivity is preserved, so the downstream connected-components
+    clustering (`near_dup_clusters`) still merges the hot cluster,
+    while no bucket's output is super-linear in its size. Buckets at
+    or under the cap keep the exact all-pairs join, and every
+    candidate still passes the full-signature agreement filter —
+    with no hot buckets the result is IDENTICAL to the uncapped
+    operator (pinned in tests).
+
+    Spark shape: bucket sizes are one partial-agg over the banded
+    keys; the size join reuses the (band, bucket) partitioning; the
+    chain is a lead() window whose partitions ARE the hot buckets
+    (each sorts B rows in one task — linear memory, and exactly the
+    work the cap exists to bound). Only (doc_id, band, bucket) ever
+    shuffles; signatures rejoin after candidate dedup, as in the
+    uncapped path.
+    """
+    if bucket_cap < 2:
+        raise ValueError(f"bucket_cap must be >= 2 (got {bucket_cap})")
+    sigs = minhash_signatures(documents, slots).localCheckpoint(eager=False)
+    banded = _minhash_banded(sigs, slots, bands)
+    sizes = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("__n"))
+    keyed = banded.join(sizes, ["band", "bucket"])
+    small = keyed.where(F.col("__n") <= bucket_cap)
+    a, b = small.alias("a"), small.alias("b")
+    cand_small = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+    )
+    w = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    cand_big = (
+        keyed.where(F.col("__n") > bucket_cap)
+        .withColumn("__next", F.lead("doc_id").over(w))
+        .where(F.col("__next").isNotNull())
+        .select(F.col("doc_id").alias("doc_a"),
+                F.col("__next").alias("doc_b"))
+    )
+    cand = cand_small.unionByName(cand_big).dropDuplicates(["doc_a", "doc_b"])
+    sa = sigs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("signature").alias("sig_b"))
+    agree = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+    ))
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("est_jaccard", agree / F.lit(slots))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
 SIMHASH_BITS = 64
 _rng = _random.Random(0x51A5)
 SIMHASH_COEF = tuple(
@@ -3528,6 +3603,10 @@ def _q_minhash(spark, sf):
     return minhash_lsh_pairs(_docs(spark, sf))
 
 
+def _q_minhash_capped(spark, sf):
+    return minhash_lsh_pairs_capped(_docs(spark, sf))
+
+
 def _q_simhash(spark, sf):
     return simhash64(_docs(spark, sf))
 
@@ -3809,6 +3888,7 @@ QUERIES = {
     "bm25_scores": _q_bm25,
     "quantize_embeddings": _q_quantize,
     "minhash_lsh_pairs": _q_minhash,
+    "minhash_lsh_pairs_capped": _q_minhash_capped,
     "dedup_recall_report": lambda spark, sf: dedup_recall_report(
         _docs(spark, sf)),
     "minhash_lsh_pairs_ml": _q_minhash_ml,
@@ -4135,6 +4215,63 @@ ORACLES["minhash_lsh_pairs"] = f"""
         FROM buckets a
         JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
                       AND a.doc_id < b.doc_id
+    ), agree AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_agree
+        FROM cand c
+        JOIN sigs ha ON ha.doc_id = c.doc_a
+        JOIN sigs hb ON hb.doc_id = c.doc_b AND hb.i = ha.i
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_agree AS DOUBLE) / {MINHASH_SLOTS} AS est_jaccard
+    FROM agree
+    WHERE CAST(n_agree AS DOUBLE) / {MINHASH_SLOTS} >= {JACCARD_THRESHOLD}
+"""
+
+# Skew-capped variant: bucket sizes gate all-pairs vs the doc_id-sorted
+# consecutive chain (LEAD window), same verification tail.
+ORACLES["minhash_lsh_pairs_capped"] = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+    ), base AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS x
+        FROM sh
+    ), coef(i, a, b) AS (
+        VALUES {_MINHASH_COEF_VALUES}
+    ), sigs AS (
+        SELECT doc_id, i, MIN((a * x + b) % {MINHASH_P}) AS h
+        FROM base CROSS JOIN coef
+        GROUP BY doc_id, i
+    ), buckets AS (
+        SELECT doc_id, i // {_MINHASH_RPB} AS band,
+               CAST(SUM(h * {_BAND_W_CASE}) AS BIGINT) AS bucket
+        FROM sigs GROUP BY doc_id, i // {_MINHASH_RPB}
+    ), bsize AS (
+        SELECT band, bucket, COUNT(*) AS n
+        FROM buckets GROUP BY band, bucket
+    ), cand_small AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a
+        JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                      AND a.doc_id < b.doc_id
+        JOIN bsize s ON s.band = a.band AND s.bucket = a.bucket
+        WHERE s.n <= {LSH_BUCKET_CAP}
+    ), cand_big AS (
+        SELECT doc_id AS doc_a, nxt AS doc_b FROM (
+            SELECT bk.doc_id, LEAD(bk.doc_id) OVER (
+                       PARTITION BY bk.band, bk.bucket
+                       ORDER BY bk.doc_id) AS nxt
+            FROM buckets bk
+            JOIN bsize s ON s.band = bk.band AND s.bucket = bk.bucket
+            WHERE s.n > {LSH_BUCKET_CAP}
+        ) WHERE nxt IS NOT NULL
+    ), cand AS (
+        SELECT doc_a, doc_b FROM cand_small
+        UNION
+        SELECT doc_a, doc_b FROM cand_big
     ), agree AS (
         SELECT c.doc_a, c.doc_b,
                CAST(SUM(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) AS BIGINT)

@@ -1436,3 +1436,54 @@ def test_ivf_update_then_compact_preserves_probes(spark, emb, tmp_path):
                    for r in llm.query_ivf_index(spark, compacted, cent,
                                                 queries).collect())
     assert before == after and before
+
+
+def test_minhash_capped_equals_uncapped_without_hot_buckets(spark, docs):
+    """At the default cap with no viral buckets, the skew-armored
+    variant must be IDENTICAL to minhash_lsh_pairs."""
+    base = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+            for r in llm.minhash_lsh_pairs(docs).collect()}
+    capped = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+              for r in llm.minhash_lsh_pairs_capped(docs).collect()}
+    assert base and capped == base
+
+
+def test_minhash_capped_hot_bucket_linear_and_connected(spark):
+    """A synthetic viral cluster (60 near-identical docs): a small cap
+    must cut candidate volume from quadratic to linear while keeping
+    the whole cluster CONNECTED, so downstream component clustering
+    still merges it."""
+    n = 60
+    text = ("the same viral boilerplate paragraph repeated across "
+            "mirror sites with shared shingles everywhere ")
+    rows = [(i, text + f"tail {i % 2}", "en", "web", len(text))
+            for i in range(n)]
+    hot = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    full = llm.minhash_lsh_pairs(hot).collect()
+    capped = llm.minhash_lsh_pairs_capped(hot, bucket_cap=4).collect()
+    # quadratic vs linear: the uncapped screen emits ~n^2/2 pairs,
+    # the capped one O(bands * n)
+    assert len(full) > n * (n - 1) / 4
+    assert 0 < len(capped) < len(full)
+    assert len(capped) <= llm.LSH_BANDS * 2 * n
+    # capped pairs are a subset of the verified uncapped pairs
+    fullset = {(r["doc_a"], r["doc_b"]) for r in full}
+    assert {(r["doc_a"], r["doc_b"]) for r in capped} <= fullset
+    # connectivity survives: one component spanning every hot doc
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in capped:
+        parent[find(int(r["doc_a"]))] = find(int(r["doc_b"]))
+    assert len({find(i) for i in range(n)}) == 1
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        llm.minhash_lsh_pairs_capped(hot, bucket_cap=1)
