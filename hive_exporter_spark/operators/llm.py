@@ -13,6 +13,8 @@ oracle-checkable baseline, with an LSH-bucketed variant as the
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -554,6 +556,48 @@ def minhash_lsh_pairs(
 LSH_BUCKET_CAP = 64
 
 
+def capped_bucket_pairs(keyed: DataFrame, key_cols: Sequence[str],
+                        id_col: str, bucket_cap: int) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs from bucket co-membership, with
+    hot-bucket degradation — the shared skew armor for every banded
+    pair screen (MinHash bands, SimHash/pHash Hamming bands). Buckets
+    at or under `bucket_cap` emit all pairs; larger buckets emit only
+    their id-sorted consecutive chain (B-1 pairs), preserving
+    within-bucket connectivity for component clustering while keeping
+    every bucket's output linear in its size.
+
+    Spark shape: bucket sizes are one partial aggregate; its join back
+    and the lead() window both reuse the bucket-key partitioning, and
+    the window's partitions ARE the hot buckets (one task sorts B ids —
+    exactly the work the cap exists to bound). Only (id, keys) ever
+    shuffles; callers rejoin payloads (signatures, fingerprints) after
+    pair dedup.
+    """
+    if bucket_cap < 2:
+        raise ValueError(f"bucket_cap must be >= 2 (got {bucket_cap})")
+    keys = list(key_cols)
+    sizes = keyed.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    k2 = keyed.join(sizes, keys)
+    small = k2.where(F.col("__n") <= bucket_cap)
+    a, b = small.alias("a"), small.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in keys:
+        cond = (F.col(f"a.{c}") == F.col(f"b.{c}")) & cond
+    cand_small = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"))
+    w = Window.partitionBy(*keys).orderBy(id_col)
+    cand_big = (
+        k2.where(F.col("__n") > bucket_cap)
+        .withColumn("__next", F.lead(id_col).over(w))
+        .where(F.col("__next").isNotNull())
+        .select(F.col(id_col).alias("doc_a"),
+                F.col("__next").alias("doc_b"))
+    )
+    return (cand_small.unionByName(cand_big)
+            .dropDuplicates(["doc_a", "doc_b"]))
+
+
 def minhash_lsh_pairs_capped(
     documents: DataFrame,
     slots: int = MINHASH_SLOTS,
@@ -583,31 +627,10 @@ def minhash_lsh_pairs_capped(
     shuffles; signatures rejoin after candidate dedup, as in the
     uncapped path.
     """
-    if bucket_cap < 2:
-        raise ValueError(f"bucket_cap must be >= 2 (got {bucket_cap})")
     sigs = minhash_signatures(documents, slots).localCheckpoint(eager=False)
     banded = _minhash_banded(sigs, slots, bands)
-    sizes = banded.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("__n"))
-    keyed = banded.join(sizes, ["band", "bucket"])
-    small = keyed.where(F.col("__n") <= bucket_cap)
-    a, b = small.alias("a"), small.alias("b")
-    cand_small = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-    )
-    w = Window.partitionBy("band", "bucket").orderBy("doc_id")
-    cand_big = (
-        keyed.where(F.col("__n") > bucket_cap)
-        .withColumn("__next", F.lead("doc_id").over(w))
-        .where(F.col("__next").isNotNull())
-        .select(F.col("doc_id").alias("doc_a"),
-                F.col("__next").alias("doc_b"))
-    )
-    cand = cand_small.unionByName(cand_big).dropDuplicates(["doc_a", "doc_b"])
+    cand = capped_bucket_pairs(banded, ["band", "bucket"], "doc_id",
+                               bucket_cap)
     sa = sigs.select(F.col("doc_id").alias("doc_a"),
                      F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"),
@@ -5550,6 +5573,47 @@ def simhash_near_dup_pairs(documents: DataFrame,
     )
 
 
+def simhash_near_dup_pairs_capped(documents: DataFrame,
+                                  max_hamming: int = SIMHASH_MAX_HAMMING,
+                                  bands: int = SIMHASH_PAIR_BANDS,
+                                  bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """Skew-armored `simhash_near_dup_pairs` via the shared
+    `capped_bucket_pairs` degradation — same viral-cluster failure
+    mode as the MinHash screen (a hot (band, key) bucket goes
+    quadratic), same remedy (consecutive chain above the cap,
+    connectivity preserved), same contract (identical to the uncapped
+    screen when no bucket exceeds the cap — pinned in tests).
+    Fingerprints rejoin AFTER pair dedup, so the banded shuffle
+    carries (doc_id, band, key) only."""
+    if max_hamming >= bands:
+        raise ValueError("recall guarantee needs max_hamming < bands")
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64 (got {bands})")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sig = simhash64(documents).localCheckpoint(eager=False)
+    band = F.explode(F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit(mask)).alias("key"),
+        ) for i in range(bands)
+    ])).alias("b")
+    banded = sig.select("doc_id", band).select("doc_id", "b.band", "b.key")
+    cand = capped_bucket_pairs(banded, ["band", "key"], "doc_id", bucket_cap)
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    F.col("simhash").alias("__sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    F.col("simhash").alias("__sig_b"))
+    ham = F.bit_count(F.col("__sig_a").bitwiseXOR(F.col("__sig_b")))
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .where(ham <= max_hamming)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def _q_simhash_pairs(spark, sf):
     return simhash_near_dup_pairs(_docs(spark, sf))
 
@@ -5572,6 +5636,54 @@ ORACLES["simhash_near_dup_pairs"] = f"""
                  AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
     ORDER BY doc_a, doc_b
+"""
+
+
+def _q_simhash_pairs_capped(spark, sf):
+    return simhash_near_dup_pairs_capped(_docs(spark, sf))
+
+
+QUERIES["simhash_near_dup_pairs_capped"] = _q_simhash_pairs_capped
+
+# Skew-capped twin: bucket sizes gate all-pairs vs the consecutive
+# chain, Hamming verification after pair dedup.
+ORACLES["simhash_near_dup_pairs_capped"] = f"""
+    WITH sig AS ({ORACLES["simhash64"]}),
+    banded AS (
+        SELECT doc_id, i AS band,
+               (simhash >> (i * {64 // SIMHASH_PAIR_BANDS}))
+                   & {(1 << (64 // SIMHASH_PAIR_BANDS)) - 1} AS key
+        FROM sig CROSS JOIN (VALUES {_SIMHASH_BAND_IDX}) bi(i)
+    ), bsize AS (
+        SELECT band, key, COUNT(*) AS n FROM banded GROUP BY band, key
+    ), cand_small AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.key = b.key
+                     AND a.doc_id < b.doc_id
+        JOIN bsize s ON s.band = a.band AND s.key = a.key
+        WHERE s.n <= {LSH_BUCKET_CAP}
+    ), cand_big AS (
+        SELECT doc_id AS doc_a, nxt AS doc_b FROM (
+            SELECT bk.doc_id, LEAD(bk.doc_id) OVER (
+                       PARTITION BY bk.band, bk.key
+                       ORDER BY bk.doc_id) AS nxt
+            FROM banded bk
+            JOIN bsize s ON s.band = bk.band AND s.key = bk.key
+            WHERE s.n > {LSH_BUCKET_CAP}
+        ) WHERE nxt IS NOT NULL
+    ), cand AS (
+        SELECT doc_a, doc_b FROM cand_small
+        UNION
+        SELECT doc_a, doc_b FROM cand_big
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {SIMHASH_MAX_HAMMING}
+    ORDER BY c.doc_a, c.doc_b
 """
 
 

@@ -1487,3 +1487,38 @@ def test_minhash_capped_hot_bucket_linear_and_connected(spark):
     import pytest as _p
     with _p.raises(ValueError):
         llm.minhash_lsh_pairs_capped(hot, bucket_cap=1)
+
+
+def test_simhash_capped_equals_uncapped_and_arms_hot_buckets(spark, docs):
+    """The SimHash capped twin: identical to the uncapped screen with
+    no hot buckets; on a viral cluster the shared capped_bucket_pairs
+    degradation keeps output linear and the cluster connected."""
+    base = {(r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in llm.simhash_near_dup_pairs(docs).collect()}
+    capped = {(r["doc_a"], r["doc_b"]): r["hamming"]
+              for r in llm.simhash_near_dup_pairs_capped(docs).collect()}
+    assert base and capped == base
+
+    n = 50
+    rows = [(i, "identical viral page body shared by mirrors " * 3,
+             "en", "web", 120) for i in range(n)]
+    hot = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    full = llm.simhash_near_dup_pairs(hot).collect()
+    small = llm.simhash_near_dup_pairs_capped(hot, bucket_cap=4).collect()
+    assert len(full) == n * (n - 1) / 2  # identical docs: all pairs
+    assert 0 < len(small) < len(full)
+    assert {(r["doc_a"], r["doc_b"]) for r in small} <= \
+           {(r["doc_a"], r["doc_b"]) for r in full}
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in small:
+        parent[find(int(r["doc_a"]))] = find(int(r["doc_b"]))
+    assert len({find(i) for i in range(n)}) == 1
