@@ -624,8 +624,9 @@ def _session_window_overlap(spark, sf):
 # preferring operators that changed since their last green row (q15's
 # argmax fix, the multi-scan-audit checkpoint queries, bm25's term
 # escaping) and the q1 flagship. After a green r6 window, driver-lifetime
-# coverage is the complete 210-entry registry (207 pre-existing + the
-# new ivf_admission_report and the two capped pair screens, all windowed). Displaced entries stay
+# coverage is the complete 211-entry registry (207 pre-existing + the
+# new ivf_admission_report and the three capped pair screens, all
+# windowed). Displaced entries stay
 # covered by tools/check_oracle.py's full sweep (run before each submit).
 # NO top-level array/map/struct columns in any window entry — the driver
 # canonicalizer cannot sort them.
@@ -657,7 +658,7 @@ _PRIORITY = (
     "incremental_dedup_near", "incremental_dedup_bloom",
     "simhash_near_dup_pairs", "curation_funnel_report",
     "embedding_topk_cosine", "embedding_topk_cosine_lsh",
-    "simhash_near_dup_pairs_capped", "hll_distinct_users_merged",
+    "simhash_near_dup_pairs_capped", "embedding_near_dup_lsh_pairs_capped",
 )
 
 

@@ -1298,6 +1298,50 @@ def embedding_near_dup_lsh_pairs(
     )
 
 
+def embedding_near_dup_lsh_pairs_capped(
+    embeddings: DataFrame,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    dim: int = 64,
+    planes: int = LSH_PLANES,
+    tables: int = LSH_TABLES,
+    seed: int = 42,
+    bucket_cap: int = LSH_BUCKET_CAP,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Skew-armored `embedding_near_dup_lsh_pairs` via the shared
+    `capped_bucket_pairs` degradation — the third banded screen with
+    the same viral-cluster failure mode (one hot (table, bucket) key
+    goes quadratic; a near-duplicate embedding cluster from templated
+    pages lands exactly there) and the same remedy. The banded frame
+    carries only (vid, tbl, bucket); vectors rejoin after pair dedup,
+    which also sheds the uncapped variant's vector-carrying shuffle.
+    Identical to the uncapped screen when no bucket exceeds the cap
+    (pinned in tests); fully hash-checked."""
+    plane_tabs = _portable_planes(seed, tables, planes, dim)
+    buckets = _rp_buckets(vec_col, plane_tabs)
+    # Checkpointed: capped_bucket_pairs references the banded frame
+    # three times (sizes, all-pairs side, chain side); the tables ×
+    # planes fold dot products must evaluate once.
+    banded = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.explode(buckets).alias("bb"),
+    ).select("vid", "bb.tbl", "bb.bucket").localCheckpoint(eager=False)
+    cand = (capped_bucket_pairs(banded, ["tbl", "bucket"], "vid", bucket_cap)
+            .select(F.col("doc_a").alias("vec_a"),
+                    F.col("doc_b").alias("vec_b")))
+    ea = embeddings.select(F.col(id_col).alias("vec_a"),
+                           F.col(vec_col).alias("__va"))
+    eb = embeddings.select(F.col(id_col).alias("vec_b"),
+                           F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(ea, "vec_a").join(eb, "vec_b")
+        .withColumn("score", cosine_similarity("__va", "__vb"))
+        .where(F.col("score") >= threshold)
+        .select("vec_a", "vec_b", F.round("score", 6).alias("score"))
+    )
+
+
 def topk_cosine_pandas(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -3930,6 +3974,8 @@ QUERIES = {
     "doc_embedding_norms": _q_norms,
     "embedding_near_dup_pairs": _q_near_dup,
     "embedding_near_dup_lsh_pairs": _q_near_dup_lsh,
+    "embedding_near_dup_lsh_pairs_capped": lambda spark, sf:
+        embedding_near_dup_lsh_pairs_capped(_emb(spark, sf)),
     "text_stats": _q_text_stats,
     "build_vocab": _q_vocab,
     "token_doc_frequency": _q_tok_df,
@@ -4593,6 +4639,59 @@ ORACLES["embedding_near_dup_lsh_pairs"] = f"""
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM sigs a JOIN sigs b
           ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round(score, 6) AS score FROM (
+        SELECT cand.vec_a, cand.vec_b,
+               {_cos_sql('x.va', 'y.vb')} AS score
+        FROM cand
+        JOIN (SELECT vec_id, embedding AS va FROM embeddings) x(vec_id, va)
+          ON x.vec_id = cand.vec_a
+        JOIN (SELECT vec_id, embedding AS vb FROM embeddings) y(vec_id, vb)
+          ON y.vec_id = cand.vec_b
+    ) WHERE score >= {COSINE_DUP_THRESHOLD}
+"""
+
+# Skew-capped twin: (tbl, bucket) sizes gate all-pairs vs the
+# vid-sorted consecutive chain, cosine verification after pair dedup.
+ORACLES["embedding_near_dup_lsh_pairs_capped"] = f"""
+    WITH planes AS (
+        SELECT t.t AS tbl, p.p AS p,
+               list_transform(range(0, 64), d ->
+                   ((CAST('0x' || substr(md5('lsh:42:' || t.t || ':' || p.p
+                                         || ':' || d), 1, 10) AS BIGINT)
+                     + 0.5) / {float(1 << 40)}) * 2 - 1) AS wvec
+        FROM range(0, {LSH_TABLES}) t(t), range(0, {LSH_PLANES}) p(p)
+    ), sigs AS (
+        SELECT e.vec_id, pl.tbl,
+               SUM(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(range(1, len(e.embedding) + 1),
+                            i -> CAST(e.embedding[i] AS DOUBLE) * pl.wvec[i])),
+                        (acc, x) -> acc + x) >= 0
+                        THEN (1 << pl.p) ELSE 0 END) AS bucket
+        FROM embeddings e, planes pl
+        GROUP BY e.vec_id, pl.tbl
+    ), bsize AS (
+        SELECT tbl, bucket, COUNT(*) AS n FROM sigs GROUP BY tbl, bucket
+    ), cand_small AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM sigs a
+        JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                   AND a.vec_id < b.vec_id
+        JOIN bsize s ON s.tbl = a.tbl AND s.bucket = a.bucket
+        WHERE s.n <= {LSH_BUCKET_CAP}
+    ), cand_big AS (
+        SELECT vec_id AS vec_a, nxt AS vec_b FROM (
+            SELECT sg.vec_id, LEAD(sg.vec_id) OVER (
+                       PARTITION BY sg.tbl, sg.bucket
+                       ORDER BY sg.vec_id) AS nxt
+            FROM sigs sg
+            JOIN bsize s ON s.tbl = sg.tbl AND s.bucket = sg.bucket
+            WHERE s.n > {LSH_BUCKET_CAP}
+        ) WHERE nxt IS NOT NULL
+    ), cand AS (
+        SELECT vec_a, vec_b FROM cand_small
+        UNION
+        SELECT vec_a, vec_b FROM cand_big
     )
     SELECT vec_a, vec_b, round(score, 6) AS score FROM (
         SELECT cand.vec_a, cand.vec_b,

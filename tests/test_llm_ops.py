@@ -1522,3 +1522,34 @@ def test_simhash_capped_equals_uncapped_and_arms_hot_buckets(spark, docs):
     for r in small:
         parent[find(int(r["doc_a"]))] = find(int(r["doc_b"]))
     assert len({find(i) for i in range(n)}) == 1
+
+
+def test_embedding_capped_equals_uncapped_and_arms_hot_buckets(spark, emb):
+    """The embedding-LSH capped twin: identical to the uncapped screen
+    with no hot buckets; a cluster of identical vectors degrades to the
+    chain but stays connected."""
+    base = {(r["vec_a"], r["vec_b"]): r["score"]
+            for r in llm.embedding_near_dup_lsh_pairs(emb).collect()}
+    capped = {(r["vec_a"], r["vec_b"]): r["score"]
+              for r in llm.embedding_near_dup_lsh_pairs_capped(emb).collect()}
+    assert base and capped == base
+
+    n = 40
+    vec = [0.1] * 64
+    hot = spark.createDataFrame([(i, vec) for i in range(n)],
+                                "vec_id long, embedding array<float>")
+    full = llm.embedding_near_dup_lsh_pairs(hot).collect()
+    small = llm.embedding_near_dup_lsh_pairs_capped(hot, bucket_cap=4).collect()
+    assert len(full) == n * (n - 1) / 2
+    assert 0 < len(small) < len(full)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in small:
+        parent[find(int(r["vec_a"]))] = find(int(r["vec_b"]))
+    assert len({find(i) for i in range(n)}) == 1
