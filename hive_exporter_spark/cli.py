@@ -170,7 +170,11 @@ def build_parser() -> argparse.ArgumentParser:
     ivf.add_argument("--vec-col", default="embedding")
     ivf.add_argument("--out",
                      help="query: write results parquet here instead "
-                          "of printing the first rows")
+                          "of printing the first rows (must not overlap "
+                          "the index dir)")
+    # NOTE: the _centroids.json routing table is read/written with
+    # plain open(), so the `ivf` verb needs a driver-local index dir;
+    # the parquet buckets themselves can live on any Hadoop FS.
 
     aud = sub.add_parser(
         "audit-plan",
@@ -297,6 +301,15 @@ def main(argv: list[str] | None = None) -> int:
             print(f"built {args.index_dir}: {len(cent)} clusters, "
                   f"{df.count()} vectors")
             return 0
+        if not _os.path.exists(cent_path):
+            # A raw FileNotFoundError traceback reads like a crash;
+            # a never-built (or object-store-resident) index is a
+            # usage error with a one-line remedy.
+            print(f"error: no routing table at {cent_path} — index not "
+                  "built (run `ivf build` first; note the ivf verb "
+                  "needs a driver-local index dir for _centroids.json)",
+                  file=sys.stderr)
+            return 2
         with open(cent_path) as fh:
             cent = _json.load(fh)
         if args.action == "update":
@@ -312,6 +325,13 @@ def main(argv: list[str] | None = None) -> int:
             k=args.topk or llm.TOPK, nprobe=args.nprobe or llm.IVF_NPROBE,
             id_col=args.id_col, vec_col=args.vec_col)
         if args.out:
+            from hive_exporter_spark.operators import layout as _layout
+            # --out equal to (or inside) the index dir would overwrite
+            # the directory the lazy probe plan is still reading — the
+            # same data-loss class _reject_overlapping_dirs guards in
+            # compact_files.
+            _layout._reject_overlapping_dirs(
+                args.index_dir, args.out, _layout._default_fs(spark))
             res.write.mode("overwrite").parquet(args.out)
             print(f"wrote {spark.read.parquet(args.out).count()} result "
                   f"rows -> {args.out}")

@@ -175,6 +175,7 @@ def _reject_overlapping_dirs(src_dir: str, dst_dir: str,
     it; assuming "local" would wave through `hdfs://nn/data` vs
     `/data` on a cluster whose defaultFS is that very namenode."""
     import os
+    import posixpath
     from urllib.parse import urlparse
 
     d = urlparse(default_fs) if default_fs else None
@@ -189,12 +190,24 @@ def _reject_overlapping_dirs(src_dir: str, dst_dir: str,
             scheme, netloc, path = "file", "", p
         if scheme == "file":
             path = os.path.abspath(path)
-        return scheme, netloc, os.path.normpath(path)
+        # URI paths always use '/' — normalize with posixpath (and fold
+        # any local os.sep) so prefix tests below never depend on the
+        # driver's OS: os.sep on a Windows driver would silently wave
+        # through nested s3a/hdfs paths.
+        return scheme, netloc, posixpath.normpath(path.replace(os.sep, "/"))
+
+    def nests(parent: str, child: str) -> bool:
+        if parent == child:
+            return True
+        # parent-at-root edge: '/' + '/' = '//', which no child
+        # starts with — treat root as containing everything.
+        prefix = parent if parent.endswith("/") else parent + "/"
+        return child.startswith(prefix)
 
     (ss, sn, sp), (ds_, dn, dp) = split(src_dir), split(dst_dir)
     if (ss, sn) != (ds_, dn):
         return
-    if sp == dp or dp.startswith(sp + os.sep) or sp.startswith(dp + os.sep):
+    if nests(sp, dp) or nests(dp, sp):
         raise ValueError(
             f"compaction output {dst_dir!r} overlaps input {src_dir!r}: "
             "overwriting a directory being read would lose data — "

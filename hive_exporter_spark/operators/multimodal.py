@@ -15,11 +15,17 @@ column (column pruning).
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from hive_exporter_spark.operators.llm import (
+    LSH_BUCKET_CAP as _LSH_BUCKET_CAP,
+    capped_bucket_pairs,
+)
 
 BINARY_META_SCHEMA = "doc_id long, byte_len long, sha256 string"
 DECODED_IMAGE_SCHEMA = (
@@ -225,6 +231,20 @@ def audio_features(documents: DataFrame, n_coeff: int = N_MFCC) -> DataFrame:
 
 PHASH_BANDS = 8
 
+# Quantized DCT-II matrix: round(cos(pi/8 * (i+0.5) * u) * 1024).
+# Integer quantization makes the whole pHash pipeline EXACT int64
+# arithmetic — numpy's matmul on int64 is order-independent (unlike
+# float BLAS summation), so the Arrow kernel and a SQL replay agree
+# bit-for-bit, which is what lets the banded pair screens hash-check
+# against a DuckDB oracle. Magnitude bound: |coef| <= 8*8*1024²*255
+# ≈ 2^34, far inside int64 on both engines.
+PHASH_DCT_SCALE = 1024
+_PHASH_DCTQ = [
+    [round(math.cos(math.pi / 8 * (i + 0.5) * u) * PHASH_DCT_SCALE)
+     for i in range(8)]
+    for u in range(8)
+]
+
 
 def phash64(documents: DataFrame, fake: bool = True) -> DataFrame:
     """64-bit perceptual image hash (pHash): resample to 8×8
@@ -235,7 +255,13 @@ def phash64(documents: DataFrame, fake: bool = True) -> DataFrame:
     (identical payloads → identical hashes), so the distributed shape
     — Arrow-batched kernel doing one small matmul per image, emitting
     one long per row — is real; a PIL kernel swaps in behind the same
-    schema. Output: (doc_id, phash long)."""
+    schema. The DCT uses the integer-quantized matrix `_PHASH_DCTQ`
+    and the median test is the exact integer form
+    `2*coef >= sorted[31] + sorted[32]`, so every step is portable
+    (`phash64_sql` is the bit-identical DuckDB twin). Bit 63 enters
+    the packed long as the negative two's-complement constant, the
+    same convention as `llm.simhash64`. Output: (doc_id, phash long).
+    """
     import numpy as np
 
     binary = with_binary_content(documents)
@@ -249,18 +275,23 @@ def phash64(documents: DataFrame, fake: bool = True) -> DataFrame:
             "real pHash kernel not implemented (container has no "
             "imaging stack); only the deterministic fake path exists"
         )
-    # DCT-II matrix, fixed and tiny — computed once per task.
-    n = 8
-    dct = np.cos(np.pi / n * (np.arange(n)[:, None] + 0.5) * np.arange(n)[None, :]).T
+    dctq = np.array(_PHASH_DCTQ, dtype=np.int64)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(content: bytes) -> int:
-            d = hashlib.sha256(content).digest()
-            d = d + hashlib.sha256(d).digest()          # 64 deterministic bytes
-            px = np.frombuffer(d, dtype=np.uint8).astype(np.float64).reshape(n, n)
-            coef = dct @ px @ dct.T
-            bits = (coef >= np.median(coef)).flatten()
-            return int(sum(1 << i for i, b in enumerate(bits) if b) - (1 << 63))
+            # 64 deterministic bytes: digest + sha256 of its hex form
+            # (DuckDB's sha256 is VARCHAR-only, so the extension hashes
+            # the hex string both engines can see).
+            d1 = hashlib.sha256(content)
+            raw = d1.digest() + hashlib.sha256(d1.hexdigest().encode()).digest()
+            px = np.frombuffer(raw, dtype=np.uint8).astype(np.int64).reshape(8, 8)
+            flat = (dctq @ px @ dctq.T).ravel()
+            s = np.sort(flat)
+            t2 = int(s[31] + s[32])          # 2 * median, exact
+            low = sum(1 << k for k in range(63) if 2 * int(flat[k]) >= t2)
+            if 2 * int(flat[63]) >= t2:
+                low -= 1 << 63
+            return low
 
         for pdf in batches:
             yield pd.DataFrame({
@@ -269,6 +300,50 @@ def phash64(documents: DataFrame, fake: bool = True) -> DataFrame:
             })
 
     return binary.mapInPandas(kernel, "doc_id long, phash long")
+
+
+def phash64_sql(src_sql: str) -> str:
+    """DuckDB twin of the fake `phash64` kernel over a (doc_id, text)
+    source query — bit-identical by construction: the same quantized
+    DCT constants, exact int64 row/column transforms, the same
+    `2*coef >= sorted[31]+sorted[32]` median test, and the same
+    two's-complement bit-63 packing. Generated, not hand-written, so
+    the kernel and the oracle can only drift together."""
+    px_cols = ", ".join(
+        f"CAST(concat('0x', substr(hx, {b * 2 + 1}, 2)) AS BIGINT) AS p{b}"
+        for b in range(64))
+    r_cols = ", ".join(
+        "(" + " + ".join(f"({_PHASH_DCTQ[u][i]}) * p{i * 8 + j}"
+                         for i in range(8)) + f") AS r{u}_{j}"
+        for u in range(8) for j in range(8))
+    c_cols = ", ".join(
+        "(" + " + ".join(f"({_PHASH_DCTQ[v][j]}) * r{u}_{j}"
+                         for j in range(8)) + f") AS c{u * 8 + v}"
+        for u in range(8) for v in range(8))
+    clist = ", ".join(f"c{k}" for k in range(64))
+    bits = " + ".join(
+        f"CASE WHEN 2 * c{k} >= t2 THEN CAST({1 << k} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END"
+        for k in range(63))
+    bits += (" + CASE WHEN 2 * c63 >= t2 THEN "
+             "CAST(-9223372036854775808 AS BIGINT) "
+             "ELSE CAST(0 AS BIGINT) END")
+    return f"""
+        WITH __src AS ({src_sql}),
+        __hx AS (
+            SELECT doc_id, sha256(text) || sha256(sha256(text)) AS hx
+            FROM __src
+        ),
+        __px AS (SELECT doc_id, {px_cols} FROM __hx),
+        __r AS (SELECT doc_id, {r_cols} FROM __px),
+        __c AS (SELECT doc_id, {c_cols} FROM __r),
+        __m AS (
+            SELECT *, list_sort([{clist}])[32] + list_sort([{clist}])[33]
+                      AS t2
+            FROM __c
+        )
+        SELECT doc_id, {bits} AS phash FROM __m
+    """
 
 
 def image_near_dup_pairs(hashes: DataFrame, max_hamming: int = PHASH_BANDS - 1,
@@ -313,6 +388,52 @@ def image_near_dup_pairs(hashes: DataFrame, max_hamming: int = PHASH_BANDS - 1,
     )
 
 
+def image_near_dup_pairs_capped(hashes: DataFrame,
+                                max_hamming: int = PHASH_BANDS - 1,
+                                bands: int = PHASH_BANDS,
+                                bucket_cap: int | None = None) -> DataFrame:
+    """Skew-armored `image_near_dup_pairs` via the shared
+    `llm.capped_bucket_pairs` degradation — the last banded pair
+    generator to get the armor (VERDICT r6 item 1). The failure mode
+    is identical to the MinHash/SimHash/embedding screens: a corpus
+    of templated or solid-color images collapses onto one
+    (band, key) bucket and the banded equi-join emits B(B-1)/2
+    candidates. Buckets above `bucket_cap` emit only their
+    doc_id-sorted consecutive chain (B-1 pairs) — within-bucket
+    connectivity survives for component clustering, and no bucket's
+    output is super-linear in its size. With no hot buckets the
+    result is IDENTICAL to the uncapped screen (pinned in tests).
+    Hashes rejoin AFTER pair dedup, so the banded shuffle carries
+    (doc_id, band, key) only — the same payload-shedding shape as the
+    embedding-LSH capped variant."""
+    if bucket_cap is None:
+        bucket_cap = _LSH_BUCKET_CAP
+    if max_hamming >= bands:
+        raise ValueError("recall guarantee needs max_hamming < bands")
+    hashes = hashes.select("doc_id", "phash").localCheckpoint(eager=False)
+    width = 64 // bands
+    band = F.explode(F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col("phash"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
+        ) for i in range(bands)
+    ])).alias("b")
+    banded = hashes.select("doc_id", band).select("doc_id", "b.band", "b.key")
+    cand = capped_bucket_pairs(banded, ["band", "key"], "doc_id", bucket_cap)
+    ha = hashes.select(F.col("doc_id").alias("doc_a"),
+                       F.col("phash").alias("__h_a"))
+    hb = hashes.select(F.col("doc_id").alias("doc_b"),
+                       F.col("phash").alias("__h_b"))
+    ham = F.bit_count(F.col("__h_a").bitwiseXOR(F.col("__h_b")))
+    return (
+        cand.join(ha, "doc_a").join(hb, "doc_b")
+        .where(ham <= max_hamming)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # -- driver-contract wiring -------------------------------------------------
 
 def _q_binary_meta(spark, sf):
@@ -349,19 +470,30 @@ def _q_audio(spark, sf):
     )
 
 
-def _q_phash_pairs(spark, sf):
-    """Rows-only: the DCT/median pipeline has no tractable SQL twin;
-    recall vs brute-force Hamming is asserted in tests. The fixture's
-    sf0.01 slice has no duplicate payloads (sha-derived fake hashes
-    only collide for identical bytes), so the query unions in replicas
-    of the first 5 documents under shifted ids — each must pair with
-    its original, making the expected output non-empty and
-    deterministic at every scale."""
+def _phash_fixture(spark, sf):
+    """Shared pair-screen fixture: the sf0.01 slice has no duplicate
+    payloads (digest-derived fake hashes only collide for identical
+    bytes), so both screens union in replicas of the first 5 documents
+    under shifted ids — each must pair with its original, making the
+    expected output non-empty and deterministic at every scale."""
     from hive_exporter_spark.sources.files import read_table
     docs = read_table(spark, sf, "documents")
     replicas = (docs.where(F.col("doc_id") < 5)
                 .withColumn("doc_id", F.col("doc_id") + 1_000_000))
-    return image_near_dup_pairs(phash64(docs.unionByName(replicas)))
+    return docs.unionByName(replicas)
+
+
+def _q_phash_pairs(spark, sf):
+    """Hash-checked since the integer-DCT rewrite: `phash64_sql`
+    replays the fake kernel bit-for-bit, so the full banded screen
+    has a DuckDB twin (previously rows-only)."""
+    return image_near_dup_pairs(phash64(_phash_fixture(spark, sf)))
+
+
+def _q_phash_pairs_capped(spark, sf):
+    """Skew-capped twin — identical output on this fixture (no bucket
+    exceeds the cap), hash-checked through the same portable pHash."""
+    return image_near_dup_pairs_capped(phash64(_phash_fixture(spark, sf)))
 
 
 QUERIES = {
@@ -371,6 +503,7 @@ QUERIES = {
     "frame_sample_plan": _q_frames,
     "audio_features": _q_audio,
     "image_phash_near_dups": _q_phash_pairs,
+    "image_phash_near_dups_capped": _q_phash_pairs_capped,
 }
 
 # sha256(text) in DuckDB hashes the same UTF-8 bytes the kernels see;
@@ -418,3 +551,76 @@ ORACLES = {
         FROM documents, range(0, {N_MFCC}) t(i)
     """,
 }
+
+# The pair-screen fixture source: documents plus id-shifted replicas of
+# the first five (see `_phash_fixture`).
+_PHASH_SRC_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 5
+"""
+_PHASH_BAND_IDX = ", ".join(f"({i})" for i in range(PHASH_BANDS))
+_PHASH_WIDTH = 64 // PHASH_BANDS
+_PHASH_MASK = (1 << _PHASH_WIDTH) - 1
+
+# Banded Hamming screen, replayed end-to-end: portable integer pHash
+# (phash64_sql), 8×8-bit banding via the arithmetic-shift-then-mask
+# idiom (masked band values agree with the JVM's logical shift for
+# every band), bit_count(xor) Hamming — the same portability kit the
+# SimHash screens use (llm.py:5749).
+ORACLES["image_phash_near_dups"] = f"""
+    WITH sig AS ({phash64_sql(_PHASH_SRC_SQL)}),
+    banded AS (
+        SELECT doc_id, phash, i AS band,
+               (phash >> (i * {_PHASH_WIDTH})) & {_PHASH_MASK} AS key
+        FROM sig CROSS JOIN (VALUES {_PHASH_BAND_IDX}) bi(i)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.key = b.key
+                 AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_BANDS - 1}
+    ORDER BY doc_a, doc_b
+"""
+
+# Skew-capped twin: bucket sizes gate all-pairs vs the consecutive
+# chain, Hamming verification after pair dedup — the same replay shape
+# as simhash_near_dup_pairs_capped's oracle.
+ORACLES["image_phash_near_dups_capped"] = f"""
+    WITH sig AS ({phash64_sql(_PHASH_SRC_SQL)}),
+    banded AS (
+        SELECT doc_id, i AS band,
+               (phash >> (i * {_PHASH_WIDTH})) & {_PHASH_MASK} AS key
+        FROM sig CROSS JOIN (VALUES {_PHASH_BAND_IDX}) bi(i)
+    ), bsize AS (
+        SELECT band, key, COUNT(*) AS n FROM banded GROUP BY band, key
+    ), cand_small AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.key = b.key
+                     AND a.doc_id < b.doc_id
+        JOIN bsize s ON s.band = a.band AND s.key = a.key
+        WHERE s.n <= {_LSH_BUCKET_CAP}
+    ), cand_big AS (
+        SELECT doc_id AS doc_a, nxt AS doc_b FROM (
+            SELECT bk.doc_id, LEAD(bk.doc_id) OVER (
+                       PARTITION BY bk.band, bk.key
+                       ORDER BY bk.doc_id) AS nxt
+            FROM banded bk
+            JOIN bsize s ON s.band = bk.band AND s.key = bk.key
+            WHERE s.n > {_LSH_BUCKET_CAP}
+        ) WHERE nxt IS NOT NULL
+    ), cand AS (
+        SELECT doc_a, doc_b FROM cand_small
+        UNION
+        SELECT doc_a, doc_b FROM cand_big
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(sa.phash, sb.phash)) AS INT) AS hamming
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    WHERE bit_count(xor(sa.phash, sb.phash)) <= {PHASH_BANDS - 1}
+    ORDER BY c.doc_a, c.doc_b
+"""

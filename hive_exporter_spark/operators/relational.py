@@ -259,11 +259,39 @@ def approx_stats_error_report(events: DataFrame) -> DataFrame:
 
     Two scans of events (the audited operator runs unmodified beside
     one exact aggregate); the join is group-count-sized.
+
+    exact_p50 deliberately avoids engine percentile builtins: Spark's
+    F.percentile and DuckDB's quantile_cont interpolate in their own
+    float arithmetic, and a median landing on a 6-dp rounding boundary
+    could diverge in the last bit (ADVICE r6). Instead both sides
+    replay the same explicit formula — the one or two middle ranks of
+    the per-group sort, averaged through DECIMAL(28,6) then divided as
+    DOUBLE — which is bit-deterministic by construction (the same
+    dsum/davg portability pattern as functions/aggs.py).
     """
-    exact = events.groupBy("event_type").agg(
+    distinct_users = events.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
-        F.round(F.percentile("value", 0.5), 6).alias("exact_p50"),
     )
+    nonnull = events.where(F.col("value").isNotNull()) \
+        .select("event_type", "value")
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = (
+        nonnull.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(
+            Window.partitionBy("event_type")))
+    )
+    # middle ranks: (n+1)/2 and n/2+1 — equal when n is odd.
+    mid = ranked.where(
+        (F.col("__rn") == ((F.col("__n") + 1) / 2).cast("long"))
+        | (F.col("__rn") == (F.col("__n") / 2).cast("long") + 1)
+    )
+    median = mid.groupBy("event_type").agg(
+        F.round(
+            (F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+             / F.count(F.lit(1))), 6
+        ).alias("exact_p50")
+    )
+    exact = distinct_users.join(median, "event_type")
     approx = approx_value_stats(events)
     users_ok = (F.abs(F.col("approx_users") - F.col("exact_users"))
                 <= APPROX_USERS_TOL * F.col("exact_users"))

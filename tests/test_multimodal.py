@@ -154,3 +154,73 @@ def test_binary_dedup_exact_keeps_lowest_id(spark):
     assert set(rows) == {2, 9}
     assert rows[2]["byte_len"] == len(b"same payload")
     assert len(rows[2]["sha256"]) == 64
+
+
+def test_phash64_matches_duckdb_replay(spark):
+    """The integer-DCT pHash is engine-portable by construction:
+    phash64_sql replays the Arrow kernel bit-for-bit in DuckDB —
+    quantized constants, exact int64 transforms, the 2*coef >=
+    m31+m32 median test, and two's-complement bit-63 packing."""
+    import duckdb
+
+    from hive_exporter_spark.operators.multimodal import phash64, phash64_sql
+
+    texts = ["hello world", "the quick brown fox", "a", "", "Zzz 123",
+             "same body", "same body"]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r["phash"] for r in phash64(df).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    for i, s in enumerate(texts):
+        con.execute("INSERT INTO t VALUES (?, ?)", [i, s])
+    exp = dict(con.execute(
+        phash64_sql("SELECT doc_id, text FROM t")).fetchall())
+    assert got == exp
+    assert got[5] == got[6]  # identical payloads still collide
+
+
+def test_image_capped_equals_uncapped_and_arms_hot_buckets(spark, docs):
+    """The pHash capped twin (VERDICT r6 item 1): identical to the
+    uncapped screen with no hot buckets; a corpus of identical
+    payloads (one viral bucket) degrades to linear candidates while
+    the cluster stays connected."""
+    from hive_exporter_spark.operators.multimodal import (
+        image_near_dup_pairs, image_near_dup_pairs_capped, phash64)
+
+    replicas = (docs.where(F.col("doc_id") < 5)
+                .withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    hashes = phash64(docs.unionByName(replicas)).cache()
+    base = {(r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in image_near_dup_pairs(hashes).collect()}
+    capped = {(r["doc_a"], r["doc_b"]): r["hamming"]
+              for r in image_near_dup_pairs_capped(hashes).collect()}
+    assert base and capped == base
+
+    n = 60
+    hot = spark.createDataFrame(
+        [(i, "identical viral page body shared by mirrors " * 3)
+         for i in range(n)],
+        "doc_id long, text string")
+    hot_hashes = phash64(hot).cache()
+    full = image_near_dup_pairs(hot_hashes).collect()
+    small = image_near_dup_pairs_capped(hot_hashes, bucket_cap=4).collect()
+    assert len(full) == n * (n - 1) / 2  # identical payloads: all pairs
+    assert 0 < len(small) < len(full)
+    assert {(r["doc_a"], r["doc_b"]) for r in small} <= \
+           {(r["doc_a"], r["doc_b"]) for r in full}
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in small:
+        parent[find(int(r["doc_a"]))] = find(int(r["doc_b"]))
+    assert len({find(i) for i in range(n)}) == 1
+
+    with pytest.raises(ValueError):
+        image_near_dup_pairs_capped(hot_hashes, max_hamming=8, bands=8)

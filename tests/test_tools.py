@@ -1,5 +1,6 @@
 """Tests for the repo tools that don't need a SparkSession:
-bench-comparison parsing and regression thresholds."""
+bench-comparison parsing, drift normalization, and regression
+thresholds."""
 
 from __future__ import annotations
 
@@ -15,44 +16,57 @@ compare_bench = importlib.util.module_from_spec(_spec)
 _spec.loader.exec_module(compare_bench)
 
 
-def test_load_queries_raw_bench_line(tmp_path):
+def test_load_bench_raw_bench_line(tmp_path):
     p = tmp_path / "b.json"
     p.write_text(json.dumps({
         "metric": "m", "value": 9.9, "unit": "sec",
-        "queries": {"q1": 1.5, "q2": 0.25}, "sf": 0.1}))
-    assert compare_bench.load_queries(str(p)) == {"q1": 1.5, "q2": 0.25}
+        "queries": {"q1": 1.5, "q2": 0.25},
+        "calibration": {"calib_range_shuffle": 0.4},
+        "shuffle_bytes": {"q1": [100, 200, 0]},
+        "sf": 0.1}))
+    got = compare_bench.load_bench(str(p))
+    assert got["queries"] == {"q1": 1.5, "q2": 0.25}
+    assert got["calibration"] == {"calib_range_shuffle": 0.4}
+    assert got["shuffle_bytes"] == {"q1": [100, 200, 0]}
 
 
-def test_load_queries_truncated_driver_tail(tmp_path):
+def test_load_bench_truncated_driver_tail(tmp_path):
     """Driver BENCH files wrap a truncated tail that starts mid-pair
     and never contains the literal "queries" key."""
     p = tmp_path / "r.json"
     p.write_text(json.dumps({
         "n": 1, "rc": 0, "sf": 0.1,
         "tail": '": 0.375, "repetition_signals": 0.486, "epoch_mix": 0.177}'}))
-    got = compare_bench.load_queries(str(p))
-    assert got["repetition_signals"] == 0.486
-    assert got["epoch_mix"] == 0.177
-    assert "rc" not in got and "sf" not in got
+    got = compare_bench.load_bench(str(p))
+    assert got["queries"]["repetition_signals"] == 0.486
+    assert got["queries"]["epoch_mix"] == 0.177
+    assert "rc" not in got["queries"] and "sf" not in got["queries"]
 
 
-def test_load_queries_tail_keeps_headline_block(tmp_path):
-    """r6 bench format: the headline22 block and totals ride at the
-    END of the JSON line so driver truncation keeps them. The scraper
-    must pick up the headline per-query pairs and never mistake the
-    subtotal/total meta keys for queries."""
+def test_load_bench_tail_keeps_headline_and_calibration(tmp_path):
+    """r6+ bench format: headline22 and calibration ride at the END of
+    the JSON line so driver truncation keeps them. The scraper must
+    pick up the headline per-query pairs, route calib_* entries into
+    the calibration dict, and never mistake the subtotal/total meta
+    keys for queries."""
     p = tmp_path / "r.json"
     p.write_text(json.dumps({
         "n": 6, "rc": 0, "sf": 0.1,
         "tail": ('": 0.375, "vocab_coverage": 0.499}, "sf": 0.1, '
+                 '"calibration": {"calib_range_shuffle": 0.41, '
+                 '"calib_parquet_scan": 0.22}, '
                  '"headline22": {"q1_pricing_summary": 1.2, '
                  '"dedup_exact": 0.8}, "headline22_total": 12.33, '
                  '"total_sec": 49.2}')}))
-    got = compare_bench.load_queries(str(p))
-    assert got["q1_pricing_summary"] == 1.2
-    assert got["dedup_exact"] == 0.8
-    assert got["vocab_coverage"] == 0.499
-    assert "headline22_total" not in got and "total_sec" not in got
+    got = compare_bench.load_bench(str(p))
+    assert got["queries"]["q1_pricing_summary"] == 1.2
+    assert got["queries"]["dedup_exact"] == 0.8
+    assert got["queries"]["vocab_coverage"] == 0.499
+    assert got["calibration"] == {"calib_range_shuffle": 0.41,
+                                  "calib_parquet_scan": 0.22}
+    assert "headline22_total" not in got["queries"]
+    assert "total_sec" not in got["queries"]
+    assert "calib_range_shuffle" not in got["queries"]
 
 
 def test_regression_threshold_needs_ratio_and_floor(tmp_path, capsys):
@@ -73,5 +87,76 @@ def test_regression_threshold_needs_ratio_and_floor(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 1
     assert "REGRESSION big" in out
-    assert "small" not in out.replace("1 regression", "")
-    assert "1 regression(s)" in out
+    assert "REGRESSION small" not in out
+    assert "1 time regression(s)" in out
+
+
+def _mk(queries, calibration=None, shuffle_bytes=None):
+    return {"queries": queries, "calibration": calibration or {},
+            "shuffle_bytes": shuffle_bytes or {}}
+
+
+def test_uniform_box_drift_with_calibration_flags_nothing():
+    """The r6 failure mode, now fixed: an untouched workload on a
+    1.6x-slower box is NOT a regression when the calibration probes
+    moved by the same factor."""
+    qs = {f"q{i}": 1.0 + i * 0.1 for i in range(20)}
+    old = _mk(qs, {"calib_range_shuffle": 0.40, "calib_parquet_scan": 0.20})
+    new = _mk({k: v * 1.6 for k, v in qs.items()},
+              {"calib_range_shuffle": 0.64, "calib_parquet_scan": 0.32})
+    r = compare_bench.compare(old, new)
+    assert abs(r["drift"] - 1.6) < 1e-9
+    assert r["time_regressions"] == []
+
+
+def test_real_slowdown_still_flags_through_calibration():
+    """An injected real 2x slowdown on one query flags even when the
+    box also drifted 1.6x — drift divides out, the plan change
+    remains."""
+    qs = {f"q{i}": 1.0 for i in range(20)}
+    old = _mk(qs, {"calib_range_shuffle": 0.40, "calib_parquet_scan": 0.20})
+    newq = {k: v * 1.6 for k, v in qs.items()}
+    newq["q7"] = 1.0 * 1.6 * 2.0  # genuine 2x on top of box drift
+    new = _mk(newq,
+              {"calib_range_shuffle": 0.64, "calib_parquet_scan": 0.32})
+    r = compare_bench.compare(old, new)
+    flagged = [t[0] for t in r["time_regressions"]]
+    assert flagged == ["q7"]
+
+
+def test_fallback_p75_clears_uniform_drift_but_keeps_big_slowdown():
+    """Legacy artifacts without calibration probes: p75-of-ratios
+    absorbs uniform drift; a 4x genuine slowdown still exceeds the
+    normalized threshold."""
+    qs = {f"q{i}": 1.0 for i in range(20)}
+    old = _mk(qs)
+    newq = {k: v * 1.5 for k, v in qs.items()}
+    newq["q3"] = 4.0
+    r = compare_bench.compare(_mk(qs), _mk(newq))
+    assert [t[0] for t in r["time_regressions"]] == ["q3"]
+    r2 = compare_bench.compare(old, _mk({k: v * 1.5 for k, v in qs.items()}))
+    assert r2["time_regressions"] == []
+
+
+def test_fallback_small_sets_stay_raw():
+    """Fewer shared queries than MIN_FALLBACK_QUERIES: no drift
+    estimation (p75 of 3 ratios is just the slowest query and would
+    normalize away real regressions) — raw thresholds apply."""
+    old = _mk({"a": 2.0, "b": 1.0, "c": 1.0})
+    new = _mk({"a": 4.0, "b": 1.0, "c": 1.0})
+    r = compare_bench.compare(old, new)
+    assert r["drift"] == 1.0
+    assert [t[0] for t in r["time_regressions"]] == ["a"]
+
+
+def test_byte_regression_is_box_independent():
+    """Shuffle bytes are plan cost: a 2x byte growth flags even when
+    wall-clock looks fine, and is never drift-normalized."""
+    qs = {f"q{i}": 1.0 for i in range(20)}
+    old = _mk(qs, shuffle_bytes={"q1": [10 << 20, 10 << 20, 0],
+                                 "q2": [1 << 20, 1 << 20, 0]})
+    new = _mk(qs, shuffle_bytes={"q1": [20 << 20, 21 << 20, 0],
+                                 "q2": [1 << 20, 1 << 20, 0]})
+    r = compare_bench.compare(old, new)
+    assert [t[0] for t in r["byte_regressions"]] == ["q1"]
+    assert r["time_regressions"] == []

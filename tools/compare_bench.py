@@ -1,14 +1,34 @@
 #!/usr/bin/env python
-"""Diff two bench JSON lines and flag per-query regressions.
+"""Diff two bench JSON lines and flag per-query regressions,
+normalized for machine drift.
 
 Usage:
     python tools/compare_bench.py OLD.json NEW.json [ratio] [floor_sec]
 
 Accepts either a raw `bench.py` output line or a driver BENCH_r0N.json
-wrapper (whose `tail` string embeds the line). A query regresses when
-new > old * ratio AND new - old > floor_sec (defaults 1.4 / 0.3 —
-this box swings ±20% run to run, so smaller deltas are noise; compare
-isolated best-of-3 for anything borderline).
+wrapper (whose `tail` string embeds the line).
+
+Drift normalization (r6 lesson: the tool cried regression three times
+on untouched code because the BOX, not the plan, was 1.6-1.7x slower):
+every new-side timing is divided by a drift factor before the
+thresholds apply. The factor is the median ratio of the fixed-cost
+`calibration` probes both artifacts carry (pure range-shuffle +
+parquet scan-agg — machine speed, no operator code); artifacts from
+before the probes existed fall back to the median per-query ratio
+across ALL shared queries, which absorbs uniform box drift but — by
+construction — cannot flag a change that slowed every query equally
+(the calibration probes exist precisely to close that gap).
+
+A query regresses when new/drift > old * ratio AND new/drift - old >
+floor_sec (defaults 1.4 / 0.3 — this box swings ±20% run to run, so
+smaller deltas are noise; compare isolated best-of-3 for anything
+borderline).
+
+Shuffle-byte deltas (plan cost, box-INDEPENDENT — never normalized):
+when both artifacts carry per-query `shuffle_bytes`
+[read, write, spilled], a query is also flagged when its read+write
+total grew beyond 1.3x + 1 MiB — the reliable signal a plan picked up
+an extra or fatter exchange.
 """
 
 from __future__ import annotations
@@ -17,15 +37,31 @@ import json
 import re
 import sys
 
+BYTE_RATIO = 1.3
+BYTE_FLOOR = 1 << 20  # 1 MiB
+MIN_FALLBACK_QUERIES = 16
+META_KEYS = ("value", "sf", "n", "rc", "cpus", "headline22_total",
+             "total_sec")
 
-def load_queries(path: str) -> dict[str, float]:
+
+def load_bench(path: str) -> dict:
+    """Returns {queries: {name: sec}, calibration: {name: sec},
+    shuffle_bytes: {name: [r, w, spill]}} — empty dicts where the
+    artifact predates a field."""
     raw = open(path).read()
     try:
         d = json.loads(raw)
     except json.JSONDecodeError:
         d = None
     if isinstance(d, dict) and isinstance(d.get("queries"), dict):
-        return {k: float(v) for k, v in d["queries"].items()}
+        return {
+            "queries": {k: float(v) for k, v in d["queries"].items()},
+            "calibration": {k: float(v)
+                            for k, v in (d.get("calibration") or {}).items()},
+            "shuffle_bytes": {k: [int(x) for x in v]
+                              for k, v in (d.get("shuffle_bytes") or {}).items()
+                              if isinstance(v, (list, tuple)) and len(v) == 3},
+        }
     text = d.get("tail", raw) if isinstance(d, dict) else raw
     m = re.search(r'"queries":\s*\{([^}]*)\}', text)
     # driver tails are often truncated mid-line; fall back to scraping
@@ -33,31 +69,103 @@ def load_queries(path: str) -> dict[str, float]:
     body = m.group(1) if m else text
     pairs = {k: float(v)
              for k, v in re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', body)}
-    for meta in ("value", "sf", "n", "rc", "cpus", "headline22_total",
-                 "total_sec"):
+    calib = {k: pairs.pop(k) for k in list(pairs) if k.startswith("calib_")}
+    for meta in META_KEYS:
         pairs.pop(meta, None)
     if not pairs:
         raise SystemExit(f"{path}: no queries payload found")
-    return pairs
+    return {"queries": pairs, "calibration": calib, "shuffle_bytes": {}}
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
+def drift_factor(old: dict, new: dict) -> tuple[float, str]:
+    """Median new/old ratio of the calibration probes; artifacts that
+    predate the probes fall back to the 75th-percentile per-query
+    ratio. The fallback is deliberately conservative AGAINST false
+    positives: box speed varies DURING a 40-minute sweep, so a single
+    median under-corrects queries that happened to run in a slow
+    phase, while p75 only masks a real regression if more than a
+    quarter of all shared queries regressed at once — at which point
+    the summary line's faster-or-equal count collapses and says so."""
+    shared_cal = sorted(set(old["calibration"]) & set(new["calibration"]))
+    if shared_cal:
+        return (_median([new["calibration"][k] / old["calibration"][k]
+                         for k in shared_cal if old["calibration"][k] > 0]),
+                f"calibration probes ({', '.join(shared_cal)})")
+    shared_q = [k for k in set(old["queries"]) & set(new["queries"])
+                if old["queries"][k] > 0]
+    # A p75 over a handful of queries is just "the slowest one" and
+    # would normalize away a real regression — only estimate drift
+    # from a population where outliers can't dominate the quartile.
+    if len(shared_q) >= MIN_FALLBACK_QUERIES:
+        ratios = sorted(new["queries"][k] / old["queries"][k]
+                        for k in shared_q)
+        p75 = ratios[min(len(ratios) - 1, (len(ratios) * 3) // 4)]
+        return (p75,
+                f"p75 of {len(shared_q)} shared query ratios "
+                "(no calibration probes in one artifact)")
+    return 1.0, (f"none (fewer than {MIN_FALLBACK_QUERIES} shared "
+                 "queries and no calibration probes — raw comparison)")
+
+
+def compare(old: dict, new: dict, ratio: float = 1.4,
+            floor: float = 0.3) -> dict:
+    """Pure comparison core (unit-tested directly): returns
+    {drift, drift_source, time_regressions, byte_regressions,
+    n_common, n_faster}."""
+    drift, source = drift_factor(old, new)
+    drift = max(drift, 1e-9)
+    oq, nq = old["queries"], new["queries"]
+    common = sorted(set(oq) & set(nq))
+    time_regs = []
+    for k in common:
+        adj = nq[k] / drift
+        if adj > oq[k] * ratio and adj - oq[k] > floor:
+            time_regs.append((k, oq[k], nq[k], adj))
+    byte_regs = []
+    for k in sorted(set(old["shuffle_bytes"]) & set(new["shuffle_bytes"])):
+        ob = old["shuffle_bytes"][k][0] + old["shuffle_bytes"][k][1]
+        nb = new["shuffle_bytes"][k][0] + new["shuffle_bytes"][k][1]
+        if nb > ob * BYTE_RATIO + BYTE_FLOOR:
+            byte_regs.append((k, ob, nb))
+    return {
+        "drift": drift,
+        "drift_source": source,
+        "time_regressions": time_regs,
+        "byte_regressions": byte_regs,
+        "n_common": len(common),
+        "n_faster": sum(1 for k in common if nq[k] / drift <= oq[k]),
+    }
 
 
 def main() -> int:
     if len(sys.argv) < 3:
         print(__doc__)
         return 2
-    old = load_queries(sys.argv[1])
-    new = load_queries(sys.argv[2])
+    old = load_bench(sys.argv[1])
+    new = load_bench(sys.argv[2])
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.4
     floor = float(sys.argv[4]) if len(sys.argv) > 4 else 0.3
-    common = sorted(set(old) & set(new))
-    regs = [(k, old[k], new[k]) for k in common
-            if new[k] > old[k] * ratio and new[k] - old[k] > floor]
-    for k, a, b in sorted(regs, key=lambda t: t[1] - t[2]):
-        print(f"REGRESSION {k}: {a:.2f}s -> {b:.2f}s ({b / a:.2f}x)")
-    faster = sum(1 for k in common if new[k] <= old[k])
-    print(f"{len(common)} comparable, {faster} faster-or-equal, "
-          f"{len(regs)} regression(s) beyond {ratio}x+{floor}s")
-    return 1 if regs else 0
+    r = compare(old, new, ratio, floor)
+    print(f"drift factor {r['drift']:.3f} from {r['drift_source']}")
+    for k, a, b, adj in sorted(r["time_regressions"],
+                               key=lambda t: t[1] - t[3]):
+        print(f"REGRESSION {k}: {a:.2f}s -> {b:.2f}s raw "
+              f"({adj:.2f}s drift-adjusted, {adj / a:.2f}x)")
+    for k, ob, nb in sorted(r["byte_regressions"],
+                            key=lambda t: t[1] - t[2]):
+        print(f"BYTES-REGRESSION {k}: {ob} -> {nb} shuffle bytes "
+              f"({nb / max(ob, 1):.2f}x)")
+    print(f"{r['n_common']} comparable, {r['n_faster']} faster-or-equal "
+          f"after drift, {len(r['time_regressions'])} time regression(s) "
+          f"beyond {ratio}x+{floor}s, "
+          f"{len(r['byte_regressions'])} byte regression(s)")
+    return 1 if (r["time_regressions"] or r["byte_regressions"]) else 0
 
 
 if __name__ == "__main__":
