@@ -5613,6 +5613,139 @@ QUERIES["bpe_encode_docs"] = _q_bpe_encode
 # Python-replay encode test instead.
 
 
+# Frozen merge table for the hash-checked BPE auditor: a fixed,
+# chained table (rank 1 consumes rank 0's fused symbol) so the
+# auditor exercises the same fold semantics as a learned table —
+# without the trainer's iterative fixpoint, which is what kept the
+# BPE family rows-only. Merges never touch BPE_END.
+BPE_AUDIT_MERGES = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("s", "t"),
+)
+BPE_MAX_FERTILITY = 6.0
+
+
+def bpe_fertility_report(documents: DataFrame,
+                         merges: Sequence[tuple[str, str]] = BPE_AUDIT_MERGES,
+                         max_fertility: float = BPE_MAX_FERTILITY,
+                         ) -> DataFrame:
+    """Hash-checked auditor for the BPE encoder (VERDICT r6 item 4,
+    the `ivf_admission_report` trick): freeze the merge table and the
+    encoder stops being an iterative fixpoint — applying K known
+    merges left-to-right is pure relational algebra a SQL oracle can
+    replay, because every symbol is representable as one character
+    (originals are single chars; each fused symbol gets a fresh
+    private-use placeholder) and the fold's leftmost-first
+    non-overlapping merge IS string replace() semantics
+    (`bpe_audit_encode_sql` generates the replace chain). Tokens are
+    [a-z0-9]+ by construction (TOKEN_SPLIT), so placeholders cannot
+    collide with input.
+
+    Per language: doc/token/piece totals and the fertility
+    (pieces per token), plus verdict booleans — the encoder-totality
+    bounds (every token yields between 1 and len+1 pieces) and a
+    fertility budget. All columns replay in DuckDB, booleans
+    included; a FLIP test pins that they are computed, not constants.
+
+    Spark shape: `bpe_apply` does the heavy lifting (vocab-sized
+    folds, broadcast dictionary join, one corpus scan); this adds one
+    lang join and a group-count-sized aggregate.
+    """
+    if any(BPE_END in (left, right) for left, right in merges):
+        raise ValueError("audit merges must not touch the end marker")
+    spark = documents.sparkSession
+    mdf = spark.createDataFrame(
+        [(i, left, right, 0) for i, (left, right) in enumerate(merges)],
+        schema="rank int, left string, right string, pair_count long")
+    enc = bpe_apply(documents, mdf)
+    chars = documents.select(
+        "doc_id",
+        F.aggregate(F.transform(tokens_col(), lambda t: F.length(t)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("__chars"),
+    )
+    per_doc = enc.join(chars, "doc_id").join(
+        documents.select("doc_id", "lang"), "doc_id")
+    fert = (F.sum("n_bpe_tokens").cast("double")
+            / F.sum("n_tokens").cast("double"))
+    return (
+        per_doc.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("n_tokens"),
+             F.sum("n_bpe_tokens").alias("n_pieces"),
+             F.round(fert, 6).alias("fertility"),
+             (F.sum("n_bpe_tokens") >= F.sum("n_tokens"))
+             .alias("pieces_lower_ok"),
+             (F.sum("n_bpe_tokens")
+              <= F.sum("__chars") + F.sum("n_tokens"))
+             .alias("pieces_upper_ok"),
+             (fert <= F.lit(float(max_fertility)))
+             .alias("fertility_within_budget"))
+        .orderBy("lang")
+    )
+
+
+def bpe_audit_encode_sql(merges: Sequence[tuple[str, str]] = BPE_AUDIT_MERGES,
+                         word_expr: str = "w") -> str:
+    """DuckDB expression for the frozen-table BPE piece count of a
+    token: a chain of replace() calls, one per merge, with each fused
+    symbol represented by a fresh private-use character — leftmost
+    non-overlapping replace reproduces `_bpe_merge_fold` exactly —
+    followed by length()+1 for the end marker."""
+    rep: dict[str, str] = {}
+
+    def r(sym: str) -> str:
+        if sym in rep:
+            return rep[sym]
+        if len(sym) == 1:
+            return sym
+        raise ValueError(f"merge input {sym!r} is neither a single char "
+                         "nor a previously fused symbol")
+
+    expr = word_expr
+    for i, (left, right) in enumerate(merges):
+        fused_char = chr(0xE000 + i)
+        pattern = r(left) + r(right)
+        rep[left + right] = fused_char
+        expr = f"replace({expr}, '{pattern}', '{fused_char}')"
+    return f"(length({expr}) + 1)"
+
+
+def _q_bpe_fertility(spark, sf):
+    return bpe_fertility_report(_docs(spark, sf))
+
+
+QUERIES["bpe_fertility_report"] = _q_bpe_fertility
+
+ORACLES["bpe_fertility_report"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents
+    ), enc AS (
+        SELECT w, CAST({bpe_audit_encode_sql()} AS BIGINT) AS pieces,
+               CAST(length(w) AS BIGINT) AS chars
+        FROM (SELECT DISTINCT w FROM toks)
+    ), per_lang AS (
+        SELECT d.lang,
+               COUNT(DISTINCT t.doc_id) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(e.pieces) AS BIGINT) AS n_pieces,
+               CAST(SUM(e.chars) AS BIGINT) AS n_chars
+        FROM toks t
+        JOIN enc e ON t.w = e.w
+        JOIN documents d ON d.doc_id = t.doc_id
+        GROUP BY d.lang
+    )
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, n_tokens, n_pieces,
+           round(CAST(n_pieces AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+               AS fertility,
+           n_pieces >= n_tokens AS pieces_lower_ok,
+           n_pieces <= n_chars + n_tokens AS pieces_upper_ok,
+           CAST(n_pieces AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+               <= {BPE_MAX_FERTILITY} AS fertility_within_budget
+    FROM per_lang ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-duplicate pairs (banded Hamming)
 # ---------------------------------------------------------------------------

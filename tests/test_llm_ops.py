@@ -1553,3 +1553,44 @@ def test_embedding_capped_equals_uncapped_and_arms_hot_buckets(spark, emb):
     for r in small:
         parent[find(int(r["vec_a"]))] = find(int(r["vec_b"]))
     assert len({find(i) for i in range(n)}) == 1
+
+
+def test_bpe_fertility_report_verdict_booleans_flip(spark, docs):
+    """The frozen-table BPE auditor: bounds booleans are computed, not
+    pinned — a hostile fertility budget flips fertility_within_budget
+    to False while the default budget reads True; the totality bounds
+    hold on the real encoder."""
+    rows = llm.bpe_fertility_report(docs).collect()
+    assert rows
+    assert all(r["pieces_lower_ok"] and r["pieces_upper_ok"]
+               and r["fertility_within_budget"] for r in rows)
+    flipped = llm.bpe_fertility_report(docs, max_fertility=1.0).collect()
+    assert any(not r["fertility_within_budget"] for r in flipped)
+    assert all(r["pieces_lower_ok"] for r in flipped)
+
+
+def test_bpe_audit_replace_chain_equals_merge_fold(spark, docs):
+    """The oracle's replace-chain encode (each fused symbol one
+    private-use char, leftmost non-overlapping replace) is exactly the
+    distributed merge fold — pinned against the sequential reference
+    encoder on the corpus vocabulary plus crafted overlap cases."""
+    import duckdb
+
+    tricky = ["ththth", "thethe", "ananan", "rere", "sts", "x", "",
+              "interesting", "thunderstorm", "ntherthe"]
+    corpus = {t for row in docs.select("text").collect()
+              for t in __import__("re").split("[^a-z0-9]+",
+                                              row["text"].lower()) if t}
+    words = sorted(corpus | set(w for w in tricky if w))
+    want = _bpe_encode_replay(words, list(llm.BPE_AUDIT_MERGES))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v(w VARCHAR)")
+    con.executemany("INSERT INTO v VALUES (?)", [[w] for w in words])
+    got = dict(con.execute(
+        f"SELECT w, {llm.bpe_audit_encode_sql()} FROM v").fetchall())
+    assert got == want
+
+    with pytest.raises(ValueError):
+        llm.bpe_fertility_report(docs, merges=(("a", llm.BPE_END),))
+    with pytest.raises(ValueError):
+        llm.bpe_audit_encode_sql(merges=(("ab", "c"),))
