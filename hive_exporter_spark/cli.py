@@ -152,10 +152,11 @@ def build_parser() -> argparse.ArgumentParser:
              "bucket-partitioned write, centroids persisted beside the "
              "index), update (frozen-centroid append-only admission), "
              "query (partition-pruned top-k probe)")
-    ivf.add_argument("action", choices=["build", "update", "query"])
-    ivf.add_argument("-i", "--input", required=True,
+    ivf.add_argument("action", choices=["build", "update", "query", "status"])
+    ivf.add_argument("-i", "--input",
                      help="parquet of vectors (build/update: corpus or "
-                          "new batch; query: query vectors)")
+                          "new batch; query: query vectors; status: "
+                          "not needed)")
     ivf.add_argument("-o", "--index-dir", required=True,
                      help="index directory (bucket=N partitions + "
                           "_centroids.json routing table)")
@@ -287,6 +288,44 @@ def main(argv: list[str] | None = None) -> int:
 
         from hive_exporter_spark.operators import llm
         cent_path = _os.path.join(args.index_dir, "_centroids.json")
+        adm_dir = _os.path.join(args.index_dir, "_admissions")
+        if args.action == "status":
+            # Maintenance verdict from the accumulated admission
+            # reports (underscore dir: invisible to index readers):
+            # rebuild > compact > ok. Thresholds in SCALE.md.
+            if not _os.path.isdir(adm_dir):
+                print("ok: no admissions recorded — index is as built "
+                      "(or was never updated)")
+                return 0
+            verdict = llm.ivf_rebuild_due(
+                spark.read.parquet(adm_dir)).collect()[0]
+            import glob as _glob
+            per_bucket = [
+                len(_glob.glob(_os.path.join(b, "*.parquet")))
+                for b in _glob.glob(
+                    _os.path.join(args.index_dir, "bucket=*"))
+            ]
+            max_files = max(per_bucket, default=0)
+            print(f"baseline_sim={verdict['baseline_sim']} "
+                  f"latest_sim={verdict['latest_sim']} "
+                  f"drift={verdict['drift']} "
+                  f"max_files_per_bucket={max_files}")
+            if verdict["rebuild_due"]:
+                print("rebuild: routing similarity drifted beyond "
+                      f"{llm.IVF_REBUILD_DRIFT} — the frozen centroids "
+                      "no longer describe arriving data; run `ivf "
+                      "build` on the full corpus")
+            elif max_files > llm.IVF_COMPACT_FILES_PER_BUCKET:
+                print("compact: append-only updates accumulated "
+                      f"{max_files} files in a bucket — run `compact "
+                      "--partitioned` and carry _centroids.json along")
+            else:
+                print("ok")
+            return 0
+        if not args.input:
+            print("error: -i/--input is required for "
+                  f"`ivf {args.action}`", file=sys.stderr)
+            return 2
         df = spark.read.parquet(args.input)
         if args.action == "build":
             cent = llm.build_ivf_index(
@@ -319,6 +358,16 @@ def main(argv: list[str] | None = None) -> int:
             for r in rep.collect():
                 print(f"bucket={r['bucket']} added={r['n_added']} "
                       f"mean_top_sim={r['mean_top_sim']}")
+            # Accumulate the admission report beside the index so
+            # `ivf status` can watch drift across updates; update_seq
+            # orders batches (max existing + 1).
+            from pyspark.sql import functions as F
+            seq = 1
+            if _os.path.isdir(adm_dir):
+                seq = (spark.read.parquet(adm_dir)
+                       .agg(F.max("update_seq")).first()[0] or 0) + 1
+            rep.withColumn("update_seq", F.lit(seq)) \
+                .write.mode("append").parquet(adm_dir)
             return 0
         res = llm.query_ivf_index(
             spark, args.index_dir, cent, df,

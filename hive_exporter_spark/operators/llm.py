@@ -951,7 +951,18 @@ def build_ivf_index(embeddings: DataFrame, path: str,
     the other buckets' files (plan-gated by
     test_ivf_index_probe_partition_pruned)."""
     cent = _kmeans_centroids(embeddings, n_clusters, seed, id_col, vec_col)
+    # One bounded shuffle before the write. Without it every assign
+    # task spills a file into every bucket directory it touches —
+    # tasks x buckets files (10k tasks x 1k buckets = 10M files at
+    # 100 TB, paid on every later scan forever). Salting by
+    # pmod(xxhash64(id), n_salts) keeps write parallelism above
+    # n_clusters while capping files per bucket at ~n_salts; the
+    # shuffle is linear and paid exactly once at build time.
+    sess = embeddings.sparkSession
+    n_salts = max(1, sess.sparkContext.defaultParallelism // n_clusters)
     _ivf_assign(embeddings, cent, id_col, vec_col) \
+        .repartition(n_clusters * n_salts, F.col("bucket"),
+                     F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))) \
         .write.partitionBy("bucket").mode("overwrite").parquet(path)
     return cent.tolist()
 
@@ -1028,11 +1039,16 @@ def update_ivf_index(spark: SparkSession, path: str,
 
     # ONE fused kernel computes routing + similarity; persist the
     # admission batch (O(new data), never the corpus) so the write and
-    # the report share the single pass.
+    # the report share the single pass. Repartition by bucket BEFORE
+    # the write: without it every input partition emits a file into
+    # every bucket directory it touches (up to tasks x buckets small
+    # files per update — the append-only small-files trap); with it
+    # each update adds exactly one file per touched bucket, and the
+    # report's groupBy("bucket") reuses the same partitioning.
     admitted = new_embeddings.select(id_col, vec_col).mapInPandas(
         admit_kernel,
         f"{id_col} long, {vec_col} array<float>, bucket int, top_sim double",
-    ).persist()
+    ).repartition("bucket").persist()
     try:
         admitted.select(id_col, vec_col, "bucket") \
             .write.partitionBy("bucket").mode("append").parquet(path)
@@ -1047,6 +1063,53 @@ def update_ivf_index(spark: SparkSession, path: str,
         admitted.unpersist()
     return spark.createDataFrame(
         report_rows, "bucket int, n_added bigint, mean_top_sim double")
+
+
+# Rebuild when the admitted batches' routing similarity has dropped
+# this far below the first recorded batch — the frozen centroids no
+# longer describe the arriving distribution. Compact when any bucket
+# has accumulated this many files from append-only updates.
+IVF_REBUILD_DRIFT = 0.05
+IVF_COMPACT_FILES_PER_BUCKET = 8
+
+
+def ivf_rebuild_due(admissions: DataFrame,
+                    drift_threshold: float = IVF_REBUILD_DRIFT) -> DataFrame:
+    """Close the IVF maintenance loop (VERDICT r6 item 5): decide from
+    the ACCUMULATED admission reports whether the frozen centroids
+    have drifted enough to schedule a rebuild. `update_ivf_index`
+    emits per-bucket `mean_top_sim` for each admitted batch; this
+    compares the n_added-weighted mean routing similarity of the
+    FIRST recorded batch (the baseline — admissions right after a
+    build route well by construction) against the LATEST batch, and
+    raises `rebuild_due` when the drop exceeds `drift_threshold`.
+
+    One-row verdict: (baseline_sim, latest_sim, drift, rebuild_due).
+    Input is bucket x updates sized (driver-small by construction),
+    but the computation stays DataFrame-native — the same report
+    works if admissions for a 65k-bucket index live in parquet.
+    """
+    bounds = admissions.agg(F.min("update_seq").alias("__lo"),
+                            F.max("update_seq").alias("__hi"))
+    j = admissions.crossJoin(F.broadcast(bounds))
+
+    def wmean(flag):
+        return (F.sum(F.when(flag, F.col("mean_top_sim")
+                             * F.col("n_added")))
+                / F.sum(F.when(flag, F.col("n_added"))))
+
+    base = wmean(F.col("update_seq") == F.col("__lo"))
+    last = wmean(F.col("update_seq") == F.col("__hi"))
+    return (
+        j.agg(F.round(base, 6).alias("baseline_sim"),
+              F.round(last, 6).alias("latest_sim"))
+        .select(
+            "baseline_sim", "latest_sim",
+            F.round(F.col("baseline_sim") - F.col("latest_sim"), 6)
+            .alias("drift"),
+            (F.col("baseline_sim") - F.col("latest_sim")
+             > F.lit(float(drift_threshold))).alias("rebuild_due"))
+    )
 
 
 def ivf_admission_report(embeddings: DataFrame,
@@ -2164,6 +2227,83 @@ def embedding_pca(embeddings: DataFrame, k: int = PCA_K) -> DataFrame:
     return (
         model.transform(vecs)
         .select("vec_id", vector_to_array("pca").alias("pca_embedding"))
+    )
+
+
+# PCA must capture at least as much variance as ANY k orthonormal
+# directions — in particular the k highest-variance coordinate axes.
+# The epsilon absorbs eigensolver noise only (1e-6 on O(1) variances).
+PCA_VAR_EPS = 1e-6
+
+
+def pca_variance_report(embeddings: DataFrame, k: int = PCA_K) -> DataFrame:
+    """Variance-accounting auditor that puts `embedding_pca` under the
+    driver's hash gate (VERDICT r6 item 7). PCA's output itself is
+    rows-only by nature (eigenvector sign/order is
+    implementation-defined), but its OPTIMALITY contract is checkable:
+    the top-k principal subspace captures at least as much variance as
+    any other k orthonormal directions — in particular the k
+    highest-variance coordinate axes, which ARE deterministic and
+    DuckDB-replayable.
+
+    One-row report:
+    - `k`, `n_dims`, `n_rows`, `total_var`, `axis_topk_var` are exact
+      and replayed bit-exactly by the oracle (per-dim variance with
+      DECIMAL-accumulated sums — the `embedding_drift` arithmetic, so
+      the doubles agree to the last bit in both engines);
+    - `pca_captured_ok` (captured >= axis baseline - eps) and
+      `pca_within_total_ok` (captured <= total trace + eps) depend on
+      the fitted model, so the oracle pins them TRUE — a genuine
+      contract: a broken eigensolve, a wrong transform, or a
+      sign/scale bug in the projection flips a verdict and the driver
+      row goes red.
+
+    Plan shape: one posexplode pass per side (raw dims + projected
+    dims), per-dim partial aggregates (|dims| rows of exchange), then
+    single-row folds — the audit adds only dimension-sized work at any
+    corpus size. (Var is shift-invariant, so spark.ml's uncentered
+    transform still yields exactly the captured covariance trace.)
+    """
+    def per_dim_var(df, col):
+        ex = df.select(F.posexplode(col).alias("dim", "val")) \
+               .select("dim", F.col("val").cast("double").alias("val"))
+        pd_ = ex.groupBy("dim").agg(
+            F.sum(F.col("val").cast("decimal(28,6)")).alias("sx"),
+            F.sum((F.col("val") * F.col("val"))
+                  .cast("decimal(38,18)")).alias("sxx"),
+            F.count("val").alias("n"))
+        m = F.col("sx").cast("double") / F.col("n")
+        return pd_.select(
+            "dim",
+            (F.col("sxx").cast("double") / F.col("n") - m * m)
+            .alias("var_d"),
+            "n")
+
+    raw = per_dim_var(embeddings, "embedding")
+    dsum = lambda c: F.sum(F.col(c).cast("decimal(38,18)")).cast("double")
+    totals = raw.agg(
+        F.round(dsum("var_d"), 6).alias("total_var"),
+        F.count(F.lit(1)).alias("n_dims"),
+        F.max("n").alias("n_rows"))
+    w = Window.orderBy(F.col("var_d").desc(), F.col("dim"))
+    axis = (raw.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= k)
+            .agg(F.round(dsum("var_d"), 6).alias("axis_topk_var")))
+    pca_var = (per_dim_var(embedding_pca(embeddings, k), "pca_embedding")
+               .agg(F.sum("var_d").alias("__pca_var")))
+    return (
+        F.broadcast(totals).crossJoin(F.broadcast(axis))
+        .crossJoin(F.broadcast(pca_var))
+        .select(
+            F.lit(k).alias("k"), "n_dims", "n_rows",
+            "total_var", "axis_topk_var",
+            F.coalesce(F.col("__pca_var")
+                       >= F.col("axis_topk_var") - PCA_VAR_EPS,
+                       F.lit(False)).alias("pca_captured_ok"),
+            F.coalesce(F.col("__pca_var")
+                       <= F.col("total_var") + PCA_VAR_EPS,
+                       F.lit(False)).alias("pca_within_total_ok"),
+        )
     )
 
 
@@ -3937,10 +4077,15 @@ def _q_pca(spark, sf):
     )
 
 
+def _q_pca_variance(spark, sf):
+    return pca_variance_report(_emb(spark, sf))
+
+
 QUERIES = {
     "chunk_documents": _q_chunk,
     "chunk_documents_overlap": _q_chunk_overlap,
     "embedding_pca": _q_pca,
+    "pca_variance_report": _q_pca_variance,
     "dedup_exact": _q_dedup_exact,
     "dedup_exact_ids": _q_dedup_exact_ids,
     "near_dup_clusters": _q_clusters,
@@ -6024,6 +6169,41 @@ ORACLES["embedding_drift"] = """
     FROM a JOIN b ON a.label = b.label AND a.dim = b.dim
     GROUP BY a.label
     ORDER BY a.label
+"""
+
+# pca_variance_report: the deterministic columns replay through the
+# same DECIMAL-accumulated per-dim variance arithmetic as
+# embedding_drift; the two model-dependent verdicts are pinned TRUE
+# (PCA optimality guarantees them — a flip means a real regression).
+ORACLES["pca_variance_report"] = f"""
+    WITH ex AS (
+        SELECT u.dim - 1 AS dim, CAST(u.val AS DOUBLE) AS val
+        FROM embeddings,
+             unnest(list_transform(range(1, len(embedding) + 1),
+                    i -> {{'dim': i, 'val': embedding[i]}})) AS t(u)
+    ), pd AS (
+        SELECT dim,
+               CAST(SUM(CAST(val AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(val * val AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+               COUNT(val) AS n
+        FROM ex GROUP BY dim
+    ), vd AS (
+        SELECT dim, sxx / n - (sx / n) * (sx / n) AS var_d, n FROM pd
+    ), rk AS (
+        SELECT var_d,
+               ROW_NUMBER() OVER (ORDER BY var_d DESC, dim) AS r
+        FROM vd
+    )
+    SELECT {PCA_K} AS k,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM vd) AS n_dims,
+           (SELECT MAX(n) FROM vd) AS n_rows,
+           (SELECT round(CAST(SUM(CAST(var_d AS DECIMAL(38,18)))
+                              AS DOUBLE), 6) FROM vd) AS total_var,
+           (SELECT round(CAST(SUM(CAST(var_d AS DECIMAL(38,18)))
+                              AS DOUBLE), 6)
+            FROM rk WHERE r <= {PCA_K}) AS axis_topk_var,
+           TRUE AS pca_captured_ok,
+           TRUE AS pca_within_total_ok
 """
 
 

@@ -280,3 +280,94 @@ def test_ivf_cli_lifecycle(spark, tmp_path, capsys):
     # printing mode works too
     assert cli.main(["ivf", "query", "-i", q_p, "-o", idx, "-k", "3"]) == 0
     assert "rank=1" in capsys.readouterr().out
+
+
+def _clustered_vectors(spark, ids, cluster_dims, dim=64, spread=0.05):
+    """Synthetic tight clusters: vector i points along
+    cluster_dims[i % k] with a small deterministic off-axis wobble —
+    routing similarity to a recovered centroid is ~1.0, while a
+    vector aimed at an UNUSED axis routes with ~0 similarity."""
+    rows = []
+    for i in ids:
+        d = cluster_dims[i % len(cluster_dims)]
+        v = [0.0] * dim
+        v[d] = 1.0
+        v[(d + 7) % dim] += spread * ((i % 5) - 2) / 2.0
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_status_closes_maintenance_loop(spark, tmp_path, capsys):
+    """The full lifecycle verdict (VERDICT r6 item 5): build + healthy
+    update -> status ok; inject drift (vectors aimed at axes the
+    frozen centroids never saw) -> status says rebuild; rebuild ->
+    status reads ok again and probes match a fresh one-pass build."""
+    import json
+    import os
+
+    base_dims = [0, 1, 2, 3, 4, 5, 6, 7]
+    base = _clustered_vectors(spark, range(0, 200), base_dims)
+    base_p = str(tmp_path / "base.parquet")
+    base.write.parquet(base_p)
+    idx = str(tmp_path / "idx")
+
+    # status before any update: ok (nothing recorded)
+    assert cli.main(["ivf", "build", "-i", base_p, "-o", idx,
+                     "--clusters", "8"]) == 0
+    capsys.readouterr()
+    assert cli.main(["ivf", "status", "-o", idx]) == 0
+    assert "ok: no admissions recorded" in capsys.readouterr().out
+
+    # healthy update: in-distribution vectors route like the baseline
+    new_p = str(tmp_path / "new.parquet")
+    _clustered_vectors(spark, range(200, 300), base_dims) \
+        .write.parquet(new_p)
+    assert cli.main(["ivf", "update", "-i", new_p, "-o", idx]) == 0
+    capsys.readouterr()
+    assert cli.main(["ivf", "status", "-o", idx]) == 0
+    first = capsys.readouterr().out
+    assert first.strip().splitlines()[-1] == "ok"
+
+    # drift injection: clusters on axes 32..39, which the frozen
+    # centroids cannot describe — routing similarity collapses and
+    # the verdict flips
+    drift_p = str(tmp_path / "drift.parquet")
+    _clustered_vectors(spark, range(1000, 1100),
+                       [32, 33, 34, 35, 36, 37, 38, 39]) \
+        .write.parquet(drift_p)
+    assert cli.main(["ivf", "update", "-i", drift_p, "-o", idx]) == 0
+    capsys.readouterr()
+    assert cli.main(["ivf", "status", "-o", idx]) == 0
+    out = capsys.readouterr().out
+    assert "rebuild:" in out
+
+    # rebuild on the full corpus (what the verdict prescribes): fresh
+    # index + fresh routing table; probes match a one-pass build
+    emb = base.unionByName(
+        _clustered_vectors(spark, range(1000, 1100),
+                           [32, 33, 34, 35, 36, 37, 38, 39]))
+    full_p = str(tmp_path / "full.parquet")
+    emb.write.parquet(full_p)
+    idx2 = str(tmp_path / "idx2")
+    assert cli.main(["ivf", "build", "-i", full_p, "-o", idx2,
+                     "--clusters", "8"]) == 0
+    capsys.readouterr()
+    assert cli.main(["ivf", "status", "-o", idx2]) == 0
+    assert "ok" in capsys.readouterr().out
+
+    from hive_exporter_spark.operators import llm
+    cent = json.load(open(os.path.join(idx2, "_centroids.json")))
+    queries = emb.where(F.col("vec_id") < 4)
+    a = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+               for r in llm.query_ivf_index(spark, idx2, cent,
+                                            queries).collect())
+    ref = str(tmp_path / "ref")
+    llm._ivf_assign(emb, cent, "vec_id", "embedding") \
+        .write.partitionBy("bucket").mode("overwrite").parquet(ref)
+    b = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+               for r in llm.query_ivf_index(spark, ref, cent,
+                                            queries).collect())
+    assert a == b and a
+
+    # input guard: update/build/query without -i is a usage error
+    assert cli.main(["ivf", "update", "-o", idx]) == 2

@@ -1594,3 +1594,76 @@ def test_bpe_audit_replace_chain_equals_merge_fold(spark, docs):
         llm.bpe_fertility_report(docs, merges=(("a", llm.BPE_END),))
     with pytest.raises(ValueError):
         llm.bpe_audit_encode_sql(merges=(("ab", "c"),))
+
+
+def test_ivf_rebuild_due_flips_on_drift(spark):
+    """The maintenance verdict is computed, not pinned: a stable
+    similarity stream reads ok; a collapsed latest batch trips
+    rebuild_due; a single recorded batch never trips (baseline ==
+    latest by construction)."""
+    stable = spark.createDataFrame(
+        [(1, 0, 100, 0.93), (1, 1, 80, 0.91),
+         (2, 0, 120, 0.92), (2, 1, 60, 0.90)],
+        "update_seq int, bucket int, n_added long, mean_top_sim double")
+    v = llm.ivf_rebuild_due(stable).collect()[0]
+    assert not v["rebuild_due"] and abs(v["drift"]) < llm.IVF_REBUILD_DRIFT
+
+    drifted = spark.createDataFrame(
+        [(1, 0, 100, 0.93), (2, 0, 100, 0.70)],
+        "update_seq int, bucket int, n_added long, mean_top_sim double")
+    v = llm.ivf_rebuild_due(drifted).collect()[0]
+    assert v["rebuild_due"] and v["baseline_sim"] == 0.93 \
+        and v["latest_sim"] == 0.70
+
+    single = spark.createDataFrame(
+        [(1, 0, 100, 0.5), (1, 1, 50, 0.2)],
+        "update_seq int, bucket int, n_added long, mean_top_sim double")
+    v = llm.ivf_rebuild_due(single).collect()[0]
+    assert not v["rebuild_due"] and v["drift"] == 0.0
+
+    # weighting: a tiny collapsed bucket cannot outvote a large
+    # healthy one in the same batch
+    weighted = spark.createDataFrame(
+        [(1, 0, 1000, 0.90), (2, 0, 990, 0.89), (2, 1, 10, 0.0)],
+        "update_seq int, bucket int, n_added long, mean_top_sim double")
+    v = llm.ivf_rebuild_due(weighted).collect()[0]
+    assert not v["rebuild_due"]
+
+
+def test_pca_variance_report_accounting_and_flip(spark, emb, monkeypatch):
+    """The PCA auditor's deterministic columns account correctly
+    (axis baseline <= total trace) and its verdicts are COMPUTED, not
+    pinned: the real projection passes both, a sabotaged projection
+    (all-zero coords — zero captured variance) flips pca_captured_ok,
+    and an inflated one (coords scaled 10x — captured exceeds the
+    trace) flips pca_within_total_ok."""
+    r = llm.pca_variance_report(emb).collect()[0]
+    assert r["k"] == llm.PCA_K
+    assert r["n_rows"] == emb.count()
+    assert 0 < r["axis_topk_var"] <= r["total_var"]
+    assert r["pca_captured_ok"] and r["pca_within_total_ok"]
+
+    real_pca = llm.embedding_pca
+
+    def zeroed(embeddings, k):
+        return real_pca(embeddings, k).select(
+            "vec_id",
+            F.transform("pca_embedding", lambda x: x * 0.0)
+            .alias("pca_embedding"))
+
+    monkeypatch.setattr(llm, "embedding_pca", zeroed)
+    v = llm.pca_variance_report(emb).collect()[0]
+    assert not v["pca_captured_ok"] and v["pca_within_total_ok"]
+    # the replayable columns are untouched by the sabotage
+    assert v["total_var"] == r["total_var"]
+    assert v["axis_topk_var"] == r["axis_topk_var"]
+
+    def inflated(embeddings, k):
+        return real_pca(embeddings, k).select(
+            "vec_id",
+            F.transform("pca_embedding", lambda x: x * 10.0)
+            .alias("pca_embedding"))
+
+    monkeypatch.setattr(llm, "embedding_pca", inflated)
+    v = llm.pca_variance_report(emb).collect()[0]
+    assert v["pca_captured_ok"] and not v["pca_within_total_ok"]
