@@ -160,3 +160,69 @@ def test_byte_regression_is_box_independent():
     r = compare_bench.compare(old, new)
     assert [t[0] for t in r["byte_regressions"]] == ["q1"]
     assert r["time_regressions"] == []
+
+
+_rw_spec = importlib.util.spec_from_file_location(
+    "rotate_window",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "tools", "rotate_window.py"))
+rotate_window = importlib.util.module_from_spec(_rw_spec)
+_rw_spec.loader.exec_module(rotate_window)
+
+
+def test_rotate_window_ranking_rule():
+    """The mechanical rotation rule behind _PRIORITY: never-checked
+    entries lead, then descending staleness (code churned after the
+    last green), oracle-backed entries win ties, and untouched-since-
+    green entries only top up a short window — oldest green first."""
+    green = {"a": 1, "b": 1, "c": 5, "d": 6, "f": 2}
+    oracles = {"a", "b", "d", "e", "f"}
+    touched = {"a": 7, "b": 7, "c": 7, "d": 6, "e": 7, "f": 2}
+    rows = rotate_window.rank_entries(
+        ["a", "b", "c", "d", "e", "f"], green, oracles, touched)
+    names = [r["name"] for r in rows]
+    # e: never green -> first. a/b (stale 6, oracle) beat c (stale 2,
+    # rows-only). d and f are not stale at all.
+    assert names[:4] == ["e", "a", "b", "c"]
+
+    win = rotate_window.pick_window(rows, window=3)
+    assert [r["name"] for r in win] == ["e", "a", "b"]
+    # top-up path: window larger than the stale set pulls in the
+    # oldest green first (f at r2 before d at r6)
+    win = rotate_window.pick_window(rows, window=6)
+    assert [r["name"] for r in win] == ["e", "a", "b", "c", "f", "d"]
+
+
+def test_rotate_window_green_parses_rows_only(tmp_path, monkeypatch):
+    """A no_oracle rows-only pass counts as a green check (the driver
+    DID run the entry); an err row does not."""
+    f = tmp_path / "CORRECTNESS_r03.json"
+    f.write_text(json.dumps({
+        "hashy": {"rows_match": True, "schema_match": True,
+                  "hash_match": True, "spark_rows": 5,
+                  "oracle_rows": 5, "err": None},
+        "rowsy": {"rows_match": None, "schema_match": None,
+                  "hash_match": None, "spark_rows": 8,
+                  "oracle_rows": None, "err": "no_oracle"},
+        "bad": {"rows_match": None, "schema_match": None,
+                "hash_match": None, "spark_rows": None,
+                "oracle_rows": None, "err": "Traceback ..."},
+        "redhash": {"rows_match": True, "schema_match": True,
+                    "hash_match": False, "spark_rows": 5,
+                    "oracle_rows": 5, "err": None},
+    }))
+    monkeypatch.setattr(rotate_window, "REPO", str(tmp_path))
+    green = rotate_window._last_green()
+    assert green == {"hashy": 3, "rowsy": 3}
+
+
+def test_priority_is_a_valid_window():
+    """Consistency of the frozen _PRIORITY snapshot: 50 unique names,
+    all present in the live registry."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+    pri = entry._PRIORITY
+    assert len(pri) == 50 and len(set(pri)) == 50
+    assert set(pri) <= set(entry.queries())
