@@ -132,6 +132,22 @@ BENCH_QUERIES = [
     "vocab_coverage",
     "event_transition_pagerank",
     "sample_accuracy_report",
+    # r6 additions: the skew-capped pair screens (the shuffle-byte
+    # armor — their capped-vs-uncapped byte deltas are asserted in
+    # tests/test_metrics.py) + the audit family that went hash-checked.
+    "minhash_lsh_pairs_capped",
+    "simhash_near_dup_pairs_capped",
+    "embedding_near_dup_lsh_pairs_capped",
+    "image_phash_near_dups_capped",
+    "approx_stats_error_report",
+    "stratified_sample_report",
+    "hll_kmv_crosscheck",
+    "ivf_admission_report",
+    # r7 additions: BPE/PCA auditors + the learned quality filter.
+    "bpe_fertility_report",
+    "pca_variance_report",
+    "quality_classifier_score",
+    "quality_classifier_eval",
 ]
 
 # The r1-comparable headline set (BASELINE.md gate: within 2x of the

@@ -181,6 +181,26 @@ def build_parser() -> argparse.ArgumentParser:
     # plain open(), so the `ivf` verb needs a driver-local index dir;
     # the parquet buckets themselves can live on any Hadoop FS.
 
+    qc = sub.add_parser(
+        "quality",
+        help="learned quality filter lifecycle: train (hashed "
+             "bag-of-tokens logistic model -> weights parquet), score "
+             "(broadcast the weights over the corpus; omit -w for the "
+             "frozen md5 baseline), eval (held-out acceptance report)")
+    qc.add_argument("action", choices=["train", "score", "eval"])
+    qc.add_argument("-i", "--input", required=True,
+                    help="documents parquet (doc_id, text)")
+    qc.add_argument("-w", "--weights",
+                    help="weights parquet (train: where to write; "
+                         "score: what to broadcast — omit for the "
+                         "frozen baseline)")
+    qc.add_argument("--out",
+                    help="score: write (doc_id, margin, predicted) "
+                         "parquet here instead of printing a sample "
+                         "(must not overlap the input)")
+    qc.add_argument("--dim", type=int, default=None,
+                    help="hashed feature-space size")
+
     aud = sub.add_parser(
         "audit-plan",
         help="lint a SQL query's physical plan for 100 TB "
@@ -392,6 +412,47 @@ def main(argv: list[str] | None = None) -> int:
             for r in res.orderBy("query_id", "rank").limit(20).collect():
                 print(f"query={r['query_id']} rank={r['rank']} "
                       f"neighbor={r['neighbor_id']} score={r['score']}")
+        return 0
+
+    if args.command == "quality":
+        from hive_exporter_spark.operators import pipeline as _pipe
+        dim = args.dim or _pipe.QC_DIM
+        docs = spark.read.parquet(args.input)
+        if args.action == "train":
+            if not args.weights:
+                print("error: quality train needs -w/--weights (where "
+                      "to write the model)", file=sys.stderr)
+                return 2
+            w = _pipe.quality_classifier_train(docs, dim=dim)
+            w.coalesce(1).write.mode("overwrite").parquet(args.weights)
+            n = w.count() - 1
+            print(f"trained: {n} non-zero weights + intercept -> "
+                  f"{args.weights}")
+            return 0
+        if args.action == "eval":
+            r = _pipe.quality_classifier_eval(docs, dim=dim).collect()[0]
+            print(f"n_train={r['n_train']} n_test={r['n_test']} "
+                  f"n_pos_test={r['n_pos_test']} "
+                  f"baseline_acc={r['baseline_acc']}")
+            ok = r["beats_majority"] and r["acc_above_floor"]
+            print("ok: trained model beats the majority baseline and "
+                  "clears the accuracy floor" if ok else
+                  "FAIL: trained model did not clear the acceptance "
+                  "gate — do not deploy these weights")
+            return 0 if ok else 1
+        w = (spark.read.parquet(args.weights) if args.weights else None)
+        scored = _pipe.quality_classifier_score(docs, weights=w, dim=dim)
+        if args.out:
+            from hive_exporter_spark.operators import layout as _layout
+            _layout._reject_overlapping_dirs(
+                args.input, args.out, _layout._default_fs(spark))
+            scored.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {spark.read.parquet(args.out).count()} "
+                  f"scored rows -> {args.out}")
+        else:
+            for r in scored.orderBy("doc_id").limit(10).collect():
+                print(f"doc={r['doc_id']} margin={r['margin']} "
+                      f"predicted={r['predicted']}")
         return 0
 
     if args.command == "audit-plan":

@@ -2248,33 +2248,40 @@ def _qc_label() -> F.Column:
 def quality_classifier_train(documents: DataFrame,
                              label: F.Column | None = None,
                              dim: int = QC_DIM) -> DataFrame:
-    """Fit the logistic quality classifier on hashed bag-of-tokens
-    features and return its weights as (feat, weight) rows (feat = -1
-    holds the intercept) — the dense dim-sized model a 1000-executor
-    scoring job broadcasts.
+    """Fit the logistic quality classifier on the SAME md5-hashed
+    feature space the scorer joins on, and return its weights as
+    (feat, weight) rows (feat = -1 holds the intercept) — the dense
+    dim-sized model a 1000-executor scoring job broadcasts. Training
+    in the scorer's own feature space is what makes the lifecycle
+    compose: `quality_classifier_score(docs, weights=train(...))` is
+    exactly the model's decision function (margin > 0 ⇔ p > 0.5).
 
-    Features are assembled JVM-side (no Python UDFs): the portable
-    (doc_id, feat, cnt) rows pivot into spark.ml sparse vectors via
-    collect_list + a VectorUDT-returning expression is NOT available
-    without a UDF, so training uses spark.ml's HashingTF (murmur3)
-    over the token array — also JVM-side, one map pass. The murmur3
-    feature space only lives inside train/eval; the portable scorer
-    above keeps its md5 space (weights learned here are keyed by
-    HashingTF indices and must be scored through `transform`, which
-    `quality_classifier_eval` does; exporting them onto the md5
-    feature space would mis-route collisions).
+    Features stay JVM-side (no Python UDFs): the portable
+    (doc_id, feat, cnt) rows pivot into a dense dim-sized array via
+    map_from_entries + one transform-over-sequence (the map is a
+    materialized column, so the per-element lookup is a lookup, not a
+    recompute), then `array_to_vector` hands spark.ml its VectorUDT.
+    Dense dim·8 B per row is the deliberate trade: at dim=1024 that
+    is 8 KB/doc on the training SAMPLE only — the corpus-scale side
+    is the scorer, which never materializes vectors.
     """
     from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.feature import HashingTF
-
-    from hive_exporter_spark.operators.llm import tokens_col
+    from pyspark.ml.functions import array_to_vector
 
     lab = _qc_label() if label is None else label
-    base = documents.select(
-        tokens_col().alias("toks"), lab.cast("double").alias("label"))
-    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=dim)
+    fc = hashed_token_counts(documents, dim)
+    m = fc.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("feat", "cnt"))).alias("__m"))
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.col("__m")[i], F.lit(0)).cast("double"))
+    vecs = (
+        documents.select("doc_id", lab.cast("double").alias("label"))
+        .join(m, "doc_id")
+        .select("label", array_to_vector(arr).alias("features")))
     lr = LogisticRegression(maxIter=QC_MAX_ITER, regParam=1e-4)
-    model = lr.fit(tf.transform(base))
+    model = lr.fit(vecs)
     spark = documents.sparkSession
     rows = [(-1, float(model.intercept))] + [
         (i, float(v)) for i, v in enumerate(model.coefficients) if v != 0.0]
@@ -2290,36 +2297,38 @@ def quality_classifier_eval(documents: DataFrame,
     Deterministic columns (train/test sizes from the Knuth-hash split,
     test positives, majority-class baseline accuracy) replay
     bit-exactly in DuckDB. The trained model's held-out accuracy is
-    engine-RNG-adjacent (LBFGS over murmur3 features — no SQL twin),
-    so it surfaces as two pinned verdict booleans: beats the majority
-    baseline, and clears QC_ACC_MIN. The label is token-recoverable
-    by construction, so a verdict flip means the training path itself
-    broke, not that the task got hard."""
-    from pyspark.ml.feature import HashingTF
+    engine-RNG-adjacent (LBFGS — no SQL twin), so it surfaces as two
+    pinned verdict booleans: STRICTLY beats the majority baseline,
+    and clears QC_ACC_MIN. The label is token-recoverable by
+    construction, so a verdict flip means the training path itself
+    broke, not that the task got hard.
 
-    from hive_exporter_spark.operators.llm import tokens_col
-
+    The eval exercises the REAL lifecycle: weights from
+    `quality_classifier_train` on the train split, predictions from
+    `quality_classifier_score`'s relational path on the test split —
+    the exact composition a deployment runs, not a parallel
+    model.transform() code path."""
     is_train = _hash_bucket("doc_id", 100) < SPLIT_PCTS[0]
-    lab = documents.select(
-        "doc_id", tokens_col().alias("toks"),
-        _qc_label().cast("double").alias("label"),
+    labeled = documents.select(
+        "doc_id", "text",
+        _qc_label().alias("label"),
         is_train.alias("is_train"),
     ).persist()
     try:
-        train = lab.where("is_train")
-        test = lab.where(~F.col("is_train"))
-        from pyspark.ml.classification import LogisticRegression
-
-        tf = HashingTF(inputCol="toks", outputCol="features",
-                       numFeatures=dim)
-        lr = LogisticRegression(maxIter=QC_MAX_ITER, regParam=1e-4)
-        model = lr.fit(tf.transform(train))
-        pred = model.transform(tf.transform(test))
-        agg = pred.agg(
-            F.count(F.lit(1)).alias("n_test"),
-            F.sum("label").cast("bigint").alias("n_pos_test"),
-            F.sum((F.col("prediction") == F.col("label"))
-                  .cast("long")).alias("__n_correct"),
+        train = labeled.where("is_train")
+        test = labeled.where(~F.col("is_train"))
+        weights = quality_classifier_train(train, dim=dim)
+        pred = quality_classifier_score(test, weights=weights, dim=dim)
+        agg = (
+            test.join(pred, "doc_id", "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_test"),
+                F.sum(F.col("label").cast("long")).alias("n_pos_test"),
+                # token-less docs get no score row: predicted NULL
+                # never equals the label, counting as a miss.
+                F.sum((F.col("predicted") == F.col("label"))
+                      .cast("long")).alias("__n_correct"),
+            )
         )
         n_train = F.broadcast(
             train.agg(F.count(F.lit(1)).alias("n_train")))
@@ -2327,7 +2336,8 @@ def quality_classifier_eval(documents: DataFrame,
             F.greatest(F.col("n_pos_test"),
                        F.col("n_test") - F.col("n_pos_test"))
             .cast("double") / F.col("n_test"))
-        acc = F.col("__n_correct").cast("double") / F.col("n_test")
+        acc = F.coalesce(F.col("__n_correct"), F.lit(0)) \
+            .cast("double") / F.col("n_test")
         out = (
             agg.crossJoin(n_train)
             .select(
@@ -2343,7 +2353,7 @@ def quality_classifier_eval(documents: DataFrame,
         )
         out = out.localCheckpoint()  # materialize before unpersist
     finally:
-        lab.unpersist()
+        labeled.unpersist()
     return out
 
 

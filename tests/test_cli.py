@@ -371,3 +371,41 @@ def test_ivf_status_closes_maintenance_loop(spark, tmp_path, capsys):
 
     # input guard: update/build/query without -i is a usage error
     assert cli.main(["ivf", "update", "-o", idx]) == 2
+
+
+def test_quality_cli_lifecycle(spark, tmp_path, capsys):
+    """train -> eval gate -> score with trained weights -> frozen
+    fallback: the full learned-quality-filter lifecycle through the
+    CLI, plus the usage / overlap guards."""
+    import os
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    docs_p = str(tmp_path / "docs.parquet")
+    spark.read.parquet(f"{sf}/documents.parquet").limit(300) \
+        .write.parquet(docs_p)
+
+    w_p = str(tmp_path / "weights.parquet")
+    assert cli.main(["quality", "train", "-i", docs_p, "-w", w_p]) == 0
+    out = capsys.readouterr().out
+    assert "intercept" in out and "trained:" in out
+
+    # the acceptance gate passes on the recoverable label
+    assert cli.main(["quality", "eval", "-i", docs_p]) == 0
+    assert "ok: trained model beats" in capsys.readouterr().out
+
+    scored_p = str(tmp_path / "scored.parquet")
+    assert cli.main(["quality", "score", "-i", docs_p, "-w", w_p,
+                     "--out", scored_p]) == 0
+    capsys.readouterr()
+    scored = spark.read.parquet(scored_p)
+    assert scored.count() > 0
+    assert set(scored.columns) == {"doc_id", "margin", "predicted"}
+
+    # frozen baseline path prints a sample without weights
+    assert cli.main(["quality", "score", "-i", docs_p]) == 0
+    assert "margin=" in capsys.readouterr().out
+
+    # guards: train without -w is usage error; --out overlapping the
+    # input refuses before any write
+    assert cli.main(["quality", "train", "-i", docs_p]) == 2
+    with pytest.raises(ValueError):
+        cli.main(["quality", "score", "-i", docs_p, "--out", docs_p])

@@ -717,19 +717,25 @@ def test_quality_classifier_frozen_scorer_deterministic(spark, sf_dir):
 
 def test_quality_classifier_trained_weights_route_through_scorer(
         spark, sf_dir):
-    """Trained weights ride the same relational scoring plan: the
-    returned (feat, weight) rows broadcast-join into margins, and on
-    the token-recoverable label the TRAINED margins separate classes
-    far better than the frozen baseline (which is random)."""
+    """train -> score is one coherent system: weights are learned in
+    the scorer's own md5 feature space, so broadcast-joining them into
+    the relational scorer IS the model's decision function — on the
+    token-recoverable label the composition classifies its own
+    training docs near-perfectly, while the frozen baseline is a coin
+    flip."""
     docs = _docs(spark, sf_dir).limit(200)
     w = pipeline.quality_classifier_train(docs)
     assert w.where(F.col("feat") == -1).count() == 1  # intercept row
-    # NOTE: trained weights live in HashingTF murmur3 space; scoring
-    # them through the md5-space scorer is only meaningful as a
-    # plumbing check (weights join, intercept lands in every margin).
     scored = pipeline.quality_classifier_score(docs, weights=w)
-    assert scored.count() > 0
     assert {"doc_id", "margin", "predicted"} == set(scored.columns)
+    lab = docs.select(
+        "doc_id", pipeline._qc_label().alias("label"))
+    joined = lab.join(scored, "doc_id")
+    n = joined.count()
+    assert n > 0
+    n_right = joined.where(
+        F.col("predicted") == F.col("label")).count()
+    assert n_right / n >= 0.95
 
 
 def test_quality_classifier_eval_verdicts_computed_not_pinned(
