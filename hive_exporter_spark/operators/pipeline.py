@@ -2220,12 +2220,22 @@ def quality_classifier_score(documents: DataFrame,
     else:
         fc = hashed_token_counts(documents, dim)
         w = weights.where(F.col("feat") >= 0)
-        b = (weights.where(F.col("feat") == -1)
-             .select(F.col("weight").alias("__b")))
+        # Aggregate (not filter) the intercept: always exactly one
+        # row, 0.0 when the weight table carries none — a filter +
+        # crossJoin would silently empty the whole output instead.
+        b = weights.agg(
+            F.coalesce(F.sum(F.when(F.col("feat") == -1,
+                                    F.col("weight"))),
+                       F.lit(0.0)).alias("__b"))
+        # LEFT join: a doc whose every feature fell out of the model
+        # (zero-weight pruning) still scores margin = intercept; an
+        # inner join would drop it from the output entirely.
         scored = (
-            fc.join(F.broadcast(w), "feat")
+            fc.join(F.broadcast(w), "feat", "left")
             .groupBy("doc_id")
-            .agg(F.sum(F.col("cnt") * F.col("weight")).alias("__m"))
+            .agg(F.sum(F.col("cnt")
+                       * F.coalesce(F.col("weight"), F.lit(0.0)))
+                 .alias("__m"))
             .crossJoin(F.broadcast(b))
             .select("doc_id",
                     F.round(F.col("__m") + F.col("__b"), 6).alias("margin"))

@@ -756,3 +756,23 @@ def test_quality_classifier_eval_verdicts_computed_not_pinned(
     # deterministic columns untouched by the sabotage
     assert v["baseline_acc"] == r["baseline_acc"]
     assert v["n_test"] == r["n_test"]
+
+
+def test_quality_classifier_score_weight_table_edge_cases(spark, sf_dir):
+    """A weight table without an intercept row scores with b=0 (not an
+    empty output), and a doc whose every feature was pruned from the
+    model still appears with margin == intercept."""
+    docs = _docs(spark, sf_dir).limit(50)
+    no_intercept = spark.createDataFrame(
+        [(0, 0.5)], "feat int, weight double")
+    s = pipeline.quality_classifier_score(docs, weights=no_intercept)
+    n_docs_with_tokens = pipeline.hashed_token_counts(docs) \
+        .select("doc_id").distinct().count()
+    assert s.count() == n_docs_with_tokens
+
+    intercept_only = spark.createDataFrame(
+        [(-1, -2.5)], "feat int, weight double")
+    s = pipeline.quality_classifier_score(docs, weights=intercept_only)
+    rows = s.collect()
+    assert len(rows) == n_docs_with_tokens
+    assert all(r["margin"] == -2.5 and not r["predicted"] for r in rows)
