@@ -13,6 +13,17 @@ Scale shape: HashingTF is a stateless map (no vocabulary shuffle —
 the hashing trick is what makes it 100 TB-safe), IDF is one
 aggregate, LogisticRegression is L-BFGS over treeAggregate gradient
 passes. Scoring a new corpus is a pure map of broadcast coefficients.
+
+Relationship to `pipeline.quality_classifier_*` (r7): this module is
+the spark.ml-Pipeline variant — TF-IDF-weighted murmur3 features,
+model-OBJECT scoring via transform(), labels distilled from the
+heuristic gate; inherently rows-only (engine-internal hashing and
+interpolation). The pipeline module is the PORTABLE lifecycle of the
+same idea: raw-count md5 features, weights-as-DataFrame broadcast
+scoring whose dataflow is hash-checked against DuckDB, an acceptance
+report under the driver gate, and the `quality` CLI verb. Use this
+one when you want IDF weighting and are happy with an opaque model;
+use the pipeline one when scoring must be auditable/replayable.
 """
 
 from __future__ import annotations

@@ -2150,6 +2150,13 @@ ORACLES["dataset_fingerprint"] = f"""
 
 # ---------------------------------------------------------------------------
 # Learned quality classifier (fastText-style hashed bag-of-tokens LR)
+#
+# The PORTABLE lifecycle: md5 feature space shared between train and
+# score, weights as plain (feat, weight) rows, scoring as hash-checked
+# relational algebra, acceptance report under the driver gate, CLI
+# verb. operators/mlmodel.py holds the spark.ml-Pipeline variant of
+# the same idea (TF-IDF murmur3 features, opaque model object) — see
+# its module docstring for when to prefer which.
 # ---------------------------------------------------------------------------
 
 QC_DIM = 1024           # hashed feature space (collision rate ~vocab/dim)
