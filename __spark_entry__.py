@@ -564,6 +564,15 @@ def _fuzzy_customer_pairs(spark, sf):
     )
 
 
+def _fuzzy_customer_pairs_capped(spark, sf):
+    """Skew-armored variant: blocks above the cap emit only their
+    id-sorted consecutive chain before the Levenshtein verification
+    (joins.blocked_fuzzy_pairs_capped)."""
+    return joins.blocked_fuzzy_pairs_capped(
+        _t(spark, sf, "customer"), "c_custkey", "c_name"
+    )
+
+
 def _events_in_day_windows(spark, sf):
     """Range join via bucketing: events falling inside derived
     [day+6h, day+18h) windows, counted per window."""
@@ -632,9 +641,9 @@ def _session_window_overlap(spark, sf):
 # them.
 _PRIORITY = (
     # --- never driver-checked: new this round.
-    "bpe_fertility_report", "image_phash_near_dups_capped",
-    "pca_variance_report", "quality_classifier_eval",
-    "quality_classifier_score",
+    "bpe_fertility_report", "fuzzy_customer_pairs_capped",
+    "image_phash_near_dups_capped", "pca_variance_report",
+    "quality_classifier_eval", "quality_classifier_score",
     # --- stale: green r1, relational/joins churned since.
     "customer_order_stats", "customers_with_urgent_orders",
     "customers_without_orders", "daily_revenue_moving_avg",
@@ -654,11 +663,10 @@ _PRIORITY = (
     # --- stale: green r2, llm/webclean churned since.
     "build_vocab", "doc_fingerprint", "incremental_dedup", "scrub_pii",
     "segment_dedup",
-    # --- stale: green r3, llm/multimodal churned since.
+    # --- stale: green r3, llm/multimodal/pipeline churned since.
     "binary_metadata", "chunk_documents", "containment_pairs",
-    "dedup_lines", "dedup_near_duplicates", "dedup_near_keep_best",
-    "dedup_near_minhash", "embedding_near_dup_pairs",
-    "events_zorder_index",
+    "curation_pipeline", "dedup_lines", "dedup_near_duplicates",
+    "dedup_near_keep_best", "dedup_near_minhash",
 )
 
 
@@ -708,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_delete_filter": _soft_delete,
         "salted_segment_event_counts": _salted_segment_counts,
         "fuzzy_customer_pairs": _fuzzy_customer_pairs,
+        "fuzzy_customer_pairs_capped": _fuzzy_customer_pairs_capped,
         "events_in_day_windows": _events_in_day_windows,
         "session_window_overlap": _session_window_overlap,
         "events_scan_pruned_window": _events_scan_pruned_window,
@@ -1472,6 +1481,44 @@ def oracle_sql() -> dict[str, str]:
              = substr(b.c_name, 1, length(b.c_name) - 2)
          AND a.c_custkey < b.c_custkey
         WHERE levenshtein(a.c_name, b.c_name) <= 1
+        ORDER BY id_a, id_b
+    """
+    # Capped variant: block sizes gate all-pairs vs the id-sorted
+    # consecutive chain (LEAD window); same Levenshtein verification
+    # tail, so capped ⊆ uncapped always.
+    o["fuzzy_customer_pairs_capped"] = """
+        WITH keyed AS (
+            SELECT c_custkey AS id, c_name AS name,
+                   substr(c_name, 1,
+                          greatest(length(c_name) - 2, 1)) AS blk
+            FROM customer
+        ), bsize AS (
+            SELECT blk, COUNT(*) AS n FROM keyed GROUP BY blk
+        ), cand_small AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM keyed a
+            JOIN keyed b ON a.blk = b.blk AND a.id < b.id
+            JOIN bsize s ON s.blk = a.blk
+            WHERE s.n <= 64
+        ), cand_big AS (
+            SELECT id AS id_a, nxt AS id_b FROM (
+                SELECT k.id, LEAD(k.id) OVER (
+                           PARTITION BY k.blk ORDER BY k.id) AS nxt
+                FROM keyed k JOIN bsize s ON s.blk = k.blk
+                WHERE s.n > 64
+            ) WHERE nxt IS NOT NULL
+        ), cand AS (
+            SELECT id_a, id_b FROM cand_small
+            UNION
+            SELECT id_a, id_b FROM cand_big
+        )
+        SELECT c.id_a, c.id_b,
+               a.name AS name_a, b.name AS name_b,
+               CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        FROM cand c
+        JOIN keyed a ON a.id = c.id_a
+        JOIN keyed b ON b.id = c.id_b
+        WHERE levenshtein(a.name, b.name) <= 1
         ORDER BY id_a, id_b
     """
     o["events_in_day_windows"] = """

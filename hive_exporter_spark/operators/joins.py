@@ -203,3 +203,45 @@ def blocked_fuzzy_pairs(df: DataFrame, id_col: str, name_col: str,
                 dist.cast("long").alias("dist"))
         .orderBy("id_a", "id_b")
     )
+
+
+def blocked_fuzzy_pairs_capped(df: DataFrame, id_col: str, name_col: str,
+                               max_dist: int = 1, block_suffix: int = 2,
+                               block_cap: int = 64) -> DataFrame:
+    """Skew-armored `blocked_fuzzy_pairs` — the shape that survives an
+    adversarial block at 100 TB. Blocking bounds per-block work ONLY
+    while blocks stay small: a corpus where millions of records share
+    a name prefix (placeholder names, templated accounts — the
+    entity-resolution analog of the viral LSH bucket) collapses into
+    one block and the equi-join emits B(B-1)/2 candidates.
+
+    Reuses the shared hot-bucket armor `llm.capped_bucket_pairs`
+    (operators/llm.py): blocks at or under `block_cap` keep the exact
+    all-pairs candidates; larger blocks emit only their id-sorted
+    consecutive chain (B-1 pairs). Names shed before the pair shuffle
+    and rejoin after (the payload-shedding move of the capped
+    embedding screen); every candidate — chain or all-pairs — still
+    passes the exact Levenshtein verification, so capped output is
+    always a subset of the uncapped verified pairs, identical to it
+    when no block exceeds the cap.
+    """
+    from hive_exporter_spark.operators.llm import capped_bucket_pairs
+
+    block = F.expr(
+        f"substring({name_col}, 1, greatest(length({name_col}) - {block_suffix}, 1))"
+    )
+    keyed = df.select(F.col(id_col).alias("__id"), block.alias("__block"))
+    cand = capped_bucket_pairs(keyed, ["__block"], "__id", block_cap)
+    names = df.select(F.col(id_col).alias("__id"),
+                      F.col(name_col).alias("__name"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        cand.join(names.withColumnRenamed("__id", "doc_a")
+                  .withColumnRenamed("__name", "name_a"), "doc_a")
+        .join(names.withColumnRenamed("__id", "doc_b")
+              .withColumnRenamed("__name", "name_b"), "doc_b")
+        .where(dist <= max_dist)
+        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"),
+                "name_a", "name_b", dist.cast("long").alias("dist"))
+        .orderBy("id_a", "id_b")
+    )

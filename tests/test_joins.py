@@ -214,3 +214,52 @@ def test_interval_overlap_join_is_equi_join(spark, sf_dir):
                                      "win_start", "win_end")
     plan = plans.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_blocked_fuzzy_pairs_capped_contract(spark, sf_dir):
+    """The capped-screen contract, applied to entity resolution:
+    (1) with no block over the cap the output is IDENTICAL to the
+    uncapped screen; (2) on a hot block the candidate volume drops
+    quadratic -> linear while capped verified pairs stay a subset of
+    the uncapped ones; (3) the chain preserves within-block
+    connectivity for downstream clustering."""
+    # (1) distinct prefixes -> every block is a singleton pair family
+    cool = spark.createDataFrame(
+        [(2 * i + j, f"name{chr(97 + i)}x{s}") for i in range(8)
+         for j, s in enumerate(("a", "b"))],
+        "id long, name string")
+    a = joins.blocked_fuzzy_pairs(cool, "id", "name").collect()
+    b = joins.blocked_fuzzy_pairs_capped(cool, "id", "name").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and a
+
+    # (2)+(3) one adversarial block: 60 records sharing a prefix,
+    # names within Levenshtein 1 of each other
+    hot = spark.createDataFrame(
+        [(i, f"placeholder_account_{chr(97 + i % 4)}") for i in range(60)],
+        "id long, name string")
+    unc = joins.blocked_fuzzy_pairs(hot, "id", "name")
+    cap = joins.blocked_fuzzy_pairs_capped(hot, "id", "name",
+                                           block_cap=4)
+    n_unc, n_cap = unc.count(), cap.count()
+    assert n_cap < n_unc  # quadratic -> linear
+    assert n_cap <= 60 - 1
+    u = {(r["id_a"], r["id_b"]) for r in unc.collect()}
+    c = {(r["id_a"], r["id_b"]) for r in cap.collect()}
+    assert c <= u
+    # connectivity: union-find over capped pairs keeps the block's
+    # verified ids in one component per name-neighborhood
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for x, y in c:
+        parent[find(x)] = find(y)
+    ids = {i for p in c for i in p}
+    comps = {find(i) for i in ids}
+    # uncapped graph on this fixture is one clique family; the chain
+    # must not shatter it into per-pair fragments
+    assert len(comps) <= len({find(i) for i in
+                              {i for p in u for i in p}}) + 1

@@ -76,6 +76,12 @@ def test_shuffle_delta_floors_at_zero():
      lambda s: multimodal.image_near_dup_pairs_capped(
          multimodal.phash64(_hot_docs(s, N_HOT_IMAGE)), bucket_cap=CAP)),
 ])
+# NOT parametrized here: joins.blocked_fuzzy_pairs_capped. Its hot-block
+# armor is real (candidate volume quadratic -> linear, pinned in
+# tests/test_joins.py), but at fixture scale the blocking self-join
+# BROADCASTS — the B(B-1)/2 blowup happens inside the join operator
+# without crossing an exchange, so shuffle bytes are not its
+# observable.
 def test_capped_screen_exchanges_fewer_bytes(spark, name, uncapped, capped):
     """One viral bucket: the uncapped screen's equi-join emits
     B(B-1)/2 candidate pairs through the shuffle; the capped twin's
