@@ -1107,8 +1107,12 @@ def ivf_rebuild_due(admissions: DataFrame,
             "baseline_sim", "latest_sim",
             F.round(F.col("baseline_sim") - F.col("latest_sim"), 6)
             .alias("drift"),
-            (F.col("baseline_sim") - F.col("latest_sim")
-             > F.lit(float(drift_threshold))).alias("rebuild_due"))
+            # coalesce: an empty admissions frame yields NULL sims; a
+            # NULL verdict must read "no evidence of drift", not leak
+            # a three-valued boolean to the CLI branch.
+            F.coalesce(F.col("baseline_sim") - F.col("latest_sim")
+                       > F.lit(float(drift_threshold)),
+                       F.lit(False)).alias("rebuild_due"))
     )
 
 

@@ -1629,6 +1629,12 @@ def test_ivf_rebuild_due_flips_on_drift(spark):
     v = llm.ivf_rebuild_due(weighted).collect()[0]
     assert not v["rebuild_due"]
 
+    # empty admissions: verdict is FALSE (no evidence), never NULL
+    empty = spark.createDataFrame(
+        [], "update_seq int, bucket int, n_added long, mean_top_sim double")
+    v = llm.ivf_rebuild_due(empty).collect()[0]
+    assert v["rebuild_due"] is False
+
 
 def test_pca_variance_report_accounting_and_flip(spark, emb, monkeypatch):
     """The PCA auditor's deterministic columns account correctly
