@@ -803,3 +803,55 @@ def compact_token_topk(spark: SparkSession, src_dir: str,
            .unionByName(newest.select(*cols)))
     out.write.mode("overwrite").parquet(dst_dir)
     return spark.read.parquet(dst_dir).count()
+
+
+def quality_gate_stream(
+    docs_stream: DataFrame,
+    out_dir: str,
+    reject_dir: str,
+    checkpoint_dir: str,
+    weights: DataFrame | None = None,
+    threshold: float = 0.0,
+) -> object:
+    """Continuous-ingest quality gate: each micro-batch of documents
+    is scored by the learned quality classifier
+    (`pipeline.quality_classifier_score` — trained weights broadcast,
+    or the frozen md5 baseline when `weights` is None), and routed
+    whole-row to `out_dir` (margin > threshold) or `reject_dir`
+    (everything else, INCLUDING token-less documents the scorer
+    cannot see — a gate must account for every arriving row, so the
+    split is an anti-join on the kept ids, not a symmetric filter).
+
+    The streaming face of the `quality` CLI verb: state-free
+    (weights are a broadcast dim-sized table, nothing accumulates in
+    the state store), so at 100 TB/day the gate scales exactly like
+    the batch scorer — one token scan + one doc-count-sized exchange
+    per micro-batch. foreachBatch gives at-least-once; both sinks are
+    append-only and idempotent downstream via doc_id.
+
+    Returns the started StreamingQuery; caller owns stop().
+    """
+    from hive_exporter_spark.operators.pipeline import (
+        quality_classifier_score)
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        scored = quality_classifier_score(
+            batch_df, weights=weights).select(
+            "doc_id", F.col("margin").alias("__margin"))
+        # ONE left join carries the margin to every arriving row
+        # (token-less docs get NULL -> rejected); materialize the
+        # routed frame once so the two sink writes don't re-run the
+        # scoring pass.
+        routed = batch_df.join(scored, "doc_id", "left") \
+            .localCheckpoint()
+        passes = F.coalesce(F.col("__margin") > threshold, F.lit(False))
+        routed.where(passes).drop("__margin") \
+            .write.mode("append").parquet(out_dir)
+        routed.where(~passes).drop("__margin") \
+            .write.mode("append").parquet(reject_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -637,3 +637,46 @@ def test_webclean_ops_stream_batch_parity(spark, tmp_path):
         want = fn(spark.createDataFrame(rows, schema)) \
             .orderBy(sort_col).collect()
         assert got == want
+
+
+def test_quality_gate_stream_routes_every_row(spark, tmp_path):
+    """Streaming quality gate: every arriving document lands in
+    exactly one of out/reject; trained weights route by the learned
+    margin; token-less documents are rejected, never dropped."""
+    from hive_exporter_spark.streaming.streams import quality_gate_stream
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "spark rocks"), (2, "plain words only"), (3, "   ")],
+        schema).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(10, "more spark text"), (11, "nothing relevant")],
+        schema).coalesce(1).write.parquet(str(src / "f2"))
+
+    # weights: the 'spark' feature decides, everything else 0
+    from hive_exporter_spark.functions.rand import md5_int40
+    from hive_exporter_spark.operators.pipeline import QC_DIM
+    feat = spark.createDataFrame([("spark",)], "tok string") \
+        .select((md5_int40("tok") % QC_DIM).alias("feat")).collect()[0][0]
+    weights = spark.createDataFrame(
+        [(int(feat), 5.0), (-1, -1.0)], "feat int, weight double")
+
+    out_dir = str(tmp_path / "kept")
+    rej_dir = str(tmp_path / "rejected")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src) + "/*"))
+    q = quality_gate_stream(stream, out_dir, rej_dir,
+                            str(tmp_path / "chk"), weights=weights)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    kept = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    rej = {r["doc_id"] for r in spark.read.parquet(rej_dir).collect()}
+    assert kept == {1, 10}          # margin 5-1 > 0 via the spark token
+    assert rej == {2, 3, 11}        # intercept-only and token-less rows
+    assert kept.isdisjoint(rej)
