@@ -200,7 +200,7 @@ def _calibration_queries(spark, sf_dir):
 
 def main() -> None:
     from hive_exporter_spark.metrics import (
-        SHUFFLE_METRIC_CONF, shuffle_delta, shuffle_snapshot)
+        SHUFFLE_METRIC_CONF, measure_shuffle)
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
@@ -225,15 +225,27 @@ def main() -> None:
         # the query's actual cost.
         best, n = None, 0
         for i in range(2):
-            before = shuffle_snapshot(spark) if i == 0 else None
-            t0 = time.time()
-            n = fn(spark, sf_dir).count()
-            dt = time.time() - t0
             if i == 0:
-                d = shuffle_delta(before, shuffle_snapshot(spark))
+                # Stage-ID-based byte accounting (measure_shuffle) —
+                # immune to status-store eviction; the timed window is
+                # the count() alone, excluding the metric drains.
+                span = {}
+
+                def timed():
+                    t0 = time.time()
+                    rows = fn(spark, sf_dir).count()
+                    span["dt"] = time.time() - t0
+                    return rows
+
+                n, d = measure_shuffle(spark, timed)
+                dt = span["dt"]
                 shuffle_bytes[name] = [d["shuffle_read_bytes"],
                                        d["shuffle_write_bytes"],
                                        d["spilled_bytes"]]
+            else:
+                t0 = time.time()
+                n = fn(spark, sf_dir).count()
+                dt = time.time() - t0
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows, "

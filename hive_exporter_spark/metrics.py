@@ -77,9 +77,41 @@ def shuffle_delta(before: dict[str, int], after: dict[str, int]) -> dict[str, in
     return {k: max(0, after[k] - before[k]) for k in _SNAPSHOT_KEYS}
 
 
+def _stage_rows(spark) -> list[tuple[int, int, int, int]]:
+    """(stageId, read, write, spilled) for every retained stage."""
+    _drain_listener_bus(spark)
+    store = spark.sparkContext._jsc.sc().statusStore()
+    stages = store.stageList(
+        None, False, False,
+        getattr(store, "stageList$default$4")(),
+        getattr(store, "stageList$default$5")(),
+    )
+    rows = []
+    it = stages.iterator()
+    while it.hasNext():
+        sd = it.next()
+        rows.append((sd.stageId(), sd.shuffleReadBytes(),
+                     sd.shuffleWriteBytes(),
+                     sd.memoryBytesSpilled() + sd.diskBytesSpilled()))
+    return rows
+
+
 def measure_shuffle(spark, action) -> tuple[object, dict[str, int]]:
     """Run ``action()`` and return (its result, the shuffle/spill bytes
-    the action exchanged)."""
-    before = shuffle_snapshot(spark)
+    the action exchanged).
+
+    Accounting is stage-ID based — only stages SUBMITTED after the
+    action started count — so it stays correct even in long-lived
+    sessions whose status store has begun evicting old stages (a
+    cumulative-sum diff goes BACKWARDS when eviction removes an old
+    stage between the two snapshots: the exact flake a full test-suite
+    run hits once it accumulates 1000+ stages without
+    SHUFFLE_METRIC_CONF's retention bump)."""
+    hi = max((r[0] for r in _stage_rows(spark)), default=-1)
     result = action()
-    return result, shuffle_delta(before, shuffle_snapshot(spark))
+    after = [r for r in _stage_rows(spark) if r[0] > hi]
+    return result, {
+        "shuffle_read_bytes": sum(r[1] for r in after),
+        "shuffle_write_bytes": sum(r[2] for r in after),
+        "spilled_bytes": sum(r[3] for r in after),
+    }
