@@ -96,3 +96,27 @@ def test_capped_screen_exchanges_fewer_bytes(spark, name, uncapped, capped):
     assert cap_bytes < full_bytes, (
         f"{name}: capped screen exchanged {cap_bytes} bytes, "
         f"uncapped {full_bytes} — the cap is not shedding shuffle volume")
+
+
+def test_measure_shuffle_survives_stage_eviction(spark):
+    """The regression the full-suite run exposed: once the status
+    store evicts old stages (spark.ui.retainedStages overflow, default
+    1000), a cumulative-sum diff goes backwards and undercounts. The
+    stage-ID accounting must report the SAME bytes for the same plan
+    regardless of how many stages the session has accumulated — here
+    pinned by comparing a fresh measurement against one taken after
+    hundreds of additional stages."""
+    def job():
+        return (spark.range(0, 50_000)
+                .select((F.col("id") % 13).alias("k"), "id")
+                .groupBy("k").agg(F.sum("id").alias("s")).count())
+
+    _, first = metrics.measure_shuffle(spark, job)
+    assert first["shuffle_write_bytes"] > 0
+    # churn the store: many distinct tiny stages
+    for i in range(40):
+        spark.range(0, 1000 + i).select(
+            (F.col("id") % 7).alias("k")).groupBy("k").count().count()
+    _, again = metrics.measure_shuffle(spark, job)
+    assert again["shuffle_write_bytes"] == first["shuffle_write_bytes"]
+    assert again["shuffle_read_bytes"] == first["shuffle_read_bytes"]
