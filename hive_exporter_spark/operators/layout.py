@@ -279,6 +279,12 @@ def _leaf_partition_dirs(spark, path: str) -> list[str]:
             continue
         parent = st.getPath().getParent().toUri().getPath()
         rel = parent[len(root_str):].strip("/")
+        # Hadoop's default PathFilter hides underscore/dot paths at
+        # ANY depth — a file inside `_admissions/` (the IVF admission
+        # history) or `.staging/` is invisible to every reader, so it
+        # is neither a leaf nor a stray worth refusing over.
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/") if seg):
+            continue
         if rel and all("=" in seg for seg in rel.split("/")):
             leaves.add(rel)
         else:
