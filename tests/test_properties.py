@@ -236,3 +236,61 @@ def test_strip_boilerplate_matches_sequential_reference(spark, docs):
         # so assert the sequential model, not naive string equality)
         segs2, kept2 = _ref_strip(" ".join(kept).split(" "))
         assert len(kept2) <= len(segs2)
+
+
+# (id, bucket) memberships for the shared hot-bucket armor; ids unique
+# within a bucket (a doc appears in a bucket at most once, as in every
+# banded screen).
+bucket_rows = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 3)),
+    min_size=1, max_size=24, unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@given(rows=bucket_rows, cap=st.integers(2, 6))
+@SETTINGS
+def test_capped_bucket_pairs_invariants(spark, rows, cap):
+    """The armor five screens share (MinHash/SimHash/embedding-LSH/
+    pHash bands, fuzzy blocks), for ANY membership table and cap:
+    (1) every emitted pair co-occurs in some bucket (subset of the
+    uncapped candidates); (2) per-bucket output is bounded by
+    all-pairs below the cap and by the linear chain above it;
+    (3) within every bucket the emitted pairs keep its members in ONE
+    connected component; (4) ordering: doc_a < doc_b, no dups."""
+    from collections import defaultdict
+
+    from hive_exporter_spark.operators.llm import capped_bucket_pairs
+
+    df = spark.createDataFrame(rows, "doc_id long, bucket int")
+    got = {(r["doc_a"], r["doc_b"])
+           for r in capped_bucket_pairs(df, ["bucket"], "doc_id",
+                                        cap).collect()}
+    members = defaultdict(set)
+    for i, b in rows:
+        members[b].add(i)
+    allowed = {(a, b) for m in members.values()
+               for a in m for b in m if a < b}
+    assert got <= allowed                                  # (1)
+    assert all(a < b for a, b in got)                      # (4)
+
+    total_bound = 0
+    for m in members.values():
+        n = len(m)
+        total_bound += n * (n - 1) // 2 if n <= cap else n - 1
+    assert len(got) <= total_bound                         # (2)
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in got:
+        parent[find(a)] = find(b)
+    for m in members.values():
+        if len(m) > 1:
+            roots = {find(i) for i in m}
+            assert len(roots) == 1, (m, got)               # (3)
