@@ -270,7 +270,7 @@ def main() -> None:
     # object where truncation cannot eat it. The big per-round dicts
     # (shuffle bytes first, then per-query seconds) absorb the cut.
     h22 = {q: timings[q] for q in HEADLINE22 if q in timings}
-    print(json.dumps({
+    payload = {
         "metric": "headline_queries_wall_clock",
         "value": total,
         "unit": "sec",
@@ -281,7 +281,32 @@ def main() -> None:
         "headline22": h22,
         "headline22_total": round(sum(h22.values()), 3),
         "total_sec": total,
-    }))
+    }
+    print(json.dumps(payload))
+    # The driver archives only the LAST 2000 chars of the line above,
+    # which eats shuffle_bytes and ~40 per-query timings — so
+    # compare_bench's byte gate can never fire between driver
+    # artifacts (VERDICT r7 item 3). Persist the UNTRUNCATED payload
+    # in-repo as BENCH_LOCAL_r{N}.json for the round the driver is
+    # about to record; compare_bench prefers the local file when
+    # present. Only written for the driver's sf (0.1) so a quick
+    # sf0.01 iteration loop can't clobber the committed artifact.
+    if abs(sf - 0.1) < 1e-9 or os.environ.get("SPARK_GRAFT_ROUND"):
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if rnd is None:
+            import glob
+            import re as _re
+            repo = os.path.dirname(os.path.abspath(__file__))
+            ns = [int(m.group(1))
+                  for f in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+                  for m in [_re.search(r"BENCH_r(\d+)\.json$", f)] if m]
+            rnd = (max(ns) if ns else 0) + 1
+        local = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             f"BENCH_LOCAL_r{int(rnd):02d}.json")
+        with open(local, "w") as fh:
+            json.dump(payload, fh, indent=1)
+            fh.write("\n")
+        print(f"# full artifact -> {local}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -212,6 +212,11 @@ def build_parser() -> argparse.ArgumentParser:
     aud.add_argument("-q", "--sql", required=True)
     aud.add_argument("--strict", action="store_true",
                      help="exit 1 if any error-severity finding")
+    aud.add_argument("--allow", action="append", default=[],
+                     metavar="RULE[=REASON]",
+                     help="dismiss a rule with a reason (repeatable); "
+                          "dismissed findings still print but do not "
+                          "fail --strict")
     return root
 
 
@@ -463,7 +468,10 @@ def main(argv: list[str] | None = None) -> int:
         for pq in _glob.glob(_os.path.join(args.input, "*.parquet")):
             name = _os.path.splitext(_os.path.basename(pq))[0]
             spark.read.parquet(pq).createOrReplaceTempView(name)
-        findings = audit_plan(spark.sql(args.sql))
+        dismiss = dict(
+            (a.split("=", 1) + ["operator-adjudicated"])[:2]
+            for a in args.allow)
+        findings = audit_plan(spark.sql(args.sql), dismiss=dismiss)
         for f in findings:
             print(f"{f['severity']:5s} {f['rule']}: {f['detail']}")
         n_err = sum(1 for f in findings if f["severity"] == "error")

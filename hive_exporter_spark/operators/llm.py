@@ -5807,14 +5807,15 @@ def bpe_fertility_report(documents: DataFrame,
         [(i, left, right, 0) for i, (left, right) in enumerate(merges)],
         schema="rank int, left string, right string, pair_count long")
     enc = bpe_apply(documents, mdf)
-    chars = documents.select(
-        "doc_id",
+    # one side projection, not two: char totals and lang ride the same
+    # scan (audit_plan's repeated_scan sweep, r8 — was 3 corpus scans)
+    side = documents.select(
+        "doc_id", "lang",
         F.aggregate(F.transform(tokens_col(), lambda t: F.length(t)),
                     F.lit(0).cast("long"),
                     lambda acc, x: acc + x).alias("__chars"),
     )
-    per_doc = enc.join(chars, "doc_id").join(
-        documents.select("doc_id", "lang"), "doc_id")
+    per_doc = enc.join(side, "doc_id")
     fert = (F.sum("n_bpe_tokens").cast("double")
             / F.sum("n_tokens").cast("double"))
     return (
@@ -6111,30 +6112,32 @@ def embedding_drift(embeddings: DataFrame,
     `token_drift_jsd`. A retrained or silently-updated encoder moves
     every centroid at once; a data-mix shift moves specific labels.
 
-    Same exploded-centroid shape as `label_centroids`: one partial
-    aggregate per slice over (label, dim) — |labels|·|dims| rows of
-    exchange, means through the DECIMAL path — then a dim-level join
-    and one L2 fold per label. Everything after the scans is
-    centroid-sized.
+    ONE scan, ONE exchange: both slice centroids come out of a single
+    posexplode pass with conditional aggregation (``davg`` skips the
+    NULLs the ``when`` leaves on the other slice), so the physical plan
+    is one parquet scan and one (label, dim)-keyed shuffle — no second
+    subtree, no dim-level join. A (label, dim) seen in only one slice
+    is dropped, exactly as the previous inner-join shape did.
     """
     from hive_exporter_spark.functions.aggs import davg
 
-    def centroid(df, name):
-        return (df.select(label_col,
-                          F.posexplode(vec_col).alias("dim", "val"))
-                .groupBy(label_col, "dim")
-                .agg(davg(F.col("val").cast("double")).alias(name)))
-
-    a = centroid(embeddings.where(F.col("vec_id") % 2 == 0), "mean_a")
-    b = centroid(embeddings.where(F.col("vec_id") % 2 == 1), "mean_b")
+    is_a = F.col("vec_id") % 2 == 0
+    ex = embeddings.select(
+        label_col, is_a.alias("is_a"),
+        F.posexplode(vec_col).alias("dim", "val"))
+    val = F.col("val").cast("double")
+    per_dim = (ex.groupBy(label_col, "dim")
+               .agg(davg(F.when(F.col("is_a"), val)).alias("mean_a"),
+                    davg(F.when(~F.col("is_a"), val)).alias("mean_b"))
+               .where(F.col("mean_a").isNotNull()
+                      & F.col("mean_b").isNotNull()))
     # The squared diffs are identical doubles in both engines, but a
     # double SUM over dims is order-dependent — route it through a
     # DECIMAL accumulator (order-independent, same trick as dsum).
     sq = ((F.col("mean_a") - F.col("mean_b"))
           * (F.col("mean_a") - F.col("mean_b"))).cast("decimal(38,18)")
     return (
-        a.join(b, [label_col, "dim"])
-        .groupBy(label_col)
+        per_dim.groupBy(label_col)
         .agg(F.round(F.sqrt(F.sum(sq).cast("double")), 6).alias("l2_shift"),
              F.count(F.lit(1)).alias("n_dims"))
         .orderBy(label_col)
@@ -6154,25 +6157,27 @@ ORACLES["embedding_drift"] = """
         FROM embeddings,
              unnest(list_transform(range(1, len(embedding) + 1),
                     i -> {'dim': i, 'val': embedding[i]})) AS t(u)
-    ), a AS (
+    ), ab AS (
         SELECT label, dim,
-               CAST(CAST(SUM(CAST(val AS DECIMAL(28,6))) AS DOUBLE)
-                    / COUNT(val) AS DOUBLE) AS mean_a
-        FROM ex WHERE vec_id % 2 = 0 GROUP BY label, dim
-    ), b AS (
-        SELECT label, dim,
-               CAST(CAST(SUM(CAST(val AS DECIMAL(28,6))) AS DOUBLE)
-                    / COUNT(val) AS DOUBLE) AS mean_b
-        FROM ex WHERE vec_id % 2 = 1 GROUP BY label, dim
+               CAST(CAST(SUM(CASE WHEN vec_id % 2 = 0
+                             THEN CAST(val AS DECIMAL(28,6)) END) AS DOUBLE)
+                    / COUNT(CASE WHEN vec_id % 2 = 0 THEN val END)
+                    AS DOUBLE) AS mean_a,
+               CAST(CAST(SUM(CASE WHEN vec_id % 2 = 1
+                             THEN CAST(val AS DECIMAL(28,6)) END) AS DOUBLE)
+                    / COUNT(CASE WHEN vec_id % 2 = 1 THEN val END)
+                    AS DOUBLE) AS mean_b
+        FROM ex GROUP BY label, dim
     )
-    SELECT a.label,
+    SELECT label,
            round(sqrt(CAST(SUM(CAST((mean_a - mean_b) * (mean_a - mean_b)
                                     AS DECIMAL(38,18))) AS DOUBLE)), 6)
                AS l2_shift,
            CAST(COUNT(*) AS BIGINT) AS n_dims
-    FROM a JOIN b ON a.label = b.label AND a.dim = b.dim
-    GROUP BY a.label
-    ORDER BY a.label
+    FROM ab
+    WHERE mean_a IS NOT NULL AND mean_b IS NOT NULL
+    GROUP BY label
+    ORDER BY label
 """
 
 # pca_variance_report: the deterministic columns replay through the

@@ -1593,10 +1593,15 @@ def token_drift_jsd(documents: DataFrame,
     toks = documents.select(
         "doc_id", "source", F.explode(tokens_col()).alias("tok"))
     is_a = (F.col("source") == source_a).cast("long")
+    # vocab feeds BOTH the totals aggregate and the final projection;
+    # without a barrier Catalyst re-expands the subtree and the corpus
+    # is tokenized twice (caught by audit_plan's repeated_scan rule).
+    # The checkpoint is vocab-sized — bounded — so it is the cheap side
+    # of the trade at any corpus size.
     vocab = toks.groupBy("tok").agg(
         F.sum(is_a).alias("ca"),
         F.sum(1 - is_a).alias("cb"),
-    )
+    ).localCheckpoint(eager=False)
     totals = vocab.agg(
         F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
         F.count(F.lit(1)).alias("v"))
@@ -2266,9 +2271,14 @@ def _qc_label() -> F.Column:
     return F.array_contains(tokens_col(), QC_LABEL_TOKEN)
 
 
+QC_TRAIN_SAMPLE_CAP = 100_000
+
+
 def quality_classifier_train(documents: DataFrame,
                              label: F.Column | None = None,
-                             dim: int = QC_DIM) -> DataFrame:
+                             dim: int = QC_DIM,
+                             train_sample_cap: int = QC_TRAIN_SAMPLE_CAP,
+                             seed: int = 7) -> DataFrame:
     """Fit the logistic quality classifier on the SAME md5-hashed
     feature space the scorer joins on, and return its weights as
     (feat, weight) rows (feat = -1 holds the intercept) — the dense
@@ -2287,11 +2297,28 @@ def quality_classifier_train(documents: DataFrame,
     Dense dim·8 B per row is the deliberate trade: at dim=1024 that
     is 8 KB/doc on the training SAMPLE only — the corpus-scale side
     is the scorer, which never materializes vectors.
+
+    `train_sample_cap` makes "training SAMPLE only" a contract, not
+    an aspiration (VERDICT r7 item 4): when the input exceeds the cap
+    it is downsampled by a seeded Bernoulli `df.sample` — uniform
+    across partitions, unlike `.limit`, which would take whichever
+    partitions answer first (the k-means sampler's contract,
+    llm.py `_fit_kmeans_centroids`). At the default 100k rows the
+    pivot materializes ≤ ~800 MB of vectors no matter how many
+    documents the caller hands in; a linear model over dim hashed
+    features gains nothing measurable past that. Pass
+    ``train_sample_cap=0`` to disable.
     """
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.functions import array_to_vector
 
     lab = _qc_label() if label is None else label
+    if train_sample_cap:
+        n = documents.count()
+        if n > train_sample_cap:
+            frac = min(1.0, 1.2 * train_sample_cap / n)
+            documents = (documents.sample(fraction=frac, seed=seed)
+                         .limit(train_sample_cap))
     fc = hashed_token_counts(documents, dim)
     pairs = fc.groupBy("doc_id").agg(
         F.collect_list(F.struct("feat", "cnt")).alias("__pairs"))
@@ -2329,8 +2356,10 @@ def quality_classifier_train(documents: DataFrame,
     return spark.createDataFrame(rows, "feat int, weight double")
 
 
-def quality_classifier_eval(documents: DataFrame,
-                            dim: int = QC_DIM) -> DataFrame:
+def quality_classifier_eval(
+        documents: DataFrame,
+        dim: int = QC_DIM,
+        train_sample_cap: int = QC_TRAIN_SAMPLE_CAP) -> DataFrame:
     """One-row acceptance report for the learned quality filter — the
     gate you run before letting a trained classifier delete documents
     at corpus scale (the `ann_recall_report` of the quality family).
@@ -2358,7 +2387,8 @@ def quality_classifier_eval(documents: DataFrame,
     try:
         train = labeled.where("is_train")
         test = labeled.where(~F.col("is_train"))
-        weights = quality_classifier_train(train, dim=dim)
+        weights = quality_classifier_train(
+            train, dim=dim, train_sample_cap=train_sample_cap)
         pred = quality_classifier_score(test, weights=weights, dim=dim)
         agg = (
             test.join(pred, "doc_id", "left")

@@ -113,10 +113,17 @@ def _single_partition_funnels(tree: str) -> int:
     return n
 
 
-def audit_plan(df: DataFrame) -> list[dict]:
+def audit_plan(df: DataFrame,
+               dismiss: dict[str, str] | None = None) -> list[dict]:
     """Lint a DataFrame's physical plan for the anti-patterns that are
     survivable on a laptop and fatal at 100 TB. Returns findings as
     ``{"rule", "severity", "detail"}`` dicts (empty list = clean).
+
+    ``dismiss`` maps rule name -> human reason for shapes the caller
+    has adjudicated as legitimate (self-joins, two-phase reads,
+    crosscheck reports). Matching findings are STILL returned —
+    downgraded to severity ``"dismissed"`` with the reason appended —
+    so a dismissal is visible in every audit log, never silent.
 
     Rules:
       - ``cartesian_product`` (error): CartesianProduct — both sides
@@ -136,11 +143,17 @@ def audit_plan(df: DataFrame) -> list[dict]:
         Review flags on windows over already-dimension-sized frames
         (daily rollups etc.) are expected and dismissible with
         context — the plan alone cannot see frame sizes.
-      - ``repeated_scan`` (warn): the same file location scanned more
-        than once. Fine for small dims (re-scanning beats a
-        checkpoint); for a data-sized input it means Catalyst
-        re-expanded a shared subtree — feed the shared intermediate
-        through localCheckpoint (SCALE.md multi-scan audit).
+      - ``repeated_scan`` (error): the same file location scanned
+        more than once. Legitimate multi-scan shapes exist — self
+        joins, agg-then-join-back over a fact too big to checkpoint,
+        two-phase threshold reads, crosscheck reports, bloom
+        build+probe — but each must be DISMISSED with a reason (the
+        ``dismiss`` param / registry whitelist), because the silent
+        default is Catalyst re-expanding a shared subtree: a full
+        extra corpus pass per reference at 100 TB. The pre-fix
+        ``embedding_drift`` shape (two filtered centroid subtrees
+        over one parquet source) is the canonical offender this rule
+        exists to catch (SCALE.md multi-scan audit).
       - ``python_row_udf`` (error): BatchEvalPython — row-at-a-time
         Python in the hot path; use built-ins or Arrow.
       - ``python_arrow_udf`` (info): ArrowEvalPython / pandas
@@ -149,8 +162,12 @@ def audit_plan(df: DataFrame) -> list[dict]:
     """
     plan = formatted_plan(df)
     findings: list[dict] = []
+    dismiss = dismiss or {}
 
     def _hit(rule: str, severity: str, detail: str) -> None:
+        if rule in dismiss:
+            severity = "dismissed"
+            detail += f" [dismissed: {dismiss[rule]}]"
         findings.append({"rule": rule, "severity": severity,
                          "detail": detail})
 
@@ -168,10 +185,11 @@ def audit_plan(df: DataFrame) -> list[dict]:
              "Sort/Window: that stage runs as ONE task")
     locs = scan_locations(df)
     for loc in sorted({l for l in locs if locs.count(l) > 1}):
-        _hit("repeated_scan", "warn",
-             f"{loc} scanned {locs.count(loc)}x — fine for small "
-             "dims; localCheckpoint the shared intermediate if "
-             "data-sized")
+        _hit("repeated_scan", "error",
+             f"{loc} scanned {locs.count(loc)}x — dismiss with a "
+             "reason if the semantics are N-pass (self-join, "
+             "agg-then-join-back, crosscheck); otherwise "
+             "localCheckpoint the shared intermediate")
     if "BatchEvalPython" in plan:
         _hit("python_row_udf", "error",
              "row-at-a-time Python UDF in the plan")

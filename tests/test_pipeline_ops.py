@@ -758,6 +758,31 @@ def test_quality_classifier_eval_verdicts_computed_not_pinned(
     assert v["n_test"] == r["n_test"]
 
 
+def test_quality_classifier_train_sample_cap(spark, sf_dir):
+    """The training side is bounded by contract (VERDICT r7 item 4):
+    with a cap smaller than the train split, training runs on a seeded
+    Bernoulli sample and the eval lifecycle still clears BOTH verdicts
+    (the label lives in the feature space, so a uniform subsample
+    keeps it learnable); the deterministic columns are untouched
+    because the cap is internal to the fit."""
+    docs = _docs(spark, sf_dir)
+    full = pipeline.quality_classifier_eval(docs).collect()[0]
+    capped = pipeline.quality_classifier_eval(
+        docs, train_sample_cap=150).collect()[0]
+    # cap < train split size, so it actually bit
+    assert full["n_train"] > 150
+    assert capped["beats_majority"] and capped["acc_above_floor"]
+    # deterministic columns identical: the cap never changes the split
+    for col in ("n_train", "n_test", "n_pos_test", "baseline_acc"):
+        assert capped[col] == full[col]
+    # the sampler is deterministic: same seed, same weights
+    train = docs.where(pipeline._hash_bucket("doc_id", 100)
+                       < pipeline.SPLIT_PCTS[0])
+    w1 = pipeline.quality_classifier_train(train, train_sample_cap=150)
+    w2 = pipeline.quality_classifier_train(train, train_sample_cap=150)
+    assert w1.exceptAll(w2).count() == 0
+
+
 def test_quality_classifier_score_weight_table_edge_cases(spark, sf_dir):
     """A weight table without an intercept row scores with b=0 (not an
     empty output), and a doc whose every feature was pruned from the

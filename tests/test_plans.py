@@ -603,14 +603,21 @@ def test_audit_plan_flags_antipatterns(t, spark, tmp_path):
     rules = {f["rule"] for f in plans.audit_plan(bad_win)}
     assert "single_partition_exchange" in rules
 
-    # self-referencing aggregate subtree → repeated scan (warn)
+    # self-referencing aggregate subtree → repeated scan (error)
     path = str(tmp_path / "docs_audit")
     docs.limit(50).write.parquet(path)
     p = spark.read.parquet(path)
     rescan = p.crossJoin(p.groupBy().agg(F.count("*").alias("n")))
-    rules = {f["rule"] for f in plans.audit_plan(rescan)}
-    assert "repeated_scan" in rules
-    assert "cross_broadcast_join" in rules
+    by_rule = {f["rule"]: f for f in plans.audit_plan(rescan)}
+    assert by_rule["repeated_scan"]["severity"] == "error"
+    assert "cross_broadcast_join" in by_rule
+
+    # a dismissal downgrades but stays VISIBLE in the findings
+    dismissed = plans.audit_plan(
+        rescan, dismiss={"repeated_scan": "scalar broadcast twin"})
+    sev = {f["rule"]: f["severity"] for f in dismissed}
+    assert sev["repeated_scan"] == "dismissed"
+    assert any("scalar broadcast twin" in f["detail"] for f in dismissed)
 
     # row-at-a-time Python UDF (error)
     from pyspark.sql.functions import udf
@@ -623,3 +630,34 @@ def test_audit_plan_flags_antipatterns(t, spark, tmp_path):
     clean = relational.pricing_summary(t("lineitem"))
     errors = [f for f in plans.audit_plan(clean) if f["severity"] == "error"]
     assert errors == [], errors
+
+
+def test_audit_plan_catches_prefix_embedding_drift_shape(t, spark):
+    """Regression for VERDICT r7 item 2: the pre-fix `embedding_drift`
+    plan — two filtered centroid subtrees over ONE parquet source,
+    joined on (label, dim) — must be flagged as an error-severity
+    repeated_scan, and the shipped single-scan rewrite must scan the
+    embeddings table exactly once."""
+    from hive_exporter_spark.functions.aggs import davg
+    from hive_exporter_spark.operators import llm
+
+    emb = t("embeddings")
+
+    def centroid(df, name):
+        return (df.select("label",
+                          F.posexplode("embedding").alias("dim", "val"))
+                .groupBy("label", "dim")
+                .agg(davg(F.col("val").cast("double")).alias(name)))
+
+    a = centroid(emb.where(F.col("vec_id") % 2 == 0), "mean_a")
+    b = centroid(emb.where(F.col("vec_id") % 2 == 1), "mean_b")
+    old_shape = a.join(b, ["label", "dim"]).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_dims"))
+    errs = [f for f in plans.audit_plan(old_shape)
+            if f["severity"] == "error"]
+    assert any(f["rule"] == "repeated_scan" for f in errs), errs
+
+    fixed = llm.embedding_drift(emb)
+    assert len(plans.scan_locations(fixed)) == 1
+    assert [f for f in plans.audit_plan(fixed)
+            if f["severity"] == "error"] == []

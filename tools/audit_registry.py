@@ -25,6 +25,99 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from hive_exporter_spark import plans  # noqa: E402
 from hive_exporter_spark.session import build_session  # noqa: E402
 
+# Reason templates for adjudicated multi-pass / narrow-stage shapes.
+# Every dismissal is printed in the sweep output — visible, not silent.
+R_SELF = ("self-join semantics: the operator compares rows of the "
+          "relation with other rows of the same relation")
+R_AGG_BACK = ("aggregate-then-join-back: one agg pass + one detail "
+              "pass; re-scanning the fact beats materializing it")
+R_TWO_PHASE = ("two-phase by design: a global statistic from pass 1 "
+               "gates pass 2")
+R_AUDIT = ("crosscheck report: its purpose is running independent "
+           "dataflows over the same input and comparing them")
+R_SETOP = "set-op semantics: INTERSECT/EXCEPT are two scans by definition"
+R_DIM = "dimension-sized table: re-scan cheaper than a checkpoint"
+R_TWO_REL = ("two logical relations (base+increment / corpus+eval / "
+             "queries+corpus) stored in one fixture table; at deploy "
+             "each is its own table")
+R_BOUNDED_WIN = ("single-partition window over a frame bounded by "
+                 "design (days / histogram cells / sketch cells), "
+                 "documented in SCALE.md round-5c dismissals")
+
+# (entry name, rule) -> reason. The r8 sweep adjudicated every
+# error-severity hit: each is either fixed in the operator (e.g.
+# embedding_drift's double-scan, token_drift_jsd's vocab re-expansion)
+# or dismissed here with the reason the plan alone cannot see.
+DISMISSALS: dict[str, dict[str, str]] = {
+    # -- repeated_scan: self-joins / pair generators ------------------
+    "fuzzy_customer_pairs": {"repeated_scan": R_SELF},
+    "fuzzy_customer_pairs_capped": {"repeated_scan": R_SELF},
+    "blocked_fuzzy_pairs_capped": {"repeated_scan": R_SELF},
+    "asof_last_purchase": {"repeated_scan": R_SELF},
+    "asof_next_purchase": {"repeated_scan": R_SELF},
+    "session_window_overlap": {"repeated_scan": R_SELF},
+    "event_transition_matrix": {"repeated_scan": R_SELF},
+    "event_transition_matrix_sessionized": {"repeated_scan": R_SELF},
+    "embedding_near_dup_pairs": {"repeated_scan": R_SELF},
+    "embedding_near_dup_lsh_pairs_capped": {"repeated_scan": R_SELF},
+    "source_overlap_matrix": {"repeated_scan": R_SELF},
+    "minhash_lsh_pairs_ml": {"repeated_scan": R_SELF},
+    # -- repeated_scan: agg-then-join-back over a fact ----------------
+    "q2_min_cost_supplier": {"repeated_scan": R_AGG_BACK},
+    "q11_important_parts": {"repeated_scan": R_AGG_BACK},
+    "q17_small_quantity_revenue": {"repeated_scan": R_AGG_BACK},
+    "q20_dominant_share_suppliers": {"repeated_scan": R_AGG_BACK},
+    "q22_idle_rich_customers": {"repeated_scan": R_AGG_BACK},
+    "q7_nation_trade_flows": {"repeated_scan": R_DIM},
+    "q8_nation_market_share": {"repeated_scan": R_DIM},
+    "dedup_lines": {"repeated_scan": R_AGG_BACK},
+    "dedup_near_keep_best": {"repeated_scan": R_AGG_BACK},
+    "retention_cohorts": {"repeated_scan": R_AGG_BACK},
+    "token_doc_frequency": {"repeated_scan": R_AGG_BACK},
+    "tfidf_topk_terms": {"repeated_scan": R_AGG_BACK},
+    "curation_pipeline": {"repeated_scan": R_AGG_BACK},
+    # -- repeated_scan: two-phase threshold / spine reads -------------
+    "value_histogram": {"repeated_scan": R_TWO_PHASE},
+    "value_quantiles_hist": {"repeated_scan": R_TWO_PHASE},
+    "events_key_skew_profile": {"repeated_scan": R_TWO_PHASE},
+    "events_in_day_windows": {"repeated_scan": R_TWO_PHASE},
+    "events_zorder_index": {"repeated_scan": R_TWO_PHASE},
+    "fill_missing_days": {"repeated_scan": R_TWO_PHASE},
+    "decayed_user_activity": {"repeated_scan": R_TWO_PHASE},
+    "lang_balanced_sample": {"repeated_scan": R_TWO_PHASE},
+    "quality_prune_topp": {"repeated_scan": R_TWO_PHASE},
+    # -- repeated_scan: crosscheck / audit reports --------------------
+    "pca_variance_report": {"repeated_scan": R_AUDIT},
+    "approx_stats_error_report": {"repeated_scan": R_AUDIT},
+    "stratified_sample_report": {"repeated_scan": R_AUDIT},
+    "validate_events_contract": {"repeated_scan": R_AUDIT},
+    "ann_recall_report": {"repeated_scan": R_AUDIT},
+    "ivf_admission_report": {"repeated_scan": R_AUDIT},
+    "hll_kmv_crosscheck": {"repeated_scan": R_AUDIT},
+    "bpe_fertility_report": {"repeated_scan": R_AUDIT},
+    # -- repeated_scan: set ops ---------------------------------------
+    "nations_in_both_segments": {"repeated_scan": R_SETOP},
+    "nations_only_in_segment": {"repeated_scan": R_SETOP},
+    # -- repeated_scan: two logical relations in one fixture table ----
+    "incremental_dedup": {"repeated_scan": R_TWO_REL},
+    "incremental_dedup_bloom": {"repeated_scan": R_TWO_REL},
+    "incremental_merge_consolidate": {"repeated_scan": R_TWO_REL},
+    "orders_snapshot_diff": {"repeated_scan": R_TWO_REL},
+    "ngram_contamination": {"repeated_scan": R_TWO_REL},
+    "ngram_contamination_tokens": {"repeated_scan": R_TWO_REL},
+    "ngram_lm_perplexity": {"repeated_scan": R_TWO_REL},
+    "embedding_topk_cosine": {"repeated_scan": R_TWO_REL},
+    "embedding_topk_cosine_lsh": {"repeated_scan": R_TWO_REL},
+    "embedding_topk_cosine_brp_lsh": {"repeated_scan": R_TWO_REL},
+    "embedding_topk_cosine_pq_fixed": {"repeated_scan": R_TWO_REL},
+    # -- single_partition_exchange: design-bounded frames -------------
+    "daily_revenue_moving_avg": {"single_partition_exchange": R_BOUNDED_WIN},
+    "cumulative_distinct_users": {"single_partition_exchange": R_BOUNDED_WIN},
+    "shard_by_tokens": {"single_partition_exchange": R_BOUNDED_WIN},
+    "ams_join_size_click_purchase": {
+        "single_partition_exchange": R_BOUNDED_WIN},
+}
+
 
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -38,7 +131,8 @@ def main() -> int:
     n_err = 0
     for name, fn in entrymod.queries().items():
         try:
-            findings = plans.audit_plan(fn(spark, sf))
+            findings = plans.audit_plan(fn(spark, sf),
+                                        dismiss=DISMISSALS.get(name))
         except Exception as ex:  # noqa: BLE001 — report, keep auditing
             print(f"error EXCEPTION {name}: {ex}")
             n_err += 1
@@ -55,7 +149,7 @@ def main() -> int:
     for (rule, sev), n in sorted(counts.items()):
         print(f"  {sev:5s} {rule}: {n}")
     print(f"{n_err} error-severity finding(s)")
-    return 0
+    return 1 if n_err else 0
 
 
 if __name__ == "__main__":

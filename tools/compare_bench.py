@@ -14,10 +14,17 @@ every new-side timing is divided by a drift factor before the
 thresholds apply. The factor is the median ratio of the fixed-cost
 `calibration` probes both artifacts carry (pure range-shuffle +
 parquet scan-agg — machine speed, no operator code); artifacts from
-before the probes existed fall back to the median per-query ratio
-across ALL shared queries, which absorbs uniform box drift but — by
-construction — cannot flag a change that slowed every query equally
-(the calibration probes exist precisely to close that gap).
+before the probes existed fall back to the 75th-percentile per-query
+ratio across ALL shared queries (p75, not the median — see
+drift_factor's docstring for why), which absorbs uniform box drift
+but — by construction — cannot flag a change that slowed every query
+equally (the calibration probes exist precisely to close that gap).
+
+Given a driver artifact path BENCH_rNN.json, the loader prefers a
+sibling BENCH_LOCAL_rNN.json (the untruncated payload bench.py
+persists in-repo) when one exists — the driver's 2000-char tail
+truncation eats `shuffle_bytes` and dozens of per-query timings, so
+the byte gate is only meaningful on the local artifacts.
 
 A query regresses when new/drift > old * ratio AND new/drift - old >
 floor_sec (defaults 1.4 / 0.3 — this box swings ±20% run to run, so
@@ -47,7 +54,20 @@ META_KEYS = ("value", "sf", "n", "rc", "cpus", "headline22_total",
 def load_bench(path: str) -> dict:
     """Returns {queries: {name: sec}, calibration: {name: sec},
     shuffle_bytes: {name: [r, w, spill]}} — empty dicts where the
-    artifact predates a field."""
+    artifact predates a field. A driver BENCH_rNN.json path is
+    upgraded to its sibling BENCH_LOCAL_rNN.json when present (the
+    untruncated in-repo artifact)."""
+    m = re.search(r"^(.*)BENCH_(r\d+)(\.json)?$", path)
+    if m and "LOCAL" not in path:
+        local = f"{m.group(1)}BENCH_LOCAL_{m.group(2)}.json"
+        try:
+            open(local).close()
+            print(f"# using untruncated {local}", file=sys.stderr)
+            path = local
+        except OSError:
+            pass
+    if not path.endswith(".json"):
+        path += ".json"
     raw = open(path).read()
     try:
         d = json.loads(raw)
