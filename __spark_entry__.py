@@ -1275,7 +1275,7 @@ def oracle_sql() -> dict[str, str]:
                ANY_VALUE(m.exact_p50) AS exact_p50,
                TRUE AS users_within_tol,
                TRUE AS p50_within_tol
-        FROM events e JOIN med m ON e.event_type = m.event_type
+        FROM events e LEFT JOIN med m ON e.event_type = m.event_type
         GROUP BY e.event_type ORDER BY e.event_type
     """
     o["nations_in_both_segments"] = """

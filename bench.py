@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "pca_variance_report",
     "quality_classifier_score",
     "quality_classifier_eval",
+    # r8 additions: the cumulative ANN maintenance verdict.
+    "ivf_drift_report",
 ]
 
 # The r1-comparable headline set (BASELINE.md gate: within 2x of the

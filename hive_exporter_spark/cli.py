@@ -151,7 +151,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="materialized IVF ANN index lifecycle: build (fit + "
              "bucket-partitioned write, centroids persisted beside the "
              "index), update (frozen-centroid append-only admission), "
-             "query (partition-pruned top-k probe)")
+             "query (partition-pruned top-k probe). Maintenance verbs "
+             "(build/update) are single-driver by contract: concurrent "
+             "updates can claim the same admission sequence number")
     ivf.add_argument("action", choices=["build", "update", "query", "status"])
     ivf.add_argument("-i", "--input",
                      help="parquet of vectors (build/update: corpus or "
@@ -322,12 +324,20 @@ def main(argv: list[str] | None = None) -> int:
             # Maintenance verdict from the accumulated admission
             # reports (underscore dir: invisible to index readers):
             # rebuild > compact > ok. Thresholds in SCALE.md.
-            if not _os.path.isdir(adm_dir):
+            # An interrupted update can leave _admissions present but
+            # empty (or _SUCCESS-only); spark.read.parquet would raise
+            # an unhandled schema-inference error instead of the usage
+            # message (ADVICE r7) — treat unreadable as never-updated.
+            try:
+                adm = spark.read.parquet(adm_dir)
+                adm.first()
+            except Exception:
+                adm = None
+            if adm is None:
                 print("ok: no admissions recorded — index is as built "
                       "(or was never updated)")
                 return 0
-            verdict = llm.ivf_rebuild_due(
-                spark.read.parquet(adm_dir)).collect()[0]
+            verdict = llm.ivf_rebuild_due(adm).collect()[0]
             import glob as _glob
             per_bucket = [
                 len(_glob.glob(_os.path.join(b, "*.parquet")))
@@ -335,9 +345,12 @@ def main(argv: list[str] | None = None) -> int:
                     _os.path.join(args.index_dir, "bucket=*"))
             ]
             max_files = max(per_bucket, default=0)
+            # drift is NULL when only the baseline batch exists —
+            # display 0.0 rather than "None" (ADVICE r7)
+            drift = verdict["drift"] if verdict["drift"] is not None else 0.0
             print(f"baseline_sim={verdict['baseline_sim']} "
                   f"latest_sim={verdict['latest_sim']} "
-                  f"drift={verdict['drift']} "
+                  f"drift={drift} "
                   f"max_files_per_bucket={max_files}")
             if verdict["rebuild_due"]:
                 print("rebuild: routing similarity drifted beyond "
@@ -389,7 +402,12 @@ def main(argv: list[str] | None = None) -> int:
                       f"mean_top_sim={r['mean_top_sim']}")
             # Accumulate the admission report beside the index so
             # `ivf status` can watch drift across updates; update_seq
-            # orders batches (max existing + 1).
+            # orders batches (max existing + 1). NOT atomic: two
+            # concurrent `ivf update` runs can claim the same seq and
+            # merge their batches into one "latest" sample, skewing
+            # the drift verdict — the ivf verb is a single-driver
+            # maintenance tool by contract (same constraint as the
+            # driver-local _centroids.json above).
             from pyspark.sql import functions as F
             seq = 1
             if _os.path.isdir(adm_dir):

@@ -1084,35 +1084,58 @@ def ivf_rebuild_due(admissions: DataFrame,
     build route well by construction) against the LATEST batch, and
     raises `rebuild_due` when the drop exceeds `drift_threshold`.
 
-    One-row verdict: (baseline_sim, latest_sim, drift, rebuild_due).
+    The step verdict alone has a blind spot (VERDICT r7 item 7): it
+    reads the LATEST batch only, so an index whose admitted MASS has
+    drifted goes unnoticed whenever the most recent batch happens to
+    route well (a lucky in-distribution batch resets the alarm). The
+    CUMULATIVE columns close it: `cumulative_sim` is the
+    n_added-weighted mean over ALL post-baseline admissions, and
+    `cumulative_rebuild_due` trips when the baseline-to-cumulative
+    drop exceeds the same threshold — a slow monotonic drift flips
+    the cumulative bit even while every individual step stays small.
+
+    One-row verdict: (baseline_sim, latest_sim, drift, rebuild_due,
+    cumulative_sim, cumulative_drift, cumulative_rebuild_due).
     Input is bucket x updates sized (driver-small by construction),
     but the computation stays DataFrame-native — the same report
-    works if admissions for a 65k-bucket index live in parquet.
+    works if admissions for a 65k-bucket index live in parquet. The
+    weighted means accumulate through DECIMAL (order-independent), so
+    the whole report is oracle-replayable (`ivf_drift_report`).
     """
     bounds = admissions.agg(F.min("update_seq").alias("__lo"),
                             F.max("update_seq").alias("__hi"))
     j = admissions.crossJoin(F.broadcast(bounds))
 
     def wmean(flag):
-        return (F.sum(F.when(flag, F.col("mean_top_sim")
-                             * F.col("n_added")))
-                / F.sum(F.when(flag, F.col("n_added"))))
+        num = F.sum(F.when(flag, (F.col("mean_top_sim")
+                                  * F.col("n_added"))
+                           .cast("decimal(38,18)")))
+        return num.cast("double") / F.sum(F.when(flag, F.col("n_added")))
 
     base = wmean(F.col("update_seq") == F.col("__lo"))
     last = wmean(F.col("update_seq") == F.col("__hi"))
+    cum = wmean(F.col("update_seq") > F.col("__lo"))
+    thr = F.lit(float(drift_threshold))
     return (
         j.agg(F.round(base, 6).alias("baseline_sim"),
-              F.round(last, 6).alias("latest_sim"))
+              F.round(last, 6).alias("latest_sim"),
+              F.round(cum, 6).alias("cumulative_sim"))
         .select(
             "baseline_sim", "latest_sim",
             F.round(F.col("baseline_sim") - F.col("latest_sim"), 6)
             .alias("drift"),
             # coalesce: an empty admissions frame yields NULL sims; a
             # NULL verdict must read "no evidence of drift", not leak
-            # a three-valued boolean to the CLI branch.
-            F.coalesce(F.col("baseline_sim") - F.col("latest_sim")
-                       > F.lit(float(drift_threshold)),
-                       F.lit(False)).alias("rebuild_due"))
+            # a three-valued boolean to the CLI branch. Same for the
+            # cumulative pair when only the baseline batch exists.
+            F.coalesce(F.col("baseline_sim") - F.col("latest_sim") > thr,
+                       F.lit(False)).alias("rebuild_due"),
+            "cumulative_sim",
+            F.round(F.col("baseline_sim") - F.col("cumulative_sim"), 6)
+            .alias("cumulative_drift"),
+            F.coalesce(
+                F.col("baseline_sim") - F.col("cumulative_sim") > thr,
+                F.lit(False)).alias("cumulative_rebuild_due"))
     )
 
 
@@ -1159,6 +1182,58 @@ def ivf_admission_report(embeddings: DataFrame,
              F.round(davg("score"), 6).alias("mean_top_sim"))
         .orderBy("bucket")
     )
+
+
+IVF_DRIFT_BATCHES = 3
+
+
+def ivf_drift_report(embeddings: DataFrame,
+                     n_clusters: int = IVF_CLUSTERS,
+                     vec_col: str = "embedding",
+                     n_batches: int = IVF_DRIFT_BATCHES) -> DataFrame:
+    """Hash-checked twin of the round-over-round maintenance verdict
+    (VERDICT r7 item 7): builds a deterministic admission HISTORY from
+    the fixture — vec_id % (n_batches+1) == 0 is the standing index
+    (centroid source, first `n_clusters` by id, frozen — the
+    `ivf_admission_report` trick), residues 1..n_batches are
+    successive admission batches ordered by residue — routes every
+    batch against the frozen centroids, and feeds the accumulated
+    per-(batch, bucket) report through `ivf_rebuild_due`. The output
+    is the full one-row verdict including the CUMULATIVE columns, all
+    pure relational algebra DuckDB replays bit-for-bit (fold cosine,
+    decimal-accumulated weighted means).
+
+    Spark shape: one corpus pass routes ALL batches at once (the
+    batch id is just `vec_id % k` — no per-batch scan), the argmax
+    window is per-vector, and everything after the admission groupBy
+    is (batches x buckets)-sized; the tiny admission frame is lazily
+    checkpointed so `ivf_rebuild_due`'s bounds crossJoin cannot
+    re-expand the corpus subtree (audit_plan repeated_scan rule).
+    """
+    from hive_exporter_spark.functions.aggs import davg
+
+    nb = n_batches + 1
+    emb = embeddings.select("vec_id", vec_col)
+    base = emb.where(F.col("vec_id") % nb == 0)
+    cent = F.broadcast(
+        base.orderBy("vec_id").limit(n_clusters)
+        .select(F.col("vec_id").alias("cent_id"),
+                F.col(vec_col).alias("cvec")))
+    new = emb.where(F.col("vec_id") % nb != 0)
+    scored = new.crossJoin(cent).withColumn(
+        "score", cosine_similarity(vec_col, "cvec"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("cent_id"))
+    assigned = (scored.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1))
+    admissions = (
+        assigned.groupBy(
+            (F.col("vec_id") % nb).cast("int").alias("update_seq"),
+            F.col("cent_id").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_added"),
+             F.round(davg("score"), 6).alias("mean_top_sim"))
+        .localCheckpoint(eager=False))
+    return ivf_rebuild_due(admissions)
 
 
 def query_ivf_index(spark: SparkSession, path: str,
@@ -5410,6 +5485,70 @@ ORACLES["ivf_admission_report"] = f"""
     SELECT cent_id AS bucket, CAST(COUNT(*) AS BIGINT) AS n_added,
            round({davg_sql('score')}, 6) AS mean_top_sim
     FROM assigned GROUP BY cent_id ORDER BY bucket
+"""
+
+
+def _q_ivf_drift_report(spark, sf):
+    return ivf_drift_report(_emb(spark, sf))
+
+
+QUERIES["ivf_drift_report"] = _q_ivf_drift_report
+
+# Full replay of the maintenance verdict over a deterministic
+# admission history: residue-0 vectors are the standing index (frozen
+# first-K centroids), residues 1..3 are successive admission batches;
+# the verdict arithmetic (step + cumulative weighted means) runs in
+# the same DECIMAL accumulators as the Spark side.
+_IVF_DRIFT_NB = IVF_DRIFT_BATCHES + 1
+
+
+def _wmean_sql(cond: str) -> str:
+    return (
+        f"CAST(SUM(CASE WHEN {cond} THEN "
+        f"CAST(mean_top_sim * n_added AS DECIMAL(38,18)) END) AS DOUBLE)"
+        f" / SUM(CASE WHEN {cond} THEN n_added END)"
+    )
+
+
+ORACLES["ivf_drift_report"] = f"""
+    WITH cent AS (
+        SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+        WHERE vec_id % {_IVF_DRIFT_NB} = 0 ORDER BY vec_id
+        LIMIT {IVF_CLUSTERS}
+    ), scored AS (
+        SELECT e.vec_id, c.cent_id,
+               {_cos_sql('e.embedding', 'c.cvec')} AS score
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.vec_id % {_IVF_DRIFT_NB} <> 0
+    ), assigned AS (
+        SELECT vec_id, cent_id, score FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, cent_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ), adm AS (
+        SELECT CAST(vec_id % {_IVF_DRIFT_NB} AS INT) AS update_seq,
+               cent_id AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_added,
+               round({davg_sql('score')}, 6) AS mean_top_sim
+        FROM assigned GROUP BY 1, 2
+    ), bounds AS (
+        SELECT MIN(update_seq) AS lo, MAX(update_seq) AS hi FROM adm
+    ), sims AS (
+        SELECT round({_wmean_sql('update_seq = lo')}, 6) AS baseline_sim,
+               round({_wmean_sql('update_seq = hi')}, 6) AS latest_sim,
+               round({_wmean_sql('update_seq > lo')}, 6) AS cumulative_sim
+        FROM adm CROSS JOIN bounds
+    )
+    SELECT baseline_sim, latest_sim,
+           round(baseline_sim - latest_sim, 6) AS drift,
+           COALESCE(baseline_sim - latest_sim > {IVF_REBUILD_DRIFT},
+                    FALSE) AS rebuild_due,
+           cumulative_sim,
+           round(baseline_sim - cumulative_sim, 6) AS cumulative_drift,
+           COALESCE(baseline_sim - cumulative_sim > {IVF_REBUILD_DRIFT},
+                    FALSE) AS cumulative_rebuild_due
+    FROM sims
 """
 
 # Full SQL twin of the fixed-centroid SemDeDup: nearest-of-the-first-K

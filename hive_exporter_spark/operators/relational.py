@@ -291,12 +291,19 @@ def approx_stats_error_report(events: DataFrame) -> DataFrame:
              / F.count(F.lit(1))), 6
         ).alias("exact_p50")
     )
-    exact = distinct_users.join(median, "event_type")
+    # LEFT join: an event_type whose `value` is entirely NULL has no
+    # median but must stay VISIBLE in the audit (a silently dropped
+    # group reads as "checked and fine" when it was never checked —
+    # ADVICE r7). It surfaces with exact_p50 NULL and the p50 verdict
+    # vacuously TRUE.
+    exact = distinct_users.join(median, "event_type", "left")
     approx = approx_value_stats(events)
     users_ok = (F.abs(F.col("approx_users") - F.col("exact_users"))
                 <= APPROX_USERS_TOL * F.col("exact_users"))
-    p50_ok = (F.abs(F.col("approx_p50") - F.col("exact_p50"))
-              <= APPROX_P50_TOL * F.abs(F.col("exact_p50")) + 1e-6)
+    p50_ok = F.when(
+        F.col("exact_p50").isNull(), F.lit(True)
+    ).otherwise(F.abs(F.col("approx_p50") - F.col("exact_p50"))
+                <= APPROX_P50_TOL * F.abs(F.col("exact_p50")) + 1e-6)
     return (
         exact.join(approx, "event_type")
         .select("event_type", "exact_users", "exact_p50",

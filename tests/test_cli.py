@@ -372,6 +372,19 @@ def test_ivf_status_closes_maintenance_loop(spark, tmp_path, capsys):
     # input guard: update/build/query without -i is a usage error
     assert cli.main(["ivf", "update", "-o", idx]) == 2
 
+    # an interrupted update can leave _admissions present but
+    # unreadable (empty dir / _SUCCESS only) — status must fall back
+    # to the never-updated path, not crash on schema inference
+    # (ADVICE r7)
+    idx3 = str(tmp_path / "idx3")
+    assert cli.main(["ivf", "build", "-i", base_p, "-o", idx3,
+                     "--clusters", "8"]) == 0
+    os.makedirs(os.path.join(idx3, "_admissions"))
+    open(os.path.join(idx3, "_admissions", "_SUCCESS"), "w").close()
+    capsys.readouterr()
+    assert cli.main(["ivf", "status", "-o", idx3]) == 0
+    assert "ok: no admissions recorded" in capsys.readouterr().out
+
 
 def test_quality_cli_lifecycle(spark, tmp_path, capsys):
     """train -> eval gate -> score with trained weights -> frozen

@@ -671,3 +671,26 @@ def test_approx_stats_error_report_verdicts_and_flip(spark, sf_dir, monkeypatch)
     monkeypatch.setattr(relational, "APPROX_P50_TOL", -1.0)
     flipped = relational.approx_stats_error_report(ev).collect()
     assert all(not r["users_within_tol"] for r in flipped), flipped
+
+
+def test_approx_stats_error_report_all_null_group_visible(spark, sf_dir):
+    """An event_type whose `value` is entirely NULL must stay VISIBLE
+    in the audit — exact_p50 NULL, p50 verdict vacuously TRUE — not
+    silently vanish from the report (ADVICE r7: a dropped group masks
+    missing instrumentation)."""
+    from hive_exporter_spark.operators import relational
+    from hive_exporter_spark.sources.files import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    nullish = ev.withColumn(
+        "value",
+        F.when(F.col("event_type") == "click", F.lit(None).cast("double"))
+        .otherwise(F.col("value")))
+    rows = {r["event_type"]: r for r in
+            relational.approx_stats_error_report(nullish).collect()}
+    all_types = {r["event_type"] for r in
+                 ev.select("event_type").distinct().collect()}
+    assert set(rows) == all_types
+    assert rows["click"]["exact_p50"] is None
+    assert rows["click"]["p50_within_tol"] is True
+    assert rows["click"]["exact_users"] > 0

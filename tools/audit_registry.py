@@ -93,6 +93,7 @@ DISMISSALS: dict[str, dict[str, str]] = {
     "validate_events_contract": {"repeated_scan": R_AUDIT},
     "ann_recall_report": {"repeated_scan": R_AUDIT},
     "ivf_admission_report": {"repeated_scan": R_AUDIT},
+    "ivf_drift_report": {"repeated_scan": R_AUDIT},
     "hll_kmv_crosscheck": {"repeated_scan": R_AUDIT},
     "bpe_fertility_report": {"repeated_scan": R_AUDIT},
     # -- repeated_scan: set ops ---------------------------------------
