@@ -473,6 +473,14 @@ def _events_contract(spark, sf):
     return profile.validate_events_contract(_t(spark, sf, "events"))
 
 
+def _k_anonymity(spark, sf):
+    """Quasi-identifiers for the fixture: (event_type, event day) —
+    the attributes an external log could link on; user_id is the
+    identifier being protected, so it stays OUT of the key."""
+    ev = _t(spark, sf, "events").withColumn("__day", F.to_date("ts"))
+    return profile.k_anonymity_report(ev, ["event_type", "__day"])
+
+
 def _bloom_dim_join(spark, sf):
     """Bloom-prefiltered selective-dim join: plan differs (fact rows
     drop before the shuffle), answer provably identical to the plain
@@ -740,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sample_fixed_n": _sample_fixed_n,
         "orders_bloom_dim_join": _bloom_dim_join,
         "validate_events_contract": _events_contract,
+        "k_anonymity_events": _k_anonymity,
         "orders_snapshot_diff": _snapshot_diff,
         "user_event_scd2": _scd2,
         "value_histogram": _histogram,
@@ -920,6 +929,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_acctbal > {BLOOM_DIM_BALANCE}
+        """,
+        "k_anonymity_events": """
+            WITH g AS (
+                SELECT event_type, CAST(ts AS DATE) AS __day,
+                       COUNT(*) AS __g
+                FROM events GROUP BY 1, 2
+            ), a AS (
+                SELECT CAST(SUM(__g) AS BIGINT) AS n_rows,
+                       CAST(COUNT(*) AS BIGINT) AS n_groups,
+                       CAST(MIN(__g) AS BIGINT) AS min_group_size,
+                       CAST(SUM(CASE WHEN __g < 5 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_risky_groups,
+                       CAST(COALESCE(SUM(CASE WHEN __g < 5 THEN __g END), 0)
+                            AS BIGINT) AS n_risky_rows
+                FROM g
+            )
+            SELECT n_rows, n_groups, min_group_size, n_risky_groups,
+                   n_risky_rows,
+                   round(n_risky_rows / CAST(n_rows AS DOUBLE), 6)
+                       AS risky_row_share,
+                   COALESCE(n_risky_rows / CAST(n_rows AS DOUBLE) <= 0.05,
+                            FALSE) AS k_anonymous_ok
+            FROM a
         """,
         "validate_events_contract": f"""
             WITH base AS (

@@ -148,8 +148,12 @@ BENCH_QUERIES = [
     "pca_variance_report",
     "quality_classifier_score",
     "quality_classifier_eval",
-    # r8 additions: the cumulative ANN maintenance verdict.
+    # r8 additions: cumulative ANN maintenance verdict, classifier
+    # calibration, privacy + encoding-health audits.
     "ivf_drift_report",
+    "quality_margin_calibration",
+    "k_anonymity_events",
+    "encoding_health_report",
 ]
 
 # The r1-comparable headline set (BASELINE.md gate: within 2x of the

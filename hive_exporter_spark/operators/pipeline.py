@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hive_exporter_spark.functions.aggs import dsum, dsum_sql
+from hive_exporter_spark.functions.aggs import davg_sql, dsum, dsum_sql
 from hive_exporter_spark.functions.rand import md5_uniform, md5_uniform_sql
 from hive_exporter_spark.sources.files import read_table
 
@@ -2478,4 +2478,121 @@ ORACLES["quality_classifier_eval"] = f"""
            TRUE AS beats_majority,
            TRUE AS acc_above_floor
     FROM lab WHERE NOT is_train
+"""
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration: reliability-by-margin-bin (r8)
+# ---------------------------------------------------------------------------
+
+QC_CAL_LO = -2.0     # margin clamp range for binning
+QC_CAL_HI = 2.0
+QC_CAL_WIDTH = 0.5   # 8 bins across [-2, 2]
+QC_CAL_BINS = int((QC_CAL_HI - QC_CAL_LO) / QC_CAL_WIDTH)
+
+
+def quality_margin_calibration(documents: DataFrame,
+                               weights: DataFrame | None = None,
+                               dim: int = QC_DIM) -> DataFrame:
+    """Reliability table for the quality classifier: documents are
+    bucketed by (clamped) margin and each bin reports how often the
+    label is actually positive — the calibration audit you run before
+    using the MARGIN as a soft quality score (sampling weights,
+    top-p pruning) rather than just its sign. A well-behaved scorer
+    shows frac_pos rising with the bin; a scorer whose margins carry
+    no signal shows a flat table, and the single `separation_ok`
+    verdict (weighted mean margin of positives strictly above that of
+    negatives) flips.
+
+    Fixed-width bins, NOT ntile: a global ntile is a single-partition
+    window (the funnel `audit_plan` rejects); fixed edges are map-only
+    and make bins comparable across rounds. All arithmetic is
+    relational (counts, decimal sums over 6-dp margins), so the frozen
+    baseline path hash-checks in DuckDB end to end; trained weights
+    ride the same plan. Two corpus scans (score + label) — the
+    auditor pattern; everything after the bin groupBy is 8 rows.
+    """
+    from hive_exporter_spark.functions.aggs import davg
+
+    scored = quality_classifier_score(documents, weights=weights, dim=dim)
+    lab = documents.select("doc_id", _qc_label().alias("label"))
+    clamped = F.least(F.greatest(F.col("margin"), F.lit(QC_CAL_LO)),
+                      F.lit(QC_CAL_HI))
+    bin_ = F.least(
+        F.floor((clamped - F.lit(QC_CAL_LO)) / F.lit(QC_CAL_WIDTH)),
+        F.lit(QC_CAL_BINS - 1)).cast("int")
+    j = scored.join(lab, "doc_id").select("margin", "label",
+                                          bin_.alias("bin"))
+    dec = "decimal(38,18)"
+    bins = (
+        j.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("label").cast("long")).alias("n_pos"),
+             F.sum(F.when(F.col("label"), F.col("margin")).cast(dec))
+             .alias("__sp"),
+             F.sum(F.when(~F.col("label"), F.col("margin")).cast(dec))
+             .alias("__sn"),
+             F.round(davg("margin"), 6).alias("mean_margin"))
+        .localCheckpoint(eager=False))
+    ver = bins.agg(
+        F.coalesce(
+            (F.sum("__sp").cast("double") / F.sum("n_pos"))
+            > (F.sum("__sn").cast("double")
+               / F.sum(F.col("n") - F.col("n_pos"))),
+            F.lit(False)).alias("separation_ok"))
+    return (
+        bins.crossJoin(F.broadcast(ver))
+        .select("bin",
+                (F.lit(QC_CAL_LO) + F.col("bin") * F.lit(QC_CAL_WIDTH))
+                .alias("bin_lo"),
+                "n", "n_pos",
+                F.round(F.col("n_pos") / F.col("n"), 6).alias("frac_pos"),
+                "mean_margin", "separation_ok")
+        .orderBy("bin")
+    )
+
+
+def _q_qc_calibration(spark, sf):
+    return quality_margin_calibration(_docs(spark, sf))
+
+
+QUERIES["quality_margin_calibration"] = _q_qc_calibration
+
+_CAL_DEC = "DECIMAL(38,18)"
+
+ORACLES["quality_margin_calibration"] = f"""
+    WITH sc AS ({ORACLES["quality_classifier_score"]}),
+    lab AS (
+        SELECT doc_id,
+               list_contains({_TOKS_SQL}, '{QC_LABEL_TOKEN}') AS label
+        FROM documents
+    ), j AS (
+        SELECT s.margin, l.label,
+               CAST(LEAST(FLOOR((LEAST(GREATEST(s.margin, {QC_CAL_LO}),
+                                       {QC_CAL_HI}) - ({QC_CAL_LO}))
+                                / {QC_CAL_WIDTH}),
+                          {QC_CAL_BINS - 1}) AS INT) AS bin
+        FROM sc s JOIN lab l ON s.doc_id = l.doc_id
+    ), bins AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos,
+               SUM(CASE WHEN label
+                   THEN CAST(margin AS {_CAL_DEC}) END) AS __sp,
+               SUM(CASE WHEN NOT label
+                   THEN CAST(margin AS {_CAL_DEC}) END) AS __sn,
+               round({davg_sql('margin')}, 6) AS mean_margin
+        FROM j GROUP BY bin
+    ), ver AS (
+        SELECT COALESCE(
+            CAST(SUM(__sp) AS DOUBLE) / SUM(n_pos)
+            > CAST(SUM(__sn) AS DOUBLE) / SUM(n - n_pos),
+            FALSE) AS separation_ok
+        FROM bins
+    )
+    SELECT bin, {QC_CAL_LO} + bin * {QC_CAL_WIDTH} AS bin_lo,
+           n, n_pos, round(n_pos / CAST(n AS DOUBLE), 6) AS frac_pos,
+           mean_margin, separation_ok
+    FROM bins CROSS JOIN ver
+    ORDER BY bin
 """

@@ -160,3 +160,55 @@ def validate_events_contract(events: DataFrame) -> DataFrame:
         .withColumn("passed", F.col("n_violations") == 0)
         .orderBy("rule")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / re-identification risk (r8)
+# ---------------------------------------------------------------------------
+
+K_ANON_K = 5             # a group smaller than this is re-identifiable
+K_ANON_RISK_BUDGET = 0.05  # tolerated share of rows in risky groups
+
+
+def k_anonymity_report(df: DataFrame, quasi_cols: Sequence[str],
+                       k: int = K_ANON_K,
+                       risk_budget: float = K_ANON_RISK_BUDGET) -> DataFrame:
+    """Privacy audit before releasing or training on event-level data:
+    group by the QUASI-IDENTIFIER columns (the attributes an attacker
+    could link to an external dataset — type, day, coarse location…)
+    and measure how much of the corpus sits in groups smaller than k,
+    i.e. rows whose quasi-id combination is rare enough to point at an
+    individual (Sweeney 2002's k-anonymity, as a report rather than a
+    transform — the remediation, generalize/suppress, is a policy
+    choice this engine should inform, not make).
+
+    One-row report: n_rows, n_groups, min_group_size, n_risky_groups
+    and n_risky_rows (groups of size < k), risky_row_share, and the
+    computed verdict `k_anonymous_ok` (share within `risk_budget`).
+
+    Scale shape: ONE groupBy on the quasi-id key (partial-agg
+    combined — the only corpus-sized exchange) and a group-count-sized
+    fold; nothing row-level ever reaches the driver. Skewed quasi-id
+    combos are harmless here: a hot group is by definition the SAFE
+    kind, and it arrives at the reducer as one partial row per map
+    partition, not as raw rows.
+    """
+    sizes = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("__g"))
+    risky = F.col("__g") < F.lit(int(k))
+    agg = sizes.agg(
+        F.sum("__g").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("__g").alias("min_group_size"),
+        F.sum(F.when(risky, 1).otherwise(0)).alias("n_risky_groups"),
+        F.coalesce(F.sum(F.when(risky, F.col("__g"))), F.lit(0))
+        .alias("n_risky_rows"),
+    )
+    share = F.col("n_risky_rows") / F.col("n_rows")
+    return agg.select(
+        "n_rows", "n_groups", "min_group_size",
+        "n_risky_groups", "n_risky_rows",
+        F.round(share, 6).alias("risky_row_share"),
+        F.coalesce(share <= F.lit(float(risk_budget)), F.lit(False))
+        .alias("k_anonymous_ok"),
+    )

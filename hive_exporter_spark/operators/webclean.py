@@ -234,3 +234,94 @@ ORACLES = {
         FROM segs
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Encoding health: mojibake / replacement-char / NUL scan (r8)
+# ---------------------------------------------------------------------------
+
+# Substring markers of classic encoding damage. 'Ã' and 'Â' are what
+# UTF-8 multibyte sequences look like after a Latin-1 round-trip
+# ("mojibake": café -> cafÃ©, NBSP -> Â ); 'â€' is the same damage on
+# typographic punctuation (â€™ â€œ â€). Substring probes, not regexes:
+# contains() is engine-portable and codegen-friendly, and the markers
+# are specific enough that false positives need the marker byte pair
+# to genuinely occur — which in clean text it essentially never does.
+MOJIBAKE_MARKERS = ("Ã", "Â", "â€")
+REPLACEMENT_CHAR = "�"
+
+
+def encoding_health_report(documents: DataFrame,
+                           text_col: str = "text") -> DataFrame:
+    """Per-source encoding-damage audit — the first thing to check
+    when ingesting a new crawl dump: U+FFFD replacement characters
+    (a decoder already gave up), Latin-1/UTF-8 double-encoding
+    mojibake markers, and embedded NUL bytes (binary leaked into a
+    text column). One row per source with per-flag counts and a
+    clean_share; a source whose clean_share sags is quarantined
+    before it pollutes dedup signatures and tokenizer stats (both of
+    which treat mojibake as fresh vocabulary).
+
+    Map-only flags (substring probes in whole-stage codegen) + one
+    source-sized aggregate: the audit costs exactly one corpus scan.
+    """
+    t = F.col(text_col)
+    has_repl = t.contains(REPLACEMENT_CHAR)
+    has_moji = None
+    for m in MOJIBAKE_MARKERS:
+        c = t.contains(m)
+        has_moji = c if has_moji is None else (has_moji | c)
+    has_nul = t.contains("\x00")
+    flagged = has_repl | has_moji | has_nul
+
+    def cnt(flag, name):
+        return F.sum(F.when(F.coalesce(flag, F.lit(True)), 1)
+                     .otherwise(0)).alias(name)
+
+    return (
+        documents.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             # NULL text is damage by definition: coalesce to flagged
+             cnt(has_repl, "n_replacement"),
+             cnt(has_moji, "n_mojibake"),
+             cnt(has_nul, "n_nul"),
+             cnt(flagged, "n_flagged"))
+        .select("source", "n_docs", "n_replacement", "n_mojibake",
+                "n_nul", "n_flagged",
+                F.round((F.col("n_docs") - F.col("n_flagged"))
+                        / F.col("n_docs"), 6).alias("clean_share"))
+        .orderBy("source")
+    )
+
+
+def _q_encoding_health(spark, sf):
+    return encoding_health_report(_docs(spark, sf))
+
+
+QUERIES["encoding_health_report"] = _q_encoding_health
+
+_ENC_FLAGS_SQL = (
+    "COALESCE(contains(text, chr(65533)), TRUE) AS has_repl, "
+    "COALESCE(contains(text, 'Ã') OR contains(text, 'Â') "
+    "OR contains(text, 'â€'), TRUE) AS has_moji, "
+    "COALESCE(contains(text, chr(0)), TRUE) AS has_nul"
+)
+
+ORACLES["encoding_health_report"] = f"""
+    WITH flags AS (
+        SELECT source, {_ENC_FLAGS_SQL} FROM documents
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN has_repl THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_replacement,
+           CAST(SUM(CASE WHEN has_moji THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_mojibake,
+           CAST(SUM(CASE WHEN has_nul THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nul,
+           CAST(SUM(CASE WHEN has_repl OR has_moji OR has_nul
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           round((COUNT(*) - SUM(CASE WHEN has_repl OR has_moji OR has_nul
+                                 THEN 1 ELSE 0 END))
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS clean_share
+    FROM flags GROUP BY source ORDER BY source
+"""

@@ -694,3 +694,31 @@ def test_approx_stats_error_report_all_null_group_visible(spark, sf_dir):
     assert rows["click"]["exact_p50"] is None
     assert rows["click"]["p50_within_tol"] is True
     assert rows["click"]["exact_users"] > 0
+
+
+def test_k_anonymity_report_counts_and_verdict(spark):
+    """Risky mass counted exactly; verdict computed from the budget,
+    not pinned; k is respected (size == k is SAFE, < k is risky)."""
+    from hive_exporter_spark.operators.profile import k_anonymity_report
+
+    # groups: (a,x) size 5, (a,y) size 2, (b,x) size 1 -> 3 risky rows of 8
+    rows = ([("a", "x")] * 5) + ([("a", "y")] * 2) + [("b", "x")]
+    df = spark.createDataFrame(rows, "q1 string, q2 string")
+    r = k_anonymity_report(df, ["q1", "q2"], k=5).collect()[0]
+    assert r["n_rows"] == 8 and r["n_groups"] == 3
+    assert r["min_group_size"] == 1
+    assert r["n_risky_groups"] == 2 and r["n_risky_rows"] == 3
+    assert r["risky_row_share"] == round(3 / 8, 6)
+    assert r["k_anonymous_ok"] is False          # 0.375 > 0.05 budget
+
+    # generous budget flips the verdict; k=1 means nothing is risky
+    r = k_anonymity_report(df, ["q1", "q2"], k=5,
+                           risk_budget=0.5).collect()[0]
+    assert r["k_anonymous_ok"] is True
+    r = k_anonymity_report(df, ["q1", "q2"], k=1).collect()[0]
+    assert r["n_risky_rows"] == 0 and r["k_anonymous_ok"] is True
+
+    # empty input: verdict FALSE-safe, never a NULL boolean
+    empty = spark.createDataFrame([], "q1 string, q2 string")
+    r = k_anonymity_report(empty, ["q1", "q2"]).collect()[0]
+    assert r["k_anonymous_ok"] is False and r["n_risky_rows"] == 0

@@ -801,3 +801,33 @@ def test_quality_classifier_score_weight_table_edge_cases(spark, sf_dir):
     rows = s.collect()
     assert len(rows) == n_docs_with_tokens
     assert all(r["margin"] == -2.5 and not r["predicted"] for r in rows)
+
+
+def test_quality_margin_calibration_monotone_and_flip(spark, sf_dir):
+    """The reliability table: every scored doc lands in exactly one
+    bin, frac_pos rises from the lowest to the highest populated bin
+    for a real (learnable) margin, and separation_ok is COMPUTED —
+    negating the trained weights anti-correlates margin and label and
+    flips it."""
+    docs = _docs(spark, sf_dir)
+    w = pipeline.quality_classifier_train(docs)
+    rep = pipeline.quality_margin_calibration(docs, weights=w) \
+        .orderBy("bin").collect()
+    n_scored = pipeline.quality_classifier_score(docs, weights=w).count()
+    assert sum(r["n"] for r in rep) == n_scored
+    assert all(0 <= r["bin"] < pipeline.QC_CAL_BINS for r in rep)
+    assert all(r["bin_lo"] == pipeline.QC_CAL_LO
+               + r["bin"] * pipeline.QC_CAL_WIDTH for r in rep)
+    assert rep[-1]["frac_pos"] > rep[0]["frac_pos"]
+    assert all(r["separation_ok"] for r in rep)
+
+    anti = w.select("feat", (-F.col("weight")).alias("weight"))
+    flipped = pipeline.quality_margin_calibration(docs, weights=anti) \
+        .collect()
+    assert all(not r["separation_ok"] for r in flipped)
+
+    # frozen-baseline path (the hash-checked one) runs and covers
+    # every scored doc too
+    base = pipeline.quality_margin_calibration(docs).collect()
+    assert sum(r["n"] for r in base) == \
+        pipeline.quality_classifier_score(docs).count()

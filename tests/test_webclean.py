@@ -163,3 +163,43 @@ def test_tokenizer_fertility_counts_bytes_not_chars(spark):
     # bytes / 6 single-char tokens — char counting would give 7/6
     assert rows["ascii"]["bytes_per_token"] == 3.5
     assert rows["cjk"]["bytes_per_token"] == round(19 / 6, 6)
+
+
+def test_encoding_health_flags_fire_on_damaged_text(spark):
+    """Each damage class trips its own counter; NULL text counts as
+    flagged in every class; clean rows keep clean_share exact."""
+    rows = [
+        (1, "perfectly clean ascii text", "a"),
+        (2, "decoder gave up � here", "a"),          # replacement
+        (3, "double encoded cafÃ© menu", "a"),  # mojibake Ã
+        (4, "smart quote damage â€™ s", "a"),  # â€ marker
+        (5, "binary leak \x00 in text", "a"),             # NUL byte
+        (6, None, "a"),                                   # NULL text
+        (7, "clean again", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in
+           webclean.encoding_health_report(df).collect()}
+    a = got["a"]
+    assert a["n_docs"] == 6
+    assert a["n_replacement"] == 2   # doc 2 + NULL row
+    assert a["n_mojibake"] == 3      # docs 3, 4 + NULL row
+    assert a["n_nul"] == 2           # doc 5 + NULL row
+    assert a["n_flagged"] == 5       # everything but doc 1
+    assert a["clean_share"] == round(1 / 6, 6)
+    b = got["b"]
+    assert b["n_flagged"] == 0 and b["clean_share"] == 1.0
+
+
+def test_encoding_health_map_only_plan(spark, sf_dir):
+    """The audit is one scan + one source-sized aggregate: exactly one
+    exchange, no error-severity lint findings."""
+    docs = read_table(spark, sf_dir, "documents")
+    df = webclean.encoding_health_report(docs)
+    assert len(plans.scan_locations(df)) == 1
+    # one data exchange (partial-agg combined); the second is the
+    # source-count-sized ORDER BY
+    assert plans.num_exchanges(df) <= 2
+    assert plans.has_partial_aggregate(df)
+    assert [f for f in plans.audit_plan(df)
+            if f["severity"] == "error"] == []

@@ -96,6 +96,7 @@ DISMISSALS: dict[str, dict[str, str]] = {
     "ivf_drift_report": {"repeated_scan": R_AUDIT},
     "hll_kmv_crosscheck": {"repeated_scan": R_AUDIT},
     "bpe_fertility_report": {"repeated_scan": R_AUDIT},
+    "quality_margin_calibration": {"repeated_scan": R_AUDIT},
     # -- repeated_scan: set ops ---------------------------------------
     "nations_in_both_segments": {"repeated_scan": R_SETOP},
     "nations_only_in_segment": {"repeated_scan": R_SETOP},
