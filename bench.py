@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "quality_margin_calibration",
     "k_anonymity_events",
     "encoding_health_report",
+    "embedding_truncation_report",
 ]
 
 # The r1-comparable headline set (BASELINE.md gate: within 2x of the

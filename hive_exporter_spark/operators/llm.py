@@ -2856,6 +2856,64 @@ def ann_recall_report(embeddings: DataFrame,
     return out.orderBy("method")
 
 
+MRL_DIMS = (8, 16, 32)
+
+
+def embedding_truncation_report(embeddings: DataFrame,
+                                dims: Sequence[int] = MRL_DIMS,
+                                k: int = TOPK,
+                                n_queries: int = N_QUERIES,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding") -> DataFrame:
+    """Recall@k of PREFIX-TRUNCATED embeddings vs the full-dimension
+    exact ranking — the acceptance gate for Matryoshka-style dimension
+    reduction (Kusupati et al. 2022, arXiv:2205.13147: MRL-trained
+    encoders front-load information so a prefix of the vector is
+    itself a usable embedding). At 100 TB the dimension IS the cost
+    model — halving dims halves every ANN index's bytes, shuffle, and
+    scan time — so this report answers "how many dims can I drop
+    before recall pays" the same way `ann_recall_report` answers it
+    for index structure. For a non-MRL encoder the report is the
+    evidence AGAINST truncation (recall sags) — either verdict is the
+    audit working.
+
+    Per truncation dim: one brute-force pass over prefix-sliced
+    vectors (`F.slice` is free — no copy of the untouched suffix ever
+    crosses the wire after column pruning... the slice happens at scan
+    projection), joined against the checkpointed full-dim exact set.
+    All arithmetic is the portable fold cosine, so every row
+    hash-checks in DuckDB.
+    """
+    queries = embeddings.where(F.col(id_col) < n_queries)
+    exact = (topk_cosine(embeddings, queries, k, id_col, vec_col)
+             .select("query_id", "neighbor_id")
+             .localCheckpoint(eager=False))
+    n_exp = F.broadcast(
+        exact.agg(F.count(F.lit(1)).alias("n_expected")))
+    reports = []
+    for d in dims:
+        tr = embeddings.select(
+            id_col, F.slice(F.col(vec_col), 1, int(d)).alias(vec_col))
+        hits = (
+            topk_cosine(tr, tr.where(F.col(id_col) < n_queries),
+                        k, id_col, vec_col)
+            .select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        reports.append(
+            hits.crossJoin(n_exp).select(
+                F.lit(int(d)).cast("int").alias("dim"),
+                "n_expected", "n_hits",
+                F.round(F.col("n_hits").cast("double")
+                        / F.col("n_expected"), 6).alias("recall_at_k"),
+            ))
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("dim")
+
+
 def dedup_recall_report(documents: DataFrame) -> DataFrame:
     """Precision/recall of the banded MinHash-LSH near-dup pairs
     against the exact n-gram-Jaccard pair set, as a one-row report the
@@ -5019,6 +5077,54 @@ ORACLES["ann_recall_report"] = f"""
     ) CROSS JOIN n
     ORDER BY method
 """
+
+def _q_mrl_report(spark, sf):
+    return embedding_truncation_report(_emb(spark, sf))
+
+
+QUERIES["embedding_truncation_report"] = _q_mrl_report
+
+
+def _trunc_topk_sql(d: int) -> str:
+    """Top-k over prefix-truncated vectors — the full-dim exact oracle
+    with `list_slice(embedding, 1, d)` on both sides."""
+    return f"""
+        SELECT query_id, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {_COS_SQL} DESC, b.vec_id
+                   ) AS rank
+            FROM (SELECT vec_id, list_slice(embedding, 1, {d}) AS qvec
+                  FROM embeddings WHERE vec_id < {N_QUERIES}) a(vec_id, qvec)
+            JOIN (SELECT vec_id, list_slice(embedding, 1, {d}) AS nvec
+                  FROM embeddings) b(vec_id, nvec)
+              ON a.vec_id <> b.vec_id
+        ) WHERE rank <= {TOPK}
+    """
+
+
+# Matryoshka truncation audit: one truncated top-k CTE per dim, all
+# joined against the full-dim exact set — the same composition shape
+# as ann_recall_report.
+ORACLES["embedding_truncation_report"] = (
+    f"WITH exact AS ({ORACLES['embedding_topk_cosine']}),\n"
+    + ",\n".join(f"t{d} AS ({_trunc_topk_sql(d)})" for d in MRL_DIMS)
+    + ",\n n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_expected FROM exact)\n"
+    + """
+    SELECT dim, n_expected, n_hits,
+           round(CAST(n_hits AS DOUBLE) / n_expected, 6) AS recall_at_k
+    FROM (
+    """
+    + "\n        UNION ALL\n".join(
+        f"SELECT CAST({d} AS INT) AS dim, CAST(COUNT(*) AS BIGINT) AS n_hits"
+        f" FROM t{d} JOIN exact USING (query_id, neighbor_id)"
+        for d in MRL_DIMS)
+    + """
+    ) CROSS JOIN n
+    ORDER BY dim
+"""
+)
 
 ORACLES["normalize_text"] = r"""
     SELECT doc_id,

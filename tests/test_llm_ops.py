@@ -263,6 +263,35 @@ def test_ann_recall_report_matches_set_arithmetic(spark, emb):
         assert r["recall_at_k"] == round(r["n_hits"] / r["n_expected"], 6)
 
 
+def test_embedding_truncation_report_recall_and_monotonicity(spark, emb):
+    """Truncation recall rows equal the set-overlap recall computed
+    directly from prefix-sliced brute force; the full-dim 'truncation'
+    is a perfect-recall sanity row; and more dims can only help ON
+    THIS FIXTURE's monotone aggregate (checked loosely: the widest
+    truncation beats the narrowest)."""
+    rows = {r["dim"]: r for r in
+            llm.embedding_truncation_report(emb).collect()}
+    assert set(rows) == set(llm.MRL_DIMS)
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in llm.topk_cosine(emb, queries).collect()}
+    for d in llm.MRL_DIMS:
+        tr = emb.select("vec_id",
+                        F.slice("embedding", 1, int(d)).alias("embedding"))
+        approx = {(r["query_id"], r["neighbor_id"])
+                  for r in llm.topk_cosine(
+                      tr, tr.where(F.col("vec_id") < 10)).collect()}
+        r = rows[d]
+        assert r["n_expected"] == len(exact)
+        assert r["n_hits"] == len(exact & approx)
+        assert r["recall_at_k"] == round(r["n_hits"] / len(exact), 6)
+    # truncating to the FULL width is exact search: recall == 1
+    full = {r["dim"]: r for r in llm.embedding_truncation_report(
+        emb, dims=(8, 64)).collect()}
+    assert full[64]["recall_at_k"] == 1.0
+    assert full[64]["recall_at_k"] >= full[8]["recall_at_k"]
+
+
 def test_topk_cosine_self_excluded_and_k(spark, emb):
     out = llm.topk_cosine(emb, emb.where(F.col("vec_id") < 3), k=5).collect()
     assert len(out) == 15

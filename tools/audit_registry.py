@@ -92,6 +92,7 @@ DISMISSALS: dict[str, dict[str, str]] = {
     "stratified_sample_report": {"repeated_scan": R_AUDIT},
     "validate_events_contract": {"repeated_scan": R_AUDIT},
     "ann_recall_report": {"repeated_scan": R_AUDIT},
+    "embedding_truncation_report": {"repeated_scan": R_AUDIT},
     "ivf_admission_report": {"repeated_scan": R_AUDIT},
     "ivf_drift_report": {"repeated_scan": R_AUDIT},
     "hll_kmv_crosscheck": {"repeated_scan": R_AUDIT},
