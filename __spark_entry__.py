@@ -648,33 +648,28 @@ def _session_window_overlap(spark, sf):
 # columns in any window entry — the driver canonicalizer cannot sort
 # them.
 _PRIORITY = (
-    # --- never driver-checked: new this round.
-    "bpe_fertility_report", "fuzzy_customer_pairs_capped",
-    "image_phash_near_dups_capped", "pca_variance_report",
-    "quality_classifier_eval", "quality_classifier_score",
-    # --- stale: green r1, relational/joins churned since.
-    "customer_order_stats", "customers_with_urgent_orders",
-    "customers_without_orders", "daily_revenue_moving_avg",
-    "distinct_counts", "nations_in_both_segments",
-    "nations_only_in_segment", "order_cube", "order_date_features",
-    "order_grouping_sets", "order_rollup", "order_window_analytics",
-    "part_type_volume_broadcast", "q10_returned_items",
-    "q12_returnflag_priority", "q13_order_count_distribution",
-    "q14_promo_revenue", "q16_supplier_diversity",
-    "q17_small_quantity_revenue", "q18_large_orders",
-    "q19_disjunctive_part_revenue", "q21_waiting_suppliers",
-    "q22_idle_rich_customers", "q3_shipping_priority",
-    "q4_late_shipment_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q7_nation_trade_flows",
-    "q8_nation_market_share", "top_customers_by_balance",
-    "top_orders_per_priority",
-    # --- stale: green r2, llm/webclean churned since.
-    "build_vocab", "doc_fingerprint", "incremental_dedup", "scrub_pii",
-    "segment_dedup",
-    # --- stale: green r3, llm/multimodal/pipeline churned since.
-    "binary_metadata", "chunk_documents", "containment_pairs",
-    "curation_pipeline", "dedup_lines", "dedup_near_duplicates",
-    "dedup_near_keep_best", "dedup_near_minhash",
+    # r8 window — mechanically derived by tools/rotate_window.py
+    # (never-driver-checked entries first, then by staleness of green:
+    # code churn since each entry's last green driver row).
+    "embedding_truncation_report", "encoding_health_report",
+    "ivf_drift_report", "k_anonymity_events", "quality_margin_calibration",
+    "fuzzy_customer_pairs", "embedding_near_dup_pairs", "epoch_mix",
+    "gopher_quality_signals", "lang_balanced_sample", "language_id",
+    "near_dup_clusters", "ngram_contamination", "ngram_jaccard_pairs",
+    "pack_sequences", "quality_score", "repetition_signals", "text_stats",
+    "tfidf_topk_terms", "token_count_bpe", "token_doc_frequency",
+    "token_entropy", "train_val_test_split", "training_data_prep",
+    "value_percentiles", "weighted_sample", "events_in_day_windows",
+    "events_zorder_index", "salted_segment_event_counts",
+    "bpe_pair_counts", "cdc_dup_spans", "chunk_documents_overlap",
+    "containment_pairs_capped", "contributor_cap", "dup_ngram_coverage",
+    "embedding_label_centroids", "heavy_hitters_exact",
+    "near_dup_clusters_bigstar", "ngram_contamination_bloom",
+    "ngram_jaccard_pairs_capped", "ngram_lm_perplexity", "normalize_text",
+    "q11_important_parts", "q20_dominant_share_suppliers",
+    "q2_min_cost_supplier", "q9_nation_product_profit",
+    "quality_prune_topp", "remove_dup_spans", "semantic_dedup_fixed",
+    "shard_by_tokens",
 )
 
 
