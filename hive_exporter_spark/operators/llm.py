@@ -3377,22 +3377,55 @@ def incremental_dedup_near(new_docs: DataFrame, corpus: DataFrame,
     any standing pipeline with monotone ids). All three screens
     shuffle only digests / band keys / signatures — never text.
     Output columns == the new batch's columns.
+
+    Implementation: builds the corpus state (digest set, signature
+    table, band table) from the `corpus` argument and delegates to
+    `near_admit` — the SAME screening core the streaming face
+    (`streaming.streams.near_dedup_stream`) runs against its standing
+    parquet state, so batch and stream semantics are identical by
+    construction.
     """
     digest = F.sha2(F.col(text_col), 256)
     seen = corpus.select(digest.alias("__digest")).distinct() \
         .localCheckpoint(eager=False)
-    exact_fresh = (
-        new_docs.withColumn("__digest", digest)
-        .join(seen, "__digest", "left_anti")
-        .drop("__digest")
-        .localCheckpoint(eager=False)
-    )
-    bsigs = minhash_signatures(
-        exact_fresh.select(id_col, text_col), slots).localCheckpoint(eager=False)
     csigs = minhash_signatures(
         corpus.select(id_col, text_col), slots).localCheckpoint(eager=False)
-    bband = _minhash_banded(bsigs, slots, bands)
     cband = _minhash_banded(csigs, slots, bands)
+    admitted, _ = near_admit(new_docs, seen, csigs, cband,
+                             slots=slots, bands=bands, threshold=threshold,
+                             text_col=text_col, id_col=id_col)
+    return admitted.orderBy(id_col)
+
+
+def near_admit(new_docs: DataFrame,
+               seen_digests: DataFrame | None,
+               corpus_sigs: DataFrame | None,
+               corpus_bands: DataFrame | None,
+               slots: int = MINHASH_SLOTS,
+               bands: int = LSH_BANDS,
+               threshold: float = JACCARD_THRESHOLD,
+               text_col: str = "text",
+               id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
+    """The three-screen admission core over PREBUILT corpus state:
+    `seen_digests` ('__digest' rows), `corpus_sigs` (doc_id,
+    signature), `corpus_bands` (doc_id, band, bucket) — any of which
+    may be None for an empty corpus (first batch of a standing
+    pipeline). Returns (admitted, batch_sigs): the admitted rows of
+    `new_docs`, and the survivors' signature table for the caller to
+    append to its standing state (filter to admitted ids first).
+
+    Shared by `incremental_dedup_near` (state built per call from a
+    corpus DataFrame) and `near_dedup_stream` (state persisted in
+    parquet across micro-batches).
+    """
+    digest = F.sha2(F.col(text_col), 256)
+    exact_fresh = new_docs.withColumn("__digest", digest)
+    if seen_digests is not None:
+        exact_fresh = exact_fresh.join(seen_digests, "__digest", "left_anti")
+    exact_fresh = exact_fresh.drop("__digest").localCheckpoint(eager=False)
+    bsigs = minhash_signatures(
+        exact_fresh.select(id_col, text_col), slots).localCheckpoint(eager=False)
+    bband = _minhash_banded(bsigs, slots, bands)
     agree = F.size(F.filter(
         F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
 
@@ -3403,25 +3436,28 @@ def incremental_dedup_near(new_docs: DataFrame, corpus: DataFrame,
             .select("doc_a", "doc_b")
         )
 
-    vs_corpus = (
-        bband.alias("a").join(
-            cband.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
     sa_b = bsigs.select(F.col("doc_id").alias("doc_a"),
                         F.col("signature").alias("sig_a"))
-    sb_c = csigs.select(F.col("doc_id").alias("doc_b"),
-                        F.col("signature").alias("sig_b"))
-    rejected_corpus = _confirmed(vs_corpus, sa_b, sb_c) \
-        .select(F.col("doc_a").alias("__rid")).distinct()
-    clean = exact_fresh.join(
-        F.broadcast(rejected_corpus),
-        exact_fresh[id_col] == F.col("__rid"), "left_anti",
-    ).localCheckpoint(eager=False)
+    if corpus_sigs is not None and corpus_bands is not None:
+        vs_corpus = (
+            bband.alias("a").join(
+                corpus_bands.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        sb_c = corpus_sigs.select(F.col("doc_id").alias("doc_b"),
+                                  F.col("signature").alias("sig_b"))
+        rejected_corpus = _confirmed(vs_corpus, sa_b, sb_c) \
+            .select(F.col("doc_a").alias("__rid")).distinct()
+        clean = exact_fresh.join(
+            F.broadcast(rejected_corpus),
+            exact_fresh[id_col] == F.col("__rid"), "left_anti",
+        ).localCheckpoint(eager=False)
+    else:
+        clean = exact_fresh
     clean_ids = clean.select(F.col(id_col).alias("doc_id"))
     in_batch = (
         bband.alias("a").join(
@@ -3439,9 +3475,10 @@ def incremental_dedup_near(new_docs: DataFrame, corpus: DataFrame,
                         F.col("signature").alias("sig_b"))
     losers = _confirmed(in_batch, sa_b, sb_b) \
         .select(F.col("doc_b").alias("__rid")).distinct()
-    return clean.join(
+    admitted = clean.join(
         F.broadcast(losers), clean[id_col] == F.col("__rid"), "left_anti",
-    ).orderBy(id_col)
+    )
+    return admitted, bsigs
 
 
 def remove_dup_spans(documents: DataFrame, k: int = CDC_K,

@@ -310,6 +310,80 @@ def corpus_dedup_stream_bloom(
     )
 
 
+def near_dedup_stream(
+    docs_stream: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    slots: int | None = None,
+    bands: int | None = None,
+    threshold: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> object:
+    """Continuous-crawl NEAR-duplicate admission: each micro-batch
+    runs `llm.near_admit`'s three screens (exact digest, MinHash-LSH
+    vs the standing corpus, single-pass in-batch LSH) against state
+    persisted in parquet under `state_dir` — `digests/` (32 B/doc)
+    and `signatures/` (slots·8 B/doc) — and appends its admitted rows
+    to `out_dir` and their digests+signatures back to the state, so
+    later batches and later RUNS never re-admit a near-duplicate.
+
+    The streaming face of `llm.incremental_dedup_near`, semantics
+    identical by construction (same `near_admit` core; pinned by the
+    batch-replay agreement test). Like `corpus_dedup_stream`, state
+    lives OUTSIDE the streaming state store: corpus-sized signature
+    state would blow executor state at 100 TB, while the parquet sig
+    table is scanned map-only per batch (band keys derive in the
+    projection; the batch side of the bucket join is micro-batch-
+    sized, so no corpus shuffle). foreachBatch gives at-least-once:
+    replayed appends are set-idempotent for digests and produce
+    duplicate band rows that the screen's dropDuplicates absorbs.
+
+    Returns the started StreamingQuery; caller owns stop().
+    """
+    import os as _os
+
+    from pyspark.sql.utils import AnalysisException
+
+    from hive_exporter_spark.operators.llm import (
+        JACCARD_THRESHOLD, LSH_BANDS, MINHASH_SLOTS, _minhash_banded,
+        near_admit)
+
+    n_slots = slots or MINHASH_SLOTS
+    n_bands = bands or LSH_BANDS
+    thr = threshold if threshold is not None else JACCARD_THRESHOLD
+    digest_dir = _os.path.join(state_dir, "digests")
+    sig_dir = _os.path.join(state_dir, "signatures")
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            seen = spark.read.parquet(digest_dir).select("__digest")
+            csigs = spark.read.parquet(sig_dir)
+            cband = _minhash_banded(csigs, n_slots, n_bands)
+        except AnalysisException:
+            seen = csigs = cband = None  # first batch: no state yet
+        admitted, bsigs = near_admit(
+            batch_df, seen, csigs, cband, slots=n_slots, bands=n_bands,
+            threshold=thr, text_col=text_col, id_col=id_col)
+        # Materialize ONCE: the admitted set feeds three writes.
+        admitted = admitted.localCheckpoint()
+        admitted.write.mode("append").parquet(out_dir)
+        admitted.select(
+            F.sha2(F.col(text_col), 256).alias("__digest")
+        ).write.mode("append").parquet(digest_dir)
+        bsigs.join(
+            admitted.select(F.col(id_col).alias("doc_id")), "doc_id"
+        ).write.mode("append").parquet(sig_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def jdbc_sink_stream(source: DataFrame, cfg, tag_column: str = "epoch_id") -> object:
     """foreachBatch → RDBMS bridge: every micro-batch appends to a JDBC
     table through the batch writer (sources/jdbc.writer), stamped with
