@@ -115,6 +115,18 @@ def build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--c4", action="store_true",
                      help="also apply the C4 page rules (webclean)")
 
+    doc = sub.add_parser(
+        "doctor",
+        help="one-page corpus health summary over a documents parquet "
+             "dir: volume, exact-dup share, encoding damage, C4 filter "
+             "survival — the first command to run on a new dump")
+    doc.add_argument("-i", "--input", required=True,
+                     help="documents parquet dir (doc_id, text[, lang, "
+                          "source] schema)")
+    doc.add_argument("--strict", action="store_true",
+                     help="exit 1 if any health gate fails (encoding "
+                          "clean_share < 0.99 or exact-dup share > 0.2)")
+
     shd = sub.add_parser(
         "shards",
         help="write a documents parquet dir as token-balanced training "
@@ -301,6 +313,45 @@ def main(argv: list[str] | None = None) -> int:
         print(f"curated {docs.count()} docs -> {out.count()} packed rows "
               f"-> {args.output}")
         return 0
+
+    if args.command == "doctor":
+        from pyspark.sql import functions as F
+
+        from hive_exporter_spark.operators.webclean import (
+            c4_filter_report, encoding_health_report)
+
+        docs = spark.read.parquet(args.input)
+        have = set(docs.columns)
+        if "source" not in have:
+            docs = docs.withColumn("source", F.lit("(none)"))
+        # one pass: volume + exact-dup share (distinct digests)
+        vol = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.sha2(F.col("text"), 256)).alias("nd"),
+            F.countDistinct("source").alias("ns"),
+        ).collect()[0]
+        dup_share = (1 - vol["nd"] / vol["n"]) if vol["n"] else 0.0
+        print(f"docs={vol['n']} sources={vol['ns']} "
+              f"exact_dup_share={dup_share:.4f}")
+        enc = encoding_health_report(docs).agg(
+            F.sum("n_docs").alias("n"),
+            F.sum("n_flagged").alias("bad"),
+            F.sum("n_replacement").alias("repl"),
+            F.sum("n_mojibake").alias("moji"),
+            F.sum("n_nul").alias("nul"),
+        ).collect()[0]
+        clean_share = (1 - enc["bad"] / enc["n"]) if enc["n"] else 1.0
+        print(f"encoding: clean_share={clean_share:.4f} "
+              f"replacement={enc['repl']} mojibake={enc['moji']} "
+              f"nul={enc['nul']}")
+        c4 = c4_filter_report(docs).collect()[0]
+        print(f"c4: kept={c4['n_kept']}/{c4['n_docs']} "
+              f"too_short={c4['n_too_short']} too_long={c4['n_too_long']} "
+              f"lorem={c4['n_lorem']} brace={c4['n_brace']} "
+              f"blocked={c4['n_blocked']}")
+        failed = clean_share < 0.99 or dup_share > 0.2
+        print("health: " + ("FAIL" if failed else "ok"))
+        return 1 if (args.strict and failed) else 0
 
     if args.command == "shards":
         from hive_exporter_spark.sinks import write_training_shards

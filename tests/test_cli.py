@@ -479,3 +479,28 @@ def test_ivf_status_compact_path_end_to_end(spark, tmp_path, capsys):
     b = sorted(map(tuple, llm.query_ivf_index(
         spark, idx2, cent, queries).collect()))
     assert a == b and a
+
+
+def test_doctor_cli_health_summary(spark, tmp_path, capsys, sf_dir):
+    """`doctor` prints the corpus health one-pager and its --strict
+    gate trips on a deliberately damaged corpus."""
+    from hive_exporter_spark.sources.files import read_table
+
+    clean_p = str(tmp_path / "clean.parquet")
+    read_table(spark, sf_dir, "documents").limit(100) \
+        .write.parquet(clean_p)
+    assert cli.main(["doctor", "-i", clean_p, "--strict"]) == 0
+    out = capsys.readouterr().out
+    assert "exact_dup_share=0.0000" in out
+    assert "clean_share=1.0000" in out
+    assert "health: ok" in out
+
+    # 40% exact dups + mojibake -> strict gate fails
+    dirty_p = str(tmp_path / "dirty.parquet")
+    spark.createDataFrame(
+        [(i, "same boilerplate page Ã©", "s") for i in range(4)]
+        + [(9, "one clean unique doc", "s")],
+        "doc_id long, text string, source string").write.parquet(dirty_p)
+    assert cli.main(["doctor", "-i", dirty_p]) == 0      # report-only
+    assert "health: FAIL" in capsys.readouterr().out
+    assert cli.main(["doctor", "-i", dirty_p, "--strict"]) == 1
