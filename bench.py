@@ -155,6 +155,8 @@ BENCH_QUERIES = [
     "k_anonymity_events",
     "encoding_health_report",
     "embedding_truncation_report",
+    "split_leakage_report",
+    "lexical_vector_agreement",
 ]
 
 # The r1-comparable headline set (BASELINE.md gate: within 2x of the

@@ -2914,6 +2914,81 @@ def embedding_truncation_report(embeddings: DataFrame,
     return out.orderBy("dim")
 
 
+def lexical_vector_agreement(documents: DataFrame,
+                             embeddings: DataFrame,
+                             k: int = TOPK,
+                             n_queries: int = N_QUERIES,
+                             shingle_k: int = SHINGLE_K) -> DataFrame:
+    """Hybrid-retrieval audit: for each query document, how much do
+    LEXICAL top-k (exact n-gram Jaccard over the shingle inverted
+    index) and VECTOR top-k (exact cosine over the aligned embedding)
+    agree? Per-query overlap@k is the number every hybrid-search and
+    near-dup design decision hangs on: high overlap says one modality
+    suffices; low overlap says the corpus holds paraphrase-style
+    near-dups (vector catches, lexical misses) or surface-form
+    near-dups (the reverse), and a dedup pipeline using only one
+    screen is leaving the other class in the training set.
+
+    documents.doc_id and embeddings.vec_id align by construction of
+    the fixtures (the `semantic_dedup_fixed` convention). Both sides
+    are exact and deterministic (ties break on neighbor id), so the
+    report value-hash-checks in DuckDB. Scale shape: lexical
+    candidates come from the inverted index restricted to the query
+    side (cost bounded by the queries' shingle doc-frequencies, never
+    all-pairs); the vector side is the broadcast brute-force pass;
+    everything after is (queries x k)-sized.
+    """
+    exploded = (
+        exploded_shingles(documents, shingle_k)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = exploded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"))
+    qa = exploded.where(F.col("doc_id") < n_queries).alias("a")
+    common = (
+        qa.join(exploded.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("query_id"),
+                 F.col("b.doc_id").alias("neighbor_id"))
+        .agg(F.count(F.lit(1)).alias("n_common_sh"))
+    )
+    jacc = (F.col("n_common_sh")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common_sh")))
+    w = Window.partitionBy("query_id").orderBy(
+        jacc.desc(), F.col("neighbor_id"))
+    lex = (
+        common
+        .join(sizes.select(F.col("doc_id").alias("query_id"),
+                           F.col("n_sh").alias("n_a")), "query_id")
+        .join(sizes.select(F.col("doc_id").alias("neighbor_id"),
+                           F.col("n_sh").alias("n_b")), "neighbor_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    vec = (topk_cosine(embeddings,
+                       embeddings.where(F.col("vec_id") < n_queries), k)
+           .select("query_id", "neighbor_id")
+           .localCheckpoint(eager=False))
+    nv = vec.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_vec"))
+    nl = lex.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_lex"))
+    nc = (vec.join(lex, ["query_id", "neighbor_id"])
+          .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_common")))
+    return (
+        nv.join(nl, "query_id", "left").join(nc, "query_id", "left")
+        .select("query_id",
+                F.coalesce("n_lex", F.lit(0)).alias("n_lex"),
+                "n_vec",
+                F.coalesce("n_common", F.lit(0)).alias("n_common"),
+                F.round(F.coalesce("n_common", F.lit(0))
+                        / F.lit(float(k)), 6).alias("overlap_at_k"))
+        .orderBy("query_id")
+    )
+
+
 def dedup_recall_report(documents: DataFrame) -> DataFrame:
     """Precision/recall of the banded MinHash-LSH near-dup pairs
     against the exact n-gram-Jaccard pair set, as a one-row report the
@@ -5162,6 +5237,65 @@ ORACLES["embedding_truncation_report"] = (
     ORDER BY dim
 """
 )
+
+def _q_lex_vec_agreement(spark, sf):
+    return lexical_vector_agreement(_docs(spark, sf), _emb(spark, sf))
+
+
+QUERIES["lexical_vector_agreement"] = _q_lex_vec_agreement
+
+# Hybrid-retrieval audit: lexical top-k from the shingle inverted
+# index (raw-string join — the Spark side joins on xxhash64(shingle)
+# as a shuffle-width optimization with the same counts), vector top-k
+# from the exact-cosine oracle, per-query overlap.
+ORACLES["lexical_vector_agreement"] = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+    ), sizes AS (
+        SELECT doc_id, len({_SHINGLES_SQL}) AS n_sh FROM documents
+    ), common AS (
+        SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+               COUNT(*) AS n_common_sh
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        WHERE a.doc_id < {N_QUERIES}
+        GROUP BY 1, 2
+    ), lex AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY CAST(n_common_sh AS DOUBLE)
+                                / (sa.n_sh + sb.n_sh - n_common_sh) DESC,
+                                neighbor_id) AS rn
+            FROM common
+            JOIN sizes sa ON sa.doc_id = query_id
+            JOIN sizes sb ON sb.doc_id = neighbor_id
+        ) WHERE rn <= {TOPK}
+    ), vec AS (
+        SELECT query_id, neighbor_id FROM ({ORACLES["embedding_topk_cosine"]})
+    ), nv AS (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_vec
+        FROM vec GROUP BY query_id
+    ), nl AS (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_lex
+        FROM lex GROUP BY query_id
+    ), nc AS (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM vec JOIN lex USING (query_id, neighbor_id)
+        GROUP BY query_id
+    )
+    SELECT nv.query_id,
+           COALESCE(nl.n_lex, 0) AS n_lex,
+           nv.n_vec,
+           COALESCE(nc.n_common, 0) AS n_common,
+           round(COALESCE(nc.n_common, 0) / CAST({TOPK} AS DOUBLE), 6)
+               AS overlap_at_k
+    FROM nv
+    LEFT JOIN nl ON nl.query_id = nv.query_id
+    LEFT JOIN nc ON nc.query_id = nv.query_id
+    ORDER BY nv.query_id
+"""
 
 ORACLES["normalize_text"] = r"""
     SELECT doc_id,

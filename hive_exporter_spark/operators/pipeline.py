@@ -2482,6 +2482,117 @@ ORACLES["quality_classifier_eval"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# Split leakage: near-dup pairs crossing the train/val/test boundary (r8)
+# ---------------------------------------------------------------------------
+
+LEAK_BUDGET = 0.05  # tolerated share of near-dup pairs crossing splits
+
+
+def split_leakage_report(documents: DataFrame,
+                         id_col: str = "doc_id",
+                         budget: float = LEAK_BUDGET) -> DataFrame:
+    """Eval-set contamination through NEAR-duplicates: a test document
+    whose near-twin sits in train leaks the answer even though no
+    doc_id crosses the split. This report joins the exact n-gram
+    Jaccard near-dup pair set against the deterministic hash split and
+    counts pairs per (split, split) combination — `cross_share` is the
+    fraction of all near-dup pairs that straddle a boundary, and the
+    computed `leakage_ok` verdict compares it to `budget`.
+
+    The structural fix when it trips is `group_split` (keep whole
+    near-dup families on one side); this report is the evidence, run
+    BEFORE training. With an 80/10/10 hash split and independently
+    placed duplicates, ~34% of pairs cross — so a healthy
+    dedup-then-split pipeline shows near-zero and a skipped dedup
+    stage announces itself loudly.
+
+    Scale shape: the pair set comes from the banded inverted-index
+    plan (never all-pairs), split assignment is a map-only projection
+    joined twice on pair-set-sized frames; everything after is
+    9-combination-sized.
+    """
+    from hive_exporter_spark.operators.llm import ngram_jaccard_pairs
+
+    pairs = (ngram_jaccard_pairs(documents).select("doc_a", "doc_b")
+             .localCheckpoint(eager=False))
+    sp = train_val_test_split(documents, id_col=id_col) \
+        .select(F.col(id_col), "split")
+    j = (
+        pairs
+        .join(sp.select(F.col(id_col).alias("doc_a"),
+                        F.col("split").alias("split_a")), "doc_a")
+        .join(sp.select(F.col(id_col).alias("doc_b"),
+                        F.col("split").alias("split_b")), "doc_b")
+        .select(F.least("split_a", "split_b").alias("split_lo"),
+                F.greatest("split_a", "split_b").alias("split_hi"))
+    )
+    per = (j.groupBy("split_lo", "split_hi")
+           .agg(F.count(F.lit(1)).alias("n_pairs"))
+           .localCheckpoint(eager=False))
+    tot = per.agg(
+        F.sum("n_pairs").alias("n_pairs_total"),
+        F.coalesce(
+            F.sum(F.when(F.col("split_lo") != F.col("split_hi"),
+                         F.col("n_pairs"))), F.lit(0))
+        .alias("n_cross_split"))
+    share = F.col("n_cross_split") / F.col("n_pairs_total")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select("split_lo", "split_hi", "n_pairs",
+                "n_pairs_total", "n_cross_split",
+                F.round(share, 6).alias("cross_share"),
+                F.coalesce(share <= F.lit(float(budget)), F.lit(True))
+                .alias("leakage_ok"))
+        .orderBy("split_lo", "split_hi")
+    )
+
+
+def _q_split_leakage(spark, sf):
+    return split_leakage_report(_docs(spark, sf))
+
+
+QUERIES["split_leakage_report"] = _q_split_leakage
+
+
+def _split_leakage_oracle() -> str:
+    from hive_exporter_spark.operators.llm import _NGRAM_PAIRS_SQL
+
+    train_hi, val_hi = SPLIT_PCTS[0], SPLIT_PCTS[0] + SPLIT_PCTS[1]
+    return f"""
+        WITH pairs AS (SELECT doc_a, doc_b FROM ({_NGRAM_PAIRS_SQL})),
+        sp AS (
+            SELECT doc_id,
+                   CASE WHEN {_SPLIT_BUCKET} < {train_hi} THEN 'train'
+                        WHEN {_SPLIT_BUCKET} < {val_hi} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        ), j AS (
+            SELECT least(a.split, b.split) AS split_lo,
+                   greatest(a.split, b.split) AS split_hi
+            FROM pairs
+            JOIN sp a ON a.doc_id = pairs.doc_a
+            JOIN sp b ON b.doc_id = pairs.doc_b
+        ), per AS (
+            SELECT split_lo, split_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM j GROUP BY 1, 2
+        ), tot AS (
+            SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_pairs_total,
+                   CAST(COALESCE(SUM(CASE WHEN split_lo <> split_hi
+                                     THEN n_pairs END), 0) AS BIGINT)
+                       AS n_cross_split
+            FROM per
+        )
+        SELECT split_lo, split_hi, n_pairs, n_pairs_total, n_cross_split,
+               round(n_cross_split / CAST(n_pairs_total AS DOUBLE), 6)
+                   AS cross_share,
+               COALESCE(n_cross_split / CAST(n_pairs_total AS DOUBLE)
+                        <= {LEAK_BUDGET}, TRUE) AS leakage_ok
+        FROM per CROSS JOIN tot
+        ORDER BY split_lo, split_hi
+    """
+
+
+# ---------------------------------------------------------------------------
 # Classifier calibration: reliability-by-margin-bin (r8)
 # ---------------------------------------------------------------------------
 
@@ -2596,3 +2707,5 @@ ORACLES["quality_margin_calibration"] = f"""
     FROM bins CROSS JOIN ver
     ORDER BY bin
 """
+
+ORACLES["split_leakage_report"] = _split_leakage_oracle()

@@ -1757,3 +1757,24 @@ def test_pca_variance_report_accounting_and_flip(spark, emb, monkeypatch):
     monkeypatch.setattr(llm, "embedding_pca", inflated)
     v = llm.pca_variance_report(emb).collect()[0]
     assert v["pca_captured_ok"] and not v["pca_within_total_ok"]
+
+
+def test_lexical_vector_agreement_set_arithmetic(spark, sf_dir, emb):
+    """Overlap rows equal direct set arithmetic over the two top-k
+    paths; every query document appears; bounds hold."""
+    from hive_exporter_spark.sources.files import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    rep = {r["query_id"]: r for r in
+           llm.lexical_vector_agreement(docs, emb).collect()}
+    assert set(rep) == set(range(10))
+    vec = {}
+    for r in llm.topk_cosine(emb, emb.where(F.col("vec_id") < 10)).collect():
+        vec.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for qid, r in rep.items():
+        assert r["n_vec"] == len(vec[qid])
+        assert 0 <= r["n_common"] <= min(r["n_lex"], r["n_vec"])
+        assert r["overlap_at_k"] == round(r["n_common"] / llm.TOPK, 6)
+    # the fixture embeds token overlap into vectors, so SOME agreement
+    # must exist somewhere
+    assert any(r["n_common"] > 0 for r in rep.values())

@@ -831,3 +831,34 @@ def test_quality_margin_calibration_monotone_and_flip(spark, sf_dir):
     base = pipeline.quality_margin_calibration(docs).collect()
     assert sum(r["n"] for r in base) == \
         pipeline.quality_classifier_score(docs).count()
+
+
+def test_split_leakage_report_matches_set_arithmetic(spark, sf_dir):
+    """The report's combination counts equal direct pair x split set
+    arithmetic; the verdict is computed from the budget, not pinned."""
+    from hive_exporter_spark.operators.llm import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    rep = pipeline.split_leakage_report(docs).collect()
+    split = {r["doc_id"]: r["split"] for r in
+             pipeline.train_val_test_split(docs).collect()}
+    pairs = [(r["doc_a"], r["doc_b"]) for r in
+             ngram_jaccard_pairs(docs).select("doc_a", "doc_b").collect()]
+    want: dict = {}
+    for a, b in pairs:
+        key = tuple(sorted((split[a], split[b])))
+        want[key] = want.get(key, 0) + 1
+    got = {(r["split_lo"], r["split_hi"]): r["n_pairs"] for r in rep}
+    assert got == want
+    n_cross = sum(v for k, v in want.items() if k[0] != k[1])
+    assert all(r["n_cross_split"] == n_cross for r in rep)
+    assert all(r["n_pairs_total"] == len(pairs) for r in rep)
+    assert all(r["cross_share"] == round(n_cross / len(pairs), 6)
+               for r in rep)
+    # the fixture's duplicates are split-independent, so a meaningful
+    # fraction of pairs crosses and the default budget trips
+    assert n_cross > 0
+    assert all(r["leakage_ok"] is False for r in rep)
+    # a generous budget flips the verdict
+    ok = pipeline.split_leakage_report(docs, budget=1.0).collect()
+    assert all(r["leakage_ok"] is True for r in ok)

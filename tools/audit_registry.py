@@ -93,6 +93,8 @@ DISMISSALS: dict[str, dict[str, str]] = {
     "validate_events_contract": {"repeated_scan": R_AUDIT},
     "ann_recall_report": {"repeated_scan": R_AUDIT},
     "embedding_truncation_report": {"repeated_scan": R_AUDIT},
+    "split_leakage_report": {"repeated_scan": R_AUDIT},
+    "lexical_vector_agreement": {"repeated_scan": R_AUDIT},
     "ivf_admission_report": {"repeated_scan": R_AUDIT},
     "ivf_drift_report": {"repeated_scan": R_AUDIT},
     "hll_kmv_crosscheck": {"repeated_scan": R_AUDIT},
