@@ -339,6 +339,10 @@ def _scd2(spark, sf):
     ).orderBy("user_id", "valid_from")
 
 
+def _value_drift_psi(spark, sf):
+    return relational.value_drift_psi(_t(spark, sf, "events"))
+
+
 def _histogram(spark, sf):
     return relational.value_histogram(_t(spark, sf, "events"))
 
@@ -747,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_snapshot_diff": _snapshot_diff,
         "user_event_scd2": _scd2,
         "value_histogram": _histogram,
+        "value_drift_psi": _value_drift_psi,
     }
     q.update(sessions.QUERIES)
     q.update(llm.QUERIES)
@@ -1041,6 +1046,38 @@ def oracle_sql() -> dict[str, str]:
         FROM events, b
         WHERE value IS NOT NULL
         GROUP BY bin
+        ORDER BY bin
+    """
+    o["value_drift_psi"] = """
+        WITH nn AS (
+            SELECT event_id, value FROM events WHERE value IS NOT NULL
+        ), b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM nn),
+        bins AS (
+            SELECT CAST(least(floor((value - lo) / ((hi - lo) / 10.0)), 9)
+                        AS INT) AS bin,
+                   CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_even,
+                   CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_odd
+            FROM nn CROSS JOIN b GROUP BY 1
+        ), tot AS (
+            SELECT SUM(n_even) AS na, SUM(n_odd) AS nb FROM bins
+        ), terms AS (
+            SELECT bin, n_even, n_odd,
+                   round(((n_even + 1) / CAST(na + 10 AS DOUBLE)
+                          - (n_odd + 1) / CAST(nb + 10 AS DOUBLE))
+                         * ln(((n_even + 1) / CAST(na + 10 AS DOUBLE))
+                              / ((n_odd + 1) / CAST(nb + 10 AS DOUBLE))),
+                         9) AS psi_term
+            FROM bins CROSS JOIN tot
+        ), total AS (
+            SELECT round(CAST(SUM(CAST(psi_term AS DECIMAL(38,18)))
+                              AS DOUBLE), 9) AS psi_total
+            FROM terms
+        )
+        SELECT bin, n_even, n_odd, psi_term, psi_total,
+               COALESCE(psi_total <= 0.2, TRUE) AS drift_ok
+        FROM terms CROSS JOIN total
         ORDER BY bin
     """
     o["q6_forecast_revenue"] = f"""

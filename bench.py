@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "embedding_truncation_report",
     "split_leakage_report",
     "lexical_vector_agreement",
+    "value_drift_psi",
 ]
 
 # The r1-comparable headline set (BASELINE.md gate: within 2x of the

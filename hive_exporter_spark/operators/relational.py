@@ -724,6 +724,68 @@ def value_histogram(events: DataFrame, n_bins: int = 20,
     )
 
 
+PSI_BINS = 10
+PSI_BUDGET = 0.2  # the classic "significant shift" PSI threshold
+
+
+def value_drift_psi(events: DataFrame, value_col: str = "value",
+                    id_col: str = "event_id",
+                    n_bins: int = PSI_BINS,
+                    budget: float = PSI_BUDGET) -> DataFrame:
+    """Population Stability Index between two slices of a numeric
+    column (even vs odd ids, standing in for yesterday's vs today's
+    snapshot — the `embedding_drift` split) — the numeric-feature face
+    of the drift triad (`token_drift_jsd` for text, `embedding_drift`
+    for vectors). Per equal-width bin: slice counts and the
+    add-one-smoothed PSI term (p−q)·ln(p/q); plus the summed
+    `psi_total` and the computed verdict against the classic 0.2
+    threshold. A per-bin view names WHERE the distribution moved, not
+    just that it moved.
+
+    ONE conditional-aggregation pass after the bounds pass (the
+    `embedding_drift` r7 lesson applied from the start: never one
+    filtered subtree per slice); everything after the bin groupBy is
+    n_bins rows. Smoothed terms round to 9 dp (the `token_drift_jsd`
+    ln-portability contract); the term sum runs through DECIMAL, so
+    the whole report value-hash-checks.
+    """
+    nn = events.where(F.col(value_col).isNotNull())
+    bounds = nn.agg(F.min(value_col).alias("__lo"),
+                    F.max(value_col).alias("__hi"))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    bucket = F.least(
+        F.floor((F.col(value_col) - F.col("__lo")) / width),
+        F.lit(n_bins - 1)).cast("int")
+    is_a = F.col(id_col) % 2 == 0
+    bins = (
+        nn.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bin"))
+        .agg(F.sum(F.when(is_a, 1).otherwise(0)).alias("n_even"),
+             F.sum(F.when(~is_a, 1).otherwise(0)).alias("n_odd"))
+        .localCheckpoint(eager=False)
+    )
+    tot = bins.agg(F.sum("n_even").alias("__na"),
+                   F.sum("n_odd").alias("__nb"))
+    p = (F.col("n_even") + 1).cast("double") / (F.col("__na") + n_bins)
+    q = (F.col("n_odd") + 1).cast("double") / (F.col("__nb") + n_bins)
+    terms = (
+        bins.crossJoin(F.broadcast(tot))
+        .select("bin", "n_even", "n_odd",
+                F.round((p - q) * F.log(p / q), 9).alias("psi_term"))
+        .localCheckpoint(eager=False)
+    )
+    total = terms.agg(
+        F.round(F.sum(F.col("psi_term").cast("decimal(38,18)"))
+                .cast("double"), 9).alias("psi_total"))
+    return (
+        terms.crossJoin(F.broadcast(total))
+        .select("bin", "n_even", "n_odd", "psi_term", "psi_total",
+                F.coalesce(F.col("psi_total") <= F.lit(float(budget)),
+                           F.lit(True)).alias("drift_ok"))
+        .orderBy("bin")
+    )
+
+
 def waiting_suppliers(orders: DataFrame, lineitem: DataFrame,
                       supplier: DataFrame, nation: DataFrame) -> DataFrame:
     """TPC-H-Q21-style "sole late supplier": for finalized orders with

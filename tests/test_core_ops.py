@@ -722,3 +722,28 @@ def test_k_anonymity_report_counts_and_verdict(spark):
     empty = spark.createDataFrame([], "q1 string, q2 string")
     r = k_anonymity_report(empty, ["q1", "q2"]).collect()[0]
     assert r["k_anonymous_ok"] is False and r["n_risky_rows"] == 0
+
+
+def test_value_drift_psi_flips_on_shift(spark, sf_dir):
+    """PSI near zero (verdict ok) when the two slices share a
+    distribution; shifting the odd slice by 5x the range flips the
+    verdict; psi_total reconciles with the per-bin terms."""
+    from hive_exporter_spark.operators.relational import value_drift_psi
+    from hive_exporter_spark.sources.files import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    rows = value_drift_psi(ev).collect()
+    assert rows
+    assert all(r["drift_ok"] for r in rows)
+    total = round(sum(r["psi_term"] for r in rows), 6)
+    assert round(rows[0]["psi_total"], 6) == total
+    assert rows[0]["psi_total"] < 0.2
+
+    hi = ev.agg(F.max("value")).collect()[0][0]
+    shifted = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 2 == 1,
+               F.col("value") + F.lit(5.0) * hi).otherwise(F.col("value")))
+    bad = value_drift_psi(shifted).collect()
+    assert all(not r["drift_ok"] for r in bad)
+    assert bad[0]["psi_total"] > 0.2

@@ -78,6 +78,7 @@ DISMISSALS: dict[str, dict[str, str]] = {
     "curation_pipeline": {"repeated_scan": R_AGG_BACK},
     # -- repeated_scan: two-phase threshold / spine reads -------------
     "value_histogram": {"repeated_scan": R_TWO_PHASE},
+    "value_drift_psi": {"repeated_scan": R_TWO_PHASE},
     "value_quantiles_hist": {"repeated_scan": R_TWO_PHASE},
     "events_key_skew_profile": {"repeated_scan": R_TWO_PHASE},
     "events_in_day_windows": {"repeated_scan": R_TWO_PHASE},
