@@ -786,6 +786,79 @@ def value_drift_psi(events: DataFrame, value_col: str = "value",
     )
 
 
+def psi_baseline(events: DataFrame, value_col: str = "value",
+                 n_bins: int = PSI_BINS) -> DataFrame:
+    """Frozen PSI reference: equal-width bin counts plus the bounds
+    that define the bins, one row per populated bin with (lo, hi)
+    carried on every row (single self-contained table — the state
+    `value_drift_psi_stream` persists and monitors against). Same
+    two-pass shape as `value_histogram`."""
+    nn = events.where(F.col(value_col).isNotNull())
+    bounds = nn.agg(F.min(value_col).alias("lo"),
+                    F.max(value_col).alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    bucket = F.least(
+        F.floor((F.col(value_col) - F.col("lo")) / width),
+        F.lit(n_bins - 1)).cast("int")
+    return (
+        nn.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bin"), "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n_base"))
+        .select("bin", "n_base", "lo", "hi")
+        .orderBy("bin")
+    )
+
+
+def psi_against_baseline(batch: DataFrame, baseline: DataFrame,
+                         value_col: str = "value",
+                         n_bins: int = PSI_BINS,
+                         budget: float = PSI_BUDGET) -> DataFrame:
+    """One-row PSI of `batch`'s `value_col` against a `psi_baseline`
+    table: batch values bin with the FROZEN baseline bounds (out-of-
+    range values clamp into the edge bins — at monitor time the world
+    may have moved past the snapshot's min/max, and those rows are
+    exactly the drift signal, so they must land in a bin, not drop),
+    add-one smoothing over the union of bins, DECIMAL-summed total.
+    Columns: (n_rows, psi, drift_ok). Used per micro-batch by
+    `value_drift_psi_stream`; everything after the bin groupBy is
+    n_bins-sized."""
+    b = F.broadcast(baseline.select("lo", "hi").limit(1))
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    bucket = F.least(
+        F.greatest(F.floor((F.col(value_col) - F.col("lo")) / width),
+                   F.lit(0)),
+        F.lit(n_bins - 1)).cast("int")
+    batch_bins = (
+        batch.where(F.col(value_col).isNotNull())
+        .crossJoin(b)
+        .groupBy(bucket.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    joined = (
+        baseline.select("bin", "n_base")
+        .join(batch_bins, "bin", "full_outer")
+        .select("bin",
+                F.coalesce("n_base", F.lit(0)).alias("n_base"),
+                F.coalesce("n_new", F.lit(0)).alias("n_new"))
+        .localCheckpoint(eager=False)
+    )
+    tot = joined.agg(F.sum("n_base").alias("__na"),
+                     F.sum("n_new").alias("__nb"))
+    p = (F.col("n_base") + 1).cast("double") / (F.col("__na") + n_bins)
+    q = (F.col("n_new") + 1).cast("double") / (F.col("__nb") + n_bins)
+    term = F.round((p - q) * F.log(p / q), 9)
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(F.col("n_new"), term.alias("__t"))
+        .agg(F.sum("n_new").alias("n_rows"),
+             F.round(F.sum(F.col("__t").cast("decimal(38,18)"))
+                     .cast("double"), 9).alias("psi"))
+        .select("n_rows", "psi",
+                F.coalesce(F.col("psi") <= F.lit(float(budget)),
+                           F.lit(True)).alias("drift_ok"))
+    )
+
+
 def waiting_suppliers(orders: DataFrame, lineitem: DataFrame,
                       supplier: DataFrame, nation: DataFrame) -> DataFrame:
     """TPC-H-Q21-style "sole late supplier": for finalized orders with

@@ -384,6 +384,52 @@ def near_dedup_stream(
     )
 
 
+def value_drift_psi_stream(
+    events_stream: DataFrame,
+    baseline_dir: str,
+    monitor_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    n_bins: int | None = None,
+    budget: float | None = None,
+) -> object:
+    """Continuous drift monitor: each micro-batch's `value_col`
+    distribution is scored with `relational.psi_against_baseline`
+    against the FROZEN baseline table (`relational.psi_baseline`,
+    persisted once at commissioning time), and one
+    (epoch_id, n_rows, psi, drift_ok) row is appended to
+    `monitor_dir` — the table an alerting job tails. Out-of-range
+    arrivals clamp into the edge bins, so the monitor sees range
+    escape as drift rather than silently dropping it.
+
+    State-free by design: the baseline is a bins-sized broadcast read,
+    nothing accumulates in the streaming state store, and the
+    per-batch cost is one conditional aggregate over the batch — the
+    same shape at any corpus rate. Batch/stream agreement is pinned
+    in tests (same rows through `psi_against_baseline` directly).
+    """
+    from hive_exporter_spark.operators.relational import (
+        PSI_BINS, PSI_BUDGET, psi_against_baseline)
+
+    nb = n_bins or PSI_BINS
+    bd = budget if budget is not None else PSI_BUDGET
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        baseline = spark.read.parquet(baseline_dir)
+        row = psi_against_baseline(batch_df, baseline, value_col=value_col,
+                                   n_bins=nb, budget=bd)
+        row.select(F.lit(epoch_id).cast("long").alias("epoch_id"),
+                   "n_rows", "psi", "drift_ok") \
+            .write.mode("append").parquet(monitor_dir)
+
+    return (
+        events_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def jdbc_sink_stream(source: DataFrame, cfg, tag_column: str = "epoch_id") -> object:
     """foreachBatch → RDBMS bridge: every micro-batch appends to a JDBC
     table through the batch writer (sources/jdbc.writer), stamped with

@@ -784,3 +784,53 @@ def test_near_dedup_stream_agrees_with_batch_replay(spark, tmp_path,
     got2 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
     assert 1000 not in got2 and 1001 in got2
     assert got2 == got | {1001}
+
+
+def test_value_drift_psi_stream_agrees_with_batch(spark, tmp_path,
+                                                  sf_dir):
+    """Streamed per-batch PSI rows equal the batch psi_against_baseline
+    on the same rows; in-distribution batches read ok, a shifted batch
+    flips drift_ok (range escape clamps into the edge bin instead of
+    vanishing)."""
+    from hive_exporter_spark.operators.relational import (
+        psi_against_baseline, psi_baseline)
+    from hive_exporter_spark.sources.files import read_table
+    from hive_exporter_spark.streaming.streams import value_drift_psi_stream
+
+    ev = read_table(spark, sf_dir, "events") \
+        .select("event_id", "value")
+    baseline_dir = str(tmp_path / "baseline")
+    psi_baseline(ev).write.parquet(baseline_dir)
+
+    hi = ev.agg(F.max("value")).collect()[0][0]
+    b1 = ev.where(F.col("event_id") % 3 == 0)           # in-distribution
+    b2 = ev.where(F.col("event_id") % 3 == 1) \
+        .withColumn("value", F.col("value") + F.lit(20.0) * hi)  # shifted
+    src = tmp_path / "incoming"
+    src.mkdir()
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+
+    monitor_dir = str(tmp_path / "monitor")
+    stream = (spark.readStream.schema("event_id long, value double")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src) + "/*"))
+    q = value_drift_psi_stream(stream, baseline_dir, monitor_dir,
+                               str(tmp_path / "chk"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(monitor_dir).orderBy("epoch_id").collect()
+    assert len(rows) == 2
+    baseline = spark.read.parquet(baseline_dir)
+    want = {}
+    for name, b in (("ok", b1), ("bad", b2)):
+        want[name] = psi_against_baseline(b, baseline).collect()[0]
+    by_ok = {r["drift_ok"]: r for r in rows}
+    assert by_ok[True]["psi"] == want["ok"]["psi"]
+    assert by_ok[False]["psi"] == want["bad"]["psi"]
+    assert want["ok"]["psi"] < 0.2 < want["bad"]["psi"]
+    assert by_ok[True]["n_rows"] == b1.where(
+        F.col("value").isNotNull()).count()
