@@ -122,10 +122,18 @@ def build_parser() -> argparse.ArgumentParser:
              "survival — the first command to run on a new dump")
     doc.add_argument("-i", "--input", required=True,
                      help="documents parquet dir (doc_id, text[, lang, "
-                          "source] schema)")
+                          "source] schema), or an events dir with "
+                          "--kind events")
+    doc.add_argument("--kind", choices=["documents", "events"],
+                     default="documents",
+                     help="events mode runs the contract rules, "
+                          "quasi-identifier k-anonymity, and the "
+                          "even/odd PSI drift check instead")
     doc.add_argument("--strict", action="store_true",
-                     help="exit 1 if any health gate fails (encoding "
-                          "clean_share < 0.99 or exact-dup share > 0.2)")
+                     help="exit 1 if any health gate fails (documents: "
+                          "encoding clean_share < 0.99 or exact-dup "
+                          "share > 0.2; events: any contract rule, "
+                          "the anonymity budget, or PSI)")
 
     shd = sub.add_parser(
         "shards",
@@ -319,6 +327,34 @@ def main(argv: list[str] | None = None) -> int:
 
         from hive_exporter_spark.operators.webclean import (
             c4_filter_report, encoding_health_report)
+
+        if args.kind == "events":
+            from hive_exporter_spark.operators.profile import (
+                k_anonymity_report, validate_events_contract)
+            from hive_exporter_spark.operators.relational import (
+                value_drift_psi)
+
+            ev = spark.read.parquet(args.input)
+            broken = [r["rule"] for r in
+                      validate_events_contract(ev).collect()
+                      if not r["passed"]]
+            print("contract: " + ("ok" if not broken
+                                  else "FAIL " + ",".join(broken)))
+            anon = k_anonymity_report(
+                ev.withColumn("__day", F.to_date("ts")),
+                ["event_type", "__day"]).collect()[0]
+            print(f"anonymity: risky_row_share="
+                  f"{anon['risky_row_share']:.4f} "
+                  f"min_group={anon['min_group_size']} "
+                  f"({'ok' if anon['k_anonymous_ok'] else 'FAIL'})")
+            psi = value_drift_psi(ev).limit(1).collect()
+            psi_ok = (not psi) or psi[0]["drift_ok"]
+            psi_v = psi[0]["psi_total"] if psi else 0.0
+            print(f"value_psi: {psi_v} ({'ok' if psi_ok else 'FAIL'})")
+            failed = bool(broken) or not anon["k_anonymous_ok"] \
+                or not psi_ok
+            print("health: " + ("FAIL" if failed else "ok"))
+            return 1 if (args.strict and failed) else 0
 
         docs = spark.read.parquet(args.input)
         have = set(docs.columns)

@@ -504,3 +504,42 @@ def test_doctor_cli_health_summary(spark, tmp_path, capsys, sf_dir):
     assert cli.main(["doctor", "-i", dirty_p]) == 0      # report-only
     assert "health: FAIL" in capsys.readouterr().out
     assert cli.main(["doctor", "-i", dirty_p, "--strict"]) == 1
+
+
+def test_doctor_cli_events_mode(spark, tmp_path, capsys):
+    """`doctor --kind events`: a healthy synthetic events table passes
+    all three gates; breaking the contract (bad enum) or anonymity
+    (singleton quasi-id groups) trips --strict."""
+    from datetime import datetime
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+    def mk(rows, name):
+        p = str(tmp_path / name)
+        spark.createDataFrame(rows, schema).write.parquet(p)
+        return p
+
+    # healthy: 2 types x 2 days, 25 rows per group, uniform values
+    # value = (i // 2) % 10 so even- and odd-id slices see the SAME
+    # value distribution (a parity-correlated value would trip the PSI
+    # gate — correctly, but that's the next test case's job)
+    good_rows = [
+        (i, datetime(2024, 1, 1 + (i // 50)), i % 7,
+         ["click", "view"][i % 2], float((i // 2) % 10), "{}")
+        for i in range(100)
+    ]
+    good = mk(good_rows, "good.parquet")
+    assert cli.main(["doctor", "--kind", "events", "-i", good,
+                     "--strict"]) == 0
+    out = capsys.readouterr().out
+    assert "contract: ok" in out and "health: ok" in out
+
+    # broken: unknown event_type + a singleton group on its own day
+    bad_rows = good_rows[:20] + [
+        (900, datetime(2024, 3, 3), 1, "mystery", 1.0, "{}")]
+    bad = mk(bad_rows, "bad.parquet")
+    assert cli.main(["doctor", "--kind", "events", "-i", bad]) == 0
+    assert "health: FAIL" in capsys.readouterr().out
+    assert cli.main(["doctor", "--kind", "events", "-i", bad,
+                     "--strict"]) == 1
