@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "split_leakage_report",
     "lexical_vector_agreement",
     "value_drift_psi",
+    "embedding_topk_cosine_same_label",
 ]
 
 # The r1-comparable headline set (BASELINE.md gate: within 2x of the

@@ -734,6 +734,45 @@ def topk_cosine(
     )
 
 
+def topk_cosine_same_label(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """FILTERED exact top-k: neighbors constrained to the query's own
+    label — the metadata-constrained search shape ("nearest within my
+    class/license/language") that production vector search runs far
+    more often than unconstrained top-k. The constraint applies
+    BEFORE ranking (it rides the broadcast-join condition, so the
+    label filter reaches the corpus scan), which is what keeps the
+    result exact: post-filtering an unconstrained top-k silently
+    returns fewer than k. The materialized-index face is
+    `query_ivf_index(where=...)` over an index built with
+    `meta_cols`."""
+    q = F.broadcast(queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("__qlabel")))
+    scored = (
+        embeddings.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("nvec"),
+                          F.col(label_col).alias("__nlabel"))
+        .join(q, (F.col("query_id") != F.col("neighbor_id"))
+              & (F.col("__qlabel") == F.col("__nlabel")))
+        .withColumn("score", cosine_similarity("qvec", "nvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("score", 6).alias("score"))
+    )
+
+
 LSH_PLANES = 4
 LSH_TABLES = 8
 
@@ -937,7 +976,8 @@ def topk_cosine_ivf(
 def build_ivf_index(embeddings: DataFrame, path: str,
                     n_clusters: int = IVF_CLUSTERS, seed: int = 42,
                     id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> list[list[float]]:
+                    vec_col: str = "embedding",
+                    meta_cols: Sequence[str] = ()) -> list[list[float]]:
     """Materialize the IVF index ONCE: fit centroids on a bounded
     sample, bucket-assign every vector in one Arrow map pass (no
     shuffle), and write parquet PARTITIONED BY bucket. Returns the
@@ -960,7 +1000,7 @@ def build_ivf_index(embeddings: DataFrame, path: str,
     # shuffle is linear and paid exactly once at build time.
     sess = embeddings.sparkSession
     n_salts = max(1, sess.sparkContext.defaultParallelism // n_clusters)
-    _ivf_assign(embeddings, cent, id_col, vec_col) \
+    _ivf_assign(embeddings, cent, id_col, vec_col, meta_cols) \
         .repartition(n_clusters * n_salts, F.col("bucket"),
                      F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))) \
         .write.partitionBy("bucket").mode("overwrite").parquet(path)
@@ -968,26 +1008,37 @@ def build_ivf_index(embeddings: DataFrame, path: str,
 
 
 def _ivf_assign(embeddings: DataFrame, centroids, id_col: str,
-                vec_col: str) -> DataFrame:
+                vec_col: str,
+                meta_cols: Sequence[str] = ()) -> DataFrame:
     """Route each vector to its nearest centroid in one Arrow map pass
-    (centroids broadcast as a kernel closure; no shuffle)."""
+    (centroids broadcast as a kernel closure; no shuffle).
+    `meta_cols` ride through unchanged — the columns a FILTERED probe
+    later pushes predicates on (label, source, license…)."""
     import numpy as np
     import pandas as pd
 
     cent = np.asarray(centroids, dtype=np.float64)
+    meta_cols = list(meta_cols)
+    by_name = {f.name: f for f in embeddings.schema.fields}
+    meta_schema = "".join(
+        f", {c} {by_name[c].dataType.simpleString()}" for c in meta_cols)
 
     def assign_kernel(batches):
         for pdf in batches:
             m = np.array(list(pdf[vec_col]), dtype=np.float64)
             m = m / np.linalg.norm(m, axis=1, keepdims=True)
-            yield pd.DataFrame({
+            out = {
                 id_col: pdf[id_col],
                 vec_col: pdf[vec_col],
                 "bucket": np.argmax(m @ cent.T, axis=1).astype("int32"),
-            })
+            }
+            for c in meta_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
-        assign_kernel, f"{id_col} long, {vec_col} array<float>, bucket int")
+    return embeddings.select(id_col, vec_col, *meta_cols).mapInPandas(
+        assign_kernel,
+        f"{id_col} long, {vec_col} array<float>, bucket int{meta_schema}")
 
 
 def update_ivf_index(spark: SparkSession, path: str,
@@ -1240,14 +1291,24 @@ def query_ivf_index(spark: SparkSession, path: str,
                     centroids: list[list[float]], queries: DataFrame,
                     k: int = TOPK, nprobe: int = IVF_NPROBE,
                     id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding",
+                    where: str | F.Column | None = None) -> DataFrame:
     """Probe a `build_ivf_index` index: route each query to its
     `nprobe` closest centroids driver-side (queries are small by
     contract), then read ONLY those bucket partitions — the IN-filter
     on the partition column prunes at the file index, so probe cost is
     ~nprobe/n_clusters of the corpus regardless of corpus size. Same
     output contract as `topk_cosine_ivf`, and bit-identical to it for
-    the same centroids (asserted in tests)."""
+    the same centroids (asserted in tests).
+
+    `where` is an optional metadata predicate over columns the index
+    carries (`build_ivf_index(meta_cols=...)`) — filtered ANN, the
+    shape every production vector search needs ("top-k WITHIN this
+    license/date/label"). It applies to the index READ, before
+    scoring, so Catalyst pushes it into the pruned parquet scan
+    (plan-gated in tests: the predicate reaches PushedFilters) and the
+    top-k is exact over the filtered candidate set — post-filtering
+    top-k rows instead would silently return FEWER than k."""
     import numpy as np
 
     cent = np.asarray(centroids, dtype=np.float64)
@@ -1260,10 +1321,11 @@ def query_ivf_index(spark: SparkSession, path: str,
     q = F.broadcast(spark.createDataFrame(
         probe_rows, "query_id long, qvec array<float>, bucket int"))
     probed = sorted({b for _, _, b in probe_rows})
-    idx = (spark.read.parquet(path)
-           .where(F.col("bucket").isin(probed))
-           .select(F.col(id_col).alias("neighbor_id"),
-                   F.col(vec_col).alias("nvec"), "bucket"))
+    idx = spark.read.parquet(path).where(F.col("bucket").isin(probed))
+    if where is not None:
+        idx = idx.where(where)
+    idx = idx.select(F.col(id_col).alias("neighbor_id"),
+                     F.col(vec_col).alias("nvec"), "bucket")
     scored = (
         idx.join(q, "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -5237,6 +5299,32 @@ ORACLES["embedding_truncation_report"] = (
     ORDER BY dim
 """
 )
+
+def _q_topk_same_label(spark, sf):
+    emb = _emb(spark, sf)
+    return topk_cosine_same_label(emb, emb.where(F.col("vec_id") < N_QUERIES))
+
+
+QUERIES["embedding_topk_cosine_same_label"] = _q_topk_same_label
+
+# Filtered exact top-k: the unconstrained oracle with the label
+# equality folded into the join.
+ORACLES["embedding_topk_cosine_same_label"] = f"""
+    SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_COS_SQL} AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_COS_SQL} DESC, b.vec_id
+               ) AS rank
+        FROM (SELECT vec_id, embedding AS qvec, label FROM embeddings
+              WHERE vec_id < {N_QUERIES}) a(vec_id, qvec, label)
+        JOIN (SELECT vec_id, embedding AS nvec, label FROM embeddings)
+             b(vec_id, nvec, label)
+          ON a.vec_id <> b.vec_id AND a.label = b.label
+    ) WHERE rank <= {TOPK}
+"""
+
 
 def _q_lex_vec_agreement(spark, sf):
     return lexical_vector_agreement(_docs(spark, sf), _emb(spark, sf))

@@ -586,6 +586,42 @@ def test_ivf_index_probe_partition_pruned(spark, emb, tmp_path):
     assert "DataFilters: []" in scan_line, scan_line
 
 
+def test_ivf_filtered_probe_pushes_predicate(spark, emb, tmp_path):
+    """Filtered ANN: an index built with meta_cols carries the label,
+    `query_ivf_index(where=...)` pushes the predicate into the pruned
+    scan (PushedFilters), and with nprobe == n_clusters the filtered
+    probe equals the exact same-label brute force."""
+    from hive_exporter_spark import plans
+
+    path = str(tmp_path / "ivf_meta_idx")
+    cent = llm.build_ivf_index(emb, path, n_clusters=4,
+                               meta_cols=["label"])
+    queries = emb.where(F.col("vec_id") < 3)
+
+    df = llm.query_ivf_index(spark, path, cent, queries,
+                             where=F.col("label") == 2)
+    plan = plans.formatted_plan(df)
+    assert any("PushedFilters" in ln and "label" in ln
+               for ln in plan.splitlines()), plan
+
+    # exhaustive probe (nprobe = n_clusters) over a same-label filter
+    # must equal the exact constrained brute force per query
+    for qrow in queries.collect():
+        got = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+            for r in llm.query_ivf_index(
+                spark, path, cent,
+                emb.where(F.col("vec_id") == qrow["vec_id"]),
+                nprobe=4, where=F.col("label") == qrow["label"])
+            .collect())
+        want = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+            for r in llm.topk_cosine_same_label(
+                emb, emb.where(F.col("vec_id") == qrow["vec_id"]))
+            .collect())
+        assert got == want and got
+
+
 def test_dedup_exact_ids_matches_full_row(spark, docs):
     """The keep-list variant must select exactly the full-row
     survivors — same canonical-id choice, only the shuffle payload
