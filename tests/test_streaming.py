@@ -786,6 +786,76 @@ def test_near_dedup_stream_agrees_with_batch_replay(spark, tmp_path,
     assert got2 == got | {1001}
 
 
+def test_compact_near_dedup_state_preserves_admissions(spark, tmp_path,
+                                                       sf_dir):
+    """Blue/green compaction of the near-dup state (r8 verdict item
+    2): after a replayed batch has appended duplicate digest and
+    signature rows, compaction must (a) shrink state to one row per
+    digest / per doc_id in the target file count, and (b) leave every
+    admission decision identical — the same bait batch screens to the
+    same admitted set against the old and the compacted state."""
+    from hive_exporter_spark.operators.llm import (
+        LSH_BANDS, MINHASH_SLOTS, _minhash_banded, near_admit)
+    from hive_exporter_spark.streaming.streams import (
+        compact_near_dedup_state, near_dedup_stream)
+
+    docs = read_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").where(F.col("doc_id") < 100)
+    schema = "doc_id long, text string"
+    src = tmp_path / "incoming"
+    src.mkdir()
+    docs.where(F.col("doc_id") < 50).coalesce(1) \
+        .write.parquet(str(src / "f1"))
+    docs.where(F.col("doc_id") >= 50).coalesce(1) \
+        .write.parquet(str(src / "f2"))
+
+    state_dir = str(tmp_path / "state")
+    out_dir = str(tmp_path / "admitted")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src) + "/*"))
+    q = near_dedup_stream(stream, state_dir, out_dir,
+                          str(tmp_path / "chk"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # Simulate an at-least-once replay: re-append a slice of both
+    # state tables verbatim (duplicate digests + duplicate doc_ids).
+    d_dir, s_dir = state_dir + "/digests", state_dir + "/signatures"
+    spark.read.parquet(d_dir).limit(10).write.mode("append").parquet(d_dir)
+    spark.read.parquet(s_dir).limit(10).write.mode("append").parquet(s_dir)
+    n_admitted = spark.read.parquet(out_dir).count()
+    assert spark.read.parquet(d_dir).count() == n_admitted + 10
+
+    state2 = str(tmp_path / "state2")
+    n_d, n_s = compact_near_dedup_state(spark, state_dir, state2,
+                                        target_files=2)
+    assert n_d == n_s == n_admitted  # duplicates collapsed
+    import glob
+    assert len(glob.glob(state2 + "/digests/part-*")) <= 2
+    assert len(glob.glob(state2 + "/signatures/part-*")) <= 2
+
+    # Same bait batch -> same decisions against old vs compacted state.
+    bait_text = spark.read.parquet(out_dir).orderBy("doc_id") \
+        .first()["text"]
+    bait = spark.createDataFrame(
+        [(1000, bait_text), (1001, "utterly fresh zebra text"),
+         (1002, bait_text + " small tail tweak")], schema)
+
+    def admit_with(sdir):
+        seen = spark.read.parquet(sdir + "/digests").select("__digest")
+        csigs = spark.read.parquet(sdir + "/signatures")
+        cband = _minhash_banded(csigs, MINHASH_SLOTS, LSH_BANDS)
+        adm, _ = near_admit(bait, seen, csigs, cband)
+        return {r["doc_id"] for r in adm.collect()}
+
+    before, after = admit_with(state_dir), admit_with(state2)
+    assert before == after
+    assert 1000 not in after and 1001 in after  # screens still live
+
+
 def test_value_drift_psi_stream_agrees_with_batch(spark, tmp_path,
                                                   sf_dir):
     """Streamed per-batch PSI rows equal the batch psi_against_baseline
