@@ -652,28 +652,31 @@ def _session_window_overlap(spark, sf):
 # columns in any window entry — the driver canonicalizer cannot sort
 # them.
 _PRIORITY = (
-    # r8 window — mechanically derived by tools/rotate_window.py
+    # r9 window — mechanically derived by tools/rotate_window.py
     # (never-driver-checked entries first, then by staleness of green:
-    # code churn since each entry's last green driver row).
-    "embedding_truncation_report", "encoding_health_report",
-    "ivf_drift_report", "k_anonymity_events", "quality_margin_calibration",
-    "fuzzy_customer_pairs", "embedding_near_dup_pairs", "epoch_mix",
-    "gopher_quality_signals", "lang_balanced_sample", "language_id",
-    "near_dup_clusters", "ngram_contamination", "ngram_jaccard_pairs",
-    "pack_sequences", "quality_score", "repetition_signals", "text_stats",
-    "tfidf_topk_terms", "token_count_bpe", "token_doc_frequency",
-    "token_entropy", "train_val_test_split", "training_data_prep",
-    "value_percentiles", "weighted_sample", "events_in_day_windows",
-    "events_zorder_index", "salted_segment_event_counts",
-    "bpe_pair_counts", "cdc_dup_spans", "chunk_documents_overlap",
-    "containment_pairs_capped", "contributor_cap", "dup_ngram_coverage",
-    "embedding_label_centroids", "heavy_hitters_exact",
-    "near_dup_clusters_bigstar", "ngram_contamination_bloom",
-    "ngram_jaccard_pairs_capped", "ngram_lm_perplexity", "normalize_text",
-    "q11_important_parts", "q20_dominant_share_suppliers",
-    "q2_min_cost_supplier", "q9_nation_product_profit",
-    "quality_prune_topp", "remove_dup_spans", "semantic_dedup_fixed",
-    "shard_by_tokens",
+    # code churn since each entry's last green driver row). Leads with
+    # the four r8 second-wave entries that landed after the r8 window
+    # froze and have never been driver-checked.
+    "embedding_topk_cosine_same_label", "lexical_vector_agreement",
+    "split_leakage_report", "value_drift_psi",
+    "simhash64", "source_overlap_matrix", "token_drift_jsd",
+    "trimmed_event_stats", "build_inverted_index", "doc_embedding_norms",
+    "embedding_drift", "embedding_near_dup_lsh_pairs",
+    "embedding_topk_cosine_pandas", "embedding_topk_cosine_pq_fixed",
+    "near_dup_cluster_sizes", "quantize_embeddings", "bpe_encode_docs",
+    "bpe_train_merges", "embedding_pca", "embedding_topk_cosine_brp_lsh",
+    "embedding_topk_cosine_ivf", "embedding_topk_cosine_ivf_pq",
+    "embedding_topk_cosine_pq", "heavy_hitters_terms",
+    "minhash_lsh_pairs_ml", "semantic_dedup_baseline",
+    "retention_cohorts", "asof_last_purchase", "binary_dedup_exact",
+    "session_window_overlap", "dataset_fingerprint", "fill_missing_days",
+    "ngram_contamination_tokens", "value_histogram", "ann_recall_report",
+    "bm25_scores", "dedup_exact", "dedup_exact_ids", "dedup_recall_report",
+    "embedding_near_dup_lsh_pairs_capped", "embedding_topk_cosine",
+    "embedding_topk_cosine_lsh", "incremental_dedup_bloom",
+    "incremental_dedup_near", "ivf_admission_report", "language_id_eval",
+    "minhash_lsh_pairs", "minhash_lsh_pairs_capped", "minhash_ml_agreement",
+    "simhash_near_dup_pairs",
 )
 
 

@@ -216,6 +216,25 @@ def test_rotate_window_green_parses_rows_only(tmp_path, monkeypatch):
     assert green == {"hashy": 3, "rowsy": 3}
 
 
+def test_readme_registry_counts_match_truth():
+    """README's "N operators / M DuckDB-checked" quote must equal the
+    live registry (r8 verdict item 6: the doc drifted when entries
+    landed without the README bump; this pin makes that impossible —
+    tools/audit_registry.py prints the same canonical line)."""
+    import re
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import __spark_entry__ as entry
+    with open(os.path.join(repo, "README.md")) as fh:
+        readme = fh.read()
+    m = re.search(r"`queries\(\)` \((\d+)\s*\n?\s*operators\), "
+                  r"`oracle_sql\(\)` \((\d+) DuckDB-checked", readme)
+    assert m, "README registry-count line not found"
+    assert int(m.group(1)) == len(entry.queries())
+    assert int(m.group(2)) == len(entry.oracle_sql())
+
+
 def test_priority_is_a_valid_window():
     """Consistency of the frozen _PRIORITY snapshot: 50 unique names,
     all present in the live registry."""

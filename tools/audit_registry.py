@@ -133,6 +133,12 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
 
+    # The canonical registry-count line — README.md quotes these two
+    # numbers and tests/test_tools.py pins the quote to this truth, so
+    # the doc cannot drift again (r8 verdict item 6).
+    print(f"registry: {len(entrymod.queries())} operators / "
+          f"{len(entrymod.oracle_sql())} DuckDB-checked")
+
     spark = build_session("audit-registry")
     counts: collections.Counter = collections.Counter()
     n_err = 0
