@@ -506,6 +506,55 @@ def test_doctor_cli_health_summary(spark, tmp_path, capsys, sf_dir):
     assert cli.main(["doctor", "-i", dirty_p, "--strict"]) == 1
 
 
+def test_doctor_cli_embeddings_mode(spark, tmp_path, capsys):
+    """`doctor --kind embeddings` (r8 verdict item 7): a healthy
+    synthetic embeddings table passes (volume/dim integrity, norm
+    PSI, truncation headline); a norm-drifted odd slice trips the PSI
+    gate; a due IVF rebuild folded in via --index-dir trips the gate
+    too."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    schema = "vec_id long, embedding array<float>, label int"
+    # even/odd slices see the SAME norm distribution by construction
+    rows = [(i, [1.0 + ((i // 2) % 10) / 10.0] + [0.1] * 7, i % 4)
+            for i in range(200)]
+    good = str(tmp_path / "good_emb.parquet")
+    spark.createDataFrame(rows, schema).write.parquet(good)
+    assert cli.main(["doctor", "--kind", "embeddings", "-i", good,
+                     "--strict"]) == 0
+    out = capsys.readouterr().out
+    assert "vectors=200 dim=8" in out and "norm_psi:" in out
+    assert "truncation:" in out and "health: ok" in out
+
+    # odd ids scaled 5x -> norm distribution splits -> PSI trips
+    drifted = (spark.createDataFrame(rows, schema)
+               .withColumn("embedding", F.when(
+                   F.col("vec_id") % 2 == 1,
+                   F.transform("embedding", lambda x: x * 5.0)
+               ).otherwise(F.transform("embedding",
+                                       lambda x: x * 1.0))))
+    bad = str(tmp_path / "bad_emb.parquet")
+    drifted.write.parquet(bad)
+    assert cli.main(["doctor", "--kind", "embeddings", "-i", bad]) == 0
+    assert "health: FAIL" in capsys.readouterr().out
+    assert cli.main(["doctor", "--kind", "embeddings", "-i", bad,
+                     "--strict"]) == 1
+
+    # a due rebuild (routing similarity collapsed between updates)
+    # folds into the verdict when --index-dir is given
+    idx = str(tmp_path / "idx")
+    os.makedirs(idx, exist_ok=True)
+    spark.createDataFrame(
+        [(0, 100, 0.95, 1), (0, 100, 0.55, 2)],
+        "bucket int, n_added bigint, mean_top_sim double, "
+        "update_seq int").write.parquet(idx + "/_admissions")
+    assert cli.main(["doctor", "--kind", "embeddings", "-i", good,
+                     "--index-dir", idx, "--strict"]) == 1
+    assert "REBUILD" in capsys.readouterr().out
+
+
 def test_doctor_cli_events_mode(spark, tmp_path, capsys):
     """`doctor --kind events`: a healthy synthetic events table passes
     all three gates; breaking the contract (bad enum) or anonymity
