@@ -178,6 +178,21 @@ def build_parser() -> argparse.ArgumentParser:
                      help="rebin each key=val leaf dir independently, "
                           "preserving the partition layout")
 
+    nst = sub.add_parser(
+        "near-state",
+        help="maintain near_dedup_stream's standing parquet state "
+             "(digests/ + signatures/): status reports row/unique/"
+             "file counts; compact rewrites both tables deduplicated "
+             "into a bounded file count under a NEW dir (blue/green — "
+             "switch the stream's state_dir after success)")
+    nst.add_argument("action", choices=["compact", "status"])
+    nst.add_argument("-i", "--input", required=True,
+                     help="state dir containing digests/ and signatures/")
+    nst.add_argument("-o", "--output",
+                     help="compact: destination state dir (must differ "
+                          "from the source)")
+    nst.add_argument("-f", "--target-files", type=int, default=8)
+
     ivf = sub.add_parser(
         "ivf",
         help="materialized IVF ANN index lifecycle: build (fit + "
@@ -686,6 +701,44 @@ def main(argv: list[str] | None = None) -> int:
         print(f"compacted {rep['n_files_before']} -> "
               f"{rep['n_files_after']} files, {rep['rows']} rows "
               f"-> {args.output}")
+        return 0
+
+    if args.command == "near-state":
+        import glob as _glob
+        import os as _os
+
+        from hive_exporter_spark.streaming.streams import (
+            compact_near_dedup_state)
+
+        if args.action == "status":
+            for label, key in (("digests", "__digest"),
+                               ("signatures", "doc_id")):
+                p = _os.path.join(args.input, label)
+                try:
+                    df = spark.read.parquet(p)
+                    df.first()
+                except Exception:
+                    print(f"{label}: (absent)")
+                    continue
+                nrows = df.count()
+                nuniq = df.select(key).distinct().count()
+                nfiles = len(_glob.glob(_os.path.join(p, "part-*")))
+                print(f"{label}: rows={nrows} unique={nuniq} "
+                      f"dup_rows={nrows - nuniq} files={nfiles}")
+            return 0
+        if not args.output or args.output == args.input:
+            print("error: `near-state compact` needs -o/--output "
+                  "different from the source (blue/green: the old dir "
+                  "stays intact until you switch paths)",
+                  file=sys.stderr)
+            return 2
+        nd, ns = compact_near_dedup_state(
+            spark, args.input, args.output,
+            target_files=args.target_files)
+        print(f"compacted {args.input} -> {args.output}: "
+              f"digests={nd} signatures={ns}")
+        print("switch the stream's state_dir to the new path; the old "
+              "dir is untouched")
         return 0
 
     if args.command == "verify-shards":

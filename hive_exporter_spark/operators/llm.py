@@ -646,6 +646,55 @@ def minhash_lsh_pairs_capped(
     )
 
 
+def lsh_bucket_skew_report(documents: DataFrame,
+                           slots: int = MINHASH_SLOTS,
+                           bands: int = LSH_BANDS,
+                           bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """Capacity-planning probe for every banded pair screen: the
+    MinHash (band, bucket) size distribution plus the candidate-pair
+    counts an UNCAPPED all-pairs join would emit vs what the
+    `capped_bucket_pairs` armor actually emits. This is the number to
+    read BEFORE launching a corpus-scale dedup job — one viral
+    boilerplate cluster turns the uncapped count quadratic, and this
+    report names that cluster's bucket size and the cap's savings
+    without ever generating a single pair.
+
+    One row: (n_band_rows, n_buckets, max_bucket_size,
+    n_hot_buckets, uncapped_pairs, capped_pairs, saved_share).
+    `uncapped_pairs` = sum n*(n-1)/2; `capped_pairs` substitutes the
+    chain's n-1 for buckets over `bucket_cap`; `saved_share` is the
+    fraction of uncapped candidates the armor avoids (0.0 on a
+    skew-free corpus).
+
+    Spark shape: signatures -> band keys (the same map-side derivation
+    every screen uses) -> ONE (band, bucket) partial-count aggregate
+    -> one bucket-count-sized rollup. Nothing downstream of the first
+    groupBy exceeds the number of populated buckets; the quadratic
+    quantity is COMPUTED (n*(n-1)/2), never materialized. All-integer
+    arithmetic, so the DuckDB oracle replays it bit-for-bit.
+    """
+    sigs = minhash_signatures(documents, slots)
+    banded = _minhash_banded(sigs, slots, bands)
+    sizes = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("n"))
+    n = F.col("n")
+    allp = (n * (n - 1) / 2).cast("long")
+    capped = F.when(n <= bucket_cap, allp).otherwise((n - 1).cast("long"))
+    return sizes.agg(
+        F.sum("n").cast("bigint").alias("n_band_rows"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").cast("bigint").alias("max_bucket_size"),
+        F.sum(F.when(n > bucket_cap, 1).otherwise(0)).cast("bigint")
+        .alias("n_hot_buckets"),
+        F.sum(allp).cast("bigint").alias("uncapped_pairs"),
+        F.sum(capped).cast("bigint").alias("capped_pairs"),
+        F.round(F.when(F.sum(allp) > 0,
+                       1.0 - F.sum(capped).cast("double")
+                       / F.sum(allp).cast("double"))
+                .otherwise(F.lit(0.0)), 6).alias("saved_share"),
+    )
+
+
 SIMHASH_BITS = 64
 _rng = _random.Random(0x51A5)
 SIMHASH_COEF = tuple(
@@ -4997,6 +5046,53 @@ ORACLES["minhash_lsh_pairs_capped"] = f"""
            CAST(n_agree AS DOUBLE) / {MINHASH_SLOTS} AS est_jaccard
     FROM agree
     WHERE CAST(n_agree AS DOUBLE) / {MINHASH_SLOTS} >= {JACCARD_THRESHOLD}
+"""
+
+def _q_lsh_bucket_skew(spark, sf):
+    return lsh_bucket_skew_report(_docs(spark, sf))
+
+
+QUERIES["lsh_bucket_skew_report"] = _q_lsh_bucket_skew
+
+# Bucket-size distribution + computed (never materialized) pair
+# counts: all-integer arithmetic over the portable minhash band keys.
+ORACLES["lsh_bucket_skew_report"] = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+    ), base AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS x
+        FROM sh
+    ), coef(i, a, b) AS (
+        VALUES {_MINHASH_COEF_VALUES}
+    ), sigs AS (
+        SELECT doc_id, i, MIN((a * x + b) % {MINHASH_P}) AS h
+        FROM base CROSS JOIN coef
+        GROUP BY doc_id, i
+    ), buckets AS (
+        SELECT doc_id, i // {_MINHASH_RPB} AS band,
+               CAST(SUM(h * {_BAND_W_CASE}) AS BIGINT) AS bucket
+        FROM sigs GROUP BY doc_id, i // {_MINHASH_RPB}
+    ), sizes AS (
+        SELECT band, bucket, COUNT(*) AS n
+        FROM buckets GROUP BY band, bucket
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_band_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(n) AS BIGINT) AS max_bucket_size,
+           CAST(SUM(CASE WHEN n > {LSH_BUCKET_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hot_buckets,
+           CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS uncapped_pairs,
+           CAST(SUM(CASE WHEN n <= {LSH_BUCKET_CAP}
+                         THEN n * (n - 1) // 2
+                         ELSE n - 1 END) AS BIGINT) AS capped_pairs,
+           round(CASE WHEN SUM(n * (n - 1) // 2) > 0
+                 THEN 1.0 - CAST(SUM(CASE WHEN n <= {LSH_BUCKET_CAP}
+                                          THEN n * (n - 1) // 2
+                                          ELSE n - 1 END) AS DOUBLE)
+                      / CAST(SUM(n * (n - 1) // 2) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS saved_share
+    FROM sizes
 """
 
 # dedup_near over the LSH candidates: the same recursive component

@@ -506,6 +506,37 @@ def test_doctor_cli_health_summary(spark, tmp_path, capsys, sf_dir):
     assert cli.main(["doctor", "-i", dirty_p, "--strict"]) == 1
 
 
+def test_near_state_cli(spark, tmp_path, capsys):
+    """`near-state status` reports duplicate state rows; `compact`
+    rewrites both tables deduplicated into the target file count
+    under a NEW dir and refuses a same-dir rewrite."""
+    state = str(tmp_path / "state")
+    digests = [(f"d{i:02d}",) for i in range(20)]
+    spark.createDataFrame(digests + digests[:5], "__digest string") \
+        .write.parquet(state + "/digests")
+    sigs = [(i, [i, i + 1]) for i in range(20)]
+    spark.createDataFrame(sigs + sigs[:5],
+                          "doc_id long, signature array<bigint>") \
+        .write.parquet(state + "/signatures")
+
+    assert cli.main(["near-state", "status", "-i", state]) == 0
+    out = capsys.readouterr().out
+    assert "digests: rows=25 unique=20 dup_rows=5" in out
+    assert "signatures: rows=25 unique=20 dup_rows=5" in out
+
+    out_dir = str(tmp_path / "state2")
+    assert cli.main(["near-state", "compact", "-i", state,
+                     "-o", out_dir, "-f", "2"]) == 0
+    assert "digests=20 signatures=20" in capsys.readouterr().out
+    assert cli.main(["near-state", "status", "-i", out_dir]) == 0
+    out = capsys.readouterr().out
+    assert "digests: rows=20 unique=20 dup_rows=0 files=2" in out
+
+    # blue/green: same-dir rewrite refused
+    assert cli.main(["near-state", "compact", "-i", state,
+                     "-o", state]) == 2
+
+
 def test_doctor_cli_embeddings_mode(spark, tmp_path, capsys):
     """`doctor --kind embeddings` (r8 verdict item 7): a healthy
     synthetic embeddings table passes (volume/dim integrity, norm

@@ -1226,6 +1226,39 @@ def test_incremental_dedup_near_hot_bucket_linear(spark):
     assert kept2 == {5001}
 
 
+def test_lsh_bucket_skew_report(spark):
+    """The capacity probe: a skew-free corpus reports zero hot
+    buckets and zero savings (capped == uncapped); a viral template
+    reports per-band hot buckets with the quadratic/linear gap, and
+    its computed capped_pairs upper-bounds what capped_bucket_pairs
+    actually emits (the report never dedups across bands)."""
+    flat = spark.createDataFrame(
+        [(i, " ".join(f"u{i}w{j}x{(i * 7 + j) % 13}" for j in range(30)))
+         for i in range(50)], "doc_id long, text string")
+    r = llm.lsh_bucket_skew_report(flat).first()
+    assert r["n_hot_buckets"] == 0
+    assert r["capped_pairs"] == r["uncapped_pairs"]
+    assert r["saved_share"] == 0.0
+
+    template = " ".join(f"t{i}b{i % 5}" for i in range(40))
+    hot = spark.createDataFrame(
+        [(i, template) for i in range(150)]
+        + [(999, "one totally different fresh document")],
+        "doc_id long, text string")
+    h = llm.lsh_bucket_skew_report(hot).first()
+    assert h["max_bucket_size"] == 150
+    assert h["n_hot_buckets"] == llm.LSH_BANDS  # one hot bucket per band
+    assert h["uncapped_pairs"] == llm.LSH_BANDS * (150 * 149) // 2
+    assert h["capped_pairs"] == llm.LSH_BANDS * 149 \
+        + (h["uncapped_pairs"] - llm.LSH_BANDS * (150 * 149) // 2)
+    assert h["saved_share"] > 0.98
+    sigs = llm.minhash_signatures(hot.select("doc_id", "text"))
+    band = llm._minhash_banded(sigs, llm.MINHASH_SLOTS, llm.LSH_BANDS)
+    emitted = llm.capped_bucket_pairs(
+        band, ["band", "bucket"], "doc_id", llm.LSH_BUCKET_CAP).count()
+    assert emitted <= h["capped_pairs"]
+
+
 def test_dup_ngram_coverage_signal(spark):
     """Verbatim copies score dup_frac 1.0 on BOTH copies, a unique doc
     scores 0, and a sub-k-token doc stays present with zero shingles
