@@ -654,29 +654,32 @@ def _session_window_overlap(spark, sf):
 _PRIORITY = (
     # r9 window — mechanically derived by tools/rotate_window.py
     # (never-driver-checked entries first, then by staleness of green:
-    # code churn since each entry's last green driver row). Leads with
-    # the four r8 second-wave entries that landed after the r8 window
-    # froze and have never been driver-checked.
-    "embedding_topk_cosine_same_label", "lexical_vector_agreement",
-    "split_leakage_report", "value_drift_psi",
-    "simhash64", "source_overlap_matrix", "token_drift_jsd",
-    "trimmed_event_stats", "build_inverted_index", "doc_embedding_norms",
-    "embedding_drift", "embedding_near_dup_lsh_pairs",
-    "embedding_topk_cosine_pandas", "embedding_topk_cosine_pq_fixed",
-    "near_dup_cluster_sizes", "quantize_embeddings", "bpe_encode_docs",
-    "bpe_train_merges", "embedding_pca", "embedding_topk_cosine_brp_lsh",
-    "embedding_topk_cosine_ivf", "embedding_topk_cosine_ivf_pq",
-    "embedding_topk_cosine_pq", "heavy_hitters_terms",
-    "minhash_lsh_pairs_ml", "semantic_dedup_baseline",
-    "retention_cohorts", "asof_last_purchase", "binary_dedup_exact",
-    "session_window_overlap", "dataset_fingerprint", "fill_missing_days",
-    "ngram_contamination_tokens", "value_histogram", "ann_recall_report",
-    "bm25_scores", "dedup_exact", "dedup_exact_ids", "dedup_recall_report",
-    "embedding_near_dup_lsh_pairs_capped", "embedding_topk_cosine",
-    "embedding_topk_cosine_lsh", "incremental_dedup_bloom",
-    "incremental_dedup_near", "ivf_admission_report", "language_id_eval",
-    "minhash_lsh_pairs", "minhash_lsh_pairs_capped", "minhash_ml_agreement",
-    "simhash_near_dup_pairs",
+    # code churn since each entry's last green driver row; rows-only
+    # entries never enter — every window slot is hash-checkable).
+    # Leads with the six entries that landed after the r8 window froze
+    # and have never been driver-checked.
+    "embedding_topk_cosine_same_label", "filtered_ann_recall_report",
+    "lexical_vector_agreement", "lsh_bucket_skew_report",
+    "split_leakage_report", "value_drift_psi", "simhash64",
+    "source_overlap_matrix", "token_drift_jsd", "trimmed_event_stats",
+    "build_inverted_index", "dataset_fingerprint",
+    "doc_embedding_norms", "embedding_drift",
+    "embedding_near_dup_lsh_pairs", "embedding_topk_cosine_pandas",
+    "embedding_topk_cosine_pq_fixed", "fill_missing_days",
+    "near_dup_cluster_sizes", "ngram_contamination_tokens",
+    "quantize_embeddings", "retention_cohorts", "asof_last_purchase",
+    "binary_dedup_exact", "session_window_overlap", "value_histogram",
+    "ann_recall_report", "bm25_scores",
+    "contamination_detector_agreement", "curation_funnel_report",
+    "dedup_exact", "dedup_exact_ids", "dedup_recall_report",
+    "dsir_weights", "embedding_near_dup_lsh_pairs_capped",
+    "embedding_topk_cosine", "embedding_topk_cosine_lsh", "group_split",
+    "incremental_dedup_bloom", "incremental_dedup_near",
+    "ivf_admission_report", "language_id_eval", "minhash_lsh_pairs",
+    "minhash_lsh_pairs_capped", "minhash_ml_agreement",
+    "pack_efficiency_report", "quality_prune_threshold",
+    "sample_accuracy_report", "simhash_near_dup_pairs",
+    "simhash_near_dup_pairs_capped",
 )
 
 

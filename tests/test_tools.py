@@ -187,10 +187,12 @@ def test_rotate_window_ranking_rule():
 
     win = rotate_window.pick_window(rows, window=3)
     assert [r["name"] for r in win] == ["e", "a", "b"]
-    # top-up path: window larger than the stale set pulls in the
-    # oldest green first (f at r2 before d at r6)
+    # rows-only entries (c) never enter the window — the driver's
+    # check on them degrades to rows-only, wasting the hash slot.
+    # Top-up path: window larger than the stale oracle-backed set
+    # pulls in the oldest green first (f at r2 before d at r6).
     win = rotate_window.pick_window(rows, window=6)
-    assert [r["name"] for r in win] == ["e", "a", "b", "c", "f", "d"]
+    assert [r["name"] for r in win] == ["e", "a", "b", "f", "d"]
 
 
 def test_rotate_window_green_parses_rows_only(tmp_path, monkeypatch):

@@ -139,12 +139,16 @@ def rank_entries(names, green: dict[str, int], oracles: set[str],
 
 
 def pick_window(rows: list[dict], window: int = WINDOW) -> list[dict]:
-    """Stale entries fill the window; if fewer than `window` are
-    stale, top up with the oldest greens — freshness beats re-proving
-    what nothing changed."""
-    out = [r for r in rows if r["staleness"] > 0][:window]
+    """Stale ORACLE-BACKED entries fill the window; if fewer than
+    `window` are stale, top up with the oldest greens — freshness
+    beats re-proving what nothing changed. Rows-only entries never
+    enter: the driver's check degrades to rows-only on them, wasting
+    the hash slot (tests/test_entry_contract.py pins the window as
+    fully hash-checkable; the full-registry sweep still runs them)."""
+    elig = [r for r in rows if r["oracle"]]
+    out = [r for r in elig if r["staleness"] > 0][:window]
     if len(out) < window:
-        rest = [r for r in rows if r["staleness"] <= 0]
+        rest = [r for r in elig if r["staleness"] <= 0]
         rest.sort(key=lambda r: (r["last_green"], r["name"]))
         out += rest[:window - len(out)]
     return out
