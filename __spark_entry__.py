@@ -656,14 +656,15 @@ _PRIORITY = (
     # (never-driver-checked entries first, then by staleness of green:
     # code churn since each entry's last green driver row; rows-only
     # entries never enter — every window slot is hash-checkable).
-    # Leads with the six entries that landed after the r8 window froze
+    # Leads with the ten entries that landed after the r8 window froze
     # and have never been driver-checked.
+    "code_detect_signals", "dedup_savings_report",
     "embedding_topk_cosine_same_label", "filtered_ann_recall_report",
-    "lexical_vector_agreement", "lsh_bucket_skew_report",
-    "split_leakage_report", "value_drift_psi", "simhash64",
-    "source_overlap_matrix", "token_drift_jsd", "trimmed_event_stats",
-    "build_inverted_index", "dataset_fingerprint",
-    "doc_embedding_norms", "embedding_drift",
+    "hybrid_rrf_topk", "lexical_vector_agreement",
+    "lsh_bucket_skew_report", "split_leakage_report", "value_drift_psi",
+    "zipf_fit_report", "simhash64", "source_overlap_matrix",
+    "token_drift_jsd", "trimmed_event_stats", "build_inverted_index",
+    "dataset_fingerprint", "doc_embedding_norms", "embedding_drift",
     "embedding_near_dup_lsh_pairs", "embedding_topk_cosine_pandas",
     "embedding_topk_cosine_pq_fixed", "fill_missing_days",
     "near_dup_cluster_sizes", "ngram_contamination_tokens",
@@ -677,9 +678,7 @@ _PRIORITY = (
     "incremental_dedup_bloom", "incremental_dedup_near",
     "ivf_admission_report", "language_id_eval", "minhash_lsh_pairs",
     "minhash_lsh_pairs_capped", "minhash_ml_agreement",
-    "pack_efficiency_report", "quality_prune_threshold",
-    "sample_accuracy_report", "simhash_near_dup_pairs",
-    "simhash_near_dup_pairs_capped",
+    "pack_efficiency_report",
 )
 
 

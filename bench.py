@@ -159,6 +159,15 @@ BENCH_QUERIES = [
     "lexical_vector_agreement",
     "value_drift_psi",
     "embedding_topk_cosine_same_label",
+    # r9 additions: hybrid RRF retrieval, the dedup-payoff and Zipf
+    # corpus-health audits, the code-mix signal, the filtered-ANN
+    # recall audit, and the LSH capacity probe.
+    "hybrid_rrf_topk",
+    "dedup_savings_report",
+    "zipf_fit_report",
+    "code_detect_signals",
+    "filtered_ann_recall_report",
+    "lsh_bucket_skew_report",
 ]
 
 # The r1-comparable headline set (BASELINE.md gate: within 2x of the

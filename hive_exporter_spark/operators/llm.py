@@ -3171,6 +3171,111 @@ def embedding_truncation_report(embeddings: DataFrame,
     return out.orderBy("dim")
 
 
+def lexical_topk(documents: DataFrame,
+                 k: int = TOPK,
+                 n_queries: int = N_QUERIES,
+                 shingle_k: int = SHINGLE_K) -> DataFrame:
+    """Exact lexical top-k with ranks: n-gram (shingle) Jaccard over
+    the inverted index, one row per (query, neighbor) with
+    ``lex_rank`` 1..k (ties break on neighbor id). Shared core of
+    `lexical_vector_agreement` and `hybrid_rrf_topk`.
+
+    Scale shape: candidates come from the inverted index restricted
+    to the query side (cost bounded by the queries' shingle
+    doc-frequencies, never all-pairs); the rank window is
+    (queries × candidates)-sized. The exploded shingle table is
+    lazily checkpointed — it feeds both the sizes aggregate and the
+    candidate join, and must not re-run the shingle pass per use."""
+    exploded = (
+        exploded_shingles(documents, shingle_k)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = exploded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"))
+    qa = exploded.where(F.col("doc_id") < n_queries).alias("a")
+    common = (
+        qa.join(exploded.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("query_id"),
+                 F.col("b.doc_id").alias("neighbor_id"))
+        .agg(F.count(F.lit(1)).alias("n_common_sh"))
+    )
+    jacc = (F.col("n_common_sh")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common_sh")))
+    w = Window.partitionBy("query_id").orderBy(
+        jacc.desc(), F.col("neighbor_id"))
+    return (
+        common
+        .join(sizes.select(F.col("doc_id").alias("query_id"),
+                           F.col("n_sh").alias("n_a")), "query_id")
+        .join(sizes.select(F.col("doc_id").alias("neighbor_id"),
+                           F.col("n_sh").alias("n_b")), "neighbor_id")
+        .withColumn("lex_rank", F.row_number().over(w))
+        .where(F.col("lex_rank") <= k)
+        .select("query_id", "neighbor_id", "lex_rank")
+    )
+
+
+# Reciprocal-rank-fusion smoothing constant (Cormack, Clarke &
+# Buettcher 2009, "Reciprocal rank fusion outperforms Condorcet and
+# individual rank learning methods" — k=60 is the paper's setting).
+RRF_K = 60
+
+
+def hybrid_rrf_topk(documents: DataFrame,
+                    embeddings: DataFrame,
+                    k: int = TOPK,
+                    n_queries: int = N_QUERIES,
+                    shingle_k: int = SHINGLE_K,
+                    rrf_k: int = RRF_K) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: fuse the exact
+    lexical top-k (n-gram Jaccard) with the exact vector top-k
+    (cosine) into one ranking per query —
+    ``score(d) = Σ_sys 1/(rrf_k + rank_sys(d))`` over the systems
+    that retrieved d. RRF is the standard way to combine BM25-style
+    and embedding retrieval without score calibration (ranks, not
+    raw scores, enter the fusion), and it is what a RAG stack or a
+    near-dup reviewer actually queries once
+    `lexical_vector_agreement` has shown the two modalities disagree.
+
+    Determinism contract: both input rankings are exact with id
+    tiebreaks; 1/(rrf_k + rank) is a single IEEE division and the
+    two-term sum has a fixed order (lexical + vector), so the fused
+    ordering replays bit-identically in DuckDB and the entry
+    value-hash-checks. A rank of 0 in the output means "not retrieved
+    by that system" (NULL would land the driver canonicalizer in
+    float/NaN territory).
+
+    Scale shape: each side is its own bounded top-k (inverted-index
+    candidates / broadcast brute scan); the fusion itself joins two
+    (queries × k)-sized frames — dimension-sized work, no corpus
+    shuffle."""
+    lex = lexical_topk(documents, k, n_queries, shingle_k)
+    vec = (topk_cosine(embeddings,
+                       embeddings.where(F.col("vec_id") < n_queries), k)
+           .select("query_id", "neighbor_id",
+                   F.col("rank").alias("vec_rank")))
+    fused = lex.join(vec, ["query_id", "neighbor_id"], "full_outer")
+    rrf = (F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")),
+                      F.lit(0.0))
+           + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("vec_rank")),
+                        F.lit(0.0)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__rrf").desc(), F.col("neighbor_id"))
+    return (
+        fused.withColumn("__rrf", rrf)
+        .withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+                F.coalesce("vec_rank", F.lit(0)).alias("vec_rank"),
+                "fused_rank",
+                F.round("__rrf", 6).alias("rrf_score"))
+    )
+
+
 def lexical_vector_agreement(documents: DataFrame,
                              embeddings: DataFrame,
                              k: int = TOPK,
@@ -3195,37 +3300,9 @@ def lexical_vector_agreement(documents: DataFrame,
     all-pairs); the vector side is the broadcast brute-force pass;
     everything after is (queries x k)-sized.
     """
-    exploded = (
-        exploded_shingles(documents, shingle_k)
-        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
-        .localCheckpoint(eager=False)
-    )
-    sizes = exploded.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_sh"))
-    qa = exploded.where(F.col("doc_id") < n_queries).alias("a")
-    common = (
-        qa.join(exploded.alias("b"),
-                (F.col("a.shingle") == F.col("b.shingle"))
-                & (F.col("a.doc_id") != F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("query_id"),
-                 F.col("b.doc_id").alias("neighbor_id"))
-        .agg(F.count(F.lit(1)).alias("n_common_sh"))
-    )
-    jacc = (F.col("n_common_sh")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common_sh")))
-    w = Window.partitionBy("query_id").orderBy(
-        jacc.desc(), F.col("neighbor_id"))
-    lex = (
-        common
-        .join(sizes.select(F.col("doc_id").alias("query_id"),
-                           F.col("n_sh").alias("n_a")), "query_id")
-        .join(sizes.select(F.col("doc_id").alias("neighbor_id"),
-                           F.col("n_sh").alias("n_b")), "neighbor_id")
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
-    )
+    lex = (lexical_topk(documents, k, n_queries, shingle_k)
+           .select("query_id", "neighbor_id")
+           .localCheckpoint(eager=False))
     vec = (topk_cosine(embeddings,
                        embeddings.where(F.col("vec_id") < n_queries), k)
            .select("query_id", "neighbor_id")
@@ -5690,6 +5767,13 @@ def _q_lex_vec_agreement(spark, sf):
 
 QUERIES["lexical_vector_agreement"] = _q_lex_vec_agreement
 
+
+def _q_hybrid_rrf(spark, sf):
+    return hybrid_rrf_topk(_docs(spark, sf), _emb(spark, sf))
+
+
+QUERIES["hybrid_rrf_topk"] = _q_hybrid_rrf
+
 # Hybrid-retrieval audit: lexical top-k from the shingle inverted
 # index (raw-string join — the Spark side joins on xxhash64(shingle)
 # as a shuffle-width optimization with the same counts), vector top-k
@@ -5741,6 +5825,56 @@ ORACLES["lexical_vector_agreement"] = f"""
     LEFT JOIN nl ON nl.query_id = nv.query_id
     LEFT JOIN nc ON nc.query_id = nv.query_id
     ORDER BY nv.query_id
+"""
+
+# RRF fusion replay: the same lexical top-k CTE (ranks kept), the
+# exact cosine top-k, FULL JOIN on (query, neighbor), then the fused
+# 1/(K+rank) sum in the Spark side's fixed lexical+vector order and
+# the re-rank. Both rank inputs are exact with id tiebreaks, so the
+# fused doubles — one division per side, one two-term sum — are
+# bit-identical across engines.
+ORACLES["hybrid_rrf_topk"] = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+    ), sizes AS (
+        SELECT doc_id, len({_SHINGLES_SQL}) AS n_sh FROM documents
+    ), common AS (
+        SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+               COUNT(*) AS n_common_sh
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        WHERE a.doc_id < {N_QUERIES}
+        GROUP BY 1, 2
+    ), lex AS (
+        SELECT query_id, neighbor_id, rn AS lex_rank FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY CAST(n_common_sh AS DOUBLE)
+                                / (sa.n_sh + sb.n_sh - n_common_sh) DESC,
+                                neighbor_id) AS rn
+            FROM common
+            JOIN sizes sa ON sa.doc_id = query_id
+            JOIN sizes sb ON sb.doc_id = neighbor_id
+        ) WHERE rn <= {TOPK}
+    ), vec AS (
+        SELECT query_id, neighbor_id, rank AS vec_rank
+        FROM ({ORACLES["embedding_topk_cosine"]})
+    ), fused AS (
+        SELECT query_id, neighbor_id, lex_rank, vec_rank,
+               COALESCE(1.0 / ({RRF_K} + lex_rank), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + vec_rank), 0.0) AS rrf
+        FROM lex FULL JOIN vec USING (query_id, neighbor_id)
+    )
+    SELECT query_id, neighbor_id,
+           CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
+           CAST(COALESCE(vec_rank, 0) AS BIGINT) AS vec_rank,
+           fused_rank, round(rrf, 6) AS rrf_score
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY rrf DESC, neighbor_id
+        ) AS fused_rank FROM fused
+    ) WHERE fused_rank <= {TOPK}
 """
 
 ORACLES["normalize_text"] = r"""
@@ -6993,6 +7127,134 @@ def _q_cluster_sizes(spark, sf):
 
 QUERIES["near_dup_cluster_sizes"] = _q_cluster_sizes
 
+
+def dedup_savings_report(documents: DataFrame,
+                         pairs: DataFrame | None = None) -> DataFrame:
+    """The capacity-planning number to read BEFORE launching a
+    corpus-scale dedup job (companion of `lsh_bucket_skew_report`,
+    which sizes the job's cost; this sizes its PAYOFF): how many
+    documents and how many characters deleting near-duplicates would
+    actually remove. One row: corpus totals, duplicate-family counts,
+    and `savable_chars` — the characters freed by keeping only each
+    cluster's representative (the min-id survivor, matching
+    `dedup_near_duplicates`' rule) — plus the savings share of the
+    corpus. A 2% share says skip the job; a 40% share says one
+    boilerplate template is eating the training mix.
+
+    Scale shape: the cluster table is graph-node-sized; the only
+    corpus-sized work is one (doc_id, length) projection — the text
+    itself never shuffles — lazily checkpointed because it feeds both
+    the totals aggregate and the per-cluster join. All counts are
+    exact integers; the single share division is the only float.
+    """
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(documents)
+    clusters = near_dup_clusters(pairs)
+    chars = (documents.select("doc_id", F.length("text").alias("n_ch"))
+             .localCheckpoint(eager=False))
+    totals = F.broadcast(chars.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ch").alias("total_chars")))
+    per = (
+        clusters.join(chars, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("sz"),
+             F.sum("n_ch").alias("cluster_chars"),
+             F.sum(F.when(F.col("doc_id") == F.col("cluster_id"),
+                          F.col("n_ch")).otherwise(F.lit(0)))
+              .alias("rep_chars"))
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.coalesce(F.sum("sz"), F.lit(0)).alias("n_clustered_docs"),
+        F.coalesce(F.sum(F.col("sz") - 1), F.lit(0))
+         .alias("n_duplicate_docs"),
+        F.coalesce(F.sum(F.col("cluster_chars") - F.col("rep_chars")),
+                   F.lit(0)).alias("savable_chars"))
+    return (
+        agg.crossJoin(totals)
+        .select("n_docs", "total_chars", "n_clusters",
+                "n_clustered_docs", "n_duplicate_docs", "savable_chars",
+                F.round(F.col("savable_chars")
+                        / F.col("total_chars").cast("double"), 6)
+                 .alias("savings_share"))
+    )
+
+
+def _q_dedup_savings(spark, sf):
+    return dedup_savings_report(_docs(spark, sf))
+
+
+QUERIES["dedup_savings_report"] = _q_dedup_savings
+
+
+# Zipf-fit window: natural-language corpora put slope near -1 over the
+# head of the rank-frequency curve; synthetic/templated/spam corpora
+# flatten toward 0 (uniform) or fall off a cliff (one token dominates).
+ZIPF_TOPV = 100
+ZIPF_SLOPE_MAX = -0.5  # slope above this (flatter) => not Zipf-like
+
+
+def zipf_fit_report(documents: DataFrame,
+                    top_v: int = ZIPF_TOPV) -> DataFrame:
+    """Corpus-health audit: least-squares fit of log-frequency vs
+    log-rank over the `top_v` most frequent tokens — the Zipf-law
+    check. Natural text sits near slope −1 with high r²; a corpus
+    that drifts flat (machine-generated/templated text mixed in) or
+    cliff-shaped (boilerplate token flooding) moves the slope, so the
+    one-row report (n_terms, slope, intercept, r², `zipf_like`
+    verdict) is a cheap per-snapshot tripwire next to
+    `token_drift_jsd` (which needs a baseline; this is absolute).
+
+    Determinism contract: term frequencies are exact integers; per
+    term, x = round(ln rank, 6) and y = round(ln freq, 6) are the
+    same doubles in both engines (the `tfidf_topk_terms` ln
+    precedent), the x·y/x²/y² products are single IEEE ops, and every
+    regression sum routes through a DECIMAL(38,18) accumulator so
+    partition order cannot perturb the doubles — the report
+    value-hash-checks.
+
+    Scale shape: one token explode + (token) count (map-side
+    combine), a TakeOrderedAndProject top-V (never a global sort),
+    then all ranking/regression work happens on a ≤top_v-row frame —
+    the single-partition rank window is over that tiny frame only.
+    """
+    freqs = (documents.select(F.explode(tokens_col()).alias("token"))
+             .groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+             .orderBy(F.col("freq").desc(), "token").limit(top_v))
+    w = Window.orderBy(F.col("freq").desc(), "token")
+    dec = "decimal(38,18)"
+    xy = (freqs.withColumn("rank", F.row_number().over(w))
+          .select(F.round(F.log(F.col("rank").cast("double")), 6).alias("x"),
+                  F.round(F.log(F.col("freq").cast("double")), 6).alias("y")))
+    sums = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"))
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / n
+    slope = cov / varx          # Spark divide yields NULL on zero
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = (cov * cov) / (varx * vary)
+    return sums.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+        (slope <= F.lit(float(ZIPF_SLOPE_MAX))).alias("zipf_like"))
+
+
+def _q_zipf_fit(spark, sf):
+    return zipf_fit_report(_docs(spark, sf))
+
+
+QUERIES["zipf_fit_report"] = _q_zipf_fit
+
 ORACLES["near_dup_cluster_sizes"] = f"""
     SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
     FROM (
@@ -7002,6 +7264,82 @@ ORACLES["near_dup_cluster_sizes"] = f"""
     )
     GROUP BY cluster_size
     ORDER BY cluster_size
+"""
+
+# Savings replay: the connected-components CTE gives (doc, cluster);
+# reps are doc_id == cluster_id (min-id survivor). Integer sums
+# BIGINT-cast (DuckDB SUM over ints is HUGEINT — the dtype-drift
+# trap); the share is the single float.
+ORACLES["dedup_savings_report"] = f"""
+    WITH RECURSIVE {_REACH_SQL},
+    clusters AS (
+        SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    ),
+    chars AS (SELECT doc_id, length(text) AS n_ch FROM documents),
+    per AS (
+        SELECT cluster_id, COUNT(*) AS sz, SUM(n_ch) AS cluster_chars,
+               SUM(CASE WHEN doc_id = cluster_id THEN n_ch ELSE 0 END)
+                   AS rep_chars
+        FROM clusters JOIN chars USING (doc_id) GROUP BY cluster_id
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS n_clustered_docs,
+               CAST(COALESCE(SUM(sz - 1), 0) AS BIGINT) AS n_duplicate_docs,
+               CAST(COALESCE(SUM(cluster_chars - rep_chars), 0) AS BIGINT)
+                   AS savable_chars
+        FROM per
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars
+        FROM documents
+    )
+    SELECT n_docs, total_chars, n_clusters, n_clustered_docs,
+           n_duplicate_docs, savable_chars,
+           round(savable_chars / CAST(total_chars AS DOUBLE), 6)
+               AS savings_share
+    FROM agg, tot
+"""
+
+# Zipf replay: identical rounded-ln terms, identical single-op
+# products, DECIMAL-accumulated sums, then the same closed-form
+# slope/intercept/r2 expressions (nullif guards DuckDB's
+# divide-by-zero, where Spark natively yields NULL).
+ORACLES["zipf_fit_report"] = f"""
+    WITH freqs AS (
+        SELECT tok AS token, COUNT(*) AS freq
+        FROM (SELECT unnest({_TOKS_SQL}) AS tok FROM documents)
+        GROUP BY tok ORDER BY freq DESC, token LIMIT {ZIPF_TOPV}
+    ), xy AS (
+        SELECT round(ln(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token)
+                             AS DOUBLE)), 6) AS x,
+               round(ln(CAST(freq AS DOUBLE)), 6) AS y
+        FROM freqs
+    ), sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy
+        FROM xy
+    ), fit AS (
+        SELECT n,
+               (sxy - sx * sy / CAST(n AS DOUBLE))
+                   / nullif(sxx - sx * sx / CAST(n AS DOUBLE), 0.0) AS slope,
+               (sxy - sx * sy / CAST(n AS DOUBLE)) AS cov,
+               (sxx - sx * sx / CAST(n AS DOUBLE)) AS varx,
+               (syy - sy * sy / CAST(n AS DOUBLE)) AS vary,
+               sx, sy
+        FROM sums
+    )
+    SELECT n AS n_terms,
+           round(slope, 6) AS slope,
+           round((sy - slope * sx) / CAST(n AS DOUBLE), 6) AS intercept,
+           round((cov * cov) / nullif(varx * vary, 0.0), 6) AS r2,
+           slope <= {float(ZIPF_SLOPE_MAX)} AS zipf_like
+    FROM fit
 """
 
 

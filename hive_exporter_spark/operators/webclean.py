@@ -307,6 +307,90 @@ _ENC_FLAGS_SQL = (
     "COALESCE(contains(text, chr(0)), TRUE) AS has_nul"
 )
 
+# ---------------------------------------------------------------------------
+# Code-vs-prose detection (curation signal)
+# ---------------------------------------------------------------------------
+
+# Exact-token code keywords (language-agnostic core set) and the
+# symbol characters that dominate source text but are rare in prose.
+CODE_KEYWORDS = ("def", "return", "import", "class", "function",
+                 "var", "const", "void", "int", "public")
+_CODE_SYMBOL_RE = r"[\[\]{}();=<>]"
+CODE_SYMBOL_RATIO_MIN = 0.02
+CODE_KEYWORD_MIN = 3
+
+
+def code_detect_signals(documents: DataFrame,
+                        text_col: str = "text") -> DataFrame:
+    """Per-document code-vs-prose signals and an `is_code` verdict —
+    the mixture-control knob every pretraining corpus needs: code
+    leaking into a prose bucket (or vice versa) skews tokenizer
+    fertility, quality-classifier calibration, and the data mix that
+    `temperature_mix`/`epoch_mix` balance per source.
+
+    Signals (heuristic, deliberately cheap — the shape FastText-style
+    classifiers confirm, this tripwires):
+      - ``n_symbol_chars`` / ``symbol_ratio`` — count and share of
+        brackets/braces/parens/semicolons/comparison chars, computed
+        as a length delta after deleting the class (one regex pass,
+        no per-char Python);
+      - ``n_keyword_hits`` — occurrences of exact code-keyword tokens
+        (def/return/import/...), counted over the space-split words;
+      - ``is_code`` — symbol density >= CODE_SYMBOL_RATIO_MIN (0.02)
+        OR at least CODE_KEYWORD_MIN (3) keyword hits.
+
+    Map-only: two string expressions and one array filter over a
+    single text read — zero shuffles, scan-bound at any corpus size.
+    The synthetic fixture is punctuation-free prose, so the registry
+    entry pins the all-prose shape (the `has_brace` C4 precedent);
+    the verdict-flip behavior is pinned in tests on injected code.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_sym = n_chars - F.length(F.regexp_replace(t, _CODE_SYMBOL_RE, ""))
+    words = F.split(F.lower(t), " ")
+    kw_arr = F.array(*[F.lit(w) for w in CODE_KEYWORDS])
+    n_kw = F.size(F.filter(words, lambda w: F.array_contains(kw_arr, w)))
+    ratio = F.round(n_sym / n_chars.cast("double"), 6)
+    return documents.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_sym.alias("n_symbol_chars"),
+        ratio.alias("symbol_ratio"),
+        n_kw.alias("n_keyword_hits"),
+        ((ratio >= CODE_SYMBOL_RATIO_MIN)
+         | (n_kw >= CODE_KEYWORD_MIN)).alias("is_code"),
+    )
+
+
+def _q_code_detect(spark, sf):
+    return code_detect_signals(_docs(spark, sf))
+
+
+QUERIES["code_detect_signals"] = _q_code_detect
+
+_KW_SQL = "[" + ", ".join(f"'{w}'" for w in CODE_KEYWORDS) + "]"
+
+ORACLES["code_detect_signals"] = f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(text,
+               '[\\[\\]{{}}();=<>]', '', 'g')) AS n_symbol_chars,
+           round((length(text) - length(regexp_replace(text,
+               '[\\[\\]{{}}();=<>]', '', 'g')))
+               / CAST(length(text) AS DOUBLE), 6) AS symbol_ratio,
+           len(list_filter(string_split(lower(text), ' '),
+               w -> list_contains({_KW_SQL}, w))) AS n_keyword_hits,
+           (round((length(text) - length(regexp_replace(text,
+                '[\\[\\]{{}}();=<>]', '', 'g')))
+                / CAST(length(text) AS DOUBLE), 6)
+                >= {CODE_SYMBOL_RATIO_MIN}
+            OR len(list_filter(string_split(lower(text), ' '),
+                   w -> list_contains({_KW_SQL}, w)))
+                >= {CODE_KEYWORD_MIN}) AS is_code
+    FROM documents
+"""
+
 ORACLES["encoding_health_report"] = f"""
     WITH flags AS (
         SELECT source, {_ENC_FLAGS_SQL} FROM documents

@@ -1989,3 +1989,140 @@ def test_lexical_vector_agreement_set_arithmetic(spark, sf_dir, emb):
     # the fixture embeds token overlap into vectors, so SOME agreement
     # must exist somewhere
     assert any(r["n_common"] > 0 for r in rep.values())
+
+
+def test_hybrid_rrf_fusion_matches_component_ranks(spark, docs, emb):
+    """The fused ranking IS the RRF formula over the two component
+    top-k lists: recompute 1/(K+rank) sums from lexical_topk and
+    topk_cosine directly and compare scores, component ranks, and the
+    fused order (ties on neighbor id) row for row."""
+    lex = {(r["query_id"], r["neighbor_id"]): r["lex_rank"]
+           for r in llm.lexical_topk(docs).collect()}
+    vec = {(r["query_id"], r["neighbor_id"]): r["rank"]
+           for r in llm.topk_cosine(
+               emb, emb.where(F.col("vec_id") < llm.N_QUERIES)).collect()}
+    expected = {}
+    for key in set(lex) | set(vec):
+        s = 0.0
+        s += 1.0 / (llm.RRF_K + lex[key]) if key in lex else 0.0
+        s += 1.0 / (llm.RRF_K + vec[key]) if key in vec else 0.0
+        expected[key] = s
+    got = llm.hybrid_rrf_topk(docs, emb).collect()
+    assert got, "fixture queries must retrieve something"
+    by_q = {}
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        assert r["rrf_score"] == round(expected[key], 6)
+        assert r["lex_rank"] == lex.get(key, 0)
+        assert r["vec_rank"] == vec.get(key, 0)
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["fused_rank"])
+        assert [r["fused_rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= llm.TOPK
+        # fused order must equal the exact RRF sort (score desc, id)
+        cand = [k for k in expected if k[0] == qid]
+        cand.sort(key=lambda k: (-expected[k], k[1]))
+        assert [r["neighbor_id"] for r in rows] == \
+            [k[1] for k in cand[:len(rows)]]
+    # fusion must actually fuse: some neighbor retrieved by BOTH
+    assert any(r["lex_rank"] > 0 and r["vec_rank"] > 0 for r in got)
+
+
+def test_hybrid_rrf_both_systems_beat_single_at_same_rank(spark):
+    """A candidate retrieved by both systems at rank r outscores one
+    retrieved by a single system at the same rank — the defining RRF
+    property the fused order must respect."""
+    # doc 0 is the query. doc 1 = lexical twin AND vector twin (both
+    # systems rank it 1). doc 2 = lexical-only (rank 2). doc 3 =
+    # vector-only (rank 2).
+    t_q = " ".join(f"a{i}" for i in range(12))
+    t_both = t_q + " zz"
+    t_lex = " ".join(f"a{i}" for i in range(10)) + " q r"
+    t_other = " ".join(f"b{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(0, t_q), (1, t_both), (2, t_lex), (3, t_other)],
+        "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.99, 0.14, 0.0]),
+         (2, [0.0, 0.0, 1.0]), (3, [0.9, 0.43, 0.0])],
+        "vec_id long, embedding array<float>")
+    rows = {r["neighbor_id"]: r
+            for r in llm.hybrid_rrf_topk(docs, emb, k=3, n_queries=1,
+                                         shingle_k=3).collect()}
+    assert rows[1]["lex_rank"] >= 1 and rows[1]["vec_rank"] >= 1
+    assert rows[1]["fused_rank"] == 1
+    assert rows[1]["rrf_score"] > max(rows[2]["rrf_score"],
+                                      rows[3]["rrf_score"])
+
+
+def test_dedup_savings_report_synthetic_exact(spark):
+    """Two identical texts + one unique: exactly one cluster of two,
+    the min-id doc is the representative, and the savable characters
+    equal the duplicate's length."""
+    dup = " ".join(f"w{i}" for i in range(20))
+    uniq = " ".join(f"u{i}" for i in range(15))
+    df = spark.createDataFrame(
+        [(1, dup), (4, dup), (7, uniq)], "doc_id long, text string")
+    r = llm.dedup_savings_report(df).collect()[0]
+    assert r["n_docs"] == 3
+    assert r["total_chars"] == 2 * len(dup) + len(uniq)
+    assert r["n_clusters"] == 1
+    assert r["n_clustered_docs"] == 2
+    assert r["n_duplicate_docs"] == 1
+    assert r["savable_chars"] == len(dup)
+    assert r["savings_share"] == round(len(dup) / r["total_chars"], 6)
+
+
+def test_dedup_savings_report_no_dups(spark):
+    """A dup-free corpus reports zero savings, not NULLs."""
+    df = spark.createDataFrame(
+        [(1, " ".join(f"a{i}" for i in range(12))),
+         (2, " ".join(f"b{i}" for i in range(12)))],
+        "doc_id long, text string")
+    r = llm.dedup_savings_report(df).collect()[0]
+    assert (r["n_clusters"], r["n_duplicate_docs"],
+            r["savable_chars"]) == (0, 0, 0)
+    assert r["savings_share"] == 0.0
+
+
+def test_dedup_savings_report_matches_cluster_math(spark, docs):
+    """Fixture consistency: the report's aggregates equal direct
+    python arithmetic over the cluster table and document lengths."""
+    lens = {r["doc_id"]: len(r["text"]) for r in docs.collect()}
+    clusters = {}
+    for r in llm.near_dup_clusters(llm.ngram_jaccard_pairs(docs)).collect():
+        clusters.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    savable = sum(sum(lens[d] for d in mem) - lens[cid]
+                  for cid, mem in clusters.items())
+    r = llm.dedup_savings_report(docs).collect()[0]
+    assert r["n_clusters"] == len(clusters)
+    assert r["n_clustered_docs"] == sum(len(m) for m in clusters.values())
+    assert r["savable_chars"] == savable
+
+
+def test_zipf_fit_zipfian_corpus_passes(spark):
+    """A 1/rank frequency profile fits slope ~ -1 with high r2 and a
+    TRUE verdict; a uniform profile flattens to slope 0 and FALSE."""
+    rows = []
+    did = 0
+    for i in range(1, 21):
+        for _ in range(max(1, round(200 / i))):
+            rows.append((did, f"tok{i:02d}"))
+            did += 1
+    zipfy = spark.createDataFrame(rows, "doc_id long, text string")
+    r = llm.zipf_fit_report(zipfy).collect()[0]
+    assert r["n_terms"] == 20
+    assert abs(r["slope"] + 1.0) < 0.1
+    assert r["r2"] > 0.98
+    assert bool(r["zipf_like"]) is True
+
+    uni = spark.createDataFrame(
+        [(i, f"tok{i % 10}") for i in range(100)],
+        "doc_id long, text string")
+    u = llm.zipf_fit_report(uni).collect()[0]
+    assert u["slope"] == 0.0
+    assert bool(u["zipf_like"]) is False
+    # zero covariance: r2 collapses to 0.0, or NULL if the y-variance
+    # cancels exactly — either way no crash, and both replay in SQL
+    assert u["r2"] in (None, 0.0)

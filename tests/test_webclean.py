@@ -203,3 +203,34 @@ def test_encoding_health_map_only_plan(spark, sf_dir):
     assert plans.has_partial_aggregate(df)
     assert [f for f in plans.audit_plan(df)
             if f["severity"] == "error"] == []
+
+
+def test_code_detect_signals_flip(spark):
+    """Prose stays is_code=False; symbol-dense code flips via the
+    ratio arm; keyword-dense pseudo-code flips via the keyword arm
+    (duplicate keywords count per occurrence, not per distinct)."""
+    prose = "the quick brown fox jumps over the lazy dog again and again"
+    code = "def f(x): return g(x[0]); } else { y = a < b; }"
+    kw = "import os import sys import re and then return something"
+    df = spark.createDataFrame(
+        [(1, prose), (2, code), (3, kw)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           webclean.code_detect_signals(df).collect()}
+    assert got[1]["n_symbol_chars"] == 0
+    assert got[1]["n_keyword_hits"] == 0
+    assert bool(got[1]["is_code"]) is False
+    # exact symbol count for the crafted line: ():()[]);}{=<;}
+    assert got[2]["n_symbol_chars"] == sum(code.count(c) for c in "[]{}();=<>")
+    assert got[2]["symbol_ratio"] >= webclean.CODE_SYMBOL_RATIO_MIN
+    assert bool(got[2]["is_code"]) is True
+    assert got[3]["n_keyword_hits"] == 4        # 3x import + 1x return
+    assert bool(got[3]["is_code"]) is True
+
+
+def test_code_detect_map_only_plan(spark, sf_dir):
+    """Zero exchanges: the detector is a pure projection."""
+    docs = read_table(spark, sf_dir, "documents")
+    df = webclean.code_detect_signals(docs)
+    assert plans.num_exchanges(df) == 0
+    assert [f for f in plans.audit_plan(df)
+            if f["severity"] == "error"] == []
