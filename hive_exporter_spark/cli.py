@@ -392,11 +392,17 @@ def main(argv: list[str] | None = None) -> int:
             emb = spark.read.parquet(args.input)
             if "label" not in emb.columns:
                 emb = emb.withColumn("label", F.lit(0))
+            # size() over non-null vectors only: size(NULL) is -1
+            # under Spark's legacy sizeOfNull and would both fake a
+            # ragged-dims verdict and print dim=-1 — NULL vectors are
+            # already reported separately.
+            sz = F.when(F.col("embedding").isNotNull(),
+                        F.size("embedding"))
             vol = emb.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.count("embedding").alias("nv"),
-                F.countDistinct(F.size("embedding")).alias("ndim"),
-                F.min(F.size("embedding")).alias("dim"),
+                F.countDistinct(sz).alias("ndim"),
+                F.min(sz).alias("dim"),
             ).collect()[0]
             dim_ok = vol["nv"] == vol["n"] and vol["ndim"] <= 1
             print(f"vectors={vol['n']} dim={vol['dim']} "
@@ -417,18 +423,32 @@ def main(argv: list[str] | None = None) -> int:
             print("truncation: " + " ".join(
                 f"d{r['dim']}={r['recall_at_k']}" for r in tr))
             rebuild_due = False
+            index_missing = False
             if args.index_dir:
                 import os as _os
-                try:
-                    adm = spark.read.parquet(
-                        _os.path.join(args.index_dir, "_admissions"))
-                    adm.first()
-                except Exception:
+
+                from pyspark.sql.utils import AnalysisException
+
+                # A typo'd/absent index dir must FAIL the gate, not
+                # read as "no admissions = healthy"; only a present
+                # index with no _admissions table is legitimately
+                # as-built. Corrupt parquet raises and exits nonzero.
+                if not _os.path.isdir(args.index_dir):
+                    print(f"ivf: index dir not found: {args.index_dir} "
+                          "(FAIL)")
+                    index_missing = True
                     adm = None
-                if adm is None:
+                else:
+                    try:
+                        adm = spark.read.parquet(
+                            _os.path.join(args.index_dir, "_admissions"))
+                        adm.first()
+                    except AnalysisException:
+                        adm = None
+                if adm is None and not index_missing:
                     print("ivf: no admissions recorded — index as built "
                           "(or was never updated)")
-                else:
+                elif adm is not None:
                     v = _llm.ivf_rebuild_due(adm).collect()[0]
                     rebuild_due = bool(v["rebuild_due"]
                                        or v["cumulative_rebuild_due"])
@@ -437,7 +457,8 @@ def main(argv: list[str] | None = None) -> int:
                           if v["cumulative_drift"] is not None else 0.0)
                     print(f"ivf: drift={d} cumulative_drift={cd} "
                           f"({'REBUILD' if rebuild_due else 'ok'})")
-            failed = (not dim_ok) or (not psi_ok) or rebuild_due
+            failed = ((not dim_ok) or (not psi_ok) or rebuild_due
+                      or index_missing)
             print("health: " + ("FAIL" if failed else "ok"))
             return 1 if (args.strict and failed) else 0
 
@@ -726,10 +747,21 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"{label}: rows={nrows} unique={nuniq} "
                       f"dup_rows={nrows - nuniq} files={nfiles}")
             return 0
-        if not args.output or args.output == args.input:
+        # realpath, not raw strings: `-o state/` or a relative vs
+        # absolute spelling of the same dir would pass a string
+        # compare and overwrite the state being read.
+        if (not args.output
+                or _os.path.realpath(args.output)
+                == _os.path.realpath(args.input)):
             print("error: `near-state compact` needs -o/--output "
                   "different from the source (blue/green: the old dir "
                   "stays intact until you switch paths)",
+                  file=sys.stderr)
+            return 2
+        if any(_os.path.exists(_os.path.join(args.output, t))
+               for t in ("digests", "signatures")):
+            print("error: output already holds state tables — compact "
+                  "writes a FRESH blue/green dir; pick an empty path",
                   file=sys.stderr)
             return 2
         nd, ns = compact_near_dedup_state(

@@ -678,7 +678,10 @@ def lsh_bucket_skew_report(documents: DataFrame,
     sizes = banded.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("n"))
     n = F.col("n")
-    allp = (n * (n - 1) / 2).cast("long")
+    # Integer DIV, not `/`: double division rounds once n*(n-1)
+    # exceeds 2^53 — exactly the viral-bucket case this probe sizes —
+    # and would drift from the oracle's exact `//`.
+    allp = F.expr("(n * (n - 1)) div 2")
     capped = F.when(n <= bucket_cap, allp).otherwise((n - 1).cast("long"))
     return sizes.agg(
         F.sum("n").cast("bigint").alias("n_band_rows"),
@@ -3813,6 +3816,29 @@ def incremental_dedup_near(new_docs: DataFrame, corpus: DataFrame,
     return admitted.orderBy(id_col)
 
 
+def _capped_corpus_bands(corpus_bands: DataFrame, batch_keys: DataFrame,
+                         bucket_cap: int) -> DataFrame:
+    """The vs-corpus witness cap: restrict the standing band table to
+    the (band, bucket) keys the batch touches (micro-batch-sized,
+    broadcast), then keep the `bucket_cap` lowest DISTINCT corpus
+    doc_ids per bucket. The dropDuplicates runs BEFORE the cap
+    window: streaming state legitimately holds duplicate signature
+    rows per doc after an at-least-once replay, and duplicates must
+    not eat cap slots (a bucket of 40 distinct docs duplicated 2×
+    would otherwise present only its 32 lowest witnesses at cap 64 —
+    a silent recall loss). Distinct-witness semantics are pinned in
+    tests."""
+    wc = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    return (
+        corpus_bands.join(F.broadcast(batch_keys),
+                          ["band", "bucket"], "left_semi")
+        .dropDuplicates(["band", "bucket", "doc_id"])
+        .withColumn("__rk", F.row_number().over(wc))
+        .where(F.col("__rk") <= bucket_cap)
+        .drop("__rk")
+    )
+
+
 def near_admit(new_docs: DataFrame,
                seen_digests: DataFrame | None,
                corpus_sigs: DataFrame | None,
@@ -3890,14 +3916,8 @@ def near_admit(new_docs: DataFrame,
         # window (and everything after it) proportional to the batch,
         # not the standing corpus.
         batch_keys = bband.select("band", "bucket").distinct()
-        wc = Window.partitionBy("band", "bucket").orderBy("doc_id")
-        capped_cband = (
-            corpus_bands.join(F.broadcast(batch_keys),
-                              ["band", "bucket"], "left_semi")
-            .withColumn("__rk", F.row_number().over(wc))
-            .where(F.col("__rk") <= bucket_cap)
-            .drop("__rk")
-        )
+        capped_cband = _capped_corpus_bands(corpus_bands, batch_keys,
+                                            bucket_cap)
         vs_corpus = (
             bband.alias("a").join(
                 capped_cband.alias("b"),

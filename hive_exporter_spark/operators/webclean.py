@@ -351,7 +351,12 @@ def code_detect_signals(documents: DataFrame,
     words = F.split(F.lower(t), " ")
     kw_arr = F.array(*[F.lit(w) for w in CODE_KEYWORDS])
     n_kw = F.size(F.filter(words, lambda w: F.array_contains(kw_arr, w)))
-    ratio = F.round(n_sym / n_chars.cast("double"), 6)
+    # Empty text guard: 0/0 would yield a NULL ratio and a NULL
+    # verdict, silently dropping the doc from BOTH arms of a boolean
+    # mixture filter. An empty doc is prose-like by definition.
+    ratio = F.when(n_chars > 0,
+                   F.round(n_sym / n_chars.cast("double"), 6)) \
+             .otherwise(F.lit(0.0))
     return documents.select(
         "doc_id",
         n_chars.alias("n_chars"),
@@ -371,20 +376,21 @@ QUERIES["code_detect_signals"] = _q_code_detect
 
 _KW_SQL = "[" + ", ".join(f"'{w}'" for w in CODE_KEYWORDS) + "]"
 
+_RATIO_SQL = f"""CASE WHEN length(text) > 0
+        THEN round((length(text) - length(regexp_replace(text,
+             '[\\[\\]{{}}();=<>]', '', 'g')))
+             / CAST(length(text) AS DOUBLE), 6)
+        ELSE 0.0 END"""
+
 ORACLES["code_detect_signals"] = f"""
     SELECT doc_id,
            length(text) AS n_chars,
            length(text) - length(regexp_replace(text,
                '[\\[\\]{{}}();=<>]', '', 'g')) AS n_symbol_chars,
-           round((length(text) - length(regexp_replace(text,
-               '[\\[\\]{{}}();=<>]', '', 'g')))
-               / CAST(length(text) AS DOUBLE), 6) AS symbol_ratio,
+           {_RATIO_SQL} AS symbol_ratio,
            len(list_filter(string_split(lower(text), ' '),
                w -> list_contains({_KW_SQL}, w))) AS n_keyword_hits,
-           (round((length(text) - length(regexp_replace(text,
-                '[\\[\\]{{}}();=<>]', '', 'g')))
-                / CAST(length(text) AS DOUBLE), 6)
-                >= {CODE_SYMBOL_RATIO_MIN}
+           ({_RATIO_SQL} >= {CODE_SYMBOL_RATIO_MIN}
             OR len(list_filter(string_split(lower(text), ' '),
                    w -> list_contains({_KW_SQL}, w)))
                 >= {CODE_KEYWORD_MIN}) AS is_code

@@ -378,12 +378,20 @@ def near_dedup_stream(
         # Materialize ONCE: the admitted set feeds three writes.
         admitted = admitted.localCheckpoint()
         admitted.write.mode("append").parquet(out_dir)
-        admitted.select(
-            F.sha2(F.col(text_col), 256).alias("__digest")
-        ).write.mode("append").parquet(digest_dir)
+        # Signatures BEFORE digests — the order makes every crash
+        # window self-healing. Crash after sigs, before digests: the
+        # replay's docs hit their own standing signatures and are
+        # rejected by the near screen (jaccard 1.0 confirms), so
+        # nothing is re-admitted. The reverse order left a permanent
+        # blind spot: digests present blocked re-admission, so the
+        # batch's signatures were NEVER written and near-duplicates
+        # of those docs were admitted forever after.
         bsigs.join(
             admitted.select(F.col(id_col).alias("doc_id")), "doc_id"
         ).write.mode("append").parquet(sig_dir)
+        admitted.select(
+            F.sha2(F.col(text_col), 256).alias("__digest")
+        ).write.mode("append").parquet(digest_dir)
 
     return (
         docs_stream.writeStream.foreachBatch(_sink)
@@ -420,18 +428,32 @@ def compact_near_dedup_state(spark: SparkSession, src_dir: str,
     """
     import os as _os
 
+    from pyspark.sql.utils import AnalysisException
+
     d_src = _os.path.join(src_dir, "digests")
     s_src = _os.path.join(src_dir, "signatures")
     d_dst = _os.path.join(dst_dir, "digests")
     s_dst = _os.path.join(dst_dir, "signatures")
-    (spark.read.parquet(d_src).select("__digest").distinct()
-     .repartition(target_files)
-     .write.mode("overwrite").parquet(d_dst))
-    (spark.read.parquet(s_src).dropDuplicates(["doc_id"])
-     .repartition(target_files)
-     .write.mode("overwrite").parquet(s_dst))
-    return (spark.read.parquet(d_dst).count(),
-            spark.read.parquet(s_dst).count())
+    # Each table under its own try/except: a crash between the
+    # stream's two state appends legitimately leaves one table absent
+    # (either order, across versions), and compaction must carry the
+    # surviving table over rather than die half-written.
+    n_dig = n_sig = 0
+    try:
+        dig = spark.read.parquet(d_src).select("__digest").distinct()
+    except AnalysisException:
+        dig = None
+    try:
+        sig = spark.read.parquet(s_src).dropDuplicates(["doc_id"])
+    except AnalysisException:
+        sig = None
+    if dig is not None:
+        dig.repartition(target_files).write.mode("overwrite").parquet(d_dst)
+        n_dig = spark.read.parquet(d_dst).count()
+    if sig is not None:
+        sig.repartition(target_files).write.mode("overwrite").parquet(s_dst)
+        n_sig = spark.read.parquet(s_dst).count()
+    return n_dig, n_sig
 
 
 def value_drift_psi_stream(

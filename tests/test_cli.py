@@ -623,3 +623,63 @@ def test_doctor_cli_events_mode(spark, tmp_path, capsys):
     assert "health: FAIL" in capsys.readouterr().out
     assert cli.main(["doctor", "--kind", "events", "-i", bad,
                      "--strict"]) == 1
+
+
+def test_near_state_compact_path_guards(spark, tmp_path, capsys):
+    """The blue/green guard resolves real paths (a trailing slash or
+    relative spelling of the source must not bypass it) and refuses
+    an output that already holds state tables."""
+    state = str(tmp_path / "state")
+    spark.createDataFrame([("d1",), ("d2",)], "__digest string") \
+        .write.parquet(state + "/digests")
+    spark.createDataFrame([(1, [1, 2])],
+                          "doc_id long, signature array<bigint>") \
+        .write.parquet(state + "/signatures")
+
+    assert cli.main(["near-state", "compact", "-i", state,
+                     "-o", state + "/"]) == 2
+    # an output dir already holding state: refuse, don't clobber
+    other = str(tmp_path / "other")
+    spark.createDataFrame([("x",)], "__digest string") \
+        .write.parquet(other + "/digests")
+    assert cli.main(["near-state", "compact", "-i", state,
+                     "-o", other]) == 2
+    capsys.readouterr()
+
+
+def test_doctor_embeddings_null_vectors_not_ragged(spark, tmp_path,
+                                                   capsys):
+    """NULL vectors are reported as nulls (and fail integrity), but
+    must not fake a ragged-dims verdict or print dim=-1 (size(NULL)
+    is -1 under legacy sizeOfNull)."""
+    rows = [(i, [1.0 + (i % 10) / 10.0] + [0.1] * 7, 0)
+            for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    df = df.withColumn("embedding", F.when(F.col("vec_id") != 7,
+                                           F.col("embedding")))
+    p = str(tmp_path / "nullv.parquet")
+    df.write.parquet(p)
+    assert cli.main(["doctor", "--kind", "embeddings", "-i", p,
+                     "--strict"]) == 1
+    out = capsys.readouterr().out
+    assert "null_vectors=1" in out
+    assert "ragged_dims=no" in out and "dim=8" in out
+    assert "dim=-1" not in out
+
+
+def test_doctor_embeddings_missing_index_dir_fails(spark, tmp_path,
+                                                   capsys):
+    """A typo'd --index-dir must FAIL the strict gate, not read as
+    'no admissions = healthy' (review finding, r9)."""
+    rows = [(i, [1.0 + ((i // 2) % 10) / 10.0] + [0.1] * 7, 0)
+            for i in range(100)]
+    p = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int") \
+        .write.parquet(p)
+    assert cli.main(["doctor", "--kind", "embeddings", "-i", p,
+                     "--index-dir", str(tmp_path / "no_such_index"),
+                     "--strict"]) == 1
+    out = capsys.readouterr().out
+    assert "index dir not found" in out and "health: FAIL" in out

@@ -2126,3 +2126,23 @@ def test_zipf_fit_zipfian_corpus_passes(spark):
     # zero covariance: r2 collapses to 0.0, or NULL if the y-variance
     # cancels exactly — either way no crash, and both replay in SQL
     assert u["r2"] in (None, 0.0)
+
+
+def test_capped_corpus_bands_distinct_witnesses(spark):
+    """Duplicate state rows (at-least-once replay residue) must not
+    eat witness-cap slots: the cap keeps the lowest DISTINCT corpus
+    ids per touched bucket, and untouched buckets are dropped."""
+    cband = spark.createDataFrame(
+        # bucket (0,0): ids 1,1,2,2,3 — dups of the low ids
+        [(0, 0, 1), (0, 0, 1), (0, 0, 2), (0, 0, 2), (0, 0, 3),
+         # bucket (1,5): below cap
+         (1, 5, 9),
+         # bucket (2,7): NOT touched by the batch
+         (2, 7, 4)],
+        "band int, bucket long, doc_id long")
+    keys = spark.createDataFrame([(0, 0), (1, 5)], "band int, bucket long")
+    got = sorted((r["band"], r["bucket"], r["doc_id"]) for r in
+                 llm._capped_corpus_bands(cband, keys, 2).collect())
+    # cap=2 -> {1,2} for the hot bucket (NOT {1,1}), bucket (1,5)
+    # intact, bucket (2,7) gone
+    assert got == [(0, 0, 1), (0, 0, 2), (1, 5, 9)]

@@ -904,3 +904,42 @@ def test_value_drift_psi_stream_agrees_with_batch(spark, tmp_path,
     assert want["ok"]["psi"] < 0.2 < want["bad"]["psi"]
     assert by_ok[True]["n_rows"] == b1.where(
         F.col("value").isNotNull()).count()
+
+
+def test_compact_near_state_tolerates_missing_table(spark, tmp_path):
+    """A crash between the stream's two state appends leaves one
+    table absent; compaction must carry the surviving table over
+    instead of dying half-written (review finding, r9)."""
+    from hive_exporter_spark.streaming.streams import (
+        compact_near_dedup_state)
+
+    src = str(tmp_path / "state")
+    spark.createDataFrame([(f"d{i}",) for i in range(8)] * 2,
+                          "__digest string") \
+        .write.parquet(src + "/digests")
+    # no signatures/ table at all
+    dst = str(tmp_path / "state2")
+    n_d, n_s = compact_near_dedup_state(spark, src, dst, target_files=1)
+    assert (n_d, n_s) == (8, 0)
+    assert spark.read.parquet(dst + "/digests").count() == 8
+    import os
+    assert not os.path.exists(dst + "/signatures")
+
+
+def test_near_admit_self_heals_missing_digests(spark):
+    """The signatures-before-digests write order makes the
+    crash-between-appends window self-healing: a replayed doc whose
+    signature IS in state but whose digest is NOT gets rejected by
+    the near screen (its own standing signature confirms at jaccard
+    1.0), so nothing is re-admitted."""
+    from hive_exporter_spark.operators.llm import (
+        LSH_BANDS, MINHASH_SLOTS, _minhash_banded, minhash_signatures,
+        near_admit)
+
+    doc = (42, " ".join(f"w{i}" for i in range(30)))
+    batch = spark.createDataFrame([doc], "doc_id long, text string")
+    csigs = minhash_signatures(batch.select("doc_id", "text"),
+                               MINHASH_SLOTS)
+    cband = _minhash_banded(csigs, MINHASH_SLOTS, LSH_BANDS)
+    admitted, _ = near_admit(batch, None, csigs, cband)
+    assert admitted.count() == 0

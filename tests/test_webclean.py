@@ -234,3 +234,12 @@ def test_code_detect_map_only_plan(spark, sf_dir):
     assert plans.num_exchanges(df) == 0
     assert [f for f in plans.audit_plan(df)
             if f["severity"] == "error"] == []
+
+
+def test_code_detect_empty_text_is_prose(spark):
+    """Zero-length text must land in the prose bucket with ratio 0.0,
+    not vanish from both filter arms as NULL."""
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    r = webclean.code_detect_signals(df).collect()[0]
+    assert r["symbol_ratio"] == 0.0
+    assert bool(r["is_code"]) is False
