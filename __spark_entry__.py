@@ -656,29 +656,29 @@ _PRIORITY = (
     # (never-driver-checked entries first, then by staleness of green:
     # code churn since each entry's last green driver row; rows-only
     # entries never enter — every window slot is hash-checkable).
-    # Leads with the ten entries that landed after the r8 window froze
-    # and have never been driver-checked.
+    # Leads with the eleven entries that landed after the r8 window
+    # froze and have never been driver-checked.
     "code_detect_signals", "dedup_savings_report",
     "embedding_topk_cosine_same_label", "filtered_ann_recall_report",
     "hybrid_rrf_topk", "lexical_vector_agreement",
-    "lsh_bucket_skew_report", "split_leakage_report", "value_drift_psi",
-    "zipf_fit_report", "simhash64", "source_overlap_matrix",
-    "token_drift_jsd", "trimmed_event_stats", "build_inverted_index",
+    "lsh_bucket_skew_report", "split_leakage_report",
+    "top_boilerplate_segments", "value_drift_psi", "zipf_fit_report",
+    "simhash64", "source_overlap_matrix", "token_drift_jsd",
+    "trimmed_event_stats", "build_inverted_index",
     "dataset_fingerprint", "doc_embedding_norms", "embedding_drift",
     "embedding_near_dup_lsh_pairs", "embedding_topk_cosine_pandas",
     "embedding_topk_cosine_pq_fixed", "fill_missing_days",
     "near_dup_cluster_sizes", "ngram_contamination_tokens",
     "quantize_embeddings", "retention_cohorts", "asof_last_purchase",
     "binary_dedup_exact", "session_window_overlap", "value_histogram",
-    "ann_recall_report", "bm25_scores",
-    "contamination_detector_agreement", "curation_funnel_report",
-    "dedup_exact", "dedup_exact_ids", "dedup_recall_report",
-    "dsir_weights", "embedding_near_dup_lsh_pairs_capped",
-    "embedding_topk_cosine", "embedding_topk_cosine_lsh", "group_split",
+    "ann_recall_report", "bm25_scores", "c4_filter_report",
+    "c4_quality_signals", "contamination_detector_agreement",
+    "curation_funnel_report", "dedup_exact", "dedup_exact_ids",
+    "dedup_recall_report", "dsir_weights",
+    "embedding_near_dup_lsh_pairs_capped", "embedding_topk_cosine",
+    "embedding_topk_cosine_lsh", "group_split",
     "incremental_dedup_bloom", "incremental_dedup_near",
     "ivf_admission_report", "language_id_eval", "minhash_lsh_pairs",
-    "minhash_lsh_pairs_capped", "minhash_ml_agreement",
-    "pack_efficiency_report",
 )
 
 

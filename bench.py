@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "code_detect_signals",
     "filtered_ann_recall_report",
     "lsh_bucket_skew_report",
+    "top_boilerplate_segments",
 ]
 
 # The r1-comparable headline set (BASELINE.md gate: within 2x of the

@@ -497,6 +497,25 @@ def main(argv: list[str] | None = None) -> int:
               f"too_short={c4['n_too_short']} too_long={c4['n_too_long']} "
               f"lorem={c4['n_lorem']} brace={c4['n_brace']} "
               f"blocked={c4['n_blocked']}")
+        # Near-dup payoff + Zipf head fit + code mix (informational:
+        # what a human reads next; the strict gate stays on the two
+        # damage signals above). NULL texts would crash the n-gram
+        # chains — run these on the non-NULL slice.
+        nn = docs.where(F.col("text").isNotNull())
+        from hive_exporter_spark.operators.llm import (
+            dedup_savings_report, zipf_fit_report)
+        from hive_exporter_spark.operators.webclean import (
+            code_detect_signals)
+        sav = dedup_savings_report(nn).collect()[0]
+        print(f"near_dup: clusters={sav['n_clusters']} "
+              f"dup_docs={sav['n_duplicate_docs']} "
+              f"savable_share={sav['savings_share']}")
+        z = zipf_fit_report(nn).collect()[0]
+        print(f"zipf: slope={z['slope']} r2={z['r2']} "
+              f"({'ok' if z['zipf_like'] else 'flat-head'})")
+        code_n = code_detect_signals(nn).where("is_code").count()
+        code_share = code_n / vol["nt"] if vol["nt"] else 0.0
+        print(f"code_mix: code_docs={code_n} share={code_share:.4f}")
         failed = clean_share < 0.99 or dup_share > 0.2
         print("health: " + ("FAIL" if failed else "ok"))
         return 1 if (args.strict and failed) else 0

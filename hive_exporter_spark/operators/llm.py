@@ -7275,6 +7275,64 @@ def _q_zipf_fit(spark, sf):
 
 QUERIES["zipf_fit_report"] = _q_zipf_fit
 
+
+BOILER_TOPK = 20
+
+
+def top_boilerplate_segments(documents: DataFrame,
+                             k: int = BOILER_TOPK,
+                             min_df: int = CDC_MIN_DF) -> DataFrame:
+    """Template mining: the `k` most document-frequent repeated
+    segments in the corpus — the actual boilerplate strings (cookie
+    banners, nav bars, license headers) behind a fat
+    `dup_ngram_coverage` or a hot LSH bucket. Where
+    `lsh_bucket_skew_report` says "one template dominates",
+    this says WHICH template, so the cleanup rule (a line filter, a
+    source quarantine) can be written against real text.
+
+    Segments are the shared CDC chunks (`cdc_chunks` — the same
+    alignment `remove_dup_spans` cuts on, so what this surfaces is
+    exactly what that operator would remove). One groupBy on the
+    chunk digest computes df / occurrence count / the representative
+    text (all rows of a digest carry the identical string, so `min`
+    IS the text) in a single exchange with map-side combine; the
+    top-k is a TakeOrderedAndProject, never a global sort. `n_docs`
+    for the share derives from the same chunk stream — the corpus is
+    scanned exactly once. Deterministic order (df, occurrences,
+    segment) makes the k-boundary reproducible, so the report
+    value-hash-checks against the DuckDB CDC replay.
+    """
+    chunks = (cdc_chunks(documents)
+              .select("doc_id", "__chunk", "__len", "__digest")
+              .localCheckpoint(eager=False))
+    n_docs = F.broadcast(chunks.agg(
+        F.countDistinct("doc_id").alias("__nd")))
+    per = (
+        chunks.where(F.col("__chunk") != "")
+        .groupBy("__digest")
+        .agg(F.min("__chunk").alias("segment"),
+             F.min("__len").alias("n_tokens"),
+             F.countDistinct("doc_id").alias("df"),
+             F.count(F.lit(1)).alias("n_occurrences"))
+        .where(F.col("df") >= min_df)
+    )
+    return (
+        per.crossJoin(n_docs)
+        .select("segment", "n_tokens", "df", "n_occurrences",
+                F.round(F.col("df") / F.col("__nd").cast("double"), 6)
+                 .alias("doc_share"))
+        .orderBy(F.col("df").desc(), F.col("n_occurrences").desc(),
+                 "segment")
+        .limit(k)
+    )
+
+
+def _q_top_boilerplate(spark, sf):
+    return top_boilerplate_segments(_docs(spark, sf))
+
+
+QUERIES["top_boilerplate_segments"] = _q_top_boilerplate
+
 ORACLES["near_dup_cluster_sizes"] = f"""
     SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
     FROM (
@@ -7360,6 +7418,57 @@ ORACLES["zipf_fit_report"] = f"""
            round((cov * cov) / nullif(varx * vary, 0.0), 6) AS r2,
            slope <= {float(ZIPF_SLOPE_MAX)} AS zipf_like
     FROM fit
+"""
+
+# Template-mining twin: the cdc_dup_spans CDC chain (no replica
+# injection), rolled up per chunk text instead of per document.
+# Grouping on the text where Spark groups on sha2(text) partitions
+# identical strings identically.
+ORACLES["top_boilerplate_segments"] = f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), h AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) >= {CDC_K} THEN
+                   list_transform(range(1, len(toks) - {CDC_K - 2}),
+                       i -> CAST('0x' || substr(md5(array_to_string(
+                                toks[i:i+{CDC_K - 1}], ' ')), 1, 7) AS BIGINT))
+               ELSE [] END AS hs
+        FROM t
+    ), b AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(hs) = 0 THEN [1]
+                    ELSE list_sort(list_distinct(list_concat([1],
+                         list_filter(range(1, len(hs) + 1),
+                                     i -> hs[i] % {CDC_DIVISOR} = 0)))) END
+                   AS bpos
+        FROM h
+    ), spans AS (
+        SELECT doc_id, toks, bpos,
+               unnest(range(1, len(bpos) + 1)) AS j
+        FROM b
+    ), chunks AS (
+        SELECT doc_id,
+               coalesce(array_to_string(
+                   toks[bpos[j] : coalesce(bpos[j+1], len(toks)+1) - 1],
+                   ' '), '') AS chunk,
+               coalesce(bpos[j+1], len(toks) + 1) - bpos[j] AS len
+        FROM spans
+    ), nd AS (
+        SELECT COUNT(DISTINCT doc_id) AS n_docs FROM chunks
+    ), per AS (
+        SELECT chunk AS segment,
+               CAST(MIN(len) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM chunks WHERE chunk <> '' GROUP BY chunk
+    )
+    SELECT segment, n_tokens, df, n_occurrences,
+           round(df / CAST(n_docs AS DOUBLE), 6) AS doc_share
+    FROM per, nd
+    WHERE df >= {CDC_MIN_DF}
+    ORDER BY df DESC, n_occurrences DESC, segment
+    LIMIT {BOILER_TOPK}
 """
 
 

@@ -683,3 +683,15 @@ def test_doctor_embeddings_missing_index_dir_fails(spark, tmp_path,
                      "--strict"]) == 1
     out = capsys.readouterr().out
     assert "index dir not found" in out and "health: FAIL" in out
+
+
+def test_doctor_documents_extended_headlines(spark, tmp_path, capsys,
+                                             sf_dir):
+    """Documents mode prints the near-dup payoff, Zipf head fit, and
+    code-mix lines (informational — strict still gates on damage)."""
+    assert cli.main(["doctor", "-i",
+                     sf_dir + "/documents.parquet"]) == 0
+    out = capsys.readouterr().out
+    assert "near_dup: clusters=" in out and "savable_share=" in out
+    assert "zipf: slope=" in out
+    assert "code_mix: code_docs=" in out

@@ -2146,3 +2146,35 @@ def test_capped_corpus_bands_distinct_witnesses(spark):
     # cap=2 -> {1,2} for the hot bucket (NOT {1,1}), bucket (1,5)
     # intact, bucket (2,7) gone
     assert got == [(0, 0, 1), (0, 0, 2), (1, 5, 9)]
+
+
+def test_top_boilerplate_segments_finds_template(spark):
+    """A segment pasted into many docs dominates the report with the
+    right df / occurrence counts and doc share; unique text stays
+    out; the min-df floor holds."""
+    template = " ".join(f"tw{i}" for i in range(24))
+    rows = [(i, template + " " + " ".join(f"u{i}x{j}" for j in range(6)))
+            for i in range(8)]
+    rows += [(100, " ".join(f"solo{j}" for j in range(30)))]
+    # one doc carries the template TWICE -> occurrences > df
+    rows += [(200, template + " mid filler " + template)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = llm.top_boilerplate_segments(df, k=5).collect()
+    assert got, "template corpus must yield repeated segments"
+    top = got[0]
+    # the top segment is a chunk of the template (CDC may split it)
+    assert top["segment"].split(" ")[0].startswith("tw")
+    assert top["df"] == 9                 # 8 + the double-paste doc
+    assert top["n_occurrences"] == 10     # pasted twice in doc 200
+    assert top["doc_share"] == round(9 / 10, 6)
+    segs = {r["segment"] for r in got}
+    assert not any("solo" in s for s in segs)
+    for r in got:
+        assert r["df"] >= 2 and r["n_occurrences"] >= r["df"]
+
+
+def test_top_boilerplate_segments_empty_on_unique_corpus(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join(f"a{i}b{j}" for j in range(20))) for i in range(6)],
+        "doc_id long, text string")
+    assert llm.top_boilerplate_segments(df).count() == 0
