@@ -661,3 +661,51 @@ def test_audit_plan_catches_prefix_embedding_drift_shape(t, spark):
     assert len(plans.scan_locations(fixed)) == 1
     assert [f for f in plans.audit_plan(fixed)
             if f["severity"] == "error"] == []
+
+
+def test_hybrid_rrf_topk_plan_shape(spark, sf_dir):
+    """Both component rankings keep their scale shapes: the vector
+    side rides a broadcast join (corpus never shuffles on it), no
+    cartesian anywhere, and the fusion itself adds only
+    dimension-sized joins over two (queries x k) frames."""
+    from hive_exporter_spark.operators import llm
+
+    df = llm.hybrid_rrf_topk(read_table(spark, sf_dir, "documents"),
+                             read_table(spark, sf_dir, "embeddings"))
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plans.has_broadcast_join(df), plan
+    assert [f for f in plans.audit_plan(df)
+            if f["severity"] == "error"
+            and f["rule"] != "repeated_scan"] == []
+
+
+def test_top_boilerplate_segments_plan_shape(spark, sf_dir):
+    """One corpus scan (n_docs derives from the checkpointed chunk
+    stream), a partial-aggregated digest groupBy, and a
+    TakeOrderedAndProject top-k — never a global sort of the segment
+    table."""
+    from hive_exporter_spark.operators import llm
+
+    df = llm.top_boilerplate_segments(
+        read_table(spark, sf_dir, "documents"))
+    plan = plans.formatted_plan(df)
+    assert len(plans.scan_locations(df)) <= 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plans.has_partial_aggregate(df), plan
+    assert [f for f in plans.audit_plan(df)
+            if f["severity"] == "error"] == []
+
+
+def test_zipf_fit_report_plan_shape(spark, sf_dir):
+    """Token counts partial-aggregate map-side; the top-V cut is a
+    TakeOrderedAndProject; the rank window runs on the <=top_v-row
+    frame only (no corpus-sized single-partition exchange)."""
+    from hive_exporter_spark.operators import llm
+
+    df = llm.zipf_fit_report(read_table(spark, sf_dir, "documents"))
+    plan = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plans.has_partial_aggregate(df), plan
+    assert [f for f in plans.audit_plan(df)
+            if f["severity"] == "error"] == []
