@@ -320,6 +320,7 @@ def near_dedup_stream(
     threshold: float | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    monitor_dir: str | None = None,
 ) -> object:
     """Continuous-crawl NEAR-duplicate admission: each micro-batch
     runs `llm.near_admit`'s three screens (exact digest, MinHash-LSH
@@ -339,6 +340,13 @@ def near_dedup_stream(
     sized, so no corpus shuffle). foreachBatch gives at-least-once:
     replayed appends are set-idempotent for digests and produce
     duplicate band rows that the screen's dropDuplicates absorbs.
+
+    With `monitor_dir`, one (epoch_id, n_in, n_admitted, n_rejected,
+    admit_share) row per micro-batch is appended there — the table an
+    ops dashboard tails (same pattern as `value_drift_psi_stream`'s
+    monitor). A falling admit_share is the first sign of a crawl loop
+    or a boilerplate flood; read `llm.lsh_bucket_skew_report` and
+    `llm.top_boilerplate_segments` over the corpus next.
 
     Returns the started StreamingQuery; caller owns stop().
     """
@@ -392,6 +400,14 @@ def near_dedup_stream(
         admitted.select(
             F.sha2(F.col(text_col), 256).alias("__digest")
         ).write.mode("append").parquet(digest_dir)
+        if monitor_dir is not None:
+            n_in, n_adm = batch_df.count(), admitted.count()
+            spark.createDataFrame(
+                [(int(epoch_id), n_in, n_adm, n_in - n_adm,
+                  round(n_adm / n_in, 6) if n_in else 1.0)],
+                "epoch_id long, n_in long, n_admitted long, "
+                "n_rejected long, admit_share double",
+            ).write.mode("append").parquet(monitor_dir)
 
     return (
         docs_stream.writeStream.foreachBatch(_sink)

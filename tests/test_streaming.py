@@ -943,3 +943,41 @@ def test_near_admit_self_heals_missing_digests(spark):
     cband = _minhash_banded(csigs, MINHASH_SLOTS, LSH_BANDS)
     admitted, _ = near_admit(batch, None, csigs, cband)
     assert admitted.count() == 0
+
+
+def test_near_dedup_stream_monitor_rows(spark, tmp_path, sf_dir):
+    """With monitor_dir set, every micro-batch appends one admission
+    stats row whose counts reconcile exactly with the admitted
+    output (the ops-dashboard face of the gate)."""
+    from hive_exporter_spark.streaming.streams import near_dedup_stream
+
+    docs = read_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").where(F.col("doc_id") < 60)
+    src = tmp_path / "in"
+    src.mkdir()
+    docs.where(F.col("doc_id") < 30).coalesce(1) \
+        .write.parquet(str(src / "f1"))
+    # second file repeats the first slice (all exact dups) + fresh
+    docs.where(F.col("doc_id") < 30).coalesce(1) \
+        .write.parquet(str(src / "f2"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src) + "/*"))
+    mon = str(tmp_path / "mon")
+    q = near_dedup_stream(stream, str(tmp_path / "state"),
+                          str(tmp_path / "out"),
+                          str(tmp_path / "chk"), monitor_dir=mon)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted((r["epoch_id"], r) for r in
+                  spark.read.parquet(mon).collect())
+    assert len(rows) == 2
+    total_adm = spark.read.parquet(str(tmp_path / "out")).count()
+    assert sum(r["n_admitted"] for _, r in rows) == total_adm
+    for _, r in rows:
+        assert r["n_in"] == r["n_admitted"] + r["n_rejected"]
+        assert r["admit_share"] == round(r["n_admitted"] / r["n_in"], 6)
+    # the replayed-content batch must show mass rejection
+    assert min(r["n_admitted"] for _, r in rows) == 0
