@@ -656,11 +656,11 @@ _PRIORITY = (
     # (never-driver-checked entries first, then by staleness of green:
     # code churn since each entry's last green driver row; rows-only
     # entries never enter — every window slot is hash-checkable).
-    # Leads with the eleven entries that landed after the r8 window
-    # froze and have never been driver-checked.
+    # Leads with the entries that landed after the r8 window froze and
+    # have never been driver-checked.
     "code_detect_signals", "dedup_savings_report",
     "embedding_topk_cosine_same_label", "filtered_ann_recall_report",
-    "hybrid_rrf_topk", "lexical_vector_agreement",
+    "hybrid_rrf_topk", "leakage_safe_split", "lexical_vector_agreement",
     "lsh_bucket_skew_report", "split_leakage_report",
     "top_boilerplate_segments", "value_drift_psi", "zipf_fit_report",
     "simhash64", "source_overlap_matrix", "token_drift_jsd",
@@ -678,7 +678,7 @@ _PRIORITY = (
     "embedding_near_dup_lsh_pairs_capped", "embedding_topk_cosine",
     "embedding_topk_cosine_lsh", "group_split",
     "incremental_dedup_bloom", "incremental_dedup_near",
-    "ivf_admission_report", "language_id_eval", "minhash_lsh_pairs",
+    "ivf_admission_report", "language_id_eval",
 )
 
 

@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "filtered_ann_recall_report",
     "lsh_bucket_skew_report",
     "top_boilerplate_segments",
+    "leakage_safe_split",
 ]
 
 # The r1-comparable headline set (BASELINE.md gate: within 2x of the

@@ -2559,6 +2559,62 @@ def _q_split_leakage(spark, sf):
 QUERIES["split_leakage_report"] = _q_split_leakage
 
 
+def leakage_safe_split(documents: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
+    """The removal ACTION behind `split_leakage_report`: per-doc
+    (doc_id, split) assignments with every cross-split near-duplicate
+    leak cut. A doc is dropped iff it has a near-dup partner in a
+    STRICTLY EARLIER split (train < val < test) — train always
+    survives, a val twin of a train doc is removed (it would leak the
+    answer into eval), a test twin of a val doc likewise. Within-split
+    pairs are untouched: that is dedup's job, not leakage's, and
+    removing them here would silently shrink train.
+
+    Both endpoints of a pair are never dropped (the earlier one
+    survives by construction), so every leaking pair is cut exactly
+    once and the eval sets keep their statistical integrity. Where
+    `group_split` PREVENTS leakage by keeping whole near-dup families
+    on one side, this REPAIRS an already-hash-split corpus — the
+    choice between them is whether the split assignment is already
+    pinned (published baselines, frozen eval sets).
+
+    Scale shape: the pair set is the banded inverted-index plan
+    (never all-pairs); the drop set is two pair-set-sized joins + a
+    distinct; the final anti-join is id-only. Text never shuffles.
+    """
+    from hive_exporter_spark.operators.llm import ngram_jaccard_pairs
+
+    pairs = (ngram_jaccard_pairs(documents).select("doc_a", "doc_b")
+             .localCheckpoint(eager=False))
+    rank = (F.when(F.col("split") == "train", 0)
+             .when(F.col("split") == "val", 1).otherwise(2))
+    sp = (train_val_test_split(documents, id_col=id_col)
+          .select(F.col(id_col), "split").withColumn("__r", rank)
+          .localCheckpoint(eager=False))
+    edges = (pairs.select(F.col("doc_a").alias("__doc"),
+                          F.col("doc_b").alias("__partner"))
+             .unionAll(pairs.select(F.col("doc_b").alias("__doc"),
+                                    F.col("doc_a").alias("__partner"))))
+    drops = (
+        edges
+        .join(sp.select(F.col(id_col).alias("__doc"),
+                        F.col("__r").alias("__rd")), "__doc")
+        .join(sp.select(F.col(id_col).alias("__partner"),
+                        F.col("__r").alias("__rp")), "__partner")
+        .where(F.col("__rp") < F.col("__rd"))
+        .select("__doc").distinct()
+    )
+    return (sp.join(drops, sp[id_col] == F.col("__doc"), "left_anti")
+            .select(id_col, "split").orderBy(id_col))
+
+
+def _q_leakage_safe_split(spark, sf):
+    return leakage_safe_split(_docs(spark, sf))
+
+
+QUERIES["leakage_safe_split"] = _q_leakage_safe_split
+
+
 def _split_leakage_oracle() -> str:
     from hive_exporter_spark.operators.llm import _NGRAM_PAIRS_SQL
 
@@ -2714,3 +2770,38 @@ ORACLES["quality_margin_calibration"] = f"""
 """
 
 ORACLES["split_leakage_report"] = _split_leakage_oracle()
+
+
+def _leakage_safe_split_oracle() -> str:
+    from hive_exporter_spark.operators.llm import _NGRAM_PAIRS_SQL
+
+    train_hi, val_hi = SPLIT_PCTS[0], SPLIT_PCTS[0] + SPLIT_PCTS[1]
+    return f"""
+        WITH pairs AS (SELECT doc_a, doc_b FROM ({_NGRAM_PAIRS_SQL})),
+        sp AS (
+            SELECT doc_id,
+                   CASE WHEN {_SPLIT_BUCKET} < {train_hi} THEN 'train'
+                        WHEN {_SPLIT_BUCKET} < {val_hi} THEN 'val'
+                        ELSE 'test' END AS split,
+                   CASE WHEN {_SPLIT_BUCKET} < {train_hi} THEN 0
+                        WHEN {_SPLIT_BUCKET} < {val_hi} THEN 1
+                        ELSE 2 END AS r
+            FROM documents
+        ), edges AS (
+            SELECT doc_a AS doc, doc_b AS partner FROM pairs
+            UNION ALL
+            SELECT doc_b AS doc, doc_a AS partner FROM pairs
+        ), drops AS (
+            SELECT DISTINCT e.doc
+            FROM edges e
+            JOIN sp a ON a.doc_id = e.doc
+            JOIN sp b ON b.doc_id = e.partner
+            WHERE b.r < a.r
+        )
+        SELECT doc_id, split FROM sp
+        WHERE doc_id NOT IN (SELECT doc FROM drops)
+        ORDER BY doc_id
+    """
+
+
+ORACLES["leakage_safe_split"] = _leakage_safe_split_oracle()

@@ -862,3 +862,55 @@ def test_split_leakage_report_matches_set_arithmetic(spark, sf_dir):
     # a generous budget flips the verdict
     ok = pipeline.split_leakage_report(docs, budget=1.0).collect()
     assert all(r["leakage_ok"] is True for r in ok)
+
+
+def test_leakage_safe_split_cuts_cross_split_twins(spark):
+    """Identical texts landing in different hash splits: the
+    later-split twin is dropped, the earlier survives, and re-running
+    the leakage report over the kept docs shows zero cross-split
+    pairs (within-split pairs are deliberately untouched)."""
+    base = [(i, " ".join(f"w{i}x{j}" for j in range(20)), "en", "s0")
+            for i in range(60)]
+    schema = "doc_id long, text string, lang string, source string"
+    sp = {r["doc_id"]: r["split"] for r in pipeline.train_val_test_split(
+        spark.createDataFrame(base, schema)).collect()}
+    train_id = next(i for i in sorted(sp) if sp[i] == "train")
+    test_id = next(i for i in sorted(sp) if sp[i] == "test")
+    val_id = next(i for i in sorted(sp) if sp[i] == "val")
+    twin = " ".join(f"tw{j}" for j in range(25))
+    vtwin = " ".join(f"vv{j}" for j in range(25))
+    rows = [r for r in base if r[0] not in (train_id, test_id, val_id)]
+    rows += [(train_id, twin, "en", "s0"), (test_id, twin, "en", "s0"),
+             (val_id, vtwin, "en", "s0")]
+    docs = spark.createDataFrame(rows, schema)
+
+    kept = {r["doc_id"]: r["split"]
+            for r in pipeline.leakage_safe_split(docs).collect()}
+    assert train_id in kept and kept[train_id] == "train"
+    assert test_id not in kept                    # the leak is cut
+    assert val_id in kept                          # unique doc intact
+    # splits of survivors are the original hash assignment
+    assert all(kept[i] == sp[i] for i in kept)
+    # post-repair leakage over the kept corpus: no cross-split pairs
+    rep = pipeline.split_leakage_report(
+        docs.join(spark.createDataFrame([(i,) for i in kept],
+                                        "doc_id long"), "doc_id"),
+        budget=0.0).collect()
+    assert all(r["n_cross_split"] == 0 for r in rep)
+
+
+def test_leakage_safe_split_keeps_within_split_pairs(spark):
+    """Two twins in the SAME split both survive — within-split dups
+    are dedup's job, not leakage's."""
+    base = [(i, " ".join(f"q{i}y{j}" for j in range(20)), "en", "s0")
+            for i in range(80)]
+    schema = "doc_id long, text string, lang string, source string"
+    sp = {r["doc_id"]: r["split"] for r in pipeline.train_val_test_split(
+        spark.createDataFrame(base, schema)).collect()}
+    t1, t2 = [i for i in sorted(sp) if sp[i] == "train"][:2]
+    twin = " ".join(f"zz{j}" for j in range(25))
+    rows = [r for r in base if r[0] not in (t1, t2)]
+    rows += [(t1, twin, "en", "s0"), (t2, twin, "en", "s0")]
+    docs = spark.createDataFrame(rows, schema)
+    kept = {r["doc_id"] for r in pipeline.leakage_safe_split(docs).collect()}
+    assert t1 in kept and t2 in kept
