@@ -146,6 +146,12 @@ def build_parser() -> argparse.ArgumentParser:
                           "the anonymity budget, or PSI; embeddings: "
                           "null/ragged vectors, norm PSI, or a due "
                           "rebuild)")
+    doc.add_argument("--quick", action="store_true",
+                     help="documents mode: skip the informational "
+                          "deep-scan lines (near-dup payoff, Zipf fit, "
+                          "code mix — pair joins and token explodes "
+                          "that cost real cluster time on a big dump); "
+                          "the strict gate never depends on them")
 
     shd = sub.add_parser(
         "shards",
@@ -499,23 +505,26 @@ def main(argv: list[str] | None = None) -> int:
               f"blocked={c4['n_blocked']}")
         # Near-dup payoff + Zipf head fit + code mix (informational:
         # what a human reads next; the strict gate stays on the two
-        # damage signals above). NULL texts would crash the n-gram
-        # chains — run these on the non-NULL slice.
-        nn = docs.where(F.col("text").isNotNull())
-        from hive_exporter_spark.operators.llm import (
-            dedup_savings_report, zipf_fit_report)
-        from hive_exporter_spark.operators.webclean import (
-            code_detect_signals)
-        sav = dedup_savings_report(nn).collect()[0]
-        print(f"near_dup: clusters={sav['n_clusters']} "
-              f"dup_docs={sav['n_duplicate_docs']} "
-              f"savable_share={sav['savings_share']}")
-        z = zipf_fit_report(nn).collect()[0]
-        print(f"zipf: slope={z['slope']} r2={z['r2']} "
-              f"({'ok' if z['zipf_like'] else 'flat-head'})")
-        code_n = code_detect_signals(nn).where("is_code").count()
-        code_share = code_n / vol["nt"] if vol["nt"] else 0.0
-        print(f"code_mix: code_docs={code_n} share={code_share:.4f}")
+        # damage signals above). These are real corpus-scale jobs —
+        # the pair join alone is what dedup_savings_report exists to
+        # SIZE — so --quick skips them on a big dump. NULL texts
+        # would crash the n-gram chains — run on the non-NULL slice.
+        if not args.quick:
+            nn = docs.where(F.col("text").isNotNull())
+            from hive_exporter_spark.operators.llm import (
+                dedup_savings_report, zipf_fit_report)
+            from hive_exporter_spark.operators.webclean import (
+                code_detect_signals)
+            sav = dedup_savings_report(nn).collect()[0]
+            print(f"near_dup: clusters={sav['n_clusters']} "
+                  f"dup_docs={sav['n_duplicate_docs']} "
+                  f"savable_share={sav['savings_share']}")
+            z = zipf_fit_report(nn).collect()[0]
+            print(f"zipf: slope={z['slope']} r2={z['r2']} "
+                  f"({'ok' if z['zipf_like'] else 'flat-head'})")
+            code_n = code_detect_signals(nn).where("is_code").count()
+            code_share = code_n / vol["nt"] if vol["nt"] else 0.0
+            print(f"code_mix: code_docs={code_n} share={code_share:.4f}")
         failed = clean_share < 0.99 or dup_share > 0.2
         print("health: " + ("FAIL" if failed else "ok"))
         return 1 if (args.strict and failed) else 0
@@ -783,9 +792,13 @@ def main(argv: list[str] | None = None) -> int:
                   "writes a FRESH blue/green dir; pick an empty path",
                   file=sys.stderr)
             return 2
-        nd, ns = compact_near_dedup_state(
-            spark, args.input, args.output,
-            target_files=args.target_files)
+        try:
+            nd, ns = compact_near_dedup_state(
+                spark, args.input, args.output,
+                target_files=args.target_files)
+        except ValueError as e:   # typo'd src: no state at all
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         print(f"compacted {args.input} -> {args.output}: "
               f"digests={nd} signatures={ns}")
         print("switch the stream's state_dir to the new path; the old "

@@ -350,8 +350,16 @@ def code_detect_signals(documents: DataFrame,
     n_sym = n_chars - F.length(F.regexp_replace(t, _CODE_SYMBOL_RE, ""))
     words = F.split(F.lower(t), " ")
     kw_arr = F.array(*[F.lit(w) for w in CODE_KEYWORDS])
-    n_kw = F.size(F.filter(words, lambda w: F.array_contains(kw_arr, w)))
-    # Empty text guard: 0/0 would yield a NULL ratio and a NULL
+    # NULL guard on the keyword arm too: size(NULL) is -1 under
+    # Spark's legacy sizeOfNull while DuckDB's len(NULL) is NULL —
+    # without the coalesce a NULL-text doc would diverge from the
+    # oracle (FALSE vs NULL verdict) the moment a fixture carries
+    # NULL texts.
+    n_kw = F.when(t.isNotNull(),
+                  F.size(F.filter(words,
+                                  lambda w: F.array_contains(kw_arr, w)))) \
+            .otherwise(F.lit(0))
+    # Empty/NULL text guard: 0/0 would yield a NULL ratio and a NULL
     # verdict, silently dropping the doc from BOTH arms of a boolean
     # mixture filter. An empty doc is prose-like by definition.
     ratio = F.when(n_chars > 0,
@@ -382,18 +390,20 @@ _RATIO_SQL = f"""CASE WHEN length(text) > 0
              / CAST(length(text) AS DOUBLE), 6)
         ELSE 0.0 END"""
 
+_KW_HITS_SQL = f"""CASE WHEN text IS NOT NULL
+        THEN len(list_filter(string_split(lower(text), ' '),
+                 w -> list_contains({_KW_SQL}, w)))
+        ELSE 0 END"""
+
 ORACLES["code_detect_signals"] = f"""
     SELECT doc_id,
            length(text) AS n_chars,
            length(text) - length(regexp_replace(text,
                '[\\[\\]{{}}();=<>]', '', 'g')) AS n_symbol_chars,
            {_RATIO_SQL} AS symbol_ratio,
-           len(list_filter(string_split(lower(text), ' '),
-               w -> list_contains({_KW_SQL}, w))) AS n_keyword_hits,
+           {_KW_HITS_SQL} AS n_keyword_hits,
            ({_RATIO_SQL} >= {CODE_SYMBOL_RATIO_MIN}
-            OR len(list_filter(string_split(lower(text), ' '),
-                   w -> list_contains({_KW_SQL}, w)))
-                >= {CODE_KEYWORD_MIN}) AS is_code
+            OR {_KW_HITS_SQL} >= {CODE_KEYWORD_MIN}) AS is_code
     FROM documents
 """
 

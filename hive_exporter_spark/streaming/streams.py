@@ -346,7 +346,13 @@ def near_dedup_stream(
     ops dashboard tails (same pattern as `value_drift_psi_stream`'s
     monitor). A falling admit_share is the first sign of a crawl loop
     or a boilerplate flood; read `llm.lsh_bucket_skew_report` and
-    `llm.top_boilerplate_segments` over the corpus next.
+    `llm.top_boilerplate_segments` over the corpus next. foreachBatch
+    is at-least-once, so a crash-replayed epoch appends a SECOND row
+    for the same epoch_id in which the self-healing screens reject
+    everything (n_admitted=0) — read through
+    `read_admission_monitor`, which keeps the real attempt per epoch,
+    not raw parquet, or a replay reads as a false admit-share
+    collapse.
 
     Returns the started StreamingQuery; caller owns stop().
     """
@@ -416,6 +422,27 @@ def near_dedup_stream(
     )
 
 
+def read_admission_monitor(spark: SparkSession,
+                           monitor_dir: str) -> DataFrame:
+    """Replay-deduped view of `near_dedup_stream`'s admission
+    monitor: one row per epoch_id, keeping the attempt with the most
+    admissions — a crash-replayed epoch re-runs against state that
+    already holds its own appends, so the screens reject everything
+    and its duplicate row reads (n_admitted=0, admit_share=0.0), a
+    false alarm for exactly the collapse signal the monitor exists to
+    raise. sum(n_admitted) over THIS view reconciles with the
+    admitted output for every epoch whose first attempt reached the
+    monitor write (a crash before it loses that epoch's counts — the
+    admitted rows themselves are never lost)."""
+    mon = spark.read.parquet(monitor_dir)
+    best = F.max(F.struct("n_admitted", "n_in", "n_rejected",
+                          "admit_share")).alias("__b")
+    return (mon.groupBy("epoch_id").agg(best)
+            .select("epoch_id", "__b.n_in", "__b.n_admitted",
+                    "__b.n_rejected", "__b.admit_share")
+            .orderBy("epoch_id"))
+
+
 def compact_near_dedup_state(spark: SparkSession, src_dir: str,
                              dst_dir: str, target_files: int = 8
                              ) -> tuple[int, int]:
@@ -463,6 +490,14 @@ def compact_near_dedup_state(spark: SparkSession, src_dir: str,
         sig = spark.read.parquet(s_src).dropDuplicates(["doc_id"])
     except AnalysisException:
         sig = None
+    if dig is None and sig is None:
+        # BOTH absent is not a crash window — it's a typo'd src_dir,
+        # and silently returning (0, 0) would tell the caller to
+        # repoint the stream at an empty state dir (re-admitting
+        # every previously-seen near-duplicate).
+        raise ValueError(
+            f"no near-dup state found under {src_dir} "
+            "(neither digests/ nor signatures/ is readable)")
     if dig is not None:
         dig.repartition(target_files).write.mode("overwrite").parquet(d_dst)
         n_dig = spark.read.parquet(d_dst).count()

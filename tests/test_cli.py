@@ -695,3 +695,22 @@ def test_doctor_documents_extended_headlines(spark, tmp_path, capsys,
     assert "near_dup: clusters=" in out and "savable_share=" in out
     assert "zipf: slope=" in out
     assert "code_mix: code_docs=" in out
+
+
+def test_doctor_quick_skips_deep_lines(spark, capsys, sf_dir):
+    """--quick keeps the damage gates but skips the corpus-scale
+    informational jobs (pair join, token explodes)."""
+    assert cli.main(["doctor", "-i", sf_dir + "/documents.parquet",
+                     "--quick"]) == 0
+    out = capsys.readouterr().out
+    assert "near_dup:" not in out and "zipf:" not in out
+    assert "code_mix:" not in out
+    assert "encoding:" in out and "health:" in out
+
+
+def test_near_state_compact_typoed_src_exits_2(spark, tmp_path,
+                                               capsys):
+    assert cli.main(["near-state", "compact",
+                     "-i", str(tmp_path / "staet"),
+                     "-o", str(tmp_path / "new")]) == 2
+    assert "no near-dup state" in capsys.readouterr().err

@@ -981,3 +981,38 @@ def test_near_dedup_stream_monitor_rows(spark, tmp_path, sf_dir):
         assert r["admit_share"] == round(r["n_admitted"] / r["n_in"], 6)
     # the replayed-content batch must show mass rejection
     assert min(r["n_admitted"] for _, r in rows) == 0
+
+
+def test_compact_near_state_both_absent_errors(spark, tmp_path):
+    """A typo'd src dir (no state at all) must error loudly, not
+    return (0,0) and invite repointing the stream at empty state."""
+    import pytest as _pytest
+
+    from hive_exporter_spark.streaming.streams import (
+        compact_near_dedup_state)
+
+    with _pytest.raises(ValueError, match="no near-dup state"):
+        compact_near_dedup_state(spark, str(tmp_path / "nope"),
+                                 str(tmp_path / "dst"))
+
+
+def test_read_admission_monitor_dedups_replayed_epoch(spark, tmp_path):
+    """A crash-replayed epoch appends a second (n_admitted=0) row;
+    the monitor reader keeps the real attempt per epoch."""
+    from hive_exporter_spark.streaming.streams import (
+        read_admission_monitor)
+
+    mon = str(tmp_path / "mon")
+    schema = ("epoch_id long, n_in long, n_admitted long, "
+              "n_rejected long, admit_share double")
+    spark.createDataFrame(
+        [(0, 50, 30, 20, 0.6), (1, 40, 40, 0, 1.0)], schema
+    ).write.parquet(mon)
+    # the replay of epoch 0: everything rejected by self-healing
+    spark.createDataFrame([(0, 50, 0, 50, 0.0)], schema) \
+        .write.mode("append").parquet(mon)
+    rows = {r["epoch_id"]: r for r in
+            read_admission_monitor(spark, mon).collect()}
+    assert len(rows) == 2
+    assert rows[0]["n_admitted"] == 30 and rows[0]["admit_share"] == 0.6
+    assert rows[1]["n_admitted"] == 40

@@ -243,3 +243,16 @@ def test_code_detect_empty_text_is_prose(spark):
     r = webclean.code_detect_signals(df).collect()[0]
     assert r["symbol_ratio"] == 0.0
     assert bool(r["is_code"]) is False
+
+
+def test_code_detect_null_text_is_prose(spark):
+    """NULL text lands in the prose bucket on BOTH engines (the
+    keyword arm would otherwise read size(NULL)=-1 on Spark and NULL
+    on DuckDB — a latent hash divergence)."""
+    df = spark.createDataFrame([(1, None), (2, "plain words here")],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            webclean.code_detect_signals(df).collect()}
+    assert rows[1]["n_keyword_hits"] == 0
+    assert rows[1]["symbol_ratio"] == 0.0
+    assert bool(rows[1]["is_code"]) is False
