@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "lsh_bucket_skew_report",
     "top_boilerplate_segments",
     "leakage_safe_split",
+    "hybrid_rrf_three",
 ]
 
 # The r1-comparable headline set (BASELINE.md gate: within 2x of the

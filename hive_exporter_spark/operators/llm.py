@@ -3227,6 +3227,70 @@ def lexical_topk(documents: DataFrame,
 RRF_K = 60
 
 
+def rrf_fuse(systems: list[tuple[str, DataFrame]],
+             k: int = TOPK,
+             rrf_k: int = RRF_K) -> DataFrame:
+    """Reciprocal-rank fusion over ANY number of ranked retrievals —
+    the N-system core behind `hybrid_rrf_topk` (production RAG stacks
+    fuse 3+ rankers: lexical, dense, approximate-dense, filtered).
+    `systems` is an ORDERED list of (name, frame) where each frame
+    has columns (query_id, neighbor_id, rank) with rank 1..k;
+    ``score(d) = Σ_sys 1/(rrf_k + rank_sys(d))`` over the systems
+    that retrieved d, summed left-to-right in LIST ORDER.
+
+    Determinism contract: the fusion order is the caller's list order
+    (never a set or dict iteration), each term is a single IEEE
+    division, and the final ordering tiebreaks on neighbor_id — so
+    the fused ranking replays bit-identically in an oracle that adds
+    its COALESCE terms in the same order, and every entry built on
+    this stays value-hash-checkable. Output: (query_id, neighbor_id,
+    {name}_rank per system in list order — 0 = not retrieved by that
+    system — fused_rank, rrf_score).
+
+    RRF monotonicity (pinned by property test): with per-system ranks
+    capped at k and rrf_k > k - 2 (the paper's 60 vs top-10 ranks), a
+    doc retrieved by m+1 systems always outscores a doc retrieved by
+    m — adding a ranker can only promote multi-system agreement,
+    never demote it below a single-system hit.
+
+    Scale shape: each input is its own bounded top-k; the fusion
+    joins N (queries × k)-sized frames — dimension-sized work, no
+    corpus shuffle."""
+    if len(systems) < 2:
+        raise ValueError(
+            f"rrf_fuse needs at least 2 systems (got {len(systems)}): "
+            "fusing one ranking is the identity and hides a wiring bug")
+    names = [n for n, _ in systems]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"duplicate system names in {names}: rank columns are "
+            "named {name}_rank and would silently collide")
+    fused = None
+    for name, df in systems:
+        side = df.select("query_id", "neighbor_id",
+                         F.col("rank").alias(f"__{name}_rank"))
+        fused = side if fused is None else fused.join(
+            side, ["query_id", "neighbor_id"], "full_outer")
+    score = None
+    for name in names:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col(f"__{name}_rank")),
+            F.lit(0.0))
+        score = term if score is None else score + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__rrf").desc(), F.col("neighbor_id"))
+    return (
+        fused.withColumn("__rrf", score)
+        .withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= k)
+        .select("query_id", "neighbor_id",
+                *[F.coalesce(f"__{n}_rank", F.lit(0)).alias(f"{n}_rank")
+                  for n in names],
+                "fused_rank",
+                F.round("__rrf", 6).alias("rrf_score"))
+    )
+
+
 def hybrid_rrf_topk(documents: DataFrame,
                     embeddings: DataFrame,
                     k: int = TOPK,
@@ -3254,29 +3318,54 @@ def hybrid_rrf_topk(documents: DataFrame,
     Scale shape: each side is its own bounded top-k (inverted-index
     candidates / broadcast brute scan); the fusion itself joins two
     (queries × k)-sized frames — dimension-sized work, no corpus
-    shuffle."""
-    lex = lexical_topk(documents, k, n_queries, shingle_k)
+    shuffle. Since r10 this is the two-system face of `rrf_fuse`
+    (same column names, same lexical+vector IEEE sum order, so the
+    registry hash is unchanged)."""
+    lex = (lexical_topk(documents, k, n_queries, shingle_k)
+           .select("query_id", "neighbor_id",
+                   F.col("lex_rank").alias("rank")))
     vec = (topk_cosine(embeddings,
                        embeddings.where(F.col("vec_id") < n_queries), k)
+           .select("query_id", "neighbor_id", "rank"))
+    return rrf_fuse([("lex", lex), ("vec", vec)], k, rrf_k)
+
+
+def hybrid_rrf_three(documents: DataFrame,
+                     embeddings: DataFrame,
+                     k: int = TOPK,
+                     n_queries: int = N_QUERIES,
+                     shingle_k: int = SHINGLE_K,
+                     rrf_k: int = RRF_K) -> DataFrame:
+    """Three-system RRF: lexical n-gram Jaccard + exact dense cosine
+    + fixed-codebook PQ (the approximate-dense ranker a production
+    stack adds when the exact scan is too expensive to run per
+    query). Fusion order lex, vec, pqf — fixed, so the three-term
+    IEEE sum replays bit-identically in the oracle, which composes
+    the same three ranking CTEs FULL-JOINed in the same order.
+
+    All three inputs are exact/deterministic with id tiebreaks
+    (lexical and exact-cosine as in `hybrid_rrf_topk`; the PQ ranks
+    come from the hash-checked `topk_cosine_pq_fixed` dataflow), so
+    the entry stays value-hash-checkable end-to-end — the point where
+    a trained-PQ third system would demote the whole fusion to
+    rows-only."""
+    lex = (lexical_topk(documents, k, n_queries, shingle_k)
            .select("query_id", "neighbor_id",
-                   F.col("rank").alias("vec_rank")))
-    fused = lex.join(vec, ["query_id", "neighbor_id"], "full_outer")
-    rrf = (F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")),
-                      F.lit(0.0))
-           + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("vec_rank")),
-                        F.lit(0.0)))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("__rrf").desc(), F.col("neighbor_id"))
-    return (
-        fused.withColumn("__rrf", rrf)
-        .withColumn("fused_rank", F.row_number().over(w))
-        .where(F.col("fused_rank") <= k)
-        .select("query_id", "neighbor_id",
-                F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
-                F.coalesce("vec_rank", F.lit(0)).alias("vec_rank"),
-                "fused_rank",
-                F.round("__rrf", 6).alias("rrf_score"))
-    )
+                   F.col("lex_rank").alias("rank")))
+    # The query frame feeds BOTH dense arms — checkpoint it so the
+    # second arm reuses the materialized rows instead of re-scanning
+    # the embeddings parquet for the same 50-row filter. The two
+    # CORPUS passes stay: exact-cosine and PQ-reconstructed cosine
+    # are independent rankers by design (dismissed as two-relation
+    # crosscheck in the registry audit).
+    qs = (embeddings.where(F.col("vec_id") < n_queries)
+          .localCheckpoint(eager=False))
+    vec = topk_cosine(embeddings, qs, k) \
+        .select("query_id", "neighbor_id", "rank")
+    pqf = topk_cosine_pq_fixed(embeddings, qs, k) \
+        .select("query_id", "neighbor_id", "rank")
+    return rrf_fuse([("lex", lex), ("vec", vec), ("pqf", pqf)],
+                    k, rrf_k)
 
 
 def lexical_vector_agreement(documents: DataFrame,
@@ -5794,6 +5883,13 @@ def _q_hybrid_rrf(spark, sf):
 
 QUERIES["hybrid_rrf_topk"] = _q_hybrid_rrf
 
+
+def _q_hybrid_rrf_three(spark, sf):
+    return hybrid_rrf_three(_docs(spark, sf), _emb(spark, sf))
+
+
+QUERIES["hybrid_rrf_three"] = _q_hybrid_rrf_three
+
 # Hybrid-retrieval audit: lexical top-k from the shingle inverted
 # index (raw-string join — the Spark side joins on xxhash64(shingle)
 # as a shuffle-width optimization with the same counts), vector top-k
@@ -5889,6 +5985,61 @@ ORACLES["hybrid_rrf_topk"] = f"""
     SELECT query_id, neighbor_id,
            CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
            CAST(COALESCE(vec_rank, 0) AS BIGINT) AS vec_rank,
+           fused_rank, round(rrf, 6) AS rrf_score
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY rrf DESC, neighbor_id
+        ) AS fused_rank FROM fused
+    ) WHERE fused_rank <= {TOPK}
+"""
+
+# Three-system RRF replay: the same lexical CTE, the exact-cosine
+# ranks, and the full fixed-codebook PQ ranking CTE, FULL-JOINed and
+# summed in the Spark side's fixed lex+vec+pqf order (left-associative
+# IEEE adds on both engines), then re-ranked.
+ORACLES["hybrid_rrf_three"] = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+    ), sizes AS (
+        SELECT doc_id, len({_SHINGLES_SQL}) AS n_sh FROM documents
+    ), common AS (
+        SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+               COUNT(*) AS n_common_sh
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        WHERE a.doc_id < {N_QUERIES}
+        GROUP BY 1, 2
+    ), lex AS (
+        SELECT query_id, neighbor_id, rn AS lex_rank FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY CAST(n_common_sh AS DOUBLE)
+                                / (sa.n_sh + sb.n_sh - n_common_sh) DESC,
+                                neighbor_id) AS rn
+            FROM common
+            JOIN sizes sa ON sa.doc_id = query_id
+            JOIN sizes sb ON sb.doc_id = neighbor_id
+        ) WHERE rn <= {TOPK}
+    ), vec AS (
+        SELECT query_id, neighbor_id, rank AS vec_rank
+        FROM ({ORACLES["embedding_topk_cosine"]})
+    ), pqf AS (
+        SELECT query_id, neighbor_id, rank AS pqf_rank
+        FROM ({ORACLES["embedding_topk_cosine_pq_fixed"]})
+    ), fused AS (
+        SELECT query_id, neighbor_id, lex_rank, vec_rank, pqf_rank,
+               COALESCE(1.0 / ({RRF_K} + lex_rank), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + vec_rank), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + pqf_rank), 0.0) AS rrf
+        FROM lex
+        FULL JOIN vec USING (query_id, neighbor_id)
+        FULL JOIN pqf USING (query_id, neighbor_id)
+    )
+    SELECT query_id, neighbor_id,
+           CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
+           CAST(COALESCE(vec_rank, 0) AS BIGINT) AS vec_rank,
+           CAST(COALESCE(pqf_rank, 0) AS BIGINT) AS pqf_rank,
            fused_rank, round(rrf, 6) AS rrf_score
     FROM (
         SELECT *, ROW_NUMBER() OVER (
