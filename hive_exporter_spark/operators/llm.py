@@ -3937,7 +3937,10 @@ def near_admit(new_docs: DataFrame,
                threshold: float = JACCARD_THRESHOLD,
                text_col: str = "text",
                id_col: str = "doc_id",
-               bucket_cap: int = LSH_BUCKET_CAP) -> tuple[DataFrame, DataFrame]:
+               bucket_cap: int = LSH_BUCKET_CAP,
+               batch_sigs: DataFrame | None = None,
+               batch_bands: DataFrame | None = None,
+               ) -> tuple[DataFrame, DataFrame]:
     """The three-screen admission core over PREBUILT corpus state:
     `seen_digests` ('__digest' rows), `corpus_sigs` (doc_id,
     signature), `corpus_bands` (doc_id, band, bucket) — any of which
@@ -3978,15 +3981,27 @@ def near_admit(new_docs: DataFrame,
     hash-checkable end-to-end (the DuckDB oracle replays the capped
     chain); with no hot buckets the result is IDENTICAL to the
     uncapped formulation.
+
+    `batch_sigs`/`batch_bands` (r10): optional PRECOMPUTED signature
+    and band tables for `new_docs` — the partitioned-state streaming
+    face derives the batch's band keys BEFORE this call (it needs
+    them to prune the standing state's partitions) and passing them
+    back avoids recomputing the MinHash pass. They must correspond to
+    `new_docs` AFTER whatever exact screen the caller applied (pass
+    `seen_digests=None` in that case, as the stream does); supplying
+    sigs for a superset of docs would re-introduce rejected docs as
+    in-batch witnesses. Defaults recompute internally — the
+    hash-checked batch entries are byte-identical either way.
     """
     digest = F.sha2(F.col(text_col), 256)
     exact_fresh = new_docs.withColumn("__digest", digest)
     if seen_digests is not None:
         exact_fresh = exact_fresh.join(seen_digests, "__digest", "left_anti")
     exact_fresh = exact_fresh.drop("__digest").localCheckpoint(eager=False)
-    bsigs = minhash_signatures(
+    bsigs = batch_sigs if batch_sigs is not None else minhash_signatures(
         exact_fresh.select(id_col, text_col), slots).localCheckpoint(eager=False)
-    bband = _minhash_banded(bsigs, slots, bands)
+    bband = batch_bands if batch_bands is not None \
+        else _minhash_banded(bsigs, slots, bands)
     agree = F.size(F.filter(
         F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
 

@@ -1016,3 +1016,349 @@ def test_read_admission_monitor_dedups_replayed_epoch(spark, tmp_path):
     assert len(rows) == 2
     assert rows[0]["n_admitted"] == 30 and rows[0]["admit_share"] == 0.6
     assert rows[1]["n_admitted"] == 40
+
+
+# ---------------------------------------------------------------------------
+# Partitioned near-dup state + generation pointer protocol (r10)
+# ---------------------------------------------------------------------------
+
+
+def _mk_batches(spark, tmp_path, sf_dir, n=150, split=75):
+    docs = read_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").where(F.col("doc_id") < n)
+    src = tmp_path / "incoming"
+    src.mkdir()
+    docs.where(F.col("doc_id") < split).coalesce(1) \
+        .write.parquet(str(src / "f1"))
+    docs.where(F.col("doc_id") >= split).coalesce(1) \
+        .write.parquet(str(src / "f2"))
+    return docs, src
+
+
+def _run_near_stream(spark, src, state_dir, out_dir, chk, **kw):
+    from hive_exporter_spark.streaming.streams import near_dedup_stream
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src) + "/*"))
+    q = near_dedup_stream(stream, state_dir, out_dir, chk, **kw)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_near_dedup_partitioned_layout_agrees_with_flat(spark, tmp_path,
+                                                        sf_dir):
+    """The partitioned state layout must admit EXACTLY the set the
+    flat layout admits over the same micro-batches (verdict r9 item
+    1: correctness invariant under the state re-layout), including a
+    later run against standing state — and its state must actually
+    land partitioned (band=/bp= and dp= directories, plus the layout
+    manifest)."""
+    import os
+
+    from hive_exporter_spark.streaming.state import init_state_root
+
+    docs, src = _mk_batches(spark, tmp_path, sf_dir)
+    flat_state = str(tmp_path / "flat_state")
+    part_root = str(tmp_path / "part_root")
+    init_state_root(part_root)
+    _run_near_stream(spark, src, flat_state, str(tmp_path / "out_flat"),
+                     str(tmp_path / "chk_flat"))
+    _run_near_stream(spark, src, part_root, str(tmp_path / "out_part"),
+                     str(tmp_path / "chk_part"), layout="partitioned")
+    flat = {r["doc_id"] for r in
+            spark.read.parquet(str(tmp_path / "out_flat")).collect()}
+    part = {r["doc_id"] for r in
+            spark.read.parquet(str(tmp_path / "out_part")).collect()}
+    assert flat == part
+    assert part and len(part) < 150  # screens actually rejected some
+
+    gen = os.path.join(part_root, "gen-000001")
+    assert os.path.isfile(os.path.join(gen, "_layout.json"))
+    band_dirs = [d for d in os.listdir(os.path.join(gen, "bands"))
+                 if d.startswith("band=")]
+    assert band_dirs
+    bp_dirs = os.listdir(os.path.join(gen, "bands", band_dirs[0]))
+    assert any(d.startswith("bp=") for d in bp_dirs)
+    assert any(d.startswith("dp=") for d in
+               os.listdir(os.path.join(gen, "digests")))
+
+    # later run: exact bait + fresh doc, both layouts must agree
+    bait = docs.orderBy("doc_id").first()["text"]
+    spark.createDataFrame(
+        [(1000, bait), (1001, "utterly fresh zebra text")],
+        "doc_id long, text string").coalesce(1) \
+        .write.parquet(str(src / "f3"))
+    _run_near_stream(spark, src, flat_state, str(tmp_path / "out_flat"),
+                     str(tmp_path / "chk_flat"))
+    _run_near_stream(spark, src, part_root, str(tmp_path / "out_part"),
+                     str(tmp_path / "chk_part"), layout="partitioned")
+    flat2 = {r["doc_id"] for r in
+             spark.read.parquet(str(tmp_path / "out_flat")).collect()}
+    part2 = {r["doc_id"] for r in
+             spark.read.parquet(str(tmp_path / "out_part")).collect()}
+    assert flat2 == part2 == flat | {1001}
+
+
+def test_near_dedup_partitioned_scan_is_pruned(spark, tmp_path, sf_dir):
+    """The per-batch state read must be bounded by the partitions the
+    batch's keys touch, not corpus size: the step's stats report
+    eligible bytes < total bytes for a narrow batch, and the exact
+    predicate shape the step pushes lands in the scan's
+    PartitionFilters (plan gate)."""
+    import os
+
+    from hive_exporter_spark import plans
+    from hive_exporter_spark.streaming.state import init_state_root
+    from hive_exporter_spark.streaming.streams import (
+        near_dedup_state_step)
+
+    docs, src = _mk_batches(spark, tmp_path, sf_dir)
+    root = str(tmp_path / "root")
+    init_state_root(root)
+    _run_near_stream(spark, src, root, str(tmp_path / "out"),
+                     str(tmp_path / "chk"), layout="partitioned")
+
+    one = spark.createDataFrame(
+        [(5000, "one narrow probe document about zebras")],
+        "doc_id long, text string")
+    admitted, stats = near_dedup_state_step(
+        one, root, None, layout="partitioned", collect_stats=True)
+    admitted.count()
+    assert stats["layout"] == "partitioned"
+    assert stats["state_bytes_total"] > 0
+    # a 1-doc batch touches at most `bands` band partitions (+0 dp
+    # partitions when the bloom misses) out of hundreds
+    assert stats["n_parts_touched"] < stats["n_parts_total"]
+    assert stats["state_bytes_eligible"] < stats["state_bytes_total"]
+
+    # plan gate: the OR-of-per-band isin predicate the step builds is
+    # partition-pruned, not a post-scan filter
+    gen = os.path.join(root, "gen-000001")
+    pruned = (spark.read.parquet(os.path.join(gen, "bands"))
+              .where(((F.col("band") == 0) & F.col("bp").isin([1, 2]))
+                     | ((F.col("band") == 1) & F.col("bp").isin([3]))))
+    plan = plans.formatted_plan(pruned)
+    assert "PartitionFilters" in plan
+    # the partition predicate must reference band/bp in the scan node
+    scan_line = [ln for ln in plan.splitlines()
+                 if "PartitionFilters" in ln][0]
+    assert "band" in scan_line and "bp" in scan_line
+
+
+def test_near_dedup_sigless_crash_window_self_heals(spark, tmp_path,
+                                                    monkeypatch):
+    """ADVICE r9: a doc too short to shingle has no signature rows,
+    so the signatures-before-digests heal cannot cover it. The r10
+    write order persists sig-less docs' digests FIRST; a crash before
+    the signature write therefore leaves the sig-less doc's digest in
+    place and a replay REJECTS it on the exact screen (while the
+    signed doc, whose state was lost, is legitimately re-admitted —
+    the at-least-once contract)."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from hive_exporter_spark.operators.llm import minhash_signatures
+    from hive_exporter_spark.streaming.streams import (
+        near_dedup_state_step)
+
+    batch = spark.createDataFrame(
+        [(1, "xy"),  # 1 token < SHINGLE_K: no shingles, no signature
+         (2, " ".join(f"w{i}" for i in range(30)))],
+        "doc_id long, text string")
+    assert minhash_signatures(batch.where(F.col("doc_id") == 1)
+                              .select("doc_id", "text")).count() == 0
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    sig_dir = state + "/signatures"
+    real = DataFrameWriter.parquet
+    calls = []
+
+    def crashing(self, path, *a, **kw):
+        calls.append(path)
+        if path == sig_dir:
+            raise RuntimeError("injected crash before signature write")
+        return real(self, path, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", crashing)
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="injected crash"):
+        near_dedup_state_step(batch, state, out)
+    # write order: admitted out, sig-less digests, then the sig write
+    assert calls == [out, state + "/digests", sig_dir]
+    monkeypatch.setattr(DataFrameWriter, "parquet", real)
+
+    # replay the whole batch (fresh process: no bloom, state as left)
+    admitted, _ = near_dedup_state_step(batch, state, out)
+    got = {r["doc_id"] for r in admitted.collect()}
+    assert got == {2}   # sig-less doc 1 healed by its digest
+    out_ids = [r["doc_id"] for r in spark.read.parquet(out).collect()]
+    assert sorted(out_ids) == [1, 2, 2]  # dup of 2 only (at-least-once)
+
+    # future exact dup of the sig-less doc stays blocked
+    again, _ = near_dedup_state_step(
+        spark.createDataFrame([(9, "xy")], "doc_id long, text string"),
+        state, None)
+    assert again.count() == 0
+
+
+def test_near_dedup_layout_guards(spark, tmp_path, sf_dir):
+    """Pointing the wrong layout at existing state, or re-opening
+    partitioned state under different moduli, must be a loud error —
+    both mistakes would silently re-admit near-duplicates."""
+    import pytest as _pytest
+
+    from hive_exporter_spark.streaming.streams import (
+        near_dedup_state_step)
+
+    docs = read_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").where(F.col("doc_id") < 30)
+    flat = str(tmp_path / "flat")
+    part = str(tmp_path / "part")
+    near_dedup_state_step(docs, flat, None)[0].count()
+    near_dedup_state_step(docs, part, None, layout="partitioned")[0] \
+        .count()
+    with _pytest.raises(ValueError, match="flat signature state"):
+        near_dedup_state_step(docs, flat, None, layout="partitioned")
+    with _pytest.raises(ValueError, match="partitioned band state"):
+        near_dedup_state_step(docs, part, None, layout="flat")
+    with _pytest.raises(ValueError, match="manifest mismatch"):
+        near_dedup_state_step(docs, part, None, layout="partitioned",
+                              bucket_mod=7)
+
+
+def test_generation_pointer_protocol_unit(tmp_path):
+    """state.py unit contract: init is idempotent, resolve follows
+    the pointer per call and falls back for plain dirs, switching to
+    a missing generation refuses, an empty pointer is corruption, and
+    next_generation skips orphaned (crashed, unreferenced) gens."""
+    import os
+
+    import pytest as _pytest
+
+    from hive_exporter_spark.streaming import state as st
+
+    root = str(tmp_path / "root")
+    gen1 = st.init_state_root(root)
+    assert gen1.endswith("gen-000001")
+    assert st.init_state_root(root) == gen1          # idempotent
+    assert st.resolve_state_dir(root) == gen1
+    plain = str(tmp_path / "plain")
+    assert st.resolve_state_dir(plain) == plain      # no pointer
+    assert st.current_generation(root) == "gen-000001"
+    with _pytest.raises(ValueError, match="does not exist"):
+        st.switch_generation(root, "gen-000009")
+    # orphaned gen dir from a crashed compact: next skips past it
+    os.makedirs(os.path.join(root, "gen-000003"))
+    assert st.next_generation(root) == "gen-000004"
+    # crash-before-pointer-write: old generation stays active
+    assert st.resolve_state_dir(root) == gen1
+    st.switch_generation(root, "gen-000003")
+    assert st.resolve_state_dir(root).endswith("gen-000003")
+    with open(os.path.join(root, st.POINTER), "w") as fh:
+        fh.write("")
+    with _pytest.raises(ValueError, match="empty"):
+        st.resolve_state_dir(root)
+
+
+def test_near_dedup_generation_compact_mid_stream(spark, tmp_path,
+                                                  sf_dir):
+    """compact_near_dedup_generation: compacts the live generation,
+    flips _CURRENT atomically, the stream picks the compacted state
+    up on its NEXT micro-batch (no restart), decisions unchanged —
+    and the compacted tables keep the partitioned layout."""
+    import glob
+    import os
+
+    from hive_exporter_spark.streaming.state import (
+        current_generation, init_state_root)
+    from hive_exporter_spark.streaming.streams import (
+        compact_near_dedup_generation)
+
+    docs, src = _mk_batches(spark, tmp_path, sf_dir, n=100, split=50)
+    root = str(tmp_path / "root")
+    out = str(tmp_path / "out")
+    init_state_root(root)
+    _run_near_stream(spark, src, root, out, str(tmp_path / "chk"),
+                     layout="partitioned")
+    admitted = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    # replay-duplicate some state rows, then compact under the pointer
+    g1 = os.path.join(root, "gen-000001")
+    some = glob.glob(g1 + "/digests/dp=*/part-*")[0]
+    dp_dir = os.path.dirname(some)
+    spark.read.parquet(dp_dir).write.mode("append").parquet(dp_dir)
+    name, n_dig, n_band = compact_near_dedup_generation(spark, root)
+    assert name == "gen-000002"
+    assert current_generation(root) == "gen-000002"
+    assert n_dig == len(admitted)          # duplicates collapsed
+    g2 = os.path.join(root, "gen-000002")
+    assert os.path.isfile(os.path.join(g2, "_layout.json"))
+    assert any(d.startswith("band=") for d in
+               os.listdir(os.path.join(g2, "bands")))
+
+    # next micro-batch resolves the NEW generation: bait still
+    # rejected, fresh doc admitted
+    bait = docs.orderBy("doc_id").first()["text"]
+    spark.createDataFrame(
+        [(2000, bait), (2001, "completely new walrus text")],
+        "doc_id long, text string").coalesce(1) \
+        .write.parquet(str(src / "f3"))
+    _run_near_stream(spark, src, root, out, str(tmp_path / "chk"),
+                     layout="partitioned")
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == admitted | {2001}
+    # and the new state landed in gen-000002, not the old dir
+    assert _newest_mtime(g2) >= _newest_mtime(g1)
+
+
+def _newest_mtime(path):
+    import os
+
+    newest = 0.0
+    for r, _d, files in os.walk(path):
+        for f in files:
+            newest = max(newest, os.path.getmtime(os.path.join(r, f)))
+    return newest
+
+
+def test_hll_registers_generation_compact(spark, tmp_path, sf_dir):
+    """The generic run_generation_compact gives compact_hll_registers
+    the same atomic-switch protocol: estimates identical before and
+    after, pointer flipped, old generation untouched."""
+    from hive_exporter_spark.operators.sketches import hll_estimate
+    from hive_exporter_spark.streaming.state import (
+        current_generation, init_state_root)
+    from hive_exporter_spark.streaming.streams import (
+        compact_hll_registers, distinct_users_stream_hll,
+        read_hll_registers, run_generation_compact)
+
+    ev = read_table(spark, sf_dir, "events") \
+        .select("event_id", "user_id", "event_type")
+    src = tmp_path / "ev"
+    src.mkdir()
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1) \
+        .write.parquet(str(src / "f1"))
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1) \
+        .write.parquet(str(src / "f2"))
+    root = str(tmp_path / "hllroot")
+    init_state_root(root)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src) + "/*"))
+    q = distinct_users_stream_hll(stream, root, str(tmp_path / "chk"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    before = {(r["event_type"], r["est_distinct"]) for r in hll_estimate(
+        read_hll_registers(spark, root), ["event_type"]).collect()}
+    name, n_rows = run_generation_compact(spark, root,
+                                          compact_hll_registers)
+    assert name == "gen-000002" and n_rows > 0
+    assert current_generation(root) == "gen-000002"
+    after = {(r["event_type"], r["est_distinct"]) for r in hll_estimate(
+        read_hll_registers(spark, root), ["event_type"]).collect()}
+    assert before == after
