@@ -652,33 +652,35 @@ def _session_window_overlap(spark, sf):
 # columns in any window entry — the driver canonicalizer cannot sort
 # them.
 _PRIORITY = (
-    # r9 window — mechanically derived by tools/rotate_window.py
+    # r10 window — mechanically derived by tools/rotate_window.py
     # (never-driver-checked entries first, then by staleness of green:
     # code churn since each entry's last green driver row; rows-only
     # entries never enter — every window slot is hash-checkable).
-    # Leads with the entries that landed after the r8 window froze and
-    # have never been driver-checked.
-    "code_detect_signals", "dedup_savings_report",
-    "embedding_topk_cosine_same_label", "filtered_ann_recall_report",
-    "hybrid_rrf_topk", "leakage_safe_split", "lexical_vector_agreement",
-    "lsh_bucket_skew_report", "split_leakage_report",
-    "top_boilerplate_segments", "value_drift_psi", "zipf_fit_report",
-    "simhash64", "source_overlap_matrix", "token_drift_jsd",
-    "trimmed_event_stats", "build_inverted_index",
-    "dataset_fingerprint", "doc_embedding_norms", "embedding_drift",
-    "embedding_near_dup_lsh_pairs", "embedding_topk_cosine_pandas",
-    "embedding_topk_cosine_pq_fixed", "fill_missing_days",
-    "near_dup_cluster_sizes", "ngram_contamination_tokens",
-    "quantize_embeddings", "retention_cohorts", "asof_last_purchase",
-    "binary_dedup_exact", "session_window_overlap", "value_histogram",
-    "ann_recall_report", "bm25_scores", "c4_filter_report",
-    "c4_quality_signals", "contamination_detector_agreement",
-    "curation_funnel_report", "dedup_exact", "dedup_exact_ids",
-    "dedup_recall_report", "dsir_weights",
-    "embedding_near_dup_lsh_pairs_capped", "embedding_topk_cosine",
-    "embedding_topk_cosine_lsh", "group_split",
-    "incremental_dedup_bloom", "incremental_dedup_near",
-    "ivf_admission_report", "language_id_eval",
+    # Leads with the one post-r9 entry (the three-system RRF), then
+    # the r6/r7-green llm.py cohort displaced by this round's
+    # near_admit/rrf churn, then the r3-r5 analytics + sketch + TPC-H
+    # cohort whose modules were last touched r5-r8.
+    "hybrid_rrf_three", "minhash_lsh_pairs", "minhash_lsh_pairs_capped",
+    "minhash_ml_agreement", "pack_efficiency_report",
+    "quality_prune_threshold", "sample_accuracy_report",
+    "simhash_near_dup_pairs", "simhash_near_dup_pairs_capped",
+    "source_mix_rebalance", "strip_boilerplate", "temperature_mix",
+    "tokenizer_fertility", "vocab_coverage", "bpe_fertility_report",
+    "build_vocab", "chunk_documents", "containment_pairs",
+    "curation_pipeline", "dedup_lines", "dedup_near_duplicates",
+    "dedup_near_keep_best", "dedup_near_minhash", "doc_fingerprint",
+    "incremental_dedup", "pca_variance_report",
+    "quality_classifier_eval", "quality_classifier_score",
+    "scrub_pii", "segment_dedup", "conversion_funnel",
+    "event_anomaly_zscore", "sessionize", "ams_f2_user_activity",
+    "asof_next_purchase", "cms_token_freq",
+    "events_stratified_sample_hash", "hll_distinct_users",
+    "kmv_distinct_users", "orders_snapshot_diff",
+    "theta_audience_overlap", "user_event_scd2",
+    "value_quantiles_hist", "audio_features", "decode_images",
+    "frame_sample_plan", "image_phash_near_dups",
+    "approx_stats_error_report", "q15_top_suppliers",
+    "q1_pricing_summary",
 )
 
 

