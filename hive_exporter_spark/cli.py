@@ -187,16 +187,20 @@ def build_parser() -> argparse.ArgumentParser:
     nst = sub.add_parser(
         "near-state",
         help="maintain near_dedup_stream's standing parquet state "
-             "(digests/ + signatures/): status reports row/unique/"
-             "file counts; compact rewrites both tables deduplicated "
-             "into a bounded file count under a NEW dir (blue/green — "
-             "switch the stream's state_dir after success)")
-    nst.add_argument("action", choices=["compact", "status"])
+             "(flat digests/+signatures/ or partitioned digests/+"
+             "bands/): init creates a pointered generation root "
+             "(_CURRENT); status reports generation, layout manifest, "
+             "and row/unique/file counts; compact rewrites the tables "
+             "deduplicated — on a pointered root it compacts into the "
+             "NEXT generation and flips _CURRENT atomically (the "
+             "running stream picks it up next micro-batch), otherwise "
+             "blue/green into -o and the caller switches paths")
+    nst.add_argument("action", choices=["compact", "status", "init"])
     nst.add_argument("-i", "--input", required=True,
-                     help="state dir containing digests/ and signatures/")
+                     help="state dir or pointered generation root")
     nst.add_argument("-o", "--output",
-                     help="compact: destination state dir (must differ "
-                          "from the source)")
+                     help="compact (un-rooted dirs only): destination "
+                          "state dir (must differ from the source)")
     nst.add_argument("-f", "--target-files", type=int, default=8)
 
     ivf = sub.add_parser(
@@ -768,13 +772,30 @@ def main(argv: list[str] | None = None) -> int:
         import glob as _glob
         import os as _os
 
+        from hive_exporter_spark.streaming.state import (
+            current_generation, init_state_root, resolve_state_dir)
         from hive_exporter_spark.streaming.streams import (
+            _read_layout_manifest, compact_near_dedup_generation,
             compact_near_dedup_state)
 
+        if args.action == "init":
+            gen = init_state_root(args.input)
+            print(f"initialized pointered state root {args.input} "
+                  f"(_CURRENT -> {_os.path.basename(gen)})")
+            return 0
         if args.action == "status":
+            gen = current_generation(args.input)
+            live = resolve_state_dir(args.input)
+            if gen is not None:
+                print(f"generation: {gen} (pointered root)")
+            manifest = _read_layout_manifest(live)
+            if manifest is not None:
+                print("layout: " + " ".join(
+                    f"{k}={manifest[k]}" for k in sorted(manifest)))
             for label, key in (("digests", "__digest"),
-                               ("signatures", "doc_id")):
-                p = _os.path.join(args.input, label)
+                               ("signatures", "doc_id"),
+                               ("bands", "doc_id")):
+                p = _os.path.join(live, label)
                 try:
                     df = spark.read.parquet(p)
                     df.first()
@@ -783,9 +804,27 @@ def main(argv: list[str] | None = None) -> int:
                     continue
                 nrows = df.count()
                 nuniq = df.select(key).distinct().count()
-                nfiles = len(_glob.glob(_os.path.join(p, "part-*")))
+                nfiles = len(_glob.glob(
+                    _os.path.join(p, "**", "part-*"), recursive=True))
                 print(f"{label}: rows={nrows} unique={nuniq} "
                       f"dup_rows={nrows - nuniq} files={nfiles}")
+            return 0
+        if (args.action == "compact"
+                and current_generation(args.input) is not None):
+            if args.output:
+                print("error: a pointered root picks its own next "
+                      "generation — drop -o/--output", file=sys.stderr)
+                return 2
+            try:
+                name, nd, ns = compact_near_dedup_generation(
+                    spark, args.input, target_files=args.target_files)
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+            print(f"compacted into {name}: digests={nd} "
+                  f"signatures_or_band_rows={ns}")
+            print("_CURRENT switched atomically; a running stream "
+                  "resolves it on its next micro-batch")
             return 0
         # realpath, not raw strings: `-o state/` or a relative vs
         # absolute spelling of the same dir would pass a string
@@ -799,7 +838,7 @@ def main(argv: list[str] | None = None) -> int:
                   file=sys.stderr)
             return 2
         if any(_os.path.exists(_os.path.join(args.output, t))
-               for t in ("digests", "signatures")):
+               for t in ("digests", "signatures", "bands")):
             print("error: output already holds state tables — compact "
                   "writes a FRESH blue/green dir; pick an empty path",
                   file=sys.stderr)
@@ -812,9 +851,10 @@ def main(argv: list[str] | None = None) -> int:
             print(f"error: {e}", file=sys.stderr)
             return 2
         print(f"compacted {args.input} -> {args.output}: "
-              f"digests={nd} signatures={ns}")
+              f"digests={nd} signatures_or_band_rows={ns}")
         print("switch the stream's state_dir to the new path; the old "
-              "dir is untouched")
+              "dir is untouched (consider `near-state init` + a "
+              "pointered root to make future switches atomic)")
         return 0
 
     if args.command == "verify-shards":

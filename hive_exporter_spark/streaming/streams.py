@@ -618,16 +618,27 @@ def near_dedup_state_step(
             .drop("might_contain")
         hit = flagged.where(F.col("might_contain")).drop("might_contain")
     # Digest partitions: only the dp values the BLOOM HITS hash to can
-    # hold a match; misses never touch the table at all.
-    hit_dps = sorted(r["dp"] for r in hit.select(
-        _digest_partition(F.col("__digest"), digest_mod).alias("dp"))
-        .distinct().collect())
+    # hold a match; misses never touch the table at all. The hit
+    # digest VALUES ride along too (same cap rationale as the bucket
+    # pushdown below): once hits outnumber dp dirs, dp pruning alone
+    # degrades to a full digest scan — a few hundred bloom false
+    # positives would re-read the whole table — while the value isin
+    # materializes only actual candidates, and row-group min/max
+    # stats on sorted compacted files skip the I/O as well.
+    hit_rows = hit.select(
+        "__digest",
+        _digest_partition(F.col("__digest"), digest_mod).alias("dp")
+    ).distinct().collect()
+    hit_dps = sorted({r["dp"] for r in hit_rows})
     seen_pruned = None
     if hit_dps:
         try:
             seen_pruned = (spark.read.parquet(digest_dir)
-                           .where(F.col("dp").isin(hit_dps))
-                           .select("__digest"))
+                           .where(F.col("dp").isin(hit_dps)))
+            if len(hit_rows) <= 20_000:
+                seen_pruned = seen_pruned.where(F.col("__digest").isin(
+                    sorted(r["__digest"] for r in hit_rows)))
+            seen_pruned = seen_pruned.select("__digest")
         except AnalysisException:
             seen_pruned = None
     hit_clean = hit if seen_pruned is None else \
@@ -1010,9 +1021,12 @@ def compact_near_dedup_state(spark: SparkSession, src_dir: str,
             "de-prune the stream's reads")
     if dig is not None:
         if partitioned:
+            # Sorted like the band table: the stream pushes
+            # `__digest IN (bloom hits)` into its scan, and sorted
+            # row groups let parquet min/max stats skip the rest.
             (dig.withColumn("dp", _digest_partition(
                 F.col("__digest"), manifest["digest_mod"]))
-             .repartition("dp")
+             .repartition("dp").sortWithinPartitions("__digest")
              .write.partitionBy("dp").mode("overwrite").parquet(d_dst))
         else:
             dig.repartition(target_files) \

@@ -527,7 +527,8 @@ def test_near_state_cli(spark, tmp_path, capsys):
     out_dir = str(tmp_path / "state2")
     assert cli.main(["near-state", "compact", "-i", state,
                      "-o", out_dir, "-f", "2"]) == 0
-    assert "digests=20 signatures=20" in capsys.readouterr().out
+    assert "digests=20 signatures_or_band_rows=20" \
+        in capsys.readouterr().out
     assert cli.main(["near-state", "status", "-i", out_dir]) == 0
     out = capsys.readouterr().out
     assert "digests: rows=20 unique=20 dup_rows=0 files=2" in out
@@ -535,6 +536,44 @@ def test_near_state_cli(spark, tmp_path, capsys):
     # blue/green: same-dir rewrite refused
     assert cli.main(["near-state", "compact", "-i", state,
                      "-o", state]) == 2
+
+
+def test_near_state_cli_pointered_root(spark, tmp_path, capsys):
+    """`near-state init` creates a pointered generation root;
+    `status` reports the live generation and the layout manifest;
+    `compact` on a rooted dir picks the next generation and flips
+    _CURRENT atomically (and refuses a stray -o)."""
+    from hive_exporter_spark.streaming.state import current_generation
+    from hive_exporter_spark.streaming.streams import (
+        near_dedup_state_step)
+
+    root = str(tmp_path / "root")
+    assert cli.main(["near-state", "init", "-i", root]) == 0
+    assert "_CURRENT -> gen-000001" in capsys.readouterr().out
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"q{i}w{j}" for j in range(12)))
+         for i in range(20)], "doc_id long, text string")
+    near_dedup_state_step(docs, root, None,
+                          layout="partitioned")[0].count()
+
+    assert cli.main(["near-state", "status", "-i", root]) == 0
+    out = capsys.readouterr().out
+    assert "generation: gen-000001 (pointered root)" in out
+    assert "layout: bands=8 bucket_mod=32 digest_mod=64" in out
+    assert "signatures: (absent)" in out
+    assert "bands: rows=160 unique=20" in out
+
+    assert cli.main(["near-state", "compact", "-i", root,
+                     "-o", str(tmp_path / "nope")]) == 2
+    assert "picks its own next generation" in capsys.readouterr().err
+    assert cli.main(["near-state", "compact", "-i", root]) == 0
+    out = capsys.readouterr().out
+    assert "compacted into gen-000002" in out
+    assert "_CURRENT switched atomically" in out
+    assert current_generation(root) == "gen-000002"
+    assert cli.main(["near-state", "status", "-i", root]) == 0
+    assert "generation: gen-000002" in capsys.readouterr().out
 
 
 def test_doctor_cli_embeddings_mode(spark, tmp_path, capsys):
