@@ -9,6 +9,11 @@ CDC bridge that reuses the batch merge logic for exactly-once-style
 incremental consolidation.
 """
 
+from hive_exporter_spark.streaming.state import (
+    init_state_root,
+    resolve_state_dir,
+    switch_generation,
+)
 from hive_exporter_spark.streaming.streams import (
     read_events_stream,
     windowed_event_counts,
@@ -16,6 +21,11 @@ from hive_exporter_spark.streaming.streams import (
     run_to_memory_sink,
     incremental_append_stream,
     corpus_dedup_stream,
+    near_dedup_stream,
+    near_dedup_state_step,
+    compact_near_dedup_state,
+    compact_near_dedup_generation,
+    run_generation_compact,
     jdbc_sink_stream,
     post_purchase_activity_stream,
     enrich_stream,
@@ -28,6 +38,14 @@ __all__ = [
     "run_to_memory_sink",
     "incremental_append_stream",
     "corpus_dedup_stream",
+    "near_dedup_stream",
+    "near_dedup_state_step",
+    "compact_near_dedup_state",
+    "compact_near_dedup_generation",
+    "run_generation_compact",
+    "init_state_root",
+    "resolve_state_dir",
+    "switch_generation",
     "jdbc_sink_stream",
     "post_purchase_activity_stream",
     "enrich_stream",
