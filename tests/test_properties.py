@@ -294,3 +294,54 @@ def test_capped_bucket_pairs_invariants(spark, rows, cap):
         if len(m) > 1:
             roots = {find(i) for i in m}
             assert len(roots) == 1, (m, got)               # (3)
+
+
+# ---------------------------------------------------------------------------
+# Partitioned vs flat near-dup streaming state (r10)
+# ---------------------------------------------------------------------------
+
+# Docs built from a tiny token pool so near-duplicates (and exact
+# duplicates, and too-short-to-shingle docs) all occur organically.
+_doc_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 10_000),                       # doc_id
+        st.lists(st.sampled_from(
+            ["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=0, max_size=8),                  # tokens
+    ),
+    min_size=1, max_size=10, unique_by=lambda r: r[0],
+)
+
+
+@given(b1=_doc_strategy, b2=_doc_strategy)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_partitioned_state_layout_decision_identical(spark, tmp_path_factory,
+                                                     b1, b2):
+    """For ANY two-micro-batch document sequence — including exact
+    dups, near-dups, cross-batch twins, and signature-less short docs
+    — the partitioned state layout admits EXACTLY the set the flat
+    layout admits (r10 invariant behind the state re-layout)."""
+    from hive_exporter_spark.streaming.state import init_state_root
+    from hive_exporter_spark.streaming.streams import near_dedup_state_step
+
+    # disjoint id spaces per batch (a real stream never re-sends an id
+    # within a run; cross-batch text twins still occur via the pool)
+    rows1 = [(i, " ".join(toks)) for i, toks in b1]
+    rows2 = [(i + 20_000, " ".join(toks)) for i, toks in b2]
+    schema = "doc_id long, text string"
+    base = tmp_path_factory.mktemp("layout_prop")
+    flat_root = str(base / "flat")
+    part_root = str(base / "part")
+    init_state_root(part_root)
+    got = {}
+    for layout, root in (("flat", flat_root), ("partitioned", part_root)):
+        bloom_state: dict = {}
+        admitted_ids = []
+        for rows in (rows1, rows2):
+            adm, _ = near_dedup_state_step(
+                spark.createDataFrame(rows, schema), root, None,
+                layout=layout, bloom_state=bloom_state)
+            admitted_ids.append({r["doc_id"] for r in adm.collect()})
+        got[layout] = admitted_ids
+    assert got["flat"] == got["partitioned"]
