@@ -1362,3 +1362,66 @@ def test_hll_registers_generation_compact(spark, tmp_path, sf_dir):
     after = {(r["event_type"], r["est_distinct"]) for r in hll_estimate(
         read_hll_registers(spark, root), ["event_type"]).collect()}
     assert before == after
+
+
+def test_near_dedup_partitioned_crash_window_self_heals(spark, tmp_path,
+                                                        monkeypatch):
+    """Partitioned layout, crash AFTER the band-state write but BEFORE
+    the signed docs' digest write (the widest window): the replay's
+    docs hit their own standing band rows and the near screen rejects
+    them (jaccard 1.0 confirms) — nothing is re-admitted, with a FRESH
+    bloom (process restart: bitmaps rebuilt from surviving state) and
+    with the RETAINED bloom (intra-process retry: bits were OR-ed in
+    before any write, so the exact screen takes the confirm path and
+    finds no digest, and the near screen still heals)."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from hive_exporter_spark.streaming.state import init_state_root
+    from hive_exporter_spark.streaming.streams import (
+        near_dedup_state_step)
+
+    batch = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(30))),
+         (2, " ".join(f"z{i}" for i in range(25)))],
+        "doc_id long, text string")
+    root = str(tmp_path / "root")
+    out = str(tmp_path / "out")
+    init_state_root(root)
+    gen = root + "/gen-000001"
+    real = DataFrameWriter.parquet
+    calls = []
+
+    def crashing(self, path, *a, **kw):
+        calls.append(path)
+        # writes: out, digests (sig-less: empty), bands, digests
+        # (signed) — crash on the SECOND digest write
+        if path == gen + "/digests" and calls.count(path) == 2:
+            raise RuntimeError("injected crash before signed digests")
+        return real(self, path, *a, **kw)
+
+    bloom_state: dict = {}
+    monkeypatch.setattr(DataFrameWriter, "parquet", crashing)
+    with pytest.raises(Exception, match="injected crash"):
+        near_dedup_state_step(batch, root, out, layout="partitioned",
+                              bloom_state=bloom_state)
+    assert calls == [out, gen + "/digests", gen + "/bands",
+                     gen + "/digests"]
+    monkeypatch.setattr(DataFrameWriter, "parquet", real)
+
+    # intra-process retry: bloom bits were set BEFORE the writes
+    adm_retry, _ = near_dedup_state_step(
+        batch, root, out, layout="partitioned", bloom_state=bloom_state)
+    assert adm_retry.count() == 0   # band state healed both docs
+    # process restart: bitmaps rebuilt from the surviving state
+    adm_fresh, _ = near_dedup_state_step(
+        batch, root, None, layout="partitioned", bloom_state={})
+    assert adm_fresh.count() == 0
+    # out_dir holds exactly the first attempt's rows — no duplicates
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2]
+    # and a genuinely fresh doc still gets through afterwards
+    fresh, _ = near_dedup_state_step(
+        spark.createDataFrame([(9, "totally different words here now")],
+                              "doc_id long, text string"),
+        root, None, layout="partitioned", bloom_state={})
+    assert fresh.count() == 1
