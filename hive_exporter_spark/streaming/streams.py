@@ -1065,6 +1065,15 @@ def run_generation_compact(spark: SparkSession, root: str, compact_fn,
     micro-batch, so the switch lands on the next batch with no
     restart.
 
+    Concurrency contract (same single-driver rule as the `ivf`
+    maintenance verbs): run BETWEEN micro-batches. A batch in flight
+    when the pointer flips resolved the OLD generation at its start
+    and appends its state there — appends that landed after this
+    compact's read are not carried into the new generation, so a
+    near-dup of that batch's docs could be re-admitted later. Pause
+    the stream's trigger (or schedule the compact in the batch
+    callback's quiet window) before switching.
+
     Returns (new_generation_name, compact_fn's result)."""
     from hive_exporter_spark.streaming.state import (
         current_generation, next_generation, switch_generation)
@@ -1087,7 +1096,8 @@ def compact_near_dedup_generation(spark: SparkSession, root: str,
                                   ) -> tuple[str, int, int]:
     """`compact_near_dedup_state` under the generation-pointer
     protocol: compacts the live generation into the next one and
-    atomically switches `_CURRENT`. Returns
+    atomically switches `_CURRENT`. Run between micro-batches (see
+    `run_generation_compact`'s concurrency contract). Returns
     (new_generation_name, n_digests, n_signatures_or_band_rows)."""
     name, (n_dig, n_sig) = run_generation_compact(
         spark, root, compact_near_dedup_state, target_files=target_files)
