@@ -625,19 +625,31 @@ def near_dedup_state_step(
     # positives would re-read the whole table — while the value isin
     # materializes only actual candidates, and row-group min/max
     # stats on sorted compacted files skip the I/O as well.
+    # The collect is bounded at 20k+1 rows: a SATURATED digest bloom
+    # flags the whole batch as hits, and collecting every hit would
+    # pull the batch to the driver. Past the cap the value pushdown is
+    # skipped (its isin would be planning-heavy anyway) and pruning
+    # falls back to the dp dirs alone — exact either way.
     hit_rows = hit.select(
         "__digest",
         _digest_partition(F.col("__digest"), digest_mod).alias("dp")
-    ).distinct().collect()
-    hit_dps = sorted({r["dp"] for r in hit_rows})
+    ).distinct().limit(20_001).collect()
+    if len(hit_rows) > 20_000:
+        hit_dps = sorted(r["dp"] for r in hit.select(
+            _digest_partition(F.col("__digest"), digest_mod).alias("dp"))
+            .distinct().collect())
+        hit_digests = None
+    else:
+        hit_dps = sorted({r["dp"] for r in hit_rows})
+        hit_digests = sorted(r["__digest"] for r in hit_rows)
     seen_pruned = None
     if hit_dps:
         try:
             seen_pruned = (spark.read.parquet(digest_dir)
                            .where(F.col("dp").isin(hit_dps)))
-            if len(hit_rows) <= 20_000:
-                seen_pruned = seen_pruned.where(F.col("__digest").isin(
-                    sorted(r["__digest"] for r in hit_rows)))
+            if hit_digests is not None:
+                seen_pruned = seen_pruned.where(
+                    F.col("__digest").isin(hit_digests))
             seen_pruned = seen_pruned.select("__digest")
         except AnalysisException:
             seen_pruned = None
