@@ -684,9 +684,23 @@ def near_dedup_state_step(
                                   m2, NEAR_BLOOM_HASHES)
         bkeys_hit = bkeys.join(kflags, "__k") \
             .where(F.col("might_contain"))
-    hit_keys = [(r["band"], r["bucket"])
-                for r in bkeys_hit.select("band", "bucket").collect()]
-    touched = sorted({(b, k % int(bucket_mod)) for b, k in hit_keys})
+    # Same saturation bound as the digest side: a saturated band-key
+    # bloom flags every batch key, and collecting them all would pull
+    # batch x bands rows to the driver. Past 20k the bucket pushdown
+    # is skipped and pruning falls back to the (band, bp) dirs the
+    # whole batch touches (<= bands x bucket_mod values) — exact
+    # either way.
+    hit_keys = [(r["band"], r["bucket"]) for r in bkeys_hit
+                .select("band", "bucket").limit(20_001).collect()]
+    if len(hit_keys) > 20_000:
+        hit_keys = None
+        touched = sorted({(r["band"], r["bp"]) for r in bband
+                          .select("band",
+                                  F.pmod(F.col("bucket"),
+                                         F.lit(int(bucket_mod)))
+                                  .alias("bp")).distinct().collect()})
+    else:
+        touched = sorted({(b, k % int(bucket_mod)) for b, k in hit_keys})
     csigs = cband = None
     if touched:
         by_band: dict[int, list[int]] = {}
@@ -705,7 +719,7 @@ def near_dedup_state_step(
         # on tens of thousands of keys would pay more in predicate
         # planning than the skipped rows are worth.
         buckets_by_band: dict[int, list[int]] | None = None
-        if len(hit_keys) <= 20_000:
+        if hit_keys is not None:
             buckets_by_band = {}
             for b, k in hit_keys:
                 buckets_by_band.setdefault(b, []).append(k)

@@ -344,4 +344,10 @@ def test_partitioned_state_layout_decision_identical(spark, tmp_path_factory,
                 layout=layout, bloom_state=bloom_state)
             admitted_ids.append({r["doc_id"] for r in adm.collect()})
         got[layout] = admitted_ids
+    # Drop this example's localCheckpoint refs promptly so the
+    # ContextCleaner can free the JVM blocks between examples (the
+    # session JVM is shared by the whole suite).
+    import gc
+
+    gc.collect()
     assert got["flat"] == got["partitioned"]
