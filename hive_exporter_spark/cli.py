@@ -779,7 +779,11 @@ def main(argv: list[str] | None = None) -> int:
             compact_near_dedup_state)
 
         if args.action == "init":
-            gen = init_state_root(args.input)
+            try:
+                gen = init_state_root(args.input)
+            except ValueError as e:   # un-rooted live tables present
+                print(f"error: {e}", file=sys.stderr)
+                return 2
             print(f"initialized pointered state root {args.input} "
                   f"(_CURRENT -> {_os.path.basename(gen)})")
             return 0

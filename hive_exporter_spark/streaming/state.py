@@ -89,14 +89,36 @@ def _write_pointer(root: str, name: str) -> None:
     os.replace(tmp, os.path.join(root, POINTER))
 
 
+# State tables a near-dup/sketch dir may hold at its top level; their
+# presence marks a LIVE un-rooted state dir that must not be shadowed.
+_STATE_TABLES = ("digests", "signatures", "bands")
+
+
 def init_state_root(root: str) -> str:
     """Create a pointered state root with an empty first generation
     and return the active generation dir. Idempotent: an existing
     pointer is honored, not clobbered (re-initializing a live root
-    must never orphan its state)."""
+    must never orphan its state).
+
+    Refuses a directory that already holds UN-ROOTED state tables:
+    pointing `_CURRENT` at a fresh empty generation would shadow the
+    live tables sitting in the root itself, and the stream's next
+    batch — resolving the pointer — would silently re-admit every
+    previously-seen duplicate. Migrate by moving the tables into
+    `<root>/gen-000001/` first, then init."""
     os.makedirs(root, exist_ok=True)
     cur = current_generation(root)
     if cur is None:
+        live = [t for t in _STATE_TABLES
+                if os.path.isdir(os.path.join(root, t))]
+        if live:
+            raise ValueError(
+                f"{root} already holds un-rooted state tables "
+                f"({', '.join(live)}) — initializing a pointer here "
+                "would shadow them with an empty generation and "
+                "re-admit every previously-seen duplicate; move them "
+                f"into {os.path.join(root, generation_name(1))}/ "
+                "first")
         cur = generation_name(1)
         os.makedirs(os.path.join(root, cur), exist_ok=True)
         _write_pointer(root, cur)

@@ -1261,6 +1261,18 @@ def test_generation_pointer_protocol_unit(tmp_path):
         fh.write("")
     with _pytest.raises(ValueError, match="empty"):
         st.resolve_state_dir(root)
+    # init on a dir already holding UN-ROOTED state tables must
+    # refuse: a fresh pointer would shadow the live tables with an
+    # empty generation and re-admit every previously-seen duplicate
+    legacy = str(tmp_path / "legacy")
+    os.makedirs(os.path.join(legacy, "digests"))
+    with _pytest.raises(ValueError, match="un-rooted state tables"):
+        st.init_state_root(legacy)
+    # ...but moving them into gen-000001 first makes init legal
+    os.makedirs(os.path.join(legacy, "gen-000001"), exist_ok=True)
+    os.rename(os.path.join(legacy, "digests"),
+              os.path.join(legacy, "gen-000001", "digests"))
+    assert st.init_state_root(legacy).endswith("gen-000001")
 
 
 def test_near_dedup_generation_compact_mid_stream(spark, tmp_path,
