@@ -63,7 +63,18 @@ def resolve_state_dir(path: str) -> str:
             # An empty pointer is corruption, not "no pointer": falling
             # back to the root would silently split state across dirs.
             raise ValueError(f"empty {POINTER} pointer at {p}")
-        return os.path.join(path, name)
+        gen = os.path.join(path, name)
+        if not os.path.isdir(gen):
+            # Every legal writer creates the generation dir before the
+            # pointer names it (init, compact+switch), so a pointer at
+            # a missing dir means the generation was deleted out from
+            # under the root — and treating it as "no state yet" would
+            # silently re-admit every previously-seen duplicate.
+            raise ValueError(
+                f"{POINTER} at {p} names missing generation {name!r} "
+                "— state deleted or root corrupted; refusing to treat "
+                "it as an empty first batch")
+        return gen
     return path
 
 

@@ -1261,6 +1261,13 @@ def test_generation_pointer_protocol_unit(tmp_path):
         fh.write("")
     with _pytest.raises(ValueError, match="empty"):
         st.resolve_state_dir(root)
+    # pointer at a DELETED generation is corruption, not first-batch
+    import shutil
+
+    st.switch_generation(root, "gen-000003")
+    shutil.rmtree(os.path.join(root, "gen-000003"))
+    with _pytest.raises(ValueError, match="missing generation"):
+        st.resolve_state_dir(root)
     # init on a dir already holding UN-ROOTED state tables must
     # refuse: a fresh pointer would shadow the live tables with an
     # empty generation and re-admit every previously-seen duplicate
