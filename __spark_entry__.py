@@ -652,35 +652,34 @@ def _session_window_overlap(spark, sf):
 # columns in any window entry — the driver canonicalizer cannot sort
 # them.
 _PRIORITY = (
-    # r10 window — mechanically derived by tools/rotate_window.py
+    # r11 window — mechanically derived by tools/rotate_window.py
     # (never-driver-checked entries first, then by staleness of green:
     # code churn since each entry's last green driver row; rows-only
     # entries never enter — every window slot is hash-checkable).
-    # Leads with the one post-r9 entry (the three-system RRF), then
-    # the r6/r7-green llm.py cohort displaced by this round's
-    # near_admit/rrf churn, then the r3-r5 analytics + sketch + TPC-H
-    # cohort whose modules were last touched r5-r8.
-    "hybrid_rrf_three", "minhash_lsh_pairs", "minhash_lsh_pairs_capped",
-    "minhash_ml_agreement", "pack_efficiency_report",
-    "quality_prune_threshold", "sample_accuracy_report",
-    "simhash_near_dup_pairs", "simhash_near_dup_pairs_capped",
-    "source_mix_rebalance", "strip_boilerplate", "temperature_mix",
-    "tokenizer_fertility", "vocab_coverage", "bpe_fertility_report",
-    "build_vocab", "chunk_documents", "containment_pairs",
-    "curation_pipeline", "dedup_lines", "dedup_near_duplicates",
-    "dedup_near_keep_best", "dedup_near_minhash", "doc_fingerprint",
-    "incremental_dedup", "pca_variance_report",
-    "quality_classifier_eval", "quality_classifier_score",
-    "scrub_pii", "segment_dedup", "conversion_funnel",
-    "event_anomaly_zscore", "sessionize", "ams_f2_user_activity",
-    "asof_next_purchase", "cms_token_freq",
-    "events_stratified_sample_hash", "hll_distinct_users",
-    "kmv_distinct_users", "orders_snapshot_diff",
-    "theta_audience_overlap", "user_event_scd2",
-    "value_quantiles_hist", "audio_features", "decode_images",
-    "frame_sample_plan", "image_phash_near_dups",
-    "approx_stats_error_report", "q15_top_suppliers",
-    "q1_pricing_summary",
+    # Leads with the r8-green cohort displaced by r10's llm.py /
+    # relational.py churn, then the NEW AGE BACKSTOP tail (r10 verdict
+    # item 3): ten entries whose last driver-green is >4 rounds old
+    # (the r1/r3/r4 analytics cohort) re-enter even though their code
+    # is untouched, so no driver row can age out unboundedly.
+    "top_orders_per_priority_2p", "bpe_pair_counts", "cdc_dup_spans",
+    "chunk_documents_overlap", "containment_pairs_capped",
+    "contributor_cap", "dup_ngram_coverage", "embedding_label_centroids",
+    "embedding_near_dup_pairs", "embedding_truncation_report",
+    "encoding_health_report", "epoch_mix", "gopher_quality_signals",
+    "heavy_hitters_exact", "ivf_drift_report", "lang_balanced_sample",
+    "language_id", "near_dup_clusters", "near_dup_clusters_bigstar",
+    "ngram_contamination", "ngram_contamination_bloom",
+    "ngram_jaccard_pairs", "ngram_jaccard_pairs_capped",
+    "ngram_lm_perplexity", "normalize_text", "pack_sequences",
+    "quality_margin_calibration", "quality_prune_topp", "quality_score",
+    "remove_dup_spans", "repetition_signals", "semantic_dedup_fixed",
+    "shard_by_tokens", "text_stats", "tfidf_topk_terms", "token_count_bpe",
+    "token_doc_frequency", "token_entropy", "train_val_test_split",
+    "training_data_prep", "q1_pricing_summary_sql",
+    "events_scan_pruned_window", "table_row_counts",
+    "cumulative_distinct_users", "daily_event_stats", "event_type_pivot",
+    "events_key_skew_profile", "json_props_lift", "profile_orders_columns",
+    "ams_join_size_click_purchase",
 )
 
 

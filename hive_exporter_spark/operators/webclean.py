@@ -338,8 +338,11 @@ def code_detect_signals(documents: DataFrame,
         (def/return/import/...), counted over whitespace-split words
         (the split pattern is a whitespace CLASS, not the literal
         space: real code is newline-delimited, and a space-only split
-        left '\\ndef'/'return;' unmatched so the keyword arm
-        systematically undercounted — judge advice, r9);
+        left '\\ndef'/'\\treturn' unmatched so the keyword arm
+        systematically undercounted — judge advice, r9; punctuation-
+        attached keywords like 'return;' are still uncounted on BOTH
+        the Spark and DuckDB sides by design — the symbol arm is what
+        fires on punctuation-dense code);
       - ``is_code`` — symbol density >= CODE_SYMBOL_RATIO_MIN (0.02)
         OR at least CODE_KEYWORD_MIN (3) keyword hits.
 

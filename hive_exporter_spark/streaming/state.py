@@ -100,9 +100,23 @@ def _write_pointer(root: str, name: str) -> None:
     os.replace(tmp, os.path.join(root, POINTER))
 
 
-# State tables a near-dup/sketch dir may hold at its top level; their
-# presence marks a LIVE un-rooted state dir that must not be shadowed.
-_STATE_TABLES = ("digests", "signatures", "bands")
+def _unrooted_content(root: str) -> list[str]:
+    """Top-level entries that mark `root` as a LIVE un-rooted state
+    dir (anything that is not the pointer, a generation dir, or a
+    hidden bookkeeping file). Named state tables (digests/signatures/
+    bands), bare part-*.parquet files (HLL register state is written
+    exactly like that), layout manifests, and _SUCCESS markers all
+    count: pointing `_CURRENT` past ANY of them shadows live state."""
+    offenders = []
+    for entry in sorted(os.listdir(root)):
+        if entry in (POINTER, POINTER + ".tmp"):
+            continue
+        if entry.startswith("."):       # .crc and other hidden files
+            continue
+        if _GEN_RE.match(entry):        # generation dirs (incl. any
+            continue                    # crashed-compact leftovers)
+        offenders.append(entry)
+    return offenders
 
 
 def init_state_root(root: str) -> str:
@@ -111,25 +125,30 @@ def init_state_root(root: str) -> str:
     pointer is honored, not clobbered (re-initializing a live root
     must never orphan its state).
 
-    Refuses a directory that already holds UN-ROOTED state tables:
-    pointing `_CURRENT` at a fresh empty generation would shadow the
-    live tables sitting in the root itself, and the stream's next
-    batch — resolving the pointer — would silently re-admit every
-    previously-seen duplicate. Migrate by moving the tables into
+    Refuses a directory that already holds ANY un-rooted content —
+    named state tables (digests/signatures/bands), bare
+    part-*.parquet data files (HLL register state lives like that),
+    layout manifests, _SUCCESS markers: pointing `_CURRENT` at a
+    fresh empty generation would shadow the live content sitting in
+    the root itself, and the stream's next batch — resolving the
+    pointer — would silently re-admit duplicates / undercount
+    registers. Migrate by moving the content into
     `<root>/gen-000001/` first, then init."""
     os.makedirs(root, exist_ok=True)
     cur = current_generation(root)
     if cur is None:
-        live = [t for t in _STATE_TABLES
-                if os.path.isdir(os.path.join(root, t))]
+        live = _unrooted_content(root)
         if live:
+            shown = ", ".join(live[:5])
+            if len(live) > 5:
+                shown += f", ... ({len(live)} entries)"
             raise ValueError(
-                f"{root} already holds un-rooted state tables "
-                f"({', '.join(live)}) — initializing a pointer here "
-                "would shadow them with an empty generation and "
-                "re-admit every previously-seen duplicate; move them "
-                f"into {os.path.join(root, generation_name(1))}/ "
-                "first")
+                f"{root} already holds un-rooted state content "
+                f"({shown}) — initializing a pointer here would "
+                "shadow it with an empty generation and re-admit "
+                "every previously-seen duplicate (or silently "
+                "undercount sketch registers); move it into "
+                f"{os.path.join(root, generation_name(1))}/ first")
         cur = generation_name(1)
         os.makedirs(os.path.join(root, cur), exist_ok=True)
         _write_pointer(root, cur)

@@ -1273,13 +1273,31 @@ def test_generation_pointer_protocol_unit(tmp_path):
     # empty generation and re-admit every previously-seen duplicate
     legacy = str(tmp_path / "legacy")
     os.makedirs(os.path.join(legacy, "digests"))
-    with _pytest.raises(ValueError, match="un-rooted state tables"):
+    with _pytest.raises(ValueError, match="un-rooted state content"):
         st.init_state_root(legacy)
     # ...but moving them into gen-000001 first makes init legal
     os.makedirs(os.path.join(legacy, "gen-000001"), exist_ok=True)
     os.rename(os.path.join(legacy, "digests"),
               os.path.join(legacy, "gen-000001", "digests"))
     assert st.init_state_root(legacy).endswith("gen-000001")
+    # BARE top-level data files count too (HLL register state is
+    # written as part-*.parquet directly in the dir): init over a
+    # live registers dir would shadow all historical registers and
+    # silently undercount once new batches append
+    registers = str(tmp_path / "registers")
+    os.makedirs(registers)
+    for name in ("part-00000-abc.snappy.parquet", "_SUCCESS",
+                 ".part-00000-abc.snappy.parquet.crc"):
+        with open(os.path.join(registers, name), "w") as fh:
+            fh.write("x")
+    with _pytest.raises(ValueError, match="un-rooted state content"):
+        st.init_state_root(registers)
+    os.makedirs(os.path.join(registers, "gen-000001"))
+    for name in ("part-00000-abc.snappy.parquet", "_SUCCESS"):
+        os.rename(os.path.join(registers, name),
+                  os.path.join(registers, "gen-000001", name))
+    # the leftover hidden .crc file is bookkeeping, not live state
+    assert st.init_state_root(registers).endswith("gen-000001")
 
 
 def test_near_dedup_generation_compact_mid_stream(spark, tmp_path,

@@ -195,6 +195,36 @@ def test_rotate_window_ranking_rule():
     assert [r["name"] for r in win] == ["e", "a", "b", "f", "d"]
 
 
+def test_rotate_window_age_backstop():
+    """r10 verdict item 3: an entry whose code never churns can stay
+    out of the window forever under the staleness rule. With
+    current_round supplied, any oracle-backed entry whose last green
+    is more than AGE_BACKSTOP_ROUNDS rounds old fills the window TAIL
+    (oldest first, bounded to AGE_BACKSTOP_SLOTS), displacing the
+    least-stale churned entries if the window is full."""
+    # 5 stale entries and 3 untouched-since-green ancients (r1-r3)
+    green = {f"s{i}": 8 for i in range(5)} | {
+        "old1": 1, "old2": 2, "old3": 3, "fresh": 9}
+    touched = {f"s{i}": 10 for i in range(5)} | {
+        "old1": 1, "old2": 2, "old3": 3, "fresh": 9}
+    names = list(green)
+    oracles = set(names)
+    rows = rotate_window.rank_entries(names, green, oracles, touched)
+    # Without current_round (legacy call), a window full of stale
+    # entries never admits the ancients.
+    win = rotate_window.pick_window(rows, window=5)
+    assert [r["name"] for r in win] == [f"s{i}" for i in range(5)]
+    # With current_round=10: age(old1)=9 > 4 etc., so the ancients
+    # take the tail (oldest green first); fresh (age 1) does not.
+    win = rotate_window.pick_window(rows, window=5, current_round=10)
+    got = [r["name"] for r in win]
+    assert got[-3:] == ["old1", "old2", "old3"]
+    assert "fresh" not in got and len(got) == 5
+    # The reservation is bounded: AGE_BACKSTOP_SLOTS caps how many
+    # stale slots the backstop may displace.
+    assert rotate_window.AGE_BACKSTOP_SLOTS == rotate_window.WINDOW // 5
+
+
 def test_rotate_window_green_parses_rows_only(tmp_path, monkeypatch):
     """A no_oracle rows-only pass counts as a green check (the driver
     DID run the entry); an err row does not."""

@@ -138,20 +138,46 @@ def rank_entries(names, green: dict[str, int], oracles: set[str],
     return rows
 
 
-def pick_window(rows: list[dict], window: int = WINDOW) -> list[dict]:
+AGE_BACKSTOP_ROUNDS = 4      # driver-green older than this re-enters
+AGE_BACKSTOP_SLOTS = WINDOW // 5   # ...via a bounded tail reservation
+
+
+def pick_window(rows: list[dict], window: int = WINDOW,
+                current_round: int | None = None) -> list[dict]:
     """Stale ORACLE-BACKED entries fill the window; if fewer than
     `window` are stale, top up with the oldest greens — freshness
     beats re-proving what nothing changed. Rows-only entries never
     enter: the driver's check degrades to rows-only on them, wasting
     the hash slot (tests/test_entry_contract.py pins the window as
-    fully hash-checkable; the full-registry sweep still runs them)."""
+    fully hash-checkable; the full-registry sweep still runs them).
+
+    AGE BACKSTOP (r10 verdict item 3): the churn rule deliberately
+    skips entries whose code is untouched since their green, but a
+    6-round-old driver row is a blind spot the rule never clears when
+    every window is full of stale entries. Any oracle-backed entry
+    whose last driver-green is more than AGE_BACKSTOP_ROUNDS rounds
+    old fills the window TAIL (oldest green first), reserving up to
+    AGE_BACKSTOP_SLOTS slots from the stale cohort — the window still
+    chases churn, but no entry's driver row can age out unboundedly."""
     elig = [r for r in rows if r["oracle"]]
-    out = [r for r in elig if r["staleness"] > 0][:window]
+    aged: list[dict] = []
+    if current_round is not None:
+        aged = [r for r in elig
+                if 0 < r["last_green"] < current_round
+                - AGE_BACKSTOP_ROUNDS]
+        aged.sort(key=lambda r: (r["last_green"], r["name"]))
+        aged = aged[:AGE_BACKSTOP_SLOTS]
+    aged_names = {r["name"] for r in aged}
+    stale = [r for r in elig
+             if r["staleness"] > 0 and r["name"] not in aged_names]
+    out = stale[:max(0, window - len(aged))] + aged
     if len(out) < window:
-        rest = [r for r in elig if r["staleness"] <= 0]
+        have = {r["name"] for r in out}
+        rest = [r for r in elig
+                if r["name"] not in have and r["staleness"] <= 0]
         rest.sort(key=lambda r: (r["last_green"], r["name"]))
         out += rest[:window - len(out)]
-    return out
+    return out[:window]
 
 
 def main() -> int:
@@ -168,8 +194,11 @@ def main() -> int:
         mods = _entry_modules(fn)
         touched[name] = max((file_round.get(m, 0) for m in mods),
                             default=0)
+    correctness = glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    cur_round = max((int(re.search(r"_r(\d+)\.json$", p).group(1))
+                     for p in correctness), default=0) + 1
     rows = rank_entries(qs, green, set(entry.oracle_sql()), touched)
-    window = pick_window(rows)
+    window = pick_window(rows, current_round=cur_round)
 
     if "--json" in sys.argv:
         print(json.dumps(window, indent=1))
