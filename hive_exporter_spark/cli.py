@@ -202,6 +202,12 @@ def build_parser() -> argparse.ArgumentParser:
                      help="compact (un-rooted dirs only): destination "
                           "state dir (must differ from the source)")
     nst.add_argument("-f", "--target-files", type=int, default=8)
+    nst.add_argument("--to-layout", choices=["partitioned"],
+                     help="compact only: migrate a flat source into "
+                          "the v2 partitioned layout (band keys "
+                          "re-derived from the stored signatures); "
+                          "also upgrades pre-r11 v1 partitioned "
+                          "state to v2 implicitly")
 
     ivf = sub.add_parser(
         "ivf",
@@ -798,7 +804,8 @@ def main(argv: list[str] | None = None) -> int:
                     f"{k}={manifest[k]}" for k in sorted(manifest)))
             for label, key in (("digests", "__digest"),
                                ("signatures", "doc_id"),
-                               ("bands", "doc_id")):
+                               ("bands", "doc_id"),
+                               ("sigs", "doc_id")):
                 p = _os.path.join(live, label)
                 try:
                     df = spark.read.parquet(p)
@@ -819,9 +826,16 @@ def main(argv: list[str] | None = None) -> int:
                 print("error: a pointered root picks its own next "
                       "generation — drop -o/--output", file=sys.stderr)
                 return 2
+            print("NOTE: run between micro-batches (pause the "
+                  "stream's trigger): a batch in flight when _CURRENT "
+                  "flips appends state to the OLD generation — the "
+                  "stream's generation guard fails that batch loudly "
+                  "and its retry re-screens against the new one",
+                  file=sys.stderr)
             try:
                 name, nd, ns = compact_near_dedup_generation(
-                    spark, args.input, target_files=args.target_files)
+                    spark, args.input, target_files=args.target_files,
+                    to_layout=args.to_layout)
             except ValueError as e:
                 print(f"error: {e}", file=sys.stderr)
                 return 2
@@ -850,7 +864,8 @@ def main(argv: list[str] | None = None) -> int:
         try:
             nd, ns = compact_near_dedup_state(
                 spark, args.input, args.output,
-                target_files=args.target_files)
+                target_files=args.target_files,
+                to_layout=args.to_layout)
         except ValueError as e:   # typo'd src: no state at all
             print(f"error: {e}", file=sys.stderr)
             return 2

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 from functools import reduce
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -113,11 +114,22 @@ def collect_bloom(bitmap: DataFrame, m_bits: int = BLOOM_BITS) -> bytes:
     bounded by m (the filter's design size), never by data volume —
     the same contract as broadcasting the filter would have.
     """
-    dense = bytearray((m_bits + 7) // 8)
-    for row in bitmap.collect():
-        dense[row["word"] * 8:row["word"] * 8 + 8] = \
-            (row["bits"] & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
-    return bytes(dense)
+    import numpy as np
+
+    n_words = (m_bits + 63) // 64
+    arr = np.zeros(n_words, dtype=np.int64)
+    # Arrow transfer + one vectorized scatter: the row-at-a-time py4j
+    # collect was 1-2 s per 100k-word delta (measured in the r11
+    # stream-admission profile); toPandas moves the same rows in one
+    # Arrow batch.
+    pdf = bitmap.toPandas()
+    if len(pdf):
+        arr[pdf["word"].to_numpy(dtype=np.int64)] = \
+            pdf["bits"].to_numpy(dtype=np.int64)
+    # int64 little-endian words == the little-endian-per-word layout
+    # bloom_contains indexes (global bit p at byte p//8, bit p%8).
+    dense = arr.astype("<i8", copy=False).tobytes()
+    return dense[:(m_bits + 7) // 8]
 
 
 def bloom_contains(col: F.Column, dense: bytes,
@@ -194,6 +206,55 @@ def bloom_probe_join(values: DataFrame, bitmap: DataFrame, col: str,
         hits.groupBy(col)
         .agg((F.sum("__hit") == F.lit(n_hashes)).alias(flag_col))
     )
+
+
+def bloom_probe_broadcast(values: DataFrame, dense: bytes, col: str,
+                          m_bits: int = BLOOM_BITS,
+                          n_hashes: int = BLOOM_HASHES,
+                          flag_col: str = "might_contain",
+                          bc_registry: list | None = None) -> DataFrame:
+    """Probe a DRIVER-HELD dense bitmap that is too large to embed as
+    a plan literal (`bloom_contains`'s measured cliff starts at
+    m=2^24) but small enough to broadcast (<= ~128 MiB): the j bit
+    positions are computed JVM-side (same xxhash64 positions the
+    builder used), and a vectorized Arrow UDF tests them against the
+    TorrentBroadcast'd bytes with numpy — no literal in the plan, no
+    (word, bits) join/merge shuffle, one Arrow pass over the distinct
+    values. Returns `values` distinct on `col` plus boolean
+    `flag_col` (exact same contract as `bloom_probe_join`).
+
+    This is the probe the partitioned near-dup state step uses for
+    its band-key filter: the per-batch alternative — maintaining the
+    bitmap as a persisted (word, bits) DataFrame — paid a ~1M-word
+    groupBy+persist per batch for the update and a j-row-per-key join
+    per probe (both measured as the top per-batch costs in the r11
+    stream-admission profile)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    spark = values.sparkSession
+    bc = spark.sparkContext.broadcast(bytes(dense))
+    if bc_registry is not None:
+        # The caller owns the broadcast's lifetime: a per-micro-batch
+        # probe re-broadcasts fresh bytes every batch, and waiting for
+        # the ContextCleaner to GC 8-128 MiB handles lags behind a
+        # fast trigger (measured driver OOM over a 20-chunk seeding
+        # run) — register so the caller can destroy last batch's.
+        bc_registry.append(bc)
+
+    @pandas_udf("boolean")
+    def _probe(positions: pd.Series) -> pd.Series:
+        buf = np.frombuffer(bc.value, dtype=np.uint8)
+        if not len(positions):
+            return pd.Series([], dtype=bool)
+        mat = np.vstack(positions.to_numpy()).astype(np.int64)
+        hit = (buf[mat >> 3]
+               & (1 << (mat & 7)).astype(np.uint8)) != 0
+        return pd.Series(hit.all(axis=1))
+
+    pos_arr = F.array(*_positions(F.col(col), m_bits, n_hashes))
+    return (values.select(col).distinct()
+            .select(col, _probe(pos_arr).alias(flag_col)))
 
 
 def bloom_prefiltered_join(fact: DataFrame, dim: DataFrame, key: str,

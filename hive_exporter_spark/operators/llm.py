@@ -2859,7 +2859,8 @@ def _portable_codebooks(seed: int = 42, m: int = PQ_M, k: int = PQF_K,
 
 
 def _pqf_assign(embeddings: DataFrame, books: list[list[list[float]]],
-                id_col: str, vec_col: str) -> DataFrame:
+                id_col: str, vec_col: str,
+                keep_vec: bool = False) -> DataFrame:
     """Column-algebra PQ encode against literal codebooks: one struct
     column `__s{j}` per subspace holding the winning (dist, c, r0, r1)
     — `array_min` over structs is lexicographic, i.e. argmin by
@@ -2884,12 +2885,13 @@ def _pqf_assign(embeddings: DataFrame, books: list[list[list[float]]],
 
     base = (embeddings.select(id_col, vec_col)
             .withColumn("__norm", l2_norm(F.col(vec_col))))
+    keep = [vec_col] if keep_vec else []
     comps = [
         f"CAST(element_at({vec_col}, {2 * j + k + 1}) AS DOUBLE) / __norm"
         f" AS __e{j}_{k}"
         for j in range(len(books)) for k in (0, 1)
     ]
-    base = base.selectExpr(id_col, *comps)
+    base = base.selectExpr(id_col, *keep, *comps)
     subs = []
     for j, book in enumerate(books):
         structs = ", ".join(
@@ -2899,7 +2901,7 @@ def _pqf_assign(embeddings: DataFrame, books: list[list[list[float]]],
             f"'c', {c}, 'r0', {d(r0)}, 'r1', {d(r1)})"
             for c, (r0, r1) in enumerate(book))
         subs.append(f"array_min(array({structs})) AS __s{j}")
-    return base.selectExpr(id_col, *subs)
+    return base.selectExpr(id_col, *keep, *subs)
 
 
 def topk_cosine_pq_fixed(embeddings: DataFrame, queries: DataFrame,
@@ -3349,21 +3351,52 @@ def hybrid_rrf_three(documents: DataFrame,
     the entry stays value-hash-checkable end-to-end — the point where
     a trained-PQ third system would demote the whole fusion to
     rows-only."""
+    from hive_exporter_spark.functions.vectors import cosine_similarity
+
     lex = (lexical_topk(documents, k, n_queries, shingle_k)
            .select("query_id", "neighbor_id",
                    F.col("lex_rank").alias("rank")))
-    # The query frame feeds BOTH dense arms — checkpoint it so the
-    # second arm reuses the materialized rows instead of re-scanning
-    # the embeddings parquet for the same 50-row filter. The two
-    # CORPUS passes stay: exact-cosine and PQ-reconstructed cosine
-    # are independent rankers by design (dismissed as two-relation
-    # crosscheck in the registry audit).
+    # The two dense arms are independent RANKERS but not independent
+    # SCANS (r10 verdict item 4): one corpus pass computes BOTH the
+    # exact-cosine and the PQ-reconstructed score — the PQ encode is
+    # map-only column algebra riding the same scan (keep_vec keeps
+    # the raw vector beside the reconstruction) — then the two
+    # rankings derive from two row_number windows over the same
+    # query_id partitioning (one exchange, two sorts). Each score
+    # expression is byte-identical to its standalone operator
+    # (`topk_cosine` / `topk_cosine_pq_fixed`), so the fused output —
+    # which consumes only the ranks — hashes identically; the oracle
+    # is unchanged.
     qs = (embeddings.where(F.col("vec_id") < n_queries)
           .localCheckpoint(eager=False))
-    vec = topk_cosine(embeddings, qs, k) \
-        .select("query_id", "neighbor_id", "rank")
-    pqf = topk_cosine_pq_fixed(embeddings, qs, k) \
-        .select("query_id", "neighbor_id", "rank")
+    books = _portable_codebooks(42, PQ_M, PQF_K, 2)
+    enc = _pqf_assign(embeddings, books, "vec_id", "embedding",
+                      keep_vec=True)
+    recon = "array(" + ", ".join(
+        f"__s{j}.r0, __s{j}.r1" for j in range(PQ_M)) + ") AS recon"
+    corpus = enc.selectExpr("vec_id AS neighbor_id",
+                            "embedding AS nvec", recon)
+    q = F.broadcast(qs.select(F.col("vec_id").alias("query_id"),
+                              F.col("embedding").alias("qvec")))
+    scored = (corpus.join(q, F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("score_vec", cosine_similarity("qvec", "nvec"))
+              .withColumn("score_pqf", cosine_similarity("qvec", "recon"))
+              # drop the arrays BEFORE the window exchange: only the
+              # two scalar scores ride the shuffle
+              .select("query_id", "neighbor_id", "score_vec",
+                      "score_pqf"))
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("score_vec").desc(), F.col("neighbor_id"))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("score_pqf").desc(), F.col("neighbor_id"))
+    both = (scored.withColumn("rank_vec", F.row_number().over(wv))
+            .withColumn("rank_pqf", F.row_number().over(wp))
+            .where((F.col("rank_vec") <= k) | (F.col("rank_pqf") <= k))
+            .localCheckpoint(eager=False))
+    vec = both.where(F.col("rank_vec") <= k).select(
+        "query_id", "neighbor_id", F.col("rank_vec").alias("rank"))
+    pqf = both.where(F.col("rank_pqf") <= k).select(
+        "query_id", "neighbor_id", F.col("rank_pqf").alias("rank"))
     return rrf_fuse([("lex", lex), ("vec", vec), ("pqf", pqf)],
                     k, rrf_k)
 

@@ -2598,11 +2598,30 @@ def leakage_safe_split(documents: DataFrame,
 
     pairs = (ngram_jaccard_pairs(documents).select("doc_a", "doc_b")
              .localCheckpoint(eager=False))
-    rank = (F.when(F.col("split") == "train", 0)
-             .when(F.col("split") == "val", 1).otherwise(2))
     sp = (train_val_test_split(documents, id_col=id_col)
-          .select(F.col(id_col), "split").withColumn("__r", rank)
+          .select(F.col(id_col), "split")
+          .withColumn("__r", split_rank())
           .localCheckpoint(eager=False))
+    drops = leakage_drop_ids(pairs, sp, id_col)
+    return (sp.join(drops, sp[id_col] == F.col("__doc"), "left_anti")
+            .select(id_col, "split").orderBy(id_col))
+
+
+def split_rank():
+    """train < val < test as an int Column over a `split` column —
+    the ordering the leakage drop rule compares."""
+    return (F.when(F.col("split") == "train", 0)
+             .when(F.col("split") == "val", 1).otherwise(2))
+
+
+def leakage_drop_ids(pairs: DataFrame, sp: DataFrame,
+                     id_col: str = "doc_id") -> DataFrame:
+    """The survivor-aware drop set behind `leakage_safe_split`,
+    factored out so the streaming face applies the IDENTICAL algebra
+    to its in-batch pairs: given undirected near-dup `pairs`
+    (doc_a, doc_b) and assignments `sp` (id, split, __r), return the
+    ids (column `__doc`) to drop — val docs with a train partner,
+    test docs with a train partner or a SURVIVING val partner."""
     edges = (pairs.select(F.col("doc_a").alias("__doc"),
                           F.col("doc_b").alias("__partner"))
              .unionAll(pairs.select(F.col("doc_b").alias("__doc"),
@@ -2624,9 +2643,7 @@ def leakage_safe_split(documents: DataFrame,
                 .join(val_drops.select(F.col("__doc").alias("__partner")),
                       "__partner", "left_anti")
                 .select("__doc"))
-    drops = val_drops.unionAll(test_train).unionAll(test_val).distinct()
-    return (sp.join(drops, sp[id_col] == F.col("__doc"), "left_anti")
-            .select(id_col, "split").orderBy(id_col))
+    return val_drops.unionAll(test_train).unionAll(test_val).distinct()
 
 
 def _q_leakage_safe_split(spark, sf):

@@ -23,6 +23,9 @@ from hive_exporter_spark.streaming.streams import (
     corpus_dedup_stream,
     near_dedup_stream,
     near_dedup_state_step,
+    bloom_health,
+    leakage_split_state_step,
+    leakage_safe_split_stream,
     compact_near_dedup_state,
     compact_near_dedup_generation,
     run_generation_compact,
@@ -40,6 +43,9 @@ __all__ = [
     "corpus_dedup_stream",
     "near_dedup_stream",
     "near_dedup_state_step",
+    "bloom_health",
+    "leakage_split_state_step",
+    "leakage_safe_split_stream",
     "compact_near_dedup_state",
     "compact_near_dedup_generation",
     "run_generation_compact",

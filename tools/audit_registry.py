@@ -118,10 +118,11 @@ DISMISSALS: dict[str, dict[str, str]] = {
     "embedding_topk_cosine_pq_fixed": {"repeated_scan": R_TWO_REL},
     "embedding_topk_cosine_same_label": {"repeated_scan": R_TWO_REL},
     "hybrid_rrf_topk": {"repeated_scan": R_TWO_REL},
-    # queries-vs-corpus over one fixture table, ×2 independent dense
-    # rankers (exact cosine + PQ-reconstructed cosine) fused by RRF —
-    # the corpus passes are the crosscheck semantics, the query side
-    # is checkpointed once.
+    # queries-vs-corpus over one fixture table; as of r11 the two
+    # dense rankers (exact cosine + PQ-reconstructed cosine) share
+    # ONE corpus pass (both scores computed on the same scan, two
+    # window ranks over one exchange) — the remaining repeat is the
+    # standard queries-vs-corpus two-relation shape.
     "hybrid_rrf_three": {"repeated_scan": R_TWO_REL},
     # -- single_partition_exchange: design-bounded frames -------------
     "daily_revenue_moving_avg": {"single_partition_exchange": R_BOUNDED_WIN},

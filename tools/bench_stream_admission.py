@@ -72,18 +72,50 @@ def synth_batch(spark, lo: int, hi: int, dup_share: float, tokens: int):
     ).localCheckpoint()
 
 
+SEED_ID_BASE = 10 ** 9   # seed ids never collide with measured ids
+
+
 def run_layout(spark, batches, layout: str, workdir: str,
-               bloom_bits: int, compact_every: int = 0):
+               bloom_bits: int, compact_every: int = 0,
+               seed_docs: int = 0, seed_chunk: int = 500_000,
+               dup_share: float = 0.05, tokens: int = 30):
     from hive_exporter_spark.streaming.state import init_state_root
     from hive_exporter_spark.streaming.streams import (
         compact_near_dedup_generation, near_dedup_state_step)
 
     root = os.path.join(workdir, layout)
-    if layout == "partitioned":
-        init_state_root(root)
+    init_state_root(root)
     bloom_state: dict = {"dense": None, "bands_dense": None}
     rows = []
     admitted_ids = set()
+    if seed_docs:
+        # Pre-build an N-doc standing corpus THROUGH the same step
+        # (chunked to bound driver memory), then compact it — the
+        # realistic steady state a long-lived stream reaches. This is
+        # what lets the bench measure per-batch cost at corpus size N
+        # without paying N/batch-size warm-up batches per layout.
+        t0 = time.time()
+        lo = SEED_ID_BASE
+        while lo < SEED_ID_BASE + seed_docs:
+            hi = min(lo + seed_chunk, SEED_ID_BASE + seed_docs)
+            chunk = synth_batch(spark, lo, hi, dup_share, tokens)
+            near_dedup_state_step(chunk, root, None, layout=layout,
+                                  bloom_state=bloom_state,
+                                  bloom_bits=bloom_bits)
+            chunk.unpersist()
+            lo = hi
+            # 20 rapid chunks outrun the ContextCleaner: drop Python
+            # refs and nudge both GCs so checkpoint blocks/broadcasts
+            # actually free (measured driver OOM without this).
+            import gc
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        name, n_dig, n_band = compact_near_dedup_generation(spark, root)
+        print(json.dumps({"layout": layout, "seeded": seed_docs,
+                          "generation": name, "n_digests": n_dig,
+                          "n_band_rows": n_band,
+                          "wall_sec": round(time.time() - t0, 3)}),
+              file=sys.stderr)
     for i, b in enumerate(batches):
         t0 = time.time()
         admitted, stats = near_dedup_state_step(
@@ -100,6 +132,10 @@ def run_layout(spark, batches, layout: str, workdir: str,
             "n_parts_touched": stats["n_parts_touched"],
             "state_rows_materialized":
                 stats["state_rows_materialized"],
+            "sig_rows_materialized":
+                stats.get("sig_rows_materialized"),
+            "digest_bloom_fill": stats.get("digest_bloom_fill"),
+            "band_bloom_fill": stats.get("band_bloom_fill"),
         })
         print(json.dumps(rows[-1]), file=sys.stderr)
         if (compact_every and layout == "partitioned"
@@ -125,6 +161,12 @@ def main() -> int:
     ap.add_argument("--compact-every", type=int, default=0,
                     help="partitioned only: run the generation "
                     "compact every N batches (0 = never)")
+    ap.add_argument("--seed-docs", type=int, default=0,
+                    help="pre-build (and compact) an N-doc standing "
+                    "corpus through the step before the measured "
+                    "batches — per-batch cost at corpus size N "
+                    "without N/batch warm-up batches")
+    ap.add_argument("--seed-chunk", type=int, default=500_000)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -134,23 +176,29 @@ def main() -> int:
     # checkpointed batches AND every broadcast — size it for the
     # corpus this bench builds (must be set before the JVM starts).
     spark = build_session("bench-stream-admission", extra_conf={
-        "spark.driver.memory": "8g"})
+        "spark.driver.memory": "16g",
+        "spark.cleaner.periodicGC.interval": "1min"})
     # Size the blooms for the corpus this bench builds (~12 bits/doc;
     # the band-key filter is automatically bands x larger inside the
     # step). An undersized filter saturates and every partition reads
     # as touched — measured here before this line existed.
-    bloom_bits = 1 << max(20, (args.docs * 12).bit_length())
+    bloom_bits = 1 << max(
+        20, ((args.docs + args.seed_docs) * 12).bit_length())
     per = args.docs // args.batches
     batches = [synth_batch(spark, i * per, (i + 1) * per,
                            args.dup_share, args.tokens)
                for i in range(args.batches)]
     workdir = tempfile.mkdtemp(prefix="stream_admission_bench_")
     try:
-        flat_rows, flat_ids = run_layout(spark, batches, "flat",
-                                         workdir, bloom_bits)
+        flat_rows, flat_ids = run_layout(
+            spark, batches, "flat", workdir, bloom_bits,
+            seed_docs=args.seed_docs, seed_chunk=args.seed_chunk,
+            dup_share=args.dup_share, tokens=args.tokens)
         part_rows, part_ids = run_layout(
             spark, batches, "partitioned", workdir, bloom_bits,
-            compact_every=args.compact_every)
+            compact_every=args.compact_every,
+            seed_docs=args.seed_docs, seed_chunk=args.seed_chunk,
+            dup_share=args.dup_share, tokens=args.tokens)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
     if flat_ids != part_ids:
@@ -173,6 +221,7 @@ def main() -> int:
     result = {
         "metric": "stream_admission_per_batch",
         "docs": args.docs, "batches": args.batches,
+        "seed_docs": args.seed_docs,
         "dup_share": args.dup_share, "bloom_bits": bloom_bits,
         "compact_every": args.compact_every,
         "rows": flat_rows + part_rows,
