@@ -805,7 +805,10 @@ def main(argv: list[str] | None = None) -> int:
             for label, key in (("digests", "__digest"),
                                ("signatures", "doc_id"),
                                ("bands", "doc_id"),
-                               ("sigs", "doc_id")):
+                               ("sigs", "doc_id"),
+                               ("digests_delta", "__digest"),
+                               ("bands_delta", "doc_id"),
+                               ("sigs_delta", "doc_id")):
                 p = _os.path.join(live, label)
                 try:
                     df = spark.read.parquet(p)
@@ -856,7 +859,9 @@ def main(argv: list[str] | None = None) -> int:
                   file=sys.stderr)
             return 2
         if any(_os.path.exists(_os.path.join(args.output, t))
-               for t in ("digests", "signatures", "bands")):
+               for t in ("digests", "signatures", "bands",
+                         "digests_delta", "bands_delta",
+                         "sigs_delta")):
             print("error: output already holds state tables — compact "
                   "writes a FRESH blue/green dir; pick an empty path",
                   file=sys.stderr)

@@ -339,6 +339,10 @@ NEAR_ISIN_VALUE_CAP = 20_000
 # (tools/bench_stream_admission.py artifacts) justifies flipping it —
 # flat is strictly faster below ~a few million standing docs.
 NEAR_DEFAULT_NEW_LAYOUT = "flat"
+# Bloom sidecar filenames (written into each generation by the
+# compact; loaded by the state step instead of a full-table rebuild).
+BLOOM_SIDECAR_DIGESTS = "_bloom_digests.bin"
+BLOOM_SIDECAR_BANDS = "_bloom_bands.bin"
 
 
 def _digest_partition(digest_col, digest_mod: int):
@@ -432,6 +436,14 @@ def _write_layout_manifest(root: str, manifest: dict) -> None:
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, sort_keys=True)
     os.replace(tmp, os.path.join(root, LAYOUT_MANIFEST))
+
+
+def _write_sidecar(path: str, dense: bytes) -> None:
+    """Atomically persist a dense bloom sidecar (temp + os.replace)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(dense)
+    os.replace(tmp, path)
 
 
 def _dir_bytes(path: str) -> int:
@@ -583,6 +595,16 @@ def near_dedup_state_step(
     sig_dir = os.path.join(root, "signatures")
     bands_dir = os.path.join(root, "bands")
     sigs_dir = os.path.join(root, "sigs")
+    # LSM delta areas (partitioned layout, r11): per-batch appends
+    # land here as ONE small file per table per batch instead of one
+    # file per touched partition directory (256/batch — measured as
+    # the dominant per-batch slope at a 10M-doc standing corpus:
+    # every batch re-opened every prior batch's footers). Deltas are
+    # always read in full (they are bounded by the compact cadence)
+    # and fold into the partitioned tables at generation compact.
+    digest_delta = os.path.join(root, "digests_delta")
+    bands_delta = os.path.join(root, "bands_delta")
+    sigs_delta = os.path.join(root, "sigs_delta")
 
     def _guard_generation(when: str) -> None:
         # A compact that flips _CURRENT while this batch is in flight
@@ -609,7 +631,7 @@ def near_dedup_state_step(
         # through to the documented default. Re-sniffed per batch, so
         # a flat->partitioned generation migration (compact
         # to_layout=) is picked up on the next micro-batch.
-        if os.path.isdir(bands_dir):
+        if os.path.isdir(bands_dir) or os.path.isdir(bands_delta):
             layout = "partitioned"
         elif os.path.isdir(sig_dir):
             layout = "flat"
@@ -617,7 +639,8 @@ def near_dedup_state_step(
             layout = NEAR_DEFAULT_NEW_LAYOUT
     # Layout/dir mismatch re-admits silently (the other layout's state
     # would simply never be read) — fail loudly instead.
-    if layout == "flat" and os.path.isdir(bands_dir):
+    if layout == "flat" and (os.path.isdir(bands_dir)
+                             or os.path.isdir(bands_delta)):
         raise ValueError(
             f"{root} holds partitioned band state but layout='flat' "
             "was requested — flat mode would ignore it and re-admit "
@@ -745,20 +768,44 @@ def near_dedup_state_step(
             pass
     probe_bcs: list = bloom_state.setdefault("_probe_bcs", [])
 
-    try:
-        seen_all = spark.read.parquet(digest_dir).select("__digest")
-        seen_all.schema  # force the read to resolve
-    except AnalysisException:
-        seen_all = None
-    try:
-        keys_all = spark.read.parquet(bands_dir).select(
-            F.concat_ws(":", "band", "bucket").alias("__k"))
-    except AnalysisException:
-        keys_all = None
+    def _try_read(path, sel):
+        try:
+            df = sel(spark.read.parquet(path))
+            df.schema  # force the read to resolve
+            return df
+        except AnalysisException:
+            return None
+
+    def _union_opt(a, b):
+        if a is None:
+            return b
+        return a if b is None else a.unionByName(b)
+
+    key_sel = (lambda d: d.select(
+        F.concat_ws(":", "band", "bucket").alias("__k")))
+    seen_main = _try_read(digest_dir, lambda d: d.select("__digest"))
+    seen_delta_df = _try_read(digest_delta,
+                              lambda d: d.select("__digest"))
+    seen_all = _union_opt(seen_main, seen_delta_df)
+    keys_main = _try_read(bands_dir, key_sel)
+    keys_delta_df = _try_read(bands_delta, key_sel)
+    keys_all = _union_opt(keys_main, keys_delta_df)
+    # Bloom SIDECARS (written by the generation compact): the filters
+    # over the compacted tables, precomputed where the full scan
+    # already happened — loading them turns the post-switch rebuild
+    # (40 s at a 10M-doc corpus, measured) into a file read plus a
+    # delta-only OR (deltas are compact-cadence-bounded), with the
+    # exactness contract intact: sidecar covers the compacted rows,
+    # the delta build covers everything appended since.
+    side_d = os.path.join(root, BLOOM_SIDECAR_DIGESTS)
+    side_b = os.path.join(root, BLOOM_SIDECAR_BANDS)
     if "m_bits" not in bloom_state:
         if bloom_bits is not None:
             bloom_state["m_bits"] = int(bloom_bits)
             bloom_state["m2_bits"] = int(bloom_bits) * n_bands
+        elif os.path.isfile(side_d) and os.path.isfile(side_b):
+            bloom_state["m_bits"] = os.path.getsize(side_d) * 8
+            bloom_state["m2_bits"] = os.path.getsize(side_b) * 8
         else:
             # Auto-size from the standing tables' true counts (parquet
             # footer counts — one metadata job per filter build).
@@ -781,18 +828,33 @@ def near_dedup_state_step(
     lit_d = m <= LITERAL_PROBE_MAX_BITS
     lit_b = m2 <= LITERAL_PROBE_MAX_BITS
 
-    def _init_filter(src_df, col, bits, dense_key):
-        if bloom_state[dense_key] is None:
-            if src_df is not None:
-                bloom_state[dense_key] = bytearray(collect_bloom(
-                    bloom_bitmap(src_df, col, bits,
-                                 NEAR_BLOOM_HASHES), bits))
-            else:
-                bloom_state[dense_key] = bytearray((bits + 7) // 8)
+    def _init_filter(src_df, delta_df, col, bits, dense_key, sidecar):
+        if bloom_state[dense_key] is not None:
+            return
+        if (os.path.isfile(sidecar)
+                and os.path.getsize(sidecar) * 8 == bits):
+            with open(sidecar, "rb") as fh:
+                dense = bytearray(fh.read())
+            if delta_df is not None:   # bits for post-compact appends
+                delta = collect_bloom(bloom_bitmap(
+                    delta_df, col, bits, NEAR_BLOOM_HASHES), bits)
+                merged = (int.from_bytes(dense, "little")
+                          | int.from_bytes(delta, "little"))
+                dense = bytearray(merged.to_bytes(len(dense),
+                                                  "little"))
+            bloom_state[dense_key] = dense
+        elif src_df is not None:
+            bloom_state[dense_key] = bytearray(collect_bloom(
+                bloom_bitmap(src_df, col, bits,
+                             NEAR_BLOOM_HASHES), bits))
+        else:
+            bloom_state[dense_key] = bytearray((bits + 7) // 8)
 
     _mark("bloom_build_setup")
-    _init_filter(seen_all, "__digest", m, "dense")
-    _init_filter(keys_all, "__k", m2, "bands_dense")
+    _init_filter(seen_all, seen_delta_df, "__digest", m, "dense",
+                 side_d)
+    _init_filter(keys_all, keys_delta_df, "__k", m2, "bands_dense",
+                 side_b)
     _mark("bloom_init")
     fresh = batch_df.withColumn(
         "__digest", F.sha2(F.col(text_col), 256)).localCheckpoint()
@@ -840,21 +902,32 @@ def near_dedup_state_step(
     else:
         hit_dps = sorted({r["dp"] for r in hit_rows})
         hit_digests = sorted(r["__digest"] for r in hit_rows)
+    def _digest_value_prune(df):
+        if hit_digests is not None:
+            return df.where(F.col("__digest").isin(hit_digests))
+        if hit_digests_df is not None:
+            return df.join(F.broadcast(hit_digests_df), "__digest",
+                           "left_semi")
+        return df
+
     seen_pruned = None
     if hit_dps:
         try:
-            seen_pruned = (spark.read.parquet(digest_dir)
-                           .where(F.col("dp").isin(hit_dps)))
-            if hit_digests is not None:
-                seen_pruned = seen_pruned.where(
-                    F.col("__digest").isin(hit_digests))
-            elif hit_digests_df is not None:
-                seen_pruned = seen_pruned.join(
-                    F.broadcast(hit_digests_df), "__digest",
-                    "left_semi")
-            seen_pruned = seen_pruned.select("__digest")
+            seen_pruned = _digest_value_prune(
+                spark.read.parquet(digest_dir)
+                .where(F.col("dp").isin(hit_dps))).select("__digest")
         except AnalysisException:
             seen_pruned = None
+    if hit_rows:
+        # the delta is small (bounded by the compact cadence) and has
+        # no dp dirs — value-prune it and union with the main table
+        try:
+            seen_delta = _digest_value_prune(
+                spark.read.parquet(digest_delta)).select("__digest")
+            seen_pruned = seen_delta if seen_pruned is None else \
+                seen_pruned.unionByName(seen_delta)
+        except AnalysisException:
+            pass
     hit_clean = hit if seen_pruned is None else \
         hit.join(seen_pruned, "__digest", "left_anti")
     exact_fresh = miss.unionByName(hit_clean).drop("__digest") \
@@ -947,10 +1020,25 @@ def near_dedup_state_step(
                 # broadcast semi-join on the distributed hit-key set
                 pruned = pruned.join(F.broadcast(bkeys_hit_df),
                                      ["band", "bucket"], "left_semi")
-            pruned = pruned.select("doc_id", "band", "bucket") \
-                .localCheckpoint(eager=False)
+            pruned = pruned.select("doc_id", "band", "bucket")
         except AnalysisException:
             pruned = None
+        try:
+            # delta rows have no dirs to prune — semi-join the
+            # (batch-bounded) hit-key set; the delta's size is
+            # bounded by the compact cadence
+            hkeys = bkeys_hit_df if bkeys_hit_df is not None else \
+                bkeys_hit.select("band", "bucket")
+            delta_hits = (spark.read.parquet(bands_delta)
+                          .join(F.broadcast(hkeys),
+                                ["band", "bucket"], "left_semi")
+                          .select("doc_id", "band", "bucket"))
+            pruned = delta_hits if pruned is None else \
+                pruned.unionByName(delta_hits)
+        except AnalysisException:
+            pass
+        if pruned is not None:
+            pruned = pruned.localCheckpoint(eager=False)
     if pruned is not None:
         # Witness cap BEFORE the signature fetch: near_admit re-caps
         # internally (idempotent — same deterministic window), but
@@ -980,24 +1068,35 @@ def near_dedup_state_step(
             cand_ids = None
             sp_vals = sorted({r["sp"] for r in cand_rows})
             cand_isin = sorted(r["doc_id"] for r in cand_rows)
+        def _sig_value_prune(df):
+            if cand_isin is not None:
+                return df.where(F.col("doc_id").isin(cand_isin))
+            return df.join(F.broadcast(cand_ids), "doc_id",
+                           "left_semi")
+
         if sp_vals:
             try:
-                csigs = spark.read.parquet(sigs_dir).where(
-                    F.col("sp").isin(sp_vals))
-                if cand_isin is not None:
-                    csigs = csigs.where(F.col("doc_id").isin(cand_isin))
-                else:
-                    csigs = csigs.join(F.broadcast(cand_ids),
-                                       "doc_id", "left_semi")
-                csigs = csigs.select("doc_id", "signature") \
-                    .dropDuplicates(["doc_id"]) \
-                    .localCheckpoint(eager=False)
+                csigs = _sig_value_prune(
+                    spark.read.parquet(sigs_dir)
+                    .where(F.col("sp").isin(sp_vals))) \
+                    .select("doc_id", "signature")
             except AnalysisException:
                 # sigs table missing for these docs (crash between
                 # the sigs and bands writes): candidates cannot be
                 # confirmed -> legitimately re-admitted, the
                 # at-least-once heal.
                 csigs = None
+            try:
+                sig_d = _sig_value_prune(
+                    spark.read.parquet(sigs_delta)) \
+                    .select("doc_id", "signature")
+                csigs = sig_d if csigs is None else \
+                    csigs.unionByName(sig_d)
+            except AnalysisException:
+                pass
+            if csigs is not None:
+                csigs = csigs.dropDuplicates(["doc_id"]) \
+                    .localCheckpoint(eager=False)
     _mark("candidates_and_sigs")
     admitted, _ = near_admit(
         exact_fresh, None, csigs, cband, slots=n_slots, bands=n_bands,
@@ -1013,11 +1112,18 @@ def near_dedup_state_step(
             for b, p in touched)
         eligible += sum(_dir_bytes(os.path.join(sigs_dir, f"sp={v}"))
                         for v in sp_vals)
+        # deltas are read in full whenever their screen fires
+        if hit_rows:
+            eligible += _dir_bytes(digest_delta)
+        if touched:
+            eligible += _dir_bytes(bands_delta) + _dir_bytes(sigs_delta)
         stats = {
             "layout": "partitioned",
             "state_bytes_eligible": eligible,
             "state_bytes_total": _dir_bytes(digest_dir)
-            + _dir_bytes(bands_dir) + _dir_bytes(sigs_dir),
+            + _dir_bytes(bands_dir) + _dir_bytes(sigs_dir)
+            + _dir_bytes(digest_delta) + _dir_bytes(bands_delta)
+            + _dir_bytes(sigs_delta),
             "n_parts_touched": len(hit_dps) + len(touched)
             + len(sp_vals),
             "n_parts_total": digest_mod + n_bands * bucket_mod
@@ -1074,38 +1180,33 @@ def near_dedup_state_step(
     # KB-sized files per batch whose parquet footers dominate both
     # the write and every later scan. One batch-sized shuffle buys
     # one file per touched directory per batch.
+    # All appends go to the LSM DELTA areas as ONE file per table per
+    # batch (coalesce(1), no repartition shuffle): appending straight
+    # into the partitioned dirs emitted one file per touched
+    # directory per batch (~256), and re-reading those footers every
+    # batch was the measured per-batch slope at a 10M-doc corpus.
+    # The generation compact folds deltas into the partitioned bulk.
+    # Same crash-window ORDER as ever:
     # (1) digests of signature-less admitted docs FIRST — skipped
-    # entirely when every admitted doc is signed (the common case:
-    # one count job is cheaper than an empty partitioned write, and
-    # dp dirs then grow ONE file per batch instead of two, which is
-    # what the digest screen's read cost tracks)
+    # entirely when every admitted doc is signed (the common case)
     sigless = admitted.join(signed, admitted[id_col] == F.col("__sid"),
                             "left_anti")
     if sigless.limit(1).count():
-        (sigless.select(digest)
-         .withColumn("dp",
-                     _digest_partition(F.col("__digest"), digest_mod))
-         .repartition("dp")
-         .write.partitionBy("dp").mode("append").parquet(digest_dir))
-    # (2) signatures ONCE per admitted doc @ sp (v2: the signature no
+        (sigless.select(digest).coalesce(1)
+         .write.mode("append").parquet(digest_delta))
+    # (2) signatures ONCE per admitted doc (v2: the signature no
     # longer rides in every band row — 1x instead of bands x bytes)
     (bsigs.join(adm_ids, "doc_id")
-     .withColumn("sp", _sig_partition(F.col("doc_id"), sig_mod))
-     .select("doc_id", "signature", "sp")
-     .repartition("sp")
-     .write.partitionBy("sp").mode("append").parquet(sigs_dir))
-    # (3) slim band-key rows (doc_id, bucket) @ (band, bp)
+     .select("doc_id", "signature").coalesce(1)
+     .write.mode("append").parquet(sigs_delta))
+    # (3) slim band-key rows (doc_id, bucket, band)
     (bband.join(adm_ids, "doc_id", "left_semi")
-     .withColumn("bp", F.pmod(F.col("bucket"), F.lit(int(bucket_mod))))
-     .select("doc_id", "bucket", "band", "bp")
-     .repartition("band", "bp")
-     .write.partitionBy("band", "bp").mode("append").parquet(bands_dir))
+     .select("doc_id", "bucket", "band").coalesce(1)
+     .write.mode("append").parquet(bands_delta))
     # (4) digests of the signed admitted docs
     (admitted.join(signed, admitted[id_col] == F.col("__sid"),
-                   "left_semi").select(digest)
-     .withColumn("dp", _digest_partition(F.col("__digest"), digest_mod))
-     .repartition("dp")
-     .write.partitionBy("dp").mode("append").parquet(digest_dir))
+                   "left_semi").select(digest).coalesce(1)
+     .write.mode("append").parquet(digest_delta))
     _mark("state_writes")
     if _prof_on:
         import json as _json
@@ -1314,15 +1415,19 @@ def compact_near_dedup_state(spark: SparkSession, src_dir: str,
     s_src = _os.path.join(src_dir, "signatures")
     b_src = _os.path.join(src_dir, "bands")
     g_src = _os.path.join(src_dir, "sigs")
-    if _os.path.isdir(s_src) and _os.path.isdir(b_src):
+    dd_src = _os.path.join(src_dir, "digests_delta")
+    bd_src = _os.path.join(src_dir, "bands_delta")
+    gd_src = _os.path.join(src_dir, "sigs_delta")
+    has_bands = _os.path.isdir(b_src) or _os.path.isdir(bd_src)
+    if _os.path.isdir(s_src) and has_bands:
         raise ValueError(
             f"{src_dir} holds BOTH flat signatures/ and partitioned "
             "bands/ state — corrupt layout, refusing to guess which "
             "is live")
-    partitioned = _os.path.isdir(b_src) or to_layout == "partitioned"
+    partitioned = has_bands or to_layout == "partitioned"
     if to_layout not in (None, "partitioned"):
         raise ValueError(f"unknown to_layout {to_layout!r}")
-    if to_layout == "partitioned" and _os.path.isdir(b_src):
+    if to_layout == "partitioned" and has_bands:
         to_layout = None   # already partitioned: a plain compact
     d_dst = _os.path.join(dst_dir, "digests")
     s_dst = _os.path.join(dst_dir, "bands" if partitioned
@@ -1333,19 +1438,31 @@ def compact_near_dedup_state(spark: SparkSession, src_dir: str,
     # (either order, across versions), and compaction must carry the
     # surviving tables over rather than die half-written.
     n_dig = n_sig = 0
-    try:
-        dig = spark.read.parquet(d_src).select("__digest").distinct()
-    except AnalysisException:
-        dig = None
+
+    def _read_opt(path, sel):
+        try:
+            return sel(spark.read.parquet(path))
+        except AnalysisException:
+            return None
+
+    def _union_opt(a, b):
+        if a is None:
+            return b
+        return a if b is None else a.unionByName(b)
+
+    dig = _union_opt(
+        _read_opt(d_src, lambda d: d.select("__digest")),
+        _read_opt(dd_src, lambda d: d.select("__digest")))
+    if dig is not None:
+        dig = dig.distinct()
     sig_tbl = None        # (doc_id, signature), one row per doc
-    band = None           # slim (doc_id, bucket, band, bp)
+    band = None           # slim (doc_id, bucket, band)
     v1_source = False
     if _os.path.isdir(b_src):
         try:
             band_raw = spark.read.parquet(b_src)
             v1_source = "signature" in band_raw.columns
-            band = band_raw.dropDuplicates(["doc_id", "band"]) \
-                .select("doc_id", "bucket", "band", "bp")
+            band = band_raw.select("doc_id", "bucket", "band")
             if v1_source:
                 # v1 -> v2 migration: extract the signature ONCE per
                 # doc out of the band rows (bit-identical replicas).
@@ -1353,14 +1470,20 @@ def compact_near_dedup_state(spark: SparkSession, src_dir: str,
                     .dropDuplicates(["doc_id"])
         except AnalysisException:
             band = None
+    # fold the LSM delta appends into the compacted bulk
+    band = _union_opt(band, _read_opt(
+        bd_src, lambda d: d.select("doc_id", "bucket", "band")))
+    if band is not None:
+        band = band.dropDuplicates(["doc_id", "band"])
     if sig_tbl is None:
-        src = g_src if _os.path.isdir(b_src) else s_src
-        try:
-            sig_tbl = spark.read.parquet(src) \
-                .select("doc_id", "signature") \
-                .dropDuplicates(["doc_id"])
-        except AnalysisException:
-            sig_tbl = None
+        src = g_src if has_bands else s_src
+        sig_tbl = _read_opt(src, lambda d: d.select(
+            "doc_id", "signature"))
+    if has_bands:
+        sig_tbl = _union_opt(sig_tbl, _read_opt(
+            gd_src, lambda d: d.select("doc_id", "signature")))
+    if sig_tbl is not None:
+        sig_tbl = sig_tbl.dropDuplicates(["doc_id"])
     if dig is None and sig_tbl is None and band is None:
         # ALL absent is not a crash window — it's a typo'd src_dir,
         # and silently returning (0, 0) would tell the caller to
@@ -1381,7 +1504,7 @@ def compact_near_dedup_state(spark: SparkSession, src_dir: str,
     if band is not None:
         band = band.localCheckpoint()
     manifest = None
-    if _os.path.isdir(b_src):
+    if has_bands:
         manifest = _read_layout_manifest(src_dir)
         if manifest is None:
             raise ValueError(
@@ -1408,10 +1531,7 @@ def compact_near_dedup_state(spark: SparkSession, src_dir: str,
                 manifest["slots"] = int(first["n"])
             band = (_minhash_banded(sig_tbl, manifest["slots"],
                                     manifest["bands"])
-                    .withColumn("bp", F.pmod(
-                        F.col("bucket"),
-                        F.lit(int(manifest["bucket_mod"]))))
-                    .select("doc_id", "bucket", "band", "bp")
+                    .select("doc_id", "bucket", "band")
                     .localCheckpoint())
     if dig is not None:
         if partitioned:
@@ -1432,8 +1552,12 @@ def compact_near_dedup_state(spark: SparkSession, src_dir: str,
             # pushes `bucket IN (hit keys)` into its scan, and sorted
             # row groups give that predicate min/max stats to skip
             # I/O with — the compacted bulk is pruned at row-group
-            # granularity, only post-compact appends scan in full.
-            (band.repartition("band", "bp")
+            # granularity, only post-compact delta appends scan in
+            # full (bp recomputed here: delta rows carry none, and it
+            # is a pure function of the bucket).
+            (band.withColumn("bp", F.pmod(
+                F.col("bucket"), F.lit(int(manifest["bucket_mod"]))))
+             .repartition("band", "bp")
              .sortWithinPartitions("bucket")
              .write.partitionBy("band", "bp").mode("overwrite")
              .parquet(s_dst))
@@ -1446,6 +1570,30 @@ def compact_near_dedup_state(spark: SparkSession, src_dir: str,
              .repartition("sp").sortWithinPartitions("doc_id")
              .write.partitionBy("sp").mode("overwrite").parquet(g_dst))
         _write_layout_manifest(dst_dir, manifest)
+        # Bloom SIDECARS: the compact just scanned everything, so it
+        # is the right place to pay for the filters the next
+        # generation's batches will load (the step's post-switch
+        # rebuild was 40 s at a 10M-doc corpus) — auto-sized to the
+        # compacted counts, which is exactly the re-size the
+        # generation switch wants (r10 verdict item 1c).
+        from hive_exporter_spark.operators.bloom import (
+            BLOOM_BITS, bloom_bitmap, collect_bloom)
+        if dig is not None:
+            dig_done = spark.read.parquet(d_dst).select("__digest")
+            mb = _auto_bloom_bits(n_dig, BLOOM_BITS)
+            _write_sidecar(
+                _os.path.join(dst_dir, BLOOM_SIDECAR_DIGESTS),
+                collect_bloom(bloom_bitmap(
+                    dig_done, "__digest", mb, NEAR_BLOOM_HASHES), mb))
+        if band is not None:
+            keys_done = spark.read.parquet(s_dst).select(
+                F.concat_ws(":", "band", "bucket").alias("__k"))
+            m2b = _auto_bloom_bits(
+                n_sig, BLOOM_BITS * int(manifest["bands"]))
+            _write_sidecar(
+                _os.path.join(dst_dir, BLOOM_SIDECAR_BANDS),
+                collect_bloom(bloom_bitmap(
+                    keys_done, "__k", m2b, NEAR_BLOOM_HASHES), m2b))
     elif sig_tbl is not None:
         sig_tbl.repartition(target_files) \
             .write.mode("overwrite").parquet(s_dst)

@@ -562,7 +562,9 @@ def test_near_state_cli_pointered_root(spark, tmp_path, capsys):
     assert "generation: gen-000001 (pointered root)" in out
     assert "layout: bands=8 bucket_mod=32 digest_mod=64" in out
     assert "signatures: (absent)" in out
-    assert "bands: rows=160 unique=20" in out
+    # pre-compact, the per-batch appends live in the LSM delta area
+    assert "bands: (absent)" in out
+    assert "bands_delta: rows=160 unique=20" in out
 
     assert cli.main(["near-state", "compact", "-i", root,
                      "-o", str(tmp_path / "nope")]) == 2
@@ -784,3 +786,40 @@ def test_near_state_compact_typoed_src_exits_2(spark, tmp_path,
                      "-i", str(tmp_path / "staet"),
                      "-o", str(tmp_path / "new")]) == 2
     assert "no near-dup state" in capsys.readouterr().err
+
+
+def test_near_state_cli_to_layout_migration(spark, tmp_path, capsys):
+    """`near-state compact --to-layout partitioned` migrates a flat
+    pointered generation into the v2 partitioned layout in one atomic
+    switch; the warning about in-flight batches is echoed."""
+    import os
+
+    from hive_exporter_spark.streaming.state import current_generation
+    from hive_exporter_spark.streaming.streams import (
+        near_dedup_state_step)
+
+    root = str(tmp_path / "root")
+    assert cli.main(["near-state", "init", "-i", root]) == 0
+    capsys.readouterr()
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"m{i}w{j}" for j in range(12)))
+         for i in range(20)], "doc_id long, text string")
+    near_dedup_state_step(docs, root, None, layout="flat")[0].count()
+
+    assert cli.main(["near-state", "compact", "-i", root,
+                     "--to-layout", "partitioned"]) == 0
+    captured = capsys.readouterr()
+    assert "compacted into gen-000002" in captured.out
+    assert "run between micro-batches" in captured.err
+    assert current_generation(root) == "gen-000002"
+    g2 = os.path.join(root, "gen-000002")
+    assert os.path.isdir(os.path.join(g2, "bands"))
+    assert os.path.isdir(os.path.join(g2, "sigs"))
+
+    # the migrated generation screens like native partitioned state
+    bait = docs.orderBy("doc_id").first()["text"]
+    probe = spark.createDataFrame(
+        [(900, bait), (901, "fresh walrus prose entirely new")],
+        "doc_id long, text string")
+    adm, _ = near_dedup_state_step(probe, root, None, layout="auto")
+    assert {r["doc_id"] for r in adm.collect()} == {901}

@@ -1125,13 +1125,22 @@ def test_near_dedup_partitioned_layout_agrees_with_flat(spark, tmp_path,
 
     gen = os.path.join(part_root, "gen-000001")
     assert os.path.isfile(os.path.join(gen, "_layout.json"))
-    band_dirs = [d for d in os.listdir(os.path.join(gen, "bands"))
+    # per-batch appends land in the LSM delta areas...
+    assert os.path.isdir(os.path.join(gen, "bands_delta"))
+    assert os.path.isdir(os.path.join(gen, "sigs_delta"))
+    # ...and the generation compact folds them into partitioned form
+    from hive_exporter_spark.streaming.streams import (
+        compact_near_dedup_generation)
+    name, _nd, _ns = compact_near_dedup_generation(spark, part_root)
+    g2 = os.path.join(part_root, name)
+    band_dirs = [d for d in os.listdir(os.path.join(g2, "bands"))
                  if d.startswith("band=")]
     assert band_dirs
-    bp_dirs = os.listdir(os.path.join(gen, "bands", band_dirs[0]))
+    bp_dirs = os.listdir(os.path.join(g2, "bands", band_dirs[0]))
     assert any(d.startswith("bp=") for d in bp_dirs)
     assert any(d.startswith("dp=") for d in
-               os.listdir(os.path.join(gen, "digests")))
+               os.listdir(os.path.join(g2, "digests")))
+    assert not os.path.isdir(os.path.join(g2, "bands_delta"))
 
     # later run: exact bait + fresh doc, both layouts must agree
     bait = docs.orderBy("doc_id").first()["text"]
@@ -1163,11 +1172,16 @@ def test_near_dedup_partitioned_scan_is_pruned(spark, tmp_path, sf_dir):
     from hive_exporter_spark.streaming.streams import (
         near_dedup_state_step)
 
+    from hive_exporter_spark.streaming.state import resolve_state_dir
+    from hive_exporter_spark.streaming.streams import (
+        compact_near_dedup_generation)
+
     docs, src = _mk_batches(spark, tmp_path, sf_dir)
     root = str(tmp_path / "root")
     init_state_root(root)
     _run_near_stream(spark, src, root, str(tmp_path / "out"),
                      str(tmp_path / "chk"), layout="partitioned")
+    compact_near_dedup_generation(spark, root)
 
     one = spark.createDataFrame(
         [(5000, "one narrow probe document about zebras")],
@@ -1184,7 +1198,7 @@ def test_near_dedup_partitioned_scan_is_pruned(spark, tmp_path, sf_dir):
 
     # plan gate: the OR-of-per-band isin predicate the step builds is
     # partition-pruned, not a post-scan filter
-    gen = os.path.join(root, "gen-000001")
+    gen = resolve_state_dir(root)
     pruned = (spark.read.parquet(os.path.join(gen, "bands"))
               .where(((F.col("band") == 0) & F.col("bp").isin([1, 2]))
                      | ((F.col("band") == 1) & F.col("bp").isin([3]))))
@@ -1372,9 +1386,10 @@ def test_near_dedup_generation_compact_mid_stream(spark, tmp_path,
 
     # replay-duplicate some state rows, then compact under the pointer
     g1 = os.path.join(root, "gen-000001")
-    some = glob.glob(g1 + "/digests/dp=*/part-*")[0]
-    dp_dir = os.path.dirname(some)
-    spark.read.parquet(dp_dir).write.mode("append").parquet(dp_dir)
+    assert glob.glob(g1 + "/digests_delta/part-*")
+    delta_dir = g1 + "/digests_delta"
+    spark.read.parquet(delta_dir).write.mode("append") \
+        .parquet(delta_dir)
     name, n_dig, n_band = compact_near_dedup_generation(spark, root)
     assert name == "gen-000002"
     assert current_generation(root) == "gen-000002"
@@ -1478,10 +1493,11 @@ def test_near_dedup_partitioned_crash_window_self_heals(spark, tmp_path,
 
     def crashing(self, path, *a, **kw):
         calls.append(path)
-        # writes: out, sigs, bands, digests (signed; the sig-less
-        # digest write is SKIPPED when no admitted doc is sig-less)
-        # — crash on the signed-digest write (the widest window)
-        if path == gen + "/digests":
+        # delta writes: out, sigs_delta, bands_delta, digests_delta
+        # (the sig-less digest write is SKIPPED when no admitted doc
+        # is sig-less) — crash on the signed-digest write (the widest
+        # window)
+        if path == gen + "/digests_delta":
             raise RuntimeError("injected crash before signed digests")
         return real(self, path, *a, **kw)
 
@@ -1490,8 +1506,8 @@ def test_near_dedup_partitioned_crash_window_self_heals(spark, tmp_path,
     with pytest.raises(Exception, match="injected crash"):
         near_dedup_state_step(batch, root, out, layout="partitioned",
                               bloom_state=bloom_state)
-    assert calls == [out, gen + "/sigs", gen + "/bands",
-                     gen + "/digests"]
+    assert calls == [out, gen + "/sigs_delta", gen + "/bands_delta",
+                     gen + "/digests_delta"]
     monkeypatch.setattr(DataFrameWriter, "parquet", real)
 
     # intra-process retry: bloom bits were set BEFORE the writes
@@ -1817,7 +1833,8 @@ def test_near_dedup_layout_auto_sniffs_existing_state(spark, tmp_path,
                           layout="partitioned")[0].count()
     adm, _ = near_dedup_state_step(probe, part, None, layout="auto")
     assert {r["doc_id"] for r in adm.collect()} == {901}
-    assert os.path.isdir(os.path.join(part, "gen-000001", "bands"))
+    assert os.path.isdir(
+        os.path.join(part, "gen-000001", "bands_delta"))
 
     new = str(tmp_path / "new")
     near_dedup_state_step(docs, new, None, layout="auto")[0].count()
