@@ -132,6 +132,42 @@ def collect_bloom(bitmap: DataFrame, m_bits: int = BLOOM_BITS) -> bytes:
     return dense[:(m_bits + 7) // 8]
 
 
+def bloom_delta_dense(df: DataFrame, col: str,
+                      m_bits: int = BLOOM_BITS,
+                      n_hashes: int = BLOOM_HASHES) -> bytes:
+    """Dense bloom bytes for a BATCH-BOUNDED value set, built by
+    collecting the raw bit positions over Arrow and scattering with
+    numpy — no (word, bits) aggregate at all. For a micro-batch delta
+    at a large m (2^30 bits = 16M words), `bloom_bitmap`'s groupBy
+    holds multi-million-entry partial maps per task and its
+    collection moves up to m/64 rows; the positions themselves are
+    only |values| x j rows, so collecting them directly is strictly
+    smaller whenever |values| x j < m/64 x ~2 — true for every
+    micro-batch update. Use `bloom_bitmap`+`collect_bloom` for
+    corpus-sized builds (positions would exceed the bitmap there)."""
+    import numpy as np
+
+    pos = F.explode(F.array(*_positions(F.col(col), m_bits, n_hashes)))
+    pdf = df.select(pos.alias("__pos")).toPandas()
+    dense = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
+    if len(pdf):
+        p = pdf["__pos"].to_numpy(dtype=np.int64)
+        np.bitwise_or.at(dense, p >> 3,
+                         (1 << (p & 7)).astype(np.uint8))
+    return dense.tobytes()
+
+
+def bloom_or(dense: bytes | bytearray, delta: bytes) -> bytearray:
+    """OR two equal-length dense bitmaps via numpy (a Python-int OR
+    materializes three m/8-byte big-ints per call — measured churn at
+    m=2^30)."""
+    import numpy as np
+
+    a = np.frombuffer(bytes(dense), dtype=np.uint8)
+    b = np.frombuffer(bytes(delta), dtype=np.uint8)
+    return bytearray((a | b).tobytes())
+
+
 def bloom_contains(col: F.Column, dense: bytes,
                    m_bits: int = BLOOM_BITS,
                    n_hashes: int = BLOOM_HASHES) -> F.Column:

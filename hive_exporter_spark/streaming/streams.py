@@ -715,7 +715,8 @@ def near_dedup_state_step(
     # ---- layout == "partitioned" ------------------------------------
     from hive_exporter_spark.operators.bloom import (
         BLOOM_BITS, LITERAL_PROBE_MAX_BITS, bloom_bitmap,
-        bloom_contains, bloom_probe_broadcast, collect_bloom)
+        bloom_contains, bloom_delta_dense, bloom_or,
+        bloom_probe_broadcast, collect_bloom)
     from hive_exporter_spark.operators.llm import (
         LSH_BUCKET_CAP, _capped_corpus_bands)
 
@@ -836,12 +837,8 @@ def near_dedup_state_step(
             with open(sidecar, "rb") as fh:
                 dense = bytearray(fh.read())
             if delta_df is not None:   # bits for post-compact appends
-                delta = collect_bloom(bloom_bitmap(
-                    delta_df, col, bits, NEAR_BLOOM_HASHES), bits)
-                merged = (int.from_bytes(dense, "little")
-                          | int.from_bytes(delta, "little"))
-                dense = bytearray(merged.to_bytes(len(dense),
-                                                  "little"))
+                dense = bloom_or(dense, bloom_delta_dense(
+                    delta_df, col, bits, NEAR_BLOOM_HASHES))
             bloom_state[dense_key] = dense
         elif src_df is not None:
             bloom_state[dense_key] = bytearray(collect_bloom(
@@ -1150,24 +1147,21 @@ def near_dedup_state_step(
     # op; a row-at-a-time collect of the raw positions was the
     # measured per-batch bottleneck (~3M py4j rows for a 75k-doc
     # batch).
-    def _or_into(dense: bytearray, delta: bytes) -> bytearray:
-        merged = (int.from_bytes(dense, "little")
-                  | int.from_bytes(delta, "little"))
-        return bytearray(merged.to_bytes(len(dense), "little"))
-
     adm_ids = admitted.select(F.col(id_col).alias("doc_id"))
     adm_digests = admitted.select(
         F.sha2(F.col(text_col), 256).alias("__d"))
     adm_keys = bband.join(adm_ids, "doc_id", "left_semi") \
         .select(F.concat_ws(":", "band", "bucket").alias("__k"))
-    bloom_state["dense"] = _or_into(
+    # Batch-bounded delta: collect the raw positions over Arrow and
+    # scatter with numpy — bloom_bitmap's (word, bits) aggregate held
+    # multi-million-entry partial maps per task at m2=2^30 (measured
+    # executor OOM during a 10M-doc seeding run).
+    bloom_state["dense"] = bloom_or(
         bloom_state["dense"],
-        collect_bloom(bloom_bitmap(adm_digests, "__d", m,
-                                   NEAR_BLOOM_HASHES), m))
-    bloom_state["bands_dense"] = _or_into(
+        bloom_delta_dense(adm_digests, "__d", m, NEAR_BLOOM_HASHES))
+    bloom_state["bands_dense"] = bloom_or(
         bloom_state["bands_dense"],
-        collect_bloom(bloom_bitmap(adm_keys, "__k", m2,
-                                   NEAR_BLOOM_HASHES), m2))
+        bloom_delta_dense(adm_keys, "__k", m2, NEAR_BLOOM_HASHES))
     _mark("bloom_update")
     _guard_generation("before the state writes")
     if out_dir is not None:

@@ -176,7 +176,7 @@ def main() -> int:
     # checkpointed batches AND every broadcast — size it for the
     # corpus this bench builds (must be set before the JVM starts).
     spark = build_session("bench-stream-admission", extra_conf={
-        "spark.driver.memory": "16g",
+        "spark.driver.memory": "24g",
         "spark.cleaner.periodicGC.interval": "1min"})
     # Size the blooms for the corpus this bench builds (~12 bits/doc;
     # the band-key filter is automatically bands x larger inside the
