@@ -1532,10 +1532,16 @@ def compact_near_dedup_state(spark: SparkSession, src_dir: str,
             # Sorted like the band table: the stream pushes
             # `__digest IN (bloom hits)` into its scan, and sorted
             # row groups let parquet min/max stats skip the rest.
+            # Small parquet row groups (2 MiB vs the 128 MiB
+            # default): a compacted dp file is one row group at the
+            # default size, so the sort buys NO intra-file skipping —
+            # the 10M-doc bench read whole 39 MB files for 3-digest
+            # isin probes. At 2 MiB the min/max stats actually skip.
             (dig.withColumn("dp", _digest_partition(
                 F.col("__digest"), manifest["digest_mod"]))
              .repartition("dp").sortWithinPartitions("__digest")
-             .write.partitionBy("dp").mode("overwrite").parquet(d_dst))
+             .write.option("parquet.block.size", 2 * 1024 * 1024)
+             .partitionBy("dp").mode("overwrite").parquet(d_dst))
         else:
             dig.repartition(target_files) \
                 .write.mode("overwrite").parquet(d_dst)
@@ -1553,7 +1559,8 @@ def compact_near_dedup_state(spark: SparkSession, src_dir: str,
                 F.col("bucket"), F.lit(int(manifest["bucket_mod"]))))
              .repartition("band", "bp")
              .sortWithinPartitions("bucket")
-             .write.partitionBy("band", "bp").mode("overwrite")
+             .write.option("parquet.block.size", 2 * 1024 * 1024)
+             .partitionBy("band", "bp").mode("overwrite")
              .parquet(s_dst))
             n_sig = spark.read.parquet(s_dst).count()
         if sig_tbl is not None:
@@ -1562,7 +1569,8 @@ def compact_near_dedup_state(spark: SparkSession, src_dir: str,
             (sig_tbl.withColumn("sp", _sig_partition(
                 F.col("doc_id"), manifest["sig_mod"]))
              .repartition("sp").sortWithinPartitions("doc_id")
-             .write.partitionBy("sp").mode("overwrite").parquet(g_dst))
+             .write.option("parquet.block.size", 2 * 1024 * 1024)
+             .partitionBy("sp").mode("overwrite").parquet(g_dst))
         _write_layout_manifest(dst_dir, manifest)
         # Bloom SIDECARS: the compact just scanned everything, so it
         # is the right place to pay for the filters the next

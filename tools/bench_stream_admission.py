@@ -166,7 +166,7 @@ def main() -> int:
                     "corpus through the step before the measured "
                     "batches — per-batch cost at corpus size N "
                     "without N/batch warm-up batches")
-    ap.add_argument("--seed-chunk", type=int, default=500_000)
+    ap.add_argument("--seed-chunk", type=int, default=250_000)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -176,7 +176,7 @@ def main() -> int:
     # checkpointed batches AND every broadcast — size it for the
     # corpus this bench builds (must be set before the JVM starts).
     spark = build_session("bench-stream-admission", extra_conf={
-        "spark.driver.memory": "24g",
+        "spark.driver.memory": "32g",
         "spark.cleaner.periodicGC.interval": "1min"})
     # Size the blooms for the corpus this bench builds (~12 bits/doc;
     # the band-key filter is automatically bands x larger inside the
