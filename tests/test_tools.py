@@ -299,3 +299,31 @@ def test_scale_md_closing_block_matches_artifact():
     assert want in scale, (
         "SCALE.md closing block drifted from the newest bench "
         "artifact — regenerate it: python tools/scale_summary.py")
+
+
+def test_scale_summary_ignores_untracked_artifacts():
+    """newest_locals() must consider COMMITTED artifacts only: the
+    round driver drops an untracked BENCH_LOCAL_r{N}.json into the
+    working tree after the final commit, and r10/r11 both had the pin
+    test redden on that refresh while the committed tree was correct.
+    Simulate the driver refresh with an untracked far-future artifact
+    and assert it is invisible to the pin."""
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import scale_summary
+
+    before = scale_summary.newest_locals()
+    fake = os.path.join(repo, "BENCH_LOCAL_r9999.json")
+    assert not os.path.exists(fake)
+    with open(fake, "w") as fh:
+        json.dump({"headline22_total": 1.0, "total_sec": 1.0,
+                   "sf": 0.1, "queries": {}}, fh)
+    try:
+        after = scale_summary.newest_locals()
+    finally:
+        os.remove(fake)
+    assert after == before, (
+        "an untracked BENCH_LOCAL artifact leaked into "
+        "newest_locals() — the SCALE.md pin would false-redden on "
+        "the driver's post-commit refresh")
