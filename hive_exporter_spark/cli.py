@@ -209,6 +209,24 @@ def build_parser() -> argparse.ArgumentParser:
                           "also upgrades pre-r11 v1 partitioned "
                           "state to v2 implicitly")
 
+    lst = sub.add_parser(
+        "leakage-state",
+        help="maintain leakage_safe_split_stream's standing parquet "
+             "state (ph-partitioned postings/ + splits/ with LSM "
+             "delta areas): init creates a pointered generation root; "
+             "status reports generation, manifest, and row/unique/"
+             "file counts; compact folds the per-batch delta files "
+             "into the partitioned bulk deduplicated — on a pointered "
+             "root into the NEXT generation with an atomic _CURRENT "
+             "flip, otherwise blue/green into -o")
+    lst.add_argument("action", choices=["compact", "status", "init"])
+    lst.add_argument("-i", "--input", required=True,
+                     help="state dir or pointered generation root")
+    lst.add_argument("-o", "--output",
+                     help="compact (un-rooted dirs only): destination "
+                          "state dir (must differ from the source)")
+    lst.add_argument("-f", "--target-files", type=int, default=8)
+
     ivf = sub.add_parser(
         "ivf",
         help="materialized IVF ANN index lifecycle: build (fit + "
@@ -878,6 +896,103 @@ def main(argv: list[str] | None = None) -> int:
               f"digests={nd} signatures_or_band_rows={ns}")
         print("switch the stream's state_dir to the new path; the old "
               "dir is untouched (consider `near-state init` + a "
+              "pointered root to make future switches atomic)")
+        return 0
+
+    if args.command == "leakage-state":
+        import glob as _glob
+        import os as _os
+
+        from hive_exporter_spark.streaming.state import (
+            current_generation, init_state_root, resolve_state_dir)
+        from hive_exporter_spark.streaming.streams import (
+            _read_layout_manifest, compact_leakage_split_generation,
+            compact_leakage_split_state)
+
+        if args.action == "init":
+            try:
+                gen = init_state_root(args.input)
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+            print(f"initialized pointered state root {args.input} "
+                  f"(_CURRENT -> {_os.path.basename(gen)})")
+            return 0
+        if args.action == "status":
+            gen = current_generation(args.input)
+            live = resolve_state_dir(args.input)
+            if gen is not None:
+                print(f"generation: {gen} (pointered root)")
+            manifest = _read_layout_manifest(live)
+            if manifest is not None:
+                print("layout: " + " ".join(
+                    f"{k}={manifest[k]}" for k in sorted(manifest)))
+            for label, key in (("splits", "doc_id"),
+                               ("postings", "doc_id"),
+                               ("splits_delta", "doc_id"),
+                               ("postings_delta", "doc_id")):
+                p = _os.path.join(live, label)
+                try:
+                    df = spark.read.parquet(p)
+                    df.first()
+                except Exception:
+                    print(f"{label}: (absent)")
+                    continue
+                nrows = df.count()
+                nuniq = df.select(key).distinct().count()
+                nfiles = len(_glob.glob(
+                    _os.path.join(p, "**", "part-*"), recursive=True))
+                print(f"{label}: rows={nrows} unique={nuniq} "
+                      f"dup_rows={nrows - nuniq} files={nfiles}")
+            return 0
+        if current_generation(args.input) is not None:
+            if args.output:
+                print("error: a pointered root picks its own next "
+                      "generation — drop -o/--output", file=sys.stderr)
+                return 2
+            print("NOTE: run between micro-batches (pause the "
+                  "stream's trigger): a batch in flight when _CURRENT "
+                  "flips appends state to the OLD generation — the "
+                  "stream's generation guard fails that batch loudly "
+                  "and its retry re-screens against the new one",
+                  file=sys.stderr)
+            try:
+                name, nspl, npost = compact_leakage_split_generation(
+                    spark, args.input, target_files=args.target_files)
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+            print(f"compacted into {name}: splits={nspl} "
+                  f"postings={npost}")
+            print("_CURRENT switched atomically; a running stream "
+                  "resolves it on its next micro-batch")
+            return 0
+        if (not args.output
+                or _os.path.realpath(args.output)
+                == _os.path.realpath(args.input)):
+            print("error: `leakage-state compact` needs -o/--output "
+                  "different from the source (blue/green: the old dir "
+                  "stays intact until you switch paths)",
+                  file=sys.stderr)
+            return 2
+        if any(_os.path.exists(_os.path.join(args.output, t))
+               for t in ("splits", "postings", "splits_delta",
+                         "postings_delta")):
+            print("error: output already holds state tables — compact "
+                  "writes a FRESH blue/green dir; pick an empty path",
+                  file=sys.stderr)
+            return 2
+        try:
+            nspl, npost = compact_leakage_split_state(
+                spark, args.input, args.output,
+                target_files=args.target_files)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        print(f"compacted {args.input} -> {args.output}: "
+              f"splits={nspl} postings={npost}")
+        print("switch the stream's state_dir to the new path; the old "
+              "dir is untouched (consider `leakage-state init` + a "
               "pointered root to make future switches atomic)")
         return 0
 

@@ -26,6 +26,9 @@ from hive_exporter_spark.streaming.streams import (
     bloom_health,
     leakage_split_state_step,
     leakage_safe_split_stream,
+    read_leakage_splits,
+    compact_leakage_split_state,
+    compact_leakage_split_generation,
     compact_near_dedup_state,
     compact_near_dedup_generation,
     run_generation_compact,
@@ -46,6 +49,9 @@ __all__ = [
     "bloom_health",
     "leakage_split_state_step",
     "leakage_safe_split_stream",
+    "read_leakage_splits",
+    "compact_leakage_split_state",
+    "compact_leakage_split_generation",
     "compact_near_dedup_state",
     "compact_near_dedup_generation",
     "run_generation_compact",

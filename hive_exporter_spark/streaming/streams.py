@@ -339,6 +339,24 @@ NEAR_ISIN_VALUE_CAP = 20_000
 # (tools/bench_stream_admission.py artifacts) justifies flipping it —
 # flat is strictly faster below ~a few million standing docs.
 NEAR_DEFAULT_NEW_LAYOUT = "flat"
+# Auto-promotion threshold (r12): once a FLAT state dir's standing
+# digest count reaches this, the step either runs the
+# flat->partitioned generation compact itself (pointered roots) or
+# refuses the batch with the exact migrate command (un-rooted dirs) —
+# the 100 TB safety stops depending on an operator reading the
+# monitor (r11 verdict item 1). Why 5M: flat's per-batch cost is a
+# full scan of digests (32 B/doc) + signatures (slots x 8 B/doc) —
+# ~1.1 GB/batch at 5M docs with 32 slots, which local NVMe page
+# cache hides (the r11 campaign measured flat winning wall time at
+# every sandbox size for exactly that reason) but an object-store
+# read path pays in full every batch, forever, and it grows linearly
+# while partitioned's materialized rows stay constant (~60/batch
+# measured at 600k/3M/10M standing docs). Crossing it mid-stream is
+# safe: the compact runs BEFORE this batch reads or writes any
+# state, the generation pointer flips atomically, and admission
+# decisions are layout-invariant by construction (pinned by the
+# layout-agreement and mid-stream-promotion tests).
+NEAR_PROMOTE_STANDING_DOCS = 5_000_000
 # Bloom sidecar filenames (written into each generation by the
 # compact; loaded by the state step instead of a full-table rebuild).
 BLOOM_SIDECAR_DIGESTS = "_bloom_digests.bin"
@@ -476,6 +494,7 @@ def near_dedup_state_step(
     bloom_bits: int | None = None,
     bloom_state: dict | None = None,
     collect_stats: bool = False,
+    promote_at_docs: int | None = NEAR_PROMOTE_STANDING_DOCS,
 ) -> tuple[DataFrame, dict | None]:
     """ONE micro-batch of near-duplicate admission against standing
     parquet state — the foreachBatch body of `near_dedup_stream`,
@@ -494,6 +513,13 @@ def near_dedup_state_step(
       and `signatures/` (slots·8 B/doc), each fully scanned per
       batch. Correct, but per-batch cost grows linearly with corpus
       size — total stream cost quadratic over the pipeline lifetime.
+      Because of that, a flat dir AUTO-PROMOTES once its standing
+      digest count reaches `promote_at_docs` (default
+      NEAR_PROMOTE_STANDING_DOCS; None disables): a pointered root
+      is migrated in place via `compact_near_dedup_generation(...,
+      to_layout="partitioned")` BEFORE this batch touches any state
+      (decisions unchanged — layout-invariant by construction), an
+      un-rooted dir raises with the exact migrate command.
     - ``layout="partitioned"`` (the 100 TB layout, v2 as of r11):
       `digests/` partitioned by ``dp = sha256[:16 bits] mod
       digest_mod`` with a driver-maintained Bloom filter in front
@@ -652,6 +678,53 @@ def near_dedup_state_step(
             "would ignore it and re-admit every near-duplicate "
             "(compact the flat dir into a partitioned generation "
             "first)")
+    # AUTO-PROMOTION (r12, verdict item 1): a flat layout past
+    # NEAR_PROMOTE_STANDING_DOCS standing docs is the 100 TB
+    # scale-killer (unbounded per-batch scan), and the engine already
+    # computes every signal — so act on it instead of hoping an
+    # operator reads the monitor. The standing count is one parquet
+    # footer-metadata job (no data scan), paid only while the layout
+    # is flat, i.e. only while the corpus is small enough that the
+    # flat full scans dwarf it anyway. Pointered roots are migrated
+    # in place — the compact runs BEFORE this batch reads or writes
+    # any state, so the between-batches contract holds and the batch
+    # proceeds against the new partitioned generation; un-rooted dirs
+    # (no atomic switch possible) fail the batch loudly with the
+    # exact migrate command instead of scanning the corpus forever.
+    if layout == "flat" and promote_at_docs is not None:
+        from hive_exporter_spark.streaming.state import current_generation
+        try:
+            n_standing = spark.read.parquet(digest_dir).count()
+        except AnalysisException:
+            n_standing = 0
+        if n_standing >= int(promote_at_docs):
+            if current_generation(state_dir) is None:
+                raise RuntimeError(
+                    f"flat near-dup state under {root} holds "
+                    f"{n_standing} standing docs (promotion threshold "
+                    f"{int(promote_at_docs)}) but the dir is not a "
+                    "pointered generation root, so the step cannot "
+                    "migrate it atomically itself. Migrate it now: "
+                    "`near-state compact -i <dir> -o <new-dir> "
+                    "--to-layout partitioned` and repoint the stream "
+                    "at <new-dir> (or move the state into "
+                    "<dir>/gen-000001/, write _CURRENT, and rerun so "
+                    "the step promotes it in place). Raising instead "
+                    "of admitting: every further flat batch re-scans "
+                    "the full corpus state, and past this size that "
+                    "is the measured scale-killer — pass "
+                    "promote_at_docs=None to override explicitly.")
+            compact_near_dedup_generation(spark, state_dir,
+                                          to_layout="partitioned")
+            root = resolve_state_dir(state_dir)
+            digest_dir = os.path.join(root, "digests")
+            sig_dir = os.path.join(root, "signatures")
+            bands_dir = os.path.join(root, "bands")
+            sigs_dir = os.path.join(root, "sigs")
+            digest_delta = os.path.join(root, "digests_delta")
+            bands_delta = os.path.join(root, "bands_delta")
+            sigs_delta = os.path.join(root, "sigs_delta")
+            layout = "partitioned"
     stats: dict | None = None
     import time as _time
     _prof_on = bool(os.environ.get("NEAR_STEP_PROFILE"))
@@ -1227,6 +1300,7 @@ def near_dedup_stream(
     digest_mod: int = NEAR_STATE_DIGEST_MOD,
     sig_mod: int = NEAR_STATE_SIG_MOD,
     bloom_bits: int | None = None,
+    promote_at_docs: int | None = NEAR_PROMOTE_STANDING_DOCS,
 ) -> object:
     """Continuous-crawl NEAR-duplicate admission: each micro-batch
     runs `llm.near_admit`'s three screens (exact digest, MinHash-LSH
@@ -1251,8 +1325,12 @@ def near_dedup_stream(
     ``layout="auto"`` sniffs existing state (bands/ -> partitioned,
     signatures/ -> flat) and falls back to NEAR_DEFAULT_NEW_LAYOUT
     for a brand-new dir — flat is the small-corpus fast path, and the
-    migration to partitioned is one `compact to_layout="partitioned"`
-    away, picked up on the next micro-batch. `state_dir`
+    flat->partitioned migration is AUTOMATIC past `promote_at_docs`
+    standing docs (r12): a pointered root is generation-compacted to
+    the partitioned layout between batches by the step itself, an
+    un-rooted dir fails the batch loudly with the migrate command —
+    see NEAR_PROMOTE_STANDING_DOCS for the threshold's derivation
+    (None disables promotion). `state_dir`
     may be a pointered generation root (`state.init_state_root`);
     it is re-resolved every micro-batch, so a blue/green compaction
     (`compact_near_dedup_generation`) takes effect on the next batch
@@ -1291,7 +1369,7 @@ def near_dedup_stream(
             threshold=threshold, text_col=text_col, id_col=id_col,
             layout=layout, bucket_mod=bucket_mod, digest_mod=digest_mod,
             sig_mod=sig_mod, bloom_bits=bloom_bits,
-            bloom_state=bloom_state)
+            bloom_state=bloom_state, promote_at_docs=promote_at_docs)
         if monitor_dir is not None:
             n_in, n_adm = batch_df.count(), admitted.count()
             health = bloom_health(bloom_state)
@@ -1713,6 +1791,24 @@ def leakage_split_state_step(
     generation root; at-least-once replays append duplicate state
     rows, absorbed by read-side dropDuplicates.
 
+    LSM delta areas (r12, r11 verdict item 2 — the same small-files
+    treatment the near-dup state got in r11): per-batch appends land
+    in `postings_delta/` and `splits_delta/` as ONE coalesced file
+    per table per batch. The earlier layout appended straight into
+    the ph-partitioned bulk (up to `shingle_mod` files per batch) —
+    after ~1k batches every scan re-read tens of thousands of parquet
+    footers, the exact per-batch slope the r11 near-dup campaign
+    measured and killed. Deltas are always read in FULL (semi-join
+    pruned, bounded by the compact cadence) and fold into the
+    partitioned bulk at `compact_leakage_split_state` /
+    `compact_leakage_split_generation` (CLI: `leakage-state
+    compact`), which also sorts each ph partition by shingle in
+    2 MiB row groups so the bulk scan's shingle semi-join gets
+    row-group min/max skipping. The `shingle_mod` and `k` parameters
+    are pinned in the state's `_layout.json` manifest — resolving ph
+    under a different modulus (or shingling at a different k) would
+    silently miss standing near-dups, so a drift is a loud error.
+
     Returns the batch's surviving (doc_id, split) rows
     (localCheckpoint-ed; also appended to `out_dir` when given).
     """
@@ -1731,6 +1827,24 @@ def leakage_split_state_step(
     root = resolve_state_dir(state_dir)
     postings_dir = os.path.join(root, "postings")
     splits_dir = os.path.join(root, "splits")
+    postings_delta = os.path.join(root, "postings_delta")
+    splits_delta = os.path.join(root, "splits_delta")
+
+    # Pin the state-shape parameters (same contract as the near-dup
+    # manifest): ph resolved under a different shingle_mod — or
+    # shingles produced at a different k — reads the wrong partitions
+    # and silently re-admits cross-split leaks.
+    want = {"layout": "leakage_split", "shingle_mod": int(shingle_mod),
+            "k": int(kk), "version": 1}
+    have = _read_layout_manifest(root)
+    if have is None:
+        _write_layout_manifest(root, want)
+    elif have != want:
+        raise ValueError(
+            f"leakage-split state manifest mismatch under {root}: "
+            f"on-disk {have} vs requested {want} — refusing to read "
+            "postings state under different shingle_mod/k than it "
+            "was written with")
 
     train_hi, val_hi = SPLIT_PCTS[0], SPLIT_PCTS[0] + SPLIT_PCTS[1]
     b = _hash_bucket(id_col, 100)
@@ -1746,11 +1860,24 @@ def leakage_split_state_step(
            .localCheckpoint(eager=False))
     nb = bsh.groupBy("__nid").agg(F.count(F.lit(1)).alias("__n_new"))
 
-    try:
-        spl_all = spark.read.parquet(splits_dir) \
-            .dropDuplicates([id_col])
-    except AnalysisException:
-        spl_all = None
+    def _read_opt(path, sel):
+        try:
+            df = sel(spark.read.parquet(path))
+            df.schema  # force the read to resolve
+            return df
+        except AnalysisException:
+            return None
+
+    def _union_opt(a, b):
+        if a is None:
+            return b
+        return a if b is None else a.unionByName(b)
+
+    spl_cols = lambda d: d.select(id_col, "split", "n_sh")  # noqa: E731
+    spl_all = _union_opt(_read_opt(splits_dir, spl_cols),
+                         _read_opt(splits_delta, spl_cols))
+    if spl_all is not None:
+        spl_all = spl_all.dropDuplicates([id_col])
     drop_standing = None
     if spl_all is not None:
         bkeys = bsh.select("shingle").distinct() \
@@ -1760,16 +1887,22 @@ def leakage_split_state_step(
             .distinct().collect())
         post = None
         if ph_vals:
-            try:
-                # ph dirs + shingle-value semi-join: the scan is
-                # pruned to the batch's true shingle collisions.
-                post = (spark.read.parquet(postings_dir)
-                        .where(F.col("ph").isin(ph_vals))
-                        .join(F.broadcast(bkeys), "shingle",
-                              "left_semi")
-                        .dropDuplicates(["shingle", id_col]))
-            except AnalysisException:
-                post = None
+            # Bulk: ph dirs + shingle-value semi-join — the scan is
+            # pruned to the batch's true shingle collisions; row-group
+            # stats skip I/O inside sort-compacted files.
+            post = _read_opt(
+                postings_dir,
+                lambda d: d.where(F.col("ph").isin(ph_vals))
+                .join(F.broadcast(bkeys), "shingle", "left_semi")
+                .select(id_col, "shingle"))
+        # Delta: no ph dirs to prune — read whole (bounded by the
+        # compact cadence), semi-join on the batch's shingle values.
+        post = _union_opt(post, _read_opt(
+            postings_delta,
+            lambda d: d.join(F.broadcast(bkeys), "shingle",
+                             "left_semi").select(id_col, "shingle")))
+        if post is not None:
+            post = post.dropDuplicates(["shingle", id_col])
         if post is not None:
             common = (post.alias("o")
                       .join(bsh.alias("n"),
@@ -1810,17 +1943,20 @@ def leakage_split_state_step(
             "re-screens against the new generation")
     if out_dir is not None:
         survivors.write.mode("append").parquet(out_dir)
+    # LSM delta appends: ONE coalesced file per table per batch (the
+    # generation compact folds them into the ph-partitioned bulk).
+    # Appending into the partitioned dirs directly cost up to
+    # shingle_mod files per batch — the footer-re-read slope.
     (bsh.join(survivors.select(F.col(id_col).alias("__nid")), "__nid")
      .select(F.col("__nid").alias(id_col), "shingle")
-     .withColumn("ph", F.pmod("shingle", F.lit(int(shingle_mod))))
-     .repartition("ph")
-     .write.partitionBy("ph").mode("append").parquet(postings_dir))
+     .coalesce(1)
+     .write.mode("append").parquet(postings_delta))
     (survivors.join(nb.select(F.col("__nid").alias(id_col), "__n_new"),
                     id_col, "left")
      .select(id_col, "split",
              F.coalesce("__n_new", F.lit(0)).alias("n_sh"))
-     .coalesce(4)
-     .write.mode("append").parquet(splits_dir))
+     .coalesce(1)
+     .write.mode("append").parquet(splits_delta))
     return survivors
 
 
@@ -1855,6 +1991,131 @@ def leakage_safe_split_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def read_leakage_splits(spark: SparkSession, state_dir: str,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Current pinned survivor assignments (doc_id, split, n_sh) from
+    a leakage-split state dir — the deduped union of the compacted
+    bulk (`splits/`) and the LSM delta appends (`splits_delta/`).
+    Accepts a pointered generation root (resolved per call). Read
+    state through this, never raw parquet: post-compact the rows live
+    in the bulk, pre-compact in the delta, and at-least-once replays
+    leave duplicate rows only this dedup absorbs."""
+    from pyspark.sql.utils import AnalysisException
+
+    from hive_exporter_spark.streaming.state import resolve_state_dir
+
+    root = resolve_state_dir(state_dir)
+    parts = []
+    for d in ("splits", "splits_delta"):
+        try:
+            df = spark.read.parquet(os.path.join(root, d)) \
+                .select(id_col, "split", "n_sh")
+            df.schema
+            parts.append(df)
+        except AnalysisException:
+            pass
+    if not parts:
+        raise ValueError(
+            f"no leakage-split state found under {root} (neither "
+            "splits/ nor splits_delta/ is readable)")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates([id_col])
+
+
+def compact_leakage_split_state(spark: SparkSession, src_dir: str,
+                                dst_dir: str, target_files: int = 8
+                                ) -> tuple[int, int]:
+    """Blue/green compaction for `leakage_safe_split_stream`'s
+    standing state — the same LSM fold the near-dup state gets from
+    `compact_near_dedup_state`: per-batch delta files
+    (`postings_delta/`, `splits_delta/` — one per table per batch)
+    fold into the partitioned bulk, deduplicated (postings one row
+    per (shingle, doc_id), splits one per doc_id — at-least-once
+    replays append bit-identical duplicates), with each ph partition
+    sorted by shingle in 2 MiB row groups so the stream's
+    shingle-value semi-join gets parquet min/max skipping. The
+    manifest (shingle_mod, k) is carried over verbatim; a src without
+    one (pre-r12 state) gets the defaults pinned — the same values
+    every pre-r12 writer used. Source dir untouched (blue/green);
+    prefer `compact_leakage_split_generation` for pointered roots.
+
+    Returns (n_split_rows, n_posting_rows) after compaction."""
+    from pyspark.sql.utils import AnalysisException
+
+    from hive_exporter_spark.operators.llm import SHINGLE_K
+
+    def _read_opt(path, sel):
+        try:
+            df = sel(spark.read.parquet(path))
+            df.schema
+            return df
+        except AnalysisException:
+            return None
+
+    def _union_opt(a, b):
+        if a is None:
+            return b
+        return a if b is None else a.unionByName(b)
+
+    spl_cols = lambda d: d.select("doc_id", "split", "n_sh")  # noqa: E731
+    post_cols = lambda d: d.select("doc_id", "shingle")  # noqa: E731
+    spl = _union_opt(
+        _read_opt(os.path.join(src_dir, "splits"), spl_cols),
+        _read_opt(os.path.join(src_dir, "splits_delta"), spl_cols))
+    post = _union_opt(
+        _read_opt(os.path.join(src_dir, "postings"), post_cols),
+        _read_opt(os.path.join(src_dir, "postings_delta"), post_cols))
+    if spl is None and post is None:
+        raise ValueError(
+            f"no leakage-split state found under {src_dir} (neither "
+            "splits/ nor postings/ nor their deltas are readable)")
+    manifest = _read_layout_manifest(src_dir) or {
+        "layout": "leakage_split",
+        "shingle_mod": LEAKAGE_SHINGLE_MOD, "k": SHINGLE_K,
+        "version": 1}
+    # Materialize all reads before writing any (same half-written-dst
+    # guard as compact_near_dedup_state).
+    if spl is not None:
+        spl = spl.dropDuplicates(["doc_id"]).localCheckpoint()
+    if post is not None:
+        post = post.dropDuplicates(["shingle", "doc_id"]) \
+            .localCheckpoint()
+    n_spl = n_post = 0
+    if spl is not None:
+        spl.coalesce(target_files).write.mode("overwrite") \
+            .parquet(os.path.join(dst_dir, "splits"))
+        n_spl = spark.read.parquet(
+            os.path.join(dst_dir, "splits")).count()
+    if post is not None:
+        (post.withColumn("ph", F.pmod(
+            "shingle", F.lit(int(manifest["shingle_mod"]))))
+         .repartition("ph").sortWithinPartitions("shingle")
+         .write.option("parquet.block.size", 2 * 1024 * 1024)
+         .partitionBy("ph").mode("overwrite")
+         .parquet(os.path.join(dst_dir, "postings")))
+        n_post = spark.read.parquet(
+            os.path.join(dst_dir, "postings")).count()
+    _write_layout_manifest(dst_dir, manifest)
+    return n_spl, n_post
+
+
+def compact_leakage_split_generation(spark: SparkSession, root: str,
+                                     target_files: int = 8
+                                     ) -> tuple[str, int, int]:
+    """`compact_leakage_split_state` under the generation-pointer
+    protocol: compacts the live generation into the next one and
+    atomically switches `_CURRENT` (run between micro-batches — the
+    state step's pre-write pointer re-check fails a racing batch
+    loudly). Returns (new_generation_name, n_split_rows,
+    n_posting_rows)."""
+    name, (n_spl, n_post) = run_generation_compact(
+        spark, root, compact_leakage_split_state,
+        target_files=target_files)
+    return name, n_spl, n_post
 
 
 def value_drift_psi_stream(

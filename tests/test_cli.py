@@ -823,3 +823,58 @@ def test_near_state_cli_to_layout_migration(spark, tmp_path, capsys):
         "doc_id long, text string")
     adm, _ = near_dedup_state_step(probe, root, None, layout="auto")
     assert {r["doc_id"] for r in adm.collect()} == {901}
+
+
+def test_leakage_state_cli(spark, tmp_path, capsys):
+    """`leakage-state` mirrors `near-state` for the split-state
+    tables: init + status + pointered-root compact (atomic _CURRENT
+    flip), and the blue/green guards on un-rooted dirs."""
+    from hive_exporter_spark.streaming.streams import (
+        leakage_split_state_step)
+
+    root = str(tmp_path / "root")
+    assert cli.main(["leakage-state", "init", "-i", root]) == 0
+    assert "_CURRENT -> gen-000001" in capsys.readouterr().out
+
+    for b in range(2):
+        docs = spark.createDataFrame(
+            [(b * 100 + i,
+              " ".join(f"w{b}x{i}y{j}" for j in range(12)))
+             for i in range(10)], "doc_id long, text string")
+        leakage_split_state_step(docs, root).count()
+
+    assert cli.main(["leakage-state", "status", "-i", root]) == 0
+    out = capsys.readouterr().out
+    assert "generation: gen-000001 (pointered root)" in out
+    assert "layout: k=3 layout=leakage_split shingle_mod=64" in out
+    assert "splits: (absent)" in out         # pre-compact: delta only
+    assert "splits_delta: rows=20 unique=20" in out
+
+    assert cli.main(["leakage-state", "compact", "-i", root,
+                     "-o", str(tmp_path / "nope")]) == 2
+    assert "picks its own next generation" in capsys.readouterr().err
+    assert cli.main(["leakage-state", "compact", "-i", root]) == 0
+    out = capsys.readouterr().out
+    assert "compacted into gen-000002: splits=20" in out
+    assert "_CURRENT switched atomically" in out
+    assert cli.main(["leakage-state", "status", "-i", root]) == 0
+    out = capsys.readouterr().out
+    assert "generation: gen-000002" in out
+    assert "splits: rows=20 unique=20 dup_rows=0" in out
+    assert "splits_delta: (absent)" in out
+
+    # un-rooted blue/green guards: same-dir refused, dirty dst refused
+    flat = str(tmp_path / "flat")
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"f{i}g{j}" for j in range(12)))
+         for i in range(5)], "doc_id long, text string")
+    leakage_split_state_step(docs, flat).count()
+    assert cli.main(["leakage-state", "compact", "-i", flat,
+                     "-o", flat]) == 2
+    out2 = str(tmp_path / "flat2")
+    assert cli.main(["leakage-state", "compact", "-i", flat,
+                     "-o", out2, "-f", "2"]) == 0
+    assert "splits=5" in capsys.readouterr().out
+    assert cli.main(["leakage-state", "compact", "-i", flat,
+                     "-o", out2]) == 2
+    assert "already holds state tables" in capsys.readouterr().err

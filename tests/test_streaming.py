@@ -1755,7 +1755,8 @@ def test_leakage_split_stream_pins_standing_assignments(spark, tmp_path):
     direction: a new train twin of a pinned test doc must not enter
     train); same-split twins and fresh docs are admitted."""
     from hive_exporter_spark.streaming.streams import (
-        leakage_safe_split_stream, leakage_split_state_step)
+        leakage_safe_split_stream, leakage_split_state_step,
+        read_leakage_splits)
 
     t0 = " ".join(f"alpha{i}" for i in range(20))      # train text
     t13 = " ".join(f"beta{i}" for i in range(20))      # test text
@@ -1781,7 +1782,7 @@ def test_leakage_split_stream_pins_standing_assignments(spark, tmp_path):
     assert s2 == {(2, "train"), (31, "test")}
     # standing assignments pinned: state still holds batch-1 rows
     spl = {(r["doc_id"], r["split"]) for r in
-           spark.read.parquet(root + "/splits").collect()}
+           read_leakage_splits(spark, root).collect()}
     assert s1 | s2 == spl
 
     # the streaming wrapper replays the same narrative end-to-end
@@ -1841,3 +1842,160 @@ def test_near_dedup_layout_auto_sniffs_existing_state(spark, tmp_path,
     want = "bands" if NEAR_DEFAULT_NEW_LAYOUT == "partitioned" \
         else "signatures"
     assert os.path.isdir(os.path.join(new, want))
+
+
+def test_near_dedup_auto_promotes_layout_mid_stream(spark, tmp_path,
+                                                    sf_dir):
+    """r12 (r11 verdict item 1): a FLAT pointered root whose standing
+    digest count crosses `promote_at_docs` is migrated to the
+    partitioned layout BY THE STEP ITSELF (generation compact before
+    the batch touches state), decisions pinned identical to a
+    flat-forever run."""
+    import os
+
+    from hive_exporter_spark.streaming.state import init_state_root
+    from hive_exporter_spark.streaming.streams import near_dedup_state_step
+
+    docs = read_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").where(F.col("doc_id") < 90)
+    b1 = docs.where(F.col("doc_id") < 30)
+    b2 = docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 60))
+    b3 = docs.where(F.col("doc_id") >= 60)
+    # bait: exact + near copies of batch-1/2 docs, planted in batch 3
+    first = docs.orderBy("doc_id").first()["text"]
+    b3 = b3.unionByName(spark.createDataFrame(
+        [(900, first), (901, "genuinely novel pelican prose here")],
+        "doc_id long, text string"))
+    batches = [b1, b2, b3]
+
+    # reference: flat forever (promotion disabled)
+    flat_root = str(tmp_path / "flat")
+    init_state_root(flat_root)
+    want = [
+        {r["doc_id"] for r in near_dedup_state_step(
+            b, flat_root, None, layout="auto",
+            promote_at_docs=None)[0].collect()}
+        for b in batches
+    ]
+
+    # under test: promotion threshold crossed after batch 1 seeds it
+    root = str(tmp_path / "auto")
+    init_state_root(root)
+    bloom_state: dict = {}
+    got, layouts = [], []
+    for b in batches:
+        adm, stats = near_dedup_state_step(
+            b, root, None, layout="auto", bloom_state=bloom_state,
+            promote_at_docs=10, collect_stats=True)
+        got.append({r["doc_id"] for r in adm.collect()})
+        layouts.append(stats["layout"])
+    assert got == want                      # decisions pinned identical
+    assert layouts[0] == "flat"             # below threshold: flat seed
+    assert layouts[1] == "partitioned"      # promoted before batch 2
+    assert layouts[2] == "partitioned"
+    g2 = os.path.join(root, "gen-000002")
+    assert os.path.isdir(os.path.join(g2, "bands"))
+    assert not os.path.isdir(os.path.join(g2, "signatures"))
+    assert 900 not in got[2] and 901 in got[2]
+
+
+def test_near_dedup_auto_promote_unrooted_fails_loudly(spark, tmp_path,
+                                                       sf_dir):
+    """An un-rooted flat dir past the threshold cannot be migrated
+    atomically — the step must refuse the batch with the migrate
+    command rather than keep scanning the corpus every batch."""
+    from hive_exporter_spark.streaming.streams import near_dedup_state_step
+
+    docs = read_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").where(F.col("doc_id") < 30)
+    state = str(tmp_path / "state")
+    near_dedup_state_step(docs, state, None, layout="flat",
+                          promote_at_docs=None)[0].count()
+    probe = spark.createDataFrame(
+        [(901, "genuinely novel pelican prose here")],
+        "doc_id long, text string")
+    with pytest.raises(RuntimeError, match="near-state compact"):
+        near_dedup_state_step(probe, state, None, layout="flat",
+                              promote_at_docs=10)
+    # explicit override keeps the old behavior available
+    adm, _ = near_dedup_state_step(probe, state, None, layout="flat",
+                                   promote_at_docs=None)
+    assert adm.count() == 1
+
+
+def test_leakage_split_state_lsm_file_counts(spark, tmp_path):
+    """r12 (r11 verdict item 2): per-batch leakage-state appends land
+    as ONE delta file per table per batch (not one per touched ph
+    dir); the generation compact folds the deltas into the
+    ph-partitioned bulk and the standing screens keep working
+    identically afterwards."""
+    import glob
+    import os
+
+    from hive_exporter_spark.streaming.state import init_state_root
+    from hive_exporter_spark.streaming.streams import (
+        compact_leakage_split_generation, leakage_split_state_step,
+        read_leakage_splits)
+
+    root = str(tmp_path / "root")
+    init_state_root(root)
+    n_batches = 4
+    all_rows: set = set()
+    for b in range(n_batches):
+        docs = spark.createDataFrame(
+            [(b * 100 + i,
+              " ".join(f"w{b}x{i}y{j}" for j in range(12)))
+             for i in range(8)], "doc_id long, text string")
+        got = leakage_split_state_step(docs, root)
+        all_rows |= {(r["doc_id"], r["split"]) for r in got.collect()}
+
+    def _files(sub):
+        return glob.glob(os.path.join(root, "gen-*", sub, "**",
+                                      "part-*"), recursive=True)
+
+    # one coalesced file per table per batch, nothing in the bulk yet
+    assert len(_files("postings_delta")) == n_batches
+    assert len(_files("splits_delta")) == n_batches
+    assert not _files("postings") and not _files("splits")
+
+    name, n_spl, n_post = compact_leakage_split_generation(spark, root)
+    assert name == "gen-000002" and n_spl == len(all_rows) and n_post
+    g2 = os.path.join(root, name)
+    assert not os.path.isdir(os.path.join(g2, "postings_delta"))
+    # bulk is ph-partitioned; batch-count no longer shows in files
+    assert glob.glob(os.path.join(g2, "postings", "ph=*"))
+    assert len(glob.glob(os.path.join(g2, "splits", "part-*"))) <= 8
+
+    # state survives the fold: same pinned assignments...
+    spl = {(r["doc_id"], r["split"])
+           for r in read_leakage_splits(spark, root).collect()}
+    assert spl == all_rows
+    # ...and a post-compact batch still screens against standing docs
+    # (twin of doc 0's text under an id hashing to a different split)
+    bait_text = " ".join(f"w0x0y{j}" for j in range(12))
+    probe = spark.createDataFrame(
+        [(3, bait_text),        # 3 -> val twin of standing train doc
+         (5000, " ".join(f"fresh{j}" for j in range(12)))],
+        "doc_id long, text string")
+    got = {r["doc_id"] for r in
+           leakage_split_state_step(probe, root).collect()}
+    assert (0, "train") in all_rows
+    assert 3 not in got and 5000 in got
+
+
+def test_leakage_split_manifest_guard(spark, tmp_path):
+    """Reading leakage postings under a different shingle_mod or k
+    than they were written with would silently de-prune / mis-shingle
+    — must be a loud error."""
+    from hive_exporter_spark.streaming.streams import (
+        leakage_split_state_step)
+
+    root = str(tmp_path / "state")
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"a{j}" for j in range(12)))],
+        "doc_id long, text string")
+    leakage_split_state_step(docs, root).count()
+    with pytest.raises(ValueError, match="manifest mismatch"):
+        leakage_split_state_step(docs, root, shingle_mod=8)
+    with pytest.raises(ValueError, match="manifest mismatch"):
+        leakage_split_state_step(docs, root, k=5)
