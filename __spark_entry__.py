@@ -652,34 +652,37 @@ def _session_window_overlap(spark, sf):
 # columns in any window entry — the driver canonicalizer cannot sort
 # them.
 _PRIORITY = (
-    # r11 window — mechanically derived by tools/rotate_window.py
+    # r12 window — mechanically derived by tools/rotate_window.py
     # (never-driver-checked entries first, then by staleness of green:
     # code churn since each entry's last green driver row; rows-only
     # entries never enter — every window slot is hash-checkable).
-    # Leads with the r8-green cohort displaced by r10's llm.py /
-    # relational.py churn, then the NEW AGE BACKSTOP tail (r10 verdict
-    # item 3): ten entries whose last driver-green is >4 rounds old
-    # (the r1/r3/r4 analytics cohort) re-enter even though their code
-    # is untouched, so no driver row can age out unboundedly.
-    "top_orders_per_priority_2p", "bpe_pair_counts", "cdc_dup_spans",
-    "chunk_documents_overlap", "containment_pairs_capped",
-    "contributor_cap", "dup_ngram_coverage", "embedding_label_centroids",
-    "embedding_near_dup_pairs", "embedding_truncation_report",
-    "encoding_health_report", "epoch_mix", "gopher_quality_signals",
-    "heavy_hitters_exact", "ivf_drift_report", "lang_balanced_sample",
-    "language_id", "near_dup_clusters", "near_dup_clusters_bigstar",
-    "ngram_contamination", "ngram_contamination_bloom",
-    "ngram_jaccard_pairs", "ngram_jaccard_pairs_capped",
-    "ngram_lm_perplexity", "normalize_text", "pack_sequences",
-    "quality_margin_calibration", "quality_prune_topp", "quality_score",
-    "remove_dup_spans", "repetition_signals", "semantic_dedup_fixed",
-    "shard_by_tokens", "text_stats", "tfidf_topk_terms", "token_count_bpe",
-    "token_doc_frequency", "token_entropy", "train_val_test_split",
-    "training_data_prep", "q1_pricing_summary_sql",
-    "events_scan_pruned_window", "table_row_counts",
-    "cumulative_distinct_users", "daily_event_stats", "event_type_pivot",
-    "events_key_skew_profile", "json_props_lift", "profile_orders_columns",
-    "ams_join_size_click_purchase",
+    # Leads with the NEW incremental_leakage_split entry (r11 verdict
+    # item 3: the streaming leakage-split face gets a driver-green
+    # hash row), then the r8/r9-green llm.py cohort displaced by the
+    # r10/r11 churn in that module, then the analytics age-backstop
+    # tail.
+    'incremental_leakage_split', 'weighted_sample',
+    'ann_recall_report', 'bm25_scores', 'build_inverted_index',
+    'c4_filter_report', 'c4_quality_signals', 'code_detect_signals',
+    'contamination_detector_agreement', 'curation_funnel_report',
+    'dataset_fingerprint', 'dedup_exact', 'dedup_exact_ids',
+    'dedup_recall_report', 'dedup_savings_report',
+    'doc_embedding_norms', 'dsir_weights', 'embedding_drift',
+    'embedding_near_dup_lsh_pairs',
+    'embedding_near_dup_lsh_pairs_capped', 'embedding_topk_cosine',
+    'embedding_topk_cosine_lsh', 'embedding_topk_cosine_pandas',
+    'embedding_topk_cosine_pq_fixed',
+    'embedding_topk_cosine_same_label', 'fill_missing_days',
+    'filtered_ann_recall_report', 'group_split', 'hybrid_rrf_topk',
+    'incremental_dedup_bloom', 'incremental_dedup_near',
+    'ivf_admission_report', 'language_id_eval', 'leakage_safe_split',
+    'lexical_vector_agreement', 'lsh_bucket_skew_report',
+    'near_dup_cluster_sizes', 'ngram_contamination_tokens',
+    'quantize_embeddings', 'simhash64', 'conversion_funnel_within',
+    'event_transition_matrix', 'event_transition_matrix_sessionized',
+    'event_type_unpivot', 'events_sample_fixed_n',
+    'hll_distinct_users_merged', 'orders_bloom_dim_join',
+    'superspreader_users', 'time_to_convert_stats', 'top_event_paths',
 )
 
 

@@ -2850,3 +2850,149 @@ def _leakage_safe_split_oracle() -> str:
 
 
 ORACLES["leakage_safe_split"] = _leakage_safe_split_oracle()
+
+
+def _q_incremental_leakage_split(spark, sf):
+    """Deterministic two-batch replay of the STREAMING leakage-safe
+    split (`streaming.streams.leakage_split_state_step` — the r11
+    stream face, driver-hash-checked here per the r11 verdict):
+    batch 1 (the crawl-corpus sources, same fixture split as
+    incremental_dedup) seeds the postings/splits state in a scratch
+    dir; batch 2 screens against that standing state — a new doc
+    whose near-twin holds a DIFFERENT pinned split is dropped in both
+    directions — then applies the in-batch drop algebra among its
+    survivors. Returns every pinned (doc_id, split) assignment across
+    both batches; value-hash-checked against a DuckDB replay of the
+    exact two-batch semantics (cross-batch Jaccard from the postings
+    algebra: |A∩B| shared shingles, |A∪B| = n_new + n_old − |A∩B|).
+    State lives in a driver-local scratch dir deleted before return
+    (both steps eagerly checkpoint their survivors)."""
+    import shutil
+    import tempfile
+
+    from hive_exporter_spark.operators.llm import _CORPUS_PRED_SQL
+    from hive_exporter_spark.streaming.streams import (
+        leakage_split_state_step)
+
+    docs = _docs(spark, sf).select(
+        "doc_id", "text", F.expr(_CORPUS_PRED_SQL).alias("__corpus"))
+    state = tempfile.mkdtemp(prefix="leakage_split_state_")
+    try:
+        s1 = leakage_split_state_step(
+            docs.where(F.col("__corpus")).drop("__corpus"), state)
+        s2 = leakage_split_state_step(
+            docs.where(~F.col("__corpus")).drop("__corpus"), state)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    return s1.unionByName(s2).orderBy("doc_id")
+
+
+QUERIES["incremental_leakage_split"] = _q_incremental_leakage_split
+
+
+def _incremental_leakage_split_oracle() -> str:
+    """DuckDB replay of the two-batch leakage_split_state_step
+    narrative. Batch 1 is the batch-face algebra over the corpus
+    sources; batch 2 first drops new docs with a cross-split standing
+    SURVIVOR twin (Jaccard over distinct word-k-gram sets, the
+    postings formula), then replays the shared in-batch drop algebra
+    over what remains. Shingles join on raw strings where the engine
+    joins on xxhash64 — a collision would surface as a value-hash
+    diff, exactly like ngram_jaccard_pairs."""
+    from hive_exporter_spark.operators.llm import (
+        _CORPUS_PRED_SQL, _SHINGLES_SQL, JACCARD_THRESHOLD,
+        _ngram_pairs_sql)
+
+    train_hi, val_hi = SPLIT_PCTS[0], SPLIT_PCTS[0] + SPLIT_PCTS[1]
+    sp_case = (f"CASE WHEN {_SPLIT_BUCKET} < {train_hi} THEN 'train' "
+               f"WHEN {_SPLIT_BUCKET} < {val_hi} THEN 'val' "
+               "ELSE 'test' END")
+    r_case = (f"CASE WHEN {_SPLIT_BUCKET} < {train_hi} THEN 0 "
+              f"WHEN {_SPLIT_BUCKET} < {val_hi} THEN 1 ELSE 2 END")
+    return f"""
+        WITH b1 AS (
+            SELECT doc_id, text FROM documents WHERE {_CORPUS_PRED_SQL}
+        ), b2 AS (
+            SELECT doc_id, text FROM documents
+            WHERE NOT ({_CORPUS_PRED_SQL})
+        ), sp1 AS (
+            SELECT doc_id, {sp_case} AS split, {r_case} AS r FROM b1
+        ), pairs1 AS ({_ngram_pairs_sql('b1')}),
+        edges1 AS (
+            SELECT e.doc, e.partner, a.r AS rd, b.r AS rp
+            FROM (SELECT doc_a AS doc, doc_b AS partner FROM pairs1
+                  UNION ALL
+                  SELECT doc_b AS doc, doc_a AS partner FROM pairs1) e
+            JOIN sp1 a ON a.doc_id = e.doc
+            JOIN sp1 b ON b.doc_id = e.partner
+        ), val_drops1 AS (
+            SELECT DISTINCT doc FROM edges1 WHERE rd = 1 AND rp = 0
+        ), drops1 AS (
+            SELECT doc FROM val_drops1
+            UNION
+            SELECT doc FROM edges1
+            WHERE rd = 2 AND (rp = 0 OR (rp = 1 AND partner NOT IN
+                  (SELECT doc FROM val_drops1)))
+        ), surv1 AS (
+            SELECT doc_id, split FROM sp1
+            WHERE doc_id NOT IN (SELECT doc FROM drops1)
+        ), sh1 AS (
+            SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM b1
+            WHERE doc_id IN (SELECT doc_id FROM surv1)
+        ), n1 AS (
+            SELECT doc_id, len({_SHINGLES_SQL}) AS n_sh FROM b1
+            WHERE doc_id IN (SELECT doc_id FROM surv1)
+        ), sp2 AS (
+            SELECT doc_id, {sp_case} AS split, {r_case} AS r FROM b2
+        ), sh2 AS (
+            SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM b2
+        ), n2 AS (
+            SELECT doc_id, len({_SHINGLES_SQL}) AS n_sh FROM b2
+        ), xc AS (
+            SELECT n.doc_id AS nid, o.doc_id AS oid, COUNT(*) AS c
+            FROM sh2 n JOIN sh1 o ON n.shingle = o.shingle
+            GROUP BY 1, 2
+        ), cross_drop AS (
+            SELECT DISTINCT x.nid
+            FROM xc x
+            JOIN n2 ON n2.doc_id = x.nid
+            JOIN n1 ON n1.doc_id = x.oid
+            JOIN surv1 o ON o.doc_id = x.oid
+            JOIN sp2 nn ON nn.doc_id = x.nid
+            WHERE CAST(x.c AS DOUBLE) / (n2.n_sh + n1.n_sh - x.c)
+                  >= {JACCARD_THRESHOLD}
+              AND o.split <> nn.split
+        ), rem2 AS (
+            SELECT doc_id, split, r FROM sp2
+            WHERE doc_id NOT IN (SELECT nid FROM cross_drop)
+        ), b2r AS (
+            SELECT doc_id, text FROM b2
+            WHERE doc_id IN (SELECT doc_id FROM rem2)
+        ), pairs2 AS ({_ngram_pairs_sql('b2r')}),
+        edges2 AS (
+            SELECT e.doc, e.partner, a.r AS rd, b.r AS rp
+            FROM (SELECT doc_a AS doc, doc_b AS partner FROM pairs2
+                  UNION ALL
+                  SELECT doc_b AS doc, doc_a AS partner FROM pairs2) e
+            JOIN rem2 a ON a.doc_id = e.doc
+            JOIN rem2 b ON b.doc_id = e.partner
+        ), val_drops2 AS (
+            SELECT DISTINCT doc FROM edges2 WHERE rd = 1 AND rp = 0
+        ), drops2 AS (
+            SELECT doc FROM val_drops2
+            UNION
+            SELECT doc FROM edges2
+            WHERE rd = 2 AND (rp = 0 OR (rp = 1 AND partner NOT IN
+                  (SELECT doc FROM val_drops2)))
+        ), surv2 AS (
+            SELECT doc_id, split FROM rem2
+            WHERE doc_id NOT IN (SELECT doc FROM drops2)
+        )
+        SELECT doc_id, split FROM surv1
+        UNION ALL
+        SELECT doc_id, split FROM surv2
+        ORDER BY doc_id
+    """
+
+
+ORACLES["incremental_leakage_split"] = _incremental_leakage_split_oracle()
