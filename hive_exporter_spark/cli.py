@@ -202,6 +202,13 @@ def build_parser() -> argparse.ArgumentParser:
                      help="compact (un-rooted dirs only): destination "
                           "state dir (must differ from the source)")
     nst.add_argument("-f", "--target-files", type=int, default=8)
+    nst.add_argument("--bloom-headroom", type=float, default=2.0,
+                     help="compact only: growth projection for the "
+                          "bloom sidecars — filters are sized for "
+                          "headroom x the compacted key counts so "
+                          "fill stays clear of the 0.5 rebuild "
+                          "trigger until the corpus outgrows this "
+                          "compact by ~1.66 x headroom")
     nst.add_argument("--to-layout", choices=["partitioned"],
                      help="compact only: migrate a flat source into "
                           "the v2 partitioned layout (band keys "
@@ -856,7 +863,8 @@ def main(argv: list[str] | None = None) -> int:
             try:
                 name, nd, ns = compact_near_dedup_generation(
                     spark, args.input, target_files=args.target_files,
-                    to_layout=args.to_layout)
+                    to_layout=args.to_layout,
+                    bloom_headroom=args.bloom_headroom)
             except ValueError as e:
                 print(f"error: {e}", file=sys.stderr)
                 return 2
@@ -888,7 +896,8 @@ def main(argv: list[str] | None = None) -> int:
             nd, ns = compact_near_dedup_state(
                 spark, args.input, args.output,
                 target_files=args.target_files,
-                to_layout=args.to_layout)
+                to_layout=args.to_layout,
+                bloom_headroom=args.bloom_headroom)
         except ValueError as e:   # typo'd src: no state at all
             print(f"error: {e}", file=sys.stderr)
             return 2

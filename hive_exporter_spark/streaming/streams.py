@@ -1427,7 +1427,8 @@ def read_admission_monitor(spark: SparkSession,
 
 def compact_near_dedup_state(spark: SparkSession, src_dir: str,
                              dst_dir: str, target_files: int = 8,
-                             to_layout: str | None = None
+                             to_layout: str | None = None,
+                             bloom_headroom: float = 2.0
                              ) -> tuple[int, int]:
     """Blue/green compaction for `near_dedup_stream`'s standing state:
     the state tables grow one parquet file-set per micro-batch
@@ -1656,11 +1657,24 @@ def compact_near_dedup_state(spark: SparkSession, src_dir: str,
         # rebuild was 40 s at a 10M-doc corpus) — auto-sized to the
         # compacted counts, which is exactly the re-size the
         # generation switch wants (r10 verdict item 1c).
+        # `bloom_headroom` (r12, r11 verdict item 7) is the growth
+        # projection: sizing for headroom x the compacted count keeps
+        # the filters clear of the monitor's 0.5-fill rebuild trigger
+        # until the corpus substantially outgrows this compact. The
+        # math at NEAR_BLOOM_HASHES=5: fill reaches 0.5 when standing
+        # keys hit m*ln2/5 ≈ 0.139*m; at 12 bits/key rounded up to a
+        # power of two, m >= 12*headroom*n, so the trigger sits at
+        # >= 1.66*headroom x the compacted count — with the default
+        # 2.0, admission has to MORE THAN TRIPLE the corpus before
+        # the next compact for fill to cross the trigger (the 10M-doc
+        # campaign measured 0.31 fill from exact-count sizing, only
+        # 66% growth away from saturation).
         from hive_exporter_spark.operators.bloom import (
             BLOOM_BITS, bloom_bitmap, collect_bloom)
+        hr = max(1.0, float(bloom_headroom))
         if dig is not None:
             dig_done = spark.read.parquet(d_dst).select("__digest")
-            mb = _auto_bloom_bits(n_dig, BLOOM_BITS)
+            mb = _auto_bloom_bits(int(n_dig * hr), BLOOM_BITS)
             _write_sidecar(
                 _os.path.join(dst_dir, BLOOM_SIDECAR_DIGESTS),
                 collect_bloom(bloom_bitmap(
@@ -1669,7 +1683,7 @@ def compact_near_dedup_state(spark: SparkSession, src_dir: str,
             keys_done = spark.read.parquet(s_dst).select(
                 F.concat_ws(":", "band", "bucket").alias("__k"))
             m2b = _auto_bloom_bits(
-                n_sig, BLOOM_BITS * int(manifest["bands"]))
+                int(n_sig * hr), BLOOM_BITS * int(manifest["bands"]))
             _write_sidecar(
                 _os.path.join(dst_dir, BLOOM_SIDECAR_BANDS),
                 collect_bloom(bloom_bitmap(
@@ -1722,7 +1736,8 @@ def run_generation_compact(spark: SparkSession, root: str, compact_fn,
 
 def compact_near_dedup_generation(spark: SparkSession, root: str,
                                   target_files: int = 8,
-                                  to_layout: str | None = None
+                                  to_layout: str | None = None,
+                                  bloom_headroom: float = 2.0
                                   ) -> tuple[str, int, int]:
     """`compact_near_dedup_state` under the generation-pointer
     protocol: compacts the live generation into the next one and
@@ -1734,7 +1749,8 @@ def compact_near_dedup_generation(spark: SparkSession, root: str,
     (new_generation_name, n_digests, n_signatures_or_band_rows)."""
     name, (n_dig, n_sig) = run_generation_compact(
         spark, root, compact_near_dedup_state,
-        target_files=target_files, to_layout=to_layout)
+        target_files=target_files, to_layout=to_layout,
+        bloom_headroom=bloom_headroom)
     return name, n_dig, n_sig
 
 

@@ -1999,3 +1999,66 @@ def test_leakage_split_manifest_guard(spark, tmp_path):
         leakage_split_state_step(docs, root, shingle_mod=8)
     with pytest.raises(ValueError, match="manifest mismatch"):
         leakage_split_state_step(docs, root, k=5)
+
+def test_compact_bloom_sidecar_headroom(spark, tmp_path, sf_dir):
+    """r12 (r11 verdict item 7): the generation compact sizes its
+    bloom sidecars for `bloom_headroom` x the compacted key counts —
+    the arithmetic is pinned on _auto_bloom_bits, and end-to-end a
+    headroom big enough to clear the floor yields the projected
+    sidecar sizes, which the next batch adopts (sidecar size -> m
+    bits) with a measured fill drop (the step-change the monitor's
+    fill columns show after the switch)."""
+    import os
+
+    from hive_exporter_spark.operators.bloom import BLOOM_BITS
+    from hive_exporter_spark.streaming.state import init_state_root
+    from hive_exporter_spark.streaming.streams import (
+        BLOOM_SIDECAR_BANDS, BLOOM_SIDECAR_DIGESTS,
+        NEAR_BLOOM_MAX_BITS, _auto_bloom_bits, bloom_health,
+        compact_near_dedup_generation, near_dedup_state_step)
+
+    # sizing arithmetic: 12 bits/key rounded up to a power of two,
+    # floored and capped — headroom multiplies the projected keys
+    assert _auto_bloom_bits(1_000_000, BLOOM_BITS) == 1 << 24
+    assert _auto_bloom_bits(2_000_000, BLOOM_BITS) == 1 << 25
+    assert _auto_bloom_bits(10, BLOOM_BITS) == BLOOM_BITS   # floor
+    assert _auto_bloom_bits(1 << 40, BLOOM_BITS) == NEAR_BLOOM_MAX_BITS
+
+    docs = read_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").where(F.col("doc_id") < 60)
+
+    def run(headroom):
+        root = str(tmp_path / f"root{headroom}")
+        init_state_root(root)
+        near_dedup_state_step(docs, root, None,
+                              layout="partitioned")[0].count()
+        name, n_dig, n_band = compact_near_dedup_generation(
+            spark, root, bloom_headroom=headroom)
+        gen = os.path.join(root, name)
+        sizes = (os.path.getsize(os.path.join(gen,
+                                              BLOOM_SIDECAR_DIGESTS)),
+                 os.path.getsize(os.path.join(gen, BLOOM_SIDECAR_BANDS)))
+        # next batch adopts the sidecar sizes and reports fill
+        bloom_state: dict = {}
+        probe = spark.createDataFrame(
+            [(901, "genuinely novel pelican prose here")],
+            "doc_id long, text string")
+        adm, _ = near_dedup_state_step(probe, root, None,
+                                       layout="partitioned",
+                                       bloom_state=bloom_state)
+        assert adm.count() == 1
+        assert bloom_state["m_bits"] == sizes[0] * 8
+        assert bloom_state["m2_bits"] == sizes[1] * 8
+        return n_dig, n_band, sizes, bloom_health(bloom_state)
+
+    # headroom 1: the tiny fixture sits under the floor sizes
+    n_dig, n_band, s1, h1 = run(1.0)
+    assert s1[0] * 8 == _auto_bloom_bits(n_dig, BLOOM_BITS)
+    # headroom big enough to clear the floor: projected sizing kicks
+    # in exactly as _auto_bloom_bits(headroom x count) says
+    hr = 4096.0
+    _, _, s4, h4 = run(hr)
+    assert s4[0] * 8 == _auto_bloom_bits(int(n_dig * hr), BLOOM_BITS)
+    assert s4[0] > s1[0] and s4[1] > s1[1]
+    assert h4["digest_bloom_fill"] < h1["digest_bloom_fill"]
+    assert h4["band_bloom_fill"] < h1["band_bloom_fill"]
