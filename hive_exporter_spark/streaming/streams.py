@@ -268,13 +268,20 @@ def corpus_dedup_stream_bloom(
             .withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
             .drop("__rn")
-        ).localCheckpoint(eager=False)
+        )
         cols = fresh.columns
         if use_literal:
-            maybe = bloom_contains(F.col("__digest"), bytes(state["dense"]),
-                                   m, n_hashes)
-            fast = fresh.where(~maybe)
-            cand = fresh.where(maybe)
+            # Probe INSIDE the checkpointed plan (see
+            # near_dedup_state_step: a bitmap literal left in the
+            # miss/hit lineage re-enters every derived join-bearing
+            # plan, and Catalyst planning over the m/8-byte literal
+            # was the measured per-batch bottleneck, not execution).
+            fresh = fresh.withColumn("__might", bloom_contains(
+                F.col("__digest"), bytes(state["dense"]), m, n_hashes))
+        fresh = fresh.localCheckpoint(eager=False)
+        if use_literal:
+            fast = fresh.where(~F.col("__might")).drop("__might")
+            cand = fresh.where(F.col("__might")).drop("__might")
         else:
             flags = bloom_probe_join(fresh.select("__digest"),
                                      state["bitmap"], "__digest", m, n_hashes)
@@ -926,15 +933,25 @@ def near_dedup_state_step(
     _init_filter(keys_all, keys_delta_df, "__k", m2, "bands_dense",
                  side_b)
     _mark("bloom_init")
-    fresh = batch_df.withColumn(
-        "__digest", F.sha2(F.col(text_col), 256)).localCheckpoint()
+    fresh = batch_df.withColumn("__digest",
+                                F.sha2(F.col(text_col), 256))
+    if lit_d:
+        # Evaluate the literal probe INSIDE the eager checkpoint, as
+        # a boolean column: the m/8-byte bitmap literal then lives in
+        # exactly ONE plan (this map-only projection) and every
+        # downstream frame references the tiny flag instead. Leaving
+        # the literal in the miss/hit lineage made Catalyst re-plan
+        # it into every derived join-bearing plan — measured r12:
+        # 3.5-14 s PLANNING (not execution) per micro-batch at a
+        # 1 MB literal, the dominant term of the whole step.
+        fresh = fresh.withColumn("__might", bloom_contains(
+            F.col("__digest"), bytes(bloom_state["dense"]), m,
+            NEAR_BLOOM_HASHES))
+    fresh = fresh.localCheckpoint()
     _mark("fresh_checkpoint")
     if lit_d:
-        maybe = bloom_contains(F.col("__digest"),
-                               bytes(bloom_state["dense"]),
-                               m, NEAR_BLOOM_HASHES)
-        miss = fresh.where(~maybe)
-        hit = fresh.where(maybe)
+        miss = fresh.where(~F.col("__might")).drop("__might")
+        hit = fresh.where(F.col("__might")).drop("__might")
     else:
         flags = bloom_probe_broadcast(
             fresh.select("__digest"), bytes(bloom_state["dense"]),
@@ -962,6 +979,7 @@ def near_dedup_state_step(
         "__digest",
         _digest_partition(F.col("__digest"), digest_mod).alias("dp")
     ).distinct().limit(NEAR_ISIN_VALUE_CAP + 1).collect()
+    _mark("digest_hits_collect")
     hit_digests_df = None
     if len(hit_rows) > NEAR_ISIN_VALUE_CAP:
         hit_dps = sorted(r["dp"] for r in hit.select(
@@ -980,6 +998,7 @@ def near_dedup_state_step(
                            "left_semi")
         return df
 
+    _mark("digest_hits_branch")
     seen_pruned = None
     if hit_dps:
         try:
@@ -998,6 +1017,7 @@ def near_dedup_state_step(
                 seen_pruned.unionByName(seen_delta)
         except AnalysisException:
             pass
+    _mark("digest_delta_read")
     hit_clean = hit if seen_pruned is None else \
         hit.join(seen_pruned, "__digest", "left_anti")
     exact_fresh = miss.unionByName(hit_clean).drop("__digest") \
@@ -1094,15 +1114,27 @@ def near_dedup_state_step(
         except AnalysisException:
             pruned = None
         try:
-            # delta rows have no dirs to prune — semi-join the
-            # (batch-bounded) hit-key set; the delta's size is
-            # bounded by the compact cadence
-            hkeys = bkeys_hit_df if bkeys_hit_df is not None else \
-                bkeys_hit.select("band", "bucket")
-            delta_hits = (spark.read.parquet(bands_delta)
-                          .join(F.broadcast(hkeys),
-                                ["band", "bucket"], "left_semi")
-                          .select("doc_id", "band", "bucket"))
+            # delta rows have no dirs to prune — under the cap the
+            # COLLECTED hit keys push down as a literal (band, bucket)
+            # predicate (never the bkeys_hit plan: its bloom literal
+            # would re-enter a join-bearing plan and pay the measured
+            # seconds-per-plan Catalyst cost all over again); past the
+            # cap, semi-join the checkpointed (lineage-free) hit-key
+            # frame. Delta size is bounded by the compact cadence.
+            delta_raw = spark.read.parquet(bands_delta)
+            if buckets_by_band is not None:
+                dpred = None
+                for b in sorted(buckets_by_band):
+                    c = ((F.col("band") == b) & F.col("bucket").isin(
+                        sorted(buckets_by_band[b])))
+                    dpred = c if dpred is None else (dpred | c)
+                delta_hits = delta_raw.where(dpred) \
+                    .select("doc_id", "band", "bucket")
+            else:
+                delta_hits = (delta_raw
+                              .join(F.broadcast(bkeys_hit_df),
+                                    ["band", "bucket"], "left_semi")
+                              .select("doc_id", "band", "bucket"))
             pruned = delta_hits if pruned is None else \
                 pruned.unionByName(delta_hits)
         except AnalysisException:

@@ -99,9 +99,14 @@ def run_layout(spark, batches, layout: str, workdir: str,
         while lo < SEED_ID_BASE + seed_docs:
             hi = min(lo + seed_chunk, SEED_ID_BASE + seed_docs)
             chunk = synth_batch(spark, lo, hi, dup_share, tokens)
+            # promote_at_docs=None: this bench MEASURES the flat
+            # layout at corpus sizes past the auto-promotion
+            # threshold — the explicit override documented on the
+            # state step keeps the comparison arm honest.
             near_dedup_state_step(chunk, root, None, layout=layout,
                                   bloom_state=bloom_state,
-                                  bloom_bits=bloom_bits)
+                                  bloom_bits=bloom_bits,
+                                  promote_at_docs=None)
             chunk.unpersist()
             lo = hi
             # 20 rapid chunks outrun the ContextCleaner: drop Python
@@ -120,7 +125,8 @@ def run_layout(spark, batches, layout: str, workdir: str,
         t0 = time.time()
         admitted, stats = near_dedup_state_step(
             b, root, None, layout=layout, bloom_state=bloom_state,
-            bloom_bits=bloom_bits, collect_stats=True)
+            bloom_bits=bloom_bits, collect_stats=True,
+            promote_at_docs=None)
         ids = [r["doc_id"] for r in admitted.select("doc_id").collect()]
         wall = time.time() - t0
         admitted_ids.update(ids)
