@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 
 from hive_exporter_spark.functions.aggs import davg_sql
 from hive_exporter_spark.functions.rand import md5_uniform_sql
-from hive_exporter_spark.functions.vectors import cosine_similarity
+from hive_exporter_spark.functions.vectors import (cosine_similarity, dot,
+                                                   l2_norm)
 from hive_exporter_spark.sources.files import read_table
 
 TOKEN_SPLIT = "[^a-z0-9]+"
@@ -770,13 +771,24 @@ def topk_cosine(
     map-side pass over the corpus + a top-k agg, which is exactly the
     right plan at 100 TB for small Q. For large Q use `topk_cosine_lsh`.
     """
+    # Norms are hoisted OUT of the Q×N pair join (r12): each side's
+    # l2_norm is computed once per ROW before the join instead of once
+    # per PAIR inside cosine_similarity — the interpreted HOF fold is
+    # the per-pair cost, and Q× of it was pure recompute. score =
+    # dot/(qn·nn) multiplies/divides the identical doubles in the
+    # identical order, so every score (and the hash-checked output) is
+    # bit-unchanged.
     q = F.broadcast(queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     ))
     scored = (
-        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+        embeddings.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("nvec"),
+                          l2_norm(F.col(vec_col)).alias("__nn"))
         .join(q, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", cosine_similarity("qvec", "nvec"))
+        .withColumn("score",
+                    dot("qvec", "nvec") / (F.col("__qn") * F.col("__nn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
@@ -804,16 +816,21 @@ def topk_cosine_same_label(
     returns fewer than k. The materialized-index face is
     `query_ivf_index(where=...)` over an index built with
     `meta_cols`."""
+    # Per-side norms hoisted out of the pair join (see `topk_cosine`);
+    # scores are bit-identical.
     q = F.broadcast(queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
         F.col(label_col).alias("__qlabel")))
     scored = (
         embeddings.select(F.col(id_col).alias("neighbor_id"),
                           F.col(vec_col).alias("nvec"),
+                          l2_norm(F.col(vec_col)).alias("__nn"),
                           F.col(label_col).alias("__nlabel"))
         .join(q, (F.col("query_id") != F.col("neighbor_id"))
               & (F.col("__qlabel") == F.col("__nlabel")))
-        .withColumn("score", cosine_similarity("qvec", "nvec"))
+        .withColumn("score",
+                    dot("qvec", "nvec") / (F.col("__qn") * F.col("__nn")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id"))
@@ -852,22 +869,38 @@ def _portable_planes(seed: int, tables: int, planes: int,
 
 def _rp_buckets(vec_col: str, tables: list[list[list[float]]]) -> F.Column:
     """Multi-table random-hyperplane bucket ids: for each table, pack
-    one sign bit per plane into an int; returns array<struct<tbl,bucket>>."""
+    one sign bit per plane into an int; returns array<struct<tbl,bucket>>.
+
+    Built as ONE SQL expression string, not Column objects (r12): the
+    old per-literal `F.lit` construction was tables × planes × dim ≈
+    2000 py4j round-trips — ~2.5 s of DRIVER time per query before any
+    job ran. The parsed tree is the SAME `aggregate(zip_with(...))`
+    fold as before (plane weights become one constant-folded literal
+    array per plane), so execution and every float result are
+    unchanged — an experiment that unrolled the dot into 2048 scalar
+    terms blew the expression tree up to a 2.2 MiB task binary and
+    OOMed codegen. Literal weights ride through CAST('<repr>' AS
+    DOUBLE) so the parsed double round-trips exactly (the
+    `_pqf_assign` convention)."""
+
+    def d(v: float) -> str:
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    vq = f"`{vec_col}`"
     entries = []
     for ti, planes in enumerate(tables):
-        bit_cols = []
+        bits = []
         for i, plane in enumerate(planes):
-            arr = F.array(*[F.lit(x) for x in plane])
-            d = F.aggregate(
-                F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
-                F.lit(0.0), lambda acc, x: acc + x,
-            )
-            bit_cols.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-        bucket = bit_cols[0]
-        for c in bit_cols[1:]:
-            bucket = bucket + c
-        entries.append(F.struct(F.lit(ti).alias("tbl"), bucket.alias("bucket")))
-    return F.array(*entries)
+            arr = "array(" + ", ".join(d(w) for w in plane) + ")"
+            dot = (f"aggregate(zip_with({vq}, {arr}, "
+                   f"(x, y) -> CAST(x AS DOUBLE) * y), "
+                   f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+            bits.append(
+                f"CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END")
+        bucket = " + ".join(bits)
+        entries.append(
+            f"named_struct('tbl', {ti}, 'bucket', {bucket})")
+    return F.expr("array(" + ", ".join(entries) + ")")
 
 
 def topk_cosine_lsh(
@@ -896,21 +929,28 @@ def topk_cosine_lsh(
     """
     plane_tabs = _portable_planes(seed, tables, planes, dim)
     buckets = _rp_buckets(vec_col, plane_tabs)
+    # Per-side norms computed once per row before banding (r12): the
+    # candidate scoring below was paying the full cosine (dot + both
+    # norm folds) per CANDIDATE; dot/(qn·nn) over the hoisted norms is
+    # bit-identical and drops two folds per pair.
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"),
+        l2_norm(F.col(vec_col)).alias("__nn"),
         F.explode(buckets).alias("bb"),
-    ).select("neighbor_id", "nvec", "bb.tbl", "bb.bucket")
+    ).select("neighbor_id", "nvec", "__nn", "bb.tbl", "bb.bucket")
     q = F.broadcast(queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
         F.explode(buckets).alias("bb"),
-    ).select("query_id", "qvec", "bb.tbl", "bb.bucket"))
+    ).select("query_id", "qvec", "__qn", "bb.tbl", "bb.bucket"))
     cands = (
         corpus.join(q, ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qvec", "neighbor_id", "nvec")
+        .select("query_id", "qvec", "__qn", "neighbor_id", "nvec", "__nn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cands.withColumn("score", cosine_similarity("qvec", "nvec"))
+    scored = cands.withColumn(
+        "score", dot("qvec", "nvec") / (F.col("__qn") * F.col("__nn")))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1589,21 +1629,29 @@ def embedding_near_dup_lsh_pairs(
     # Checkpointed: the pair self-join references the banded frame
     # twice and would otherwise evaluate the tables x planes fold dot
     # products once per side.
+    # Per-row norms ride the banded frame (r12): computed once per
+    # vector before the self-join instead of twice per candidate pair
+    # inside cosine_similarity; dot/(na·nb) is bit-identical.
     banded = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
         F.explode(buckets).alias("bb"),
-    ).select("vid", "vec", "bb.tbl", "bb.bucket").localCheckpoint(eager=False)
+    ).select("vid", "vec", "nrm", "bb.tbl",
+             "bb.bucket").localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.vid") < F.col("b.vid")))
         .select(F.col("a.vid").alias("vec_a"), F.col("a.vec").alias("va"),
-                F.col("b.vid").alias("vec_b"), F.col("b.vec").alias("vb"))
+                F.col("a.nrm").alias("__na"),
+                F.col("b.vid").alias("vec_b"), F.col("b.vec").alias("vb"),
+                F.col("b.nrm").alias("__nb"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
     return (
-        cands.withColumn("score", cosine_similarity("va", "vb"))
+        cands.withColumn("score",
+                         dot("va", "vb") / (F.col("__na") * F.col("__nb")))
         .where(F.col("score") >= threshold)
         .select("vec_a", "vec_b", F.round("score", 6).alias("score"))
     )
@@ -1641,6 +1689,9 @@ def embedding_near_dup_lsh_pairs_capped(
     cand = (capped_bucket_pairs(banded, ["tbl", "bucket"], "vid", bucket_cap)
             .select(F.col("doc_a").alias("vec_a"),
                     F.col("doc_b").alias("vec_b")))
+    # NO norm hoist here (unlike the uncapped screen): the cap bounds
+    # candidates well below corpus size, so norms-per-corpus-row would
+    # cost more than the two per-pair folds they replace.
     ea = embeddings.select(F.col(id_col).alias("vec_a"),
                            F.col(vec_col).alias("__va"))
     eb = embeddings.select(F.col(id_col).alias("vec_b"),
@@ -2139,8 +2190,13 @@ def near_dup_clusters_bigstar(pairs: DataFrame, max_iter: int = 30) -> DataFrame
     # Directed edge list; each star op symmetrizes on entry (the star
     # semantics are defined on the UNDIRECTED neighborhood Γ(u), so
     # in-edges count too) and emits child→min edges, deduped.
+    # Checkpoints are LAZY throughout (r12): the per-round fingerprint
+    # action materializes them, so each round costs ONE job instead of
+    # two — on dup-graph-sized data the serial job launches, not the
+    # work, are the wall-clock.
     e = (pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-         .where(F.col("u") != F.col("v")).distinct().localCheckpoint())
+         .where(F.col("u") != F.col("v")).distinct()
+         .localCheckpoint(eager=False))
 
     def star(edges: DataFrame, large: bool, dedup: bool = True) -> DataFrame:
         # explode-symmetrize (single scan) — union-of-reversed would
@@ -2190,7 +2246,7 @@ def near_dup_clusters_bigstar(pairs: DataFrame, max_iter: int = 30) -> DataFrame
         # star output, which the fingerprint reads) stays deduped.
         e = star(
             star(e, large=True, dedup=False), large=False
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         cur = fingerprint(e)
         if cur == prev:
             # The (count, Σu, Σv) fingerprint could in principle collide
@@ -2936,11 +2992,17 @@ def topk_cosine_pq_fixed(embeddings: DataFrame, queries: DataFrame,
     enc = _pqf_assign(embeddings, books, id_col, vec_col)
     recon = "array(" + ", ".join(
         f"__s{j}.r0, __s{j}.r1" for j in range(m)) + ") AS recon"
-    corpus = (enc.selectExpr(f"{id_col} AS neighbor_id", recon))
+    # Reconstruction norm hoisted to the corpus side (r12): one fold
+    # per corpus ROW instead of one per (query × corpus) pair;
+    # dot/(qn·rn) is bit-identical to cosine_similarity.
+    corpus = (enc.selectExpr(f"{id_col} AS neighbor_id", recon)
+              .withColumn("__rn", l2_norm(F.col("recon"))))
     q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
-                                   F.col(vec_col).alias("qvec")))
+                                   F.col(vec_col).alias("qvec"),
+                                   l2_norm(F.col(vec_col)).alias("__qn")))
     scored = (corpus.join(q, F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("score", cosine_similarity("qvec", "recon")))
+              .withColumn("score", dot("qvec", "recon")
+                          / (F.col("__qn") * F.col("__rn"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id"))
     return (
@@ -3058,26 +3120,36 @@ def filtered_ann_recall_report(embeddings: DataFrame,
     At 100 TB the cost is the assignment pass + the exact audit pass
     — both single-scan, queries-bounded.
     """
+    # Per-vector norm computed ONCE on the checkpointed frame (r12)
+    # and carried through routing, probes, and candidate scoring: the
+    # centroid crossJoin was paying norm(embedding) n_clusters× per
+    # vector and the candidate join once per pair. dot/(a·b) over the
+    # hoisted norms is bit-identical to cosine_similarity.
     emb = embeddings.select("vec_id", "embedding", "label") \
+        .withColumn("__en", l2_norm(F.col("embedding"))) \
         .localCheckpoint(eager=False)
     cent = F.broadcast(
         emb.orderBy("vec_id").limit(n_clusters)
         .select(F.col("vec_id").alias("cent_id"),
-                F.col("embedding").alias("cvec")))
+                F.col("embedding").alias("cvec"),
+                F.col("__en").alias("__cn")))
     wv = Window.partitionBy("vec_id").orderBy(
         F.col("__cscore").desc(), F.col("cent_id"))
     routed = emb.crossJoin(cent).withColumn(
-        "__cscore", cosine_similarity("embedding", "cvec")) \
+        "__cscore",
+        dot("embedding", "cvec") / (F.col("__en") * F.col("__cn"))) \
         .withColumn("__rn", F.row_number().over(wv))
     assigned = routed.where(F.col("__rn") == 1).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("nvec"),
+        F.col("__en").alias("__nn"),
         F.col("label").alias("__nlabel"),
         F.col("cent_id").alias("bucket"))
     probes = routed.where((F.col("vec_id") < n_queries)
                           & (F.col("__rn") <= nprobe)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
+        F.col("__en").alias("__qn"),
         F.col("label").alias("__qlabel"),
         F.col("cent_id").alias("bucket"))
     wr = Window.partitionBy("query_id").orderBy(
@@ -3086,7 +3158,8 @@ def filtered_ann_recall_report(embeddings: DataFrame,
         assigned.join(F.broadcast(probes), "bucket")
         .where((F.col("query_id") != F.col("neighbor_id"))
                & (F.col("__qlabel") == F.col("__nlabel")))
-        .withColumn("score", cosine_similarity("qvec", "nvec"))
+        .withColumn("score",
+                    dot("qvec", "nvec") / (F.col("__qn") * F.col("__nn")))
         .withColumn("rank", F.row_number().over(wr))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id")
@@ -3374,13 +3447,23 @@ def hybrid_rrf_three(documents: DataFrame,
                       keep_vec=True)
     recon = "array(" + ", ".join(
         f"__s{j}.r0, __s{j}.r1" for j in range(PQ_M)) + ") AS recon"
-    corpus = enc.selectExpr("vec_id AS neighbor_id",
-                            "embedding AS nvec", recon)
+    # Both per-corpus-row norms (raw vector + reconstruction) hoisted
+    # out of the Q×N join (r12), as in `topk_cosine` /
+    # `topk_cosine_pq_fixed`: dot/(qn·nn) and dot/(qn·rn) are
+    # bit-identical to the cosine_similarity they replace, and the
+    # per-pair cost drops from six HOF folds to two.
+    corpus = (enc.selectExpr("vec_id AS neighbor_id",
+                             "embedding AS nvec", recon)
+              .withColumn("__nn", l2_norm(F.col("nvec")))
+              .withColumn("__rn", l2_norm(F.col("recon"))))
     q = F.broadcast(qs.select(F.col("vec_id").alias("query_id"),
-                              F.col("embedding").alias("qvec")))
+                              F.col("embedding").alias("qvec"),
+                              l2_norm(F.col("embedding")).alias("__qn")))
     scored = (corpus.join(q, F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("score_vec", cosine_similarity("qvec", "nvec"))
-              .withColumn("score_pqf", cosine_similarity("qvec", "recon"))
+              .withColumn("score_vec", dot("qvec", "nvec")
+                          / (F.col("__qn") * F.col("__nn")))
+              .withColumn("score_pqf", dot("qvec", "recon")
+                          / (F.col("__qn") * F.col("__rn")))
               # drop the arrays BEFORE the window exchange: only the
               # two scalar scores ride the shuffle
               .select("query_id", "neighbor_id", "score_vec",
@@ -6891,10 +6974,14 @@ def bpe_train(documents: DataFrame,
         documents.select(F.explode(tokens_col()).alias("w"))
         .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # Lazy checkpoints (r12): each round's single-row `first()` is the
+    # job that materializes the round's fold — one job per merge round
+    # instead of two (the vocab-sized work is unchanged; the serial
+    # job launches were half the trainer's wall-clock locally).
     cur = wc.select(
         "cnt",
         F.concat(F.split("w", ""), F.array(F.lit(BPE_END))).alias("syms"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     merges = []
     for rank in range(n_merges):
         n = F.size("syms")
@@ -6916,7 +7003,7 @@ def bpe_train(documents: DataFrame,
         merges.append((rank, left, right, best["pair_count"]))
         cur = cur.select(
             "cnt", _bpe_merge_fold(left, right).alias("syms")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, schema="rank int, left string, right string, pair_count long")
 
@@ -6969,20 +7056,25 @@ def bpe_apply(documents: DataFrame, merges: DataFrame,
     encoder is total over new corpora.
     """
     ranked = merges.orderBy("rank").select("left", "right").collect()
+    # Lazy checkpoints (r12): only the strategy-deciding count below
+    # ever materializes — the intermediate every-4-rounds checkpoints
+    # exist to truncate the fold lineage, which eager=False does just
+    # as well, without spending a serial job each.
     vocab = (
         documents.select(F.explode(tokens_col()).alias("w")).distinct()
         .select("w", F.concat(F.split("w", ""),
                               F.array(F.lit(BPE_END))).alias("syms"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for i, m in enumerate(ranked):
         vocab = vocab.select(
             "w", _bpe_merge_fold(m["left"], m["right"]).alias("syms"))
         if (i + 1) % BPE_APPLY_CHECKPOINT_EVERY == 0:
-            vocab = vocab.localCheckpoint()
-    # Final materialization: the strategy-deciding count below and the
-    # corpus join both read this, so the tail merge folds run once.
-    vocab = vocab.localCheckpoint()
+            vocab = vocab.localCheckpoint(eager=False)
+    # Final materialization point: the strategy-deciding count below
+    # and the corpus join both read this, so the tail merge folds run
+    # once (the count() is the job that materializes the whole chain).
+    vocab = vocab.localCheckpoint(eager=False)
     enc = vocab.select("w", F.size("syms").alias("__pieces"))
     # The vocab is checkpointed, so this count re-scans a materialized
     # RDD, not the merge-fold lineage — one cheap job that decides the
