@@ -2949,14 +2949,30 @@ def _pqf_assign(embeddings: DataFrame, books: list[list[list[float]]],
     ]
     base = base.selectExpr(id_col, *keep, *comps)
     subs = []
+    # r12: the codes of each subspace live in TWO constant-folded
+    # literal arrays (one per component) indexed by a transform() over
+    # sequence(0, k-1), instead of k inline named_structs per
+    # subspace. The old inline form put m × k × ~12 literal-laden
+    # nodes in the tree — 0.6 s of planning and a 1.5–1.9 MiB task
+    # binary per query at m=32, k=16. Every distance is the identical
+    # (e−r)·(e−r) sum on the identical doubles (element_at of a folded
+    # literal array == the inline literal), the struct field order and
+    # types match, and array_min's lexicographic argmin (dist, then
+    # code id) is unchanged — assignments, reconstructions, and every
+    # hash-checked consumer are bit-identical.
     for j, book in enumerate(books):
-        structs = ", ".join(
+        r0s = "array(" + ", ".join(d(r0) for r0, _ in book) + ")"
+        r1s = "array(" + ", ".join(d(r1) for _, r1 in book) + ")"
+        subs.append(
+            f"array_min(transform(sequence(0, {len(book) - 1}), c -> "
             f"named_struct("
-            f"'dist', (__e{j}_0 - {d(r0)}) * (__e{j}_0 - {d(r0)})"
-            f" + (__e{j}_1 - {d(r1)}) * (__e{j}_1 - {d(r1)}), "
-            f"'c', {c}, 'r0', {d(r0)}, 'r1', {d(r1)})"
-            for c, (r0, r1) in enumerate(book))
-        subs.append(f"array_min(array({structs})) AS __s{j}")
+            f"'dist', (__e{j}_0 - element_at({r0s}, c + 1))"
+            f" * (__e{j}_0 - element_at({r0s}, c + 1))"
+            f" + (__e{j}_1 - element_at({r1s}, c + 1))"
+            f" * (__e{j}_1 - element_at({r1s}, c + 1)), "
+            f"'c', c, "
+            f"'r0', element_at({r0s}, c + 1), "
+            f"'r1', element_at({r1s}, c + 1)))) AS __s{j}")
     return base.selectExpr(id_col, *keep, *subs)
 
 
@@ -3219,34 +3235,70 @@ def embedding_truncation_report(embeddings: DataFrame,
     All arithmetic is the portable fold cosine, so every row
     hash-checks in DuckDB.
     """
-    queries = embeddings.where(F.col(id_col) < n_queries)
-    exact = (topk_cosine(embeddings, queries, k, id_col, vec_col)
-             .select("query_id", "neighbor_id")
-             .localCheckpoint(eager=False))
-    n_exp = F.broadcast(
-        exact.agg(F.count(F.lit(1)).alias("n_expected")))
-    reports = []
+    # Fused single pass (r12): the old shape ran ONE exact and ONE
+    # truncated brute-force pipeline PER dim — 1+len(dims) corpus
+    # scans, broadcasts, and window exchanges (15 Exchanges in the
+    # sf plan). All rankings now ride one Q×N join: per-row slices +
+    # norms per dim, one score column per ranking, len(dims)+1
+    # row_number windows over the SAME query_id exchange, one
+    # aggregate. Each score expression is the hoisted-norm
+    # `dot/(qn·nn)` of `topk_cosine` applied to the identical sliced
+    # arrays, so every rank — and the hash-checked report — is
+    # bit-unchanged. Set counts become indicator sums: the pair
+    # universe is identical (q ≠ n), rows are unique per (q, n), so
+    # Σ 1[rk_d ≤ k ∧ rk_full ≤ k] equals the old intersection join's
+    # count.
+    dims = [int(d) for d in dims]
+
+    def side(id_alias: str, vec_alias: str, pre: str):
+        cols = [F.col(id_col).alias(id_alias),
+                F.col(vec_col).alias(vec_alias),
+                l2_norm(F.col(vec_col)).alias(f"__{pre}n")]
+        for d in dims:
+            cols.append(F.slice(F.col(vec_col), 1, d).alias(f"__{pre}v{d}"))
+            cols.append(l2_norm(F.slice(F.col(vec_col), 1, d))
+                        .alias(f"__{pre}n{d}"))
+        return cols
+
+    q = F.broadcast(embeddings.where(F.col(id_col) < n_queries)
+                    .select(*side("query_id", "qvec", "q")))
+    corpus = embeddings.select(*side("neighbor_id", "nvec", "n"))
+    scored = (
+        corpus.join(q, F.col("query_id") != F.col("neighbor_id"))
+        # drop the arrays before the window exchange: only scalar
+        # scores ride the shuffle
+        .select(
+            "query_id", "neighbor_id",
+            (dot("qvec", "nvec") / (F.col("__qn") * F.col("__nn")))
+            .alias("__s_full"),
+            *[(dot(f"__qv{d}", f"__nv{d}")
+               / (F.col(f"__qn{d}") * F.col(f"__nn{d}"))).alias(f"__s{d}")
+              for d in dims]))
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("__s_full").desc(), F.col("neighbor_id"))
+    ranked = scored.withColumn("__rk_full", F.row_number().over(wf))
     for d in dims:
-        tr = embeddings.select(
-            id_col, F.slice(F.col(vec_col), 1, int(d)).alias(vec_col))
-        hits = (
-            topk_cosine(tr, tr.where(F.col(id_col) < n_queries),
-                        k, id_col, vec_col)
-            .select("query_id", "neighbor_id")
-            .join(exact, ["query_id", "neighbor_id"])
-            .agg(F.count(F.lit(1)).alias("n_hits"))
-        )
-        reports.append(
-            hits.crossJoin(n_exp).select(
-                F.lit(int(d)).cast("int").alias("dim"),
-                "n_expected", "n_hits",
-                F.round(F.col("n_hits").cast("double")
-                        / F.col("n_expected"), 6).alias("recall_at_k"),
-            ))
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionAll(r)
-    return out.orderBy("dim")
+        wd = Window.partitionBy("query_id").orderBy(
+            F.col(f"__s{d}").desc(), F.col("neighbor_id"))
+        ranked = ranked.withColumn(f"__rk{d}", F.row_number().over(wd))
+    row = ranked.agg(
+        F.coalesce(F.sum((F.col("__rk_full") <= k).cast("long")),
+                   F.lit(0)).alias("n_expected"),
+        *[F.coalesce(F.sum(((F.col(f"__rk{d}") <= k)
+                            & (F.col("__rk_full") <= k)).cast("long")),
+                     F.lit(0)).alias(f"__h{d}")
+          for d in dims])
+    entries = F.array(*[
+        F.struct(F.lit(d).cast("int").alias("dim"),
+                 F.col(f"__h{d}").alias("n_hits")) for d in dims])
+    return (
+        row.select("n_expected", F.explode(entries).alias("e"))
+        .select(F.col("e.dim").alias("dim"), "n_expected",
+                F.col("e.n_hits").alias("n_hits"),
+                F.round(F.col("e.n_hits").cast("double")
+                        / F.col("n_expected"), 6).alias("recall_at_k"))
+        .orderBy("dim")
+    )
 
 
 def lexical_topk(documents: DataFrame,
