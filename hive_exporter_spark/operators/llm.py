@@ -458,14 +458,19 @@ def minhash_signatures(documents: DataFrame, slots: int = MINHASH_SLOTS) -> Data
         F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10)
         .cast("long").alias("__x"),
     )
+    # Aggregates arrive as parsed SQL strings (r12): the Column-object
+    # form was ~8 py4j round-trips per slot (~0.6 s of driver time per
+    # call at 32 slots); each parsed `min((a*__x+b)%P)` is the same
+    # integer arithmetic on the same longs (integer literals round-trip
+    # exactly), so signatures are bit-unchanged.
     mins = base.groupBy("doc_id").agg(*[
-        F.min((F.lit(a) * F.col("__x") + F.lit(b)) % F.lit(MINHASH_P))
-        .alias(f"h{i}")
+        F.expr(f"min(({a} * __x + {b}) % {MINHASH_P}) AS h{i}")
         for i, (a, b) in enumerate(MINHASH_COEF[:slots])
     ])
-    return mins.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(slots)]).alias("signature")
-    )
+    return mins.selectExpr(
+        "doc_id",
+        "array(" + ", ".join(f"h{i}" for i in range(slots))
+        + ") AS signature")
 
 
 def _minhash_banded(sigs: DataFrame, slots: int, bands: int) -> DataFrame:
@@ -475,23 +480,24 @@ def _minhash_banded(sigs: DataFrame, slots: int, bands: int) -> DataFrame:
     oracle reproduces the buckets exactly."""
     rows_per_band = slots // bands
 
-    def _bucket(bi: int) -> F.Column:
-        terms = [
-            F.element_at("signature", bi * rows_per_band + r + 1)
-            * F.lit(BAND_WEIGHTS[r % len(BAND_WEIGHTS)])
+    # One parsed expression for the whole banded explode (r12): the
+    # Column-object form cost bands × rows-per-band py4j round-trips
+    # per call; the parse yields the identical left-assoc weighted sum
+    # on the identical longs, so buckets are bit-unchanged.
+    def _bucket(bi: int) -> str:
+        return " + ".join(
+            f"element_at(signature, {bi * rows_per_band + r + 1})"
+            f" * {BAND_WEIGHTS[r % len(BAND_WEIGHTS)]}"
             for r in range(rows_per_band)
-        ]
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out
+        )
 
+    entries = ", ".join(
+        f"named_struct('band', {bi}, 'bucket', {_bucket(bi)})"
+        for bi in range(bands)
+    )
     return sigs.select(
         "doc_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(bi).alias("band"), _bucket(bi).alias("bucket"))
-            for bi in range(bands)
-        ])).alias("bb"),
+        F.explode(F.expr(f"array({entries})")).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
 
 
@@ -540,9 +546,8 @@ def minhash_lsh_pairs(
     )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
-    agree = F.size(F.filter(
-        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
-    ))
+    agree = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))")
     return (
         cand.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn("est_jaccard", agree / F.lit(slots))
@@ -636,9 +641,8 @@ def minhash_lsh_pairs_capped(
                      F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"),
                      F.col("signature").alias("sig_b"))
-    agree = F.size(F.filter(
-        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
-    ))
+    agree = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))")
     return (
         cand.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn("est_jaccard", agree / F.lit(slots))
@@ -732,22 +736,26 @@ def simhash64(documents: DataFrame) -> DataFrame:
         F.conv(F.substring(F.md5("tok"), 1, 7), 16, 10)
         .cast("long").alias("__x"),
     )
+    # Votes and the packed fingerprint arrive as parsed SQL strings
+    # (r12, the `minhash_signatures` treatment): the Column-object form
+    # was ~12 py4j round-trips per bit — ~1.9 s of driver time per call
+    # at 64 bits. Each parsed aggregate is the identical conditional
+    # sum, and the OR chain folds the identical shiftleft terms in the
+    # identical left-assoc order, so every fingerprint bit is
+    # unchanged (integer literals round-trip exactly).
     votes = base.groupBy("doc_id").agg(*[
-        F.sum(
-            F.when(
-                ((F.lit(a) * F.col("__x") + F.lit(b)) % F.lit(MINHASH_P))
-                % 2 == 1, 1
-            ).otherwise(-1)
-        ).alias(f"b{i}")
+        F.expr(
+            f"sum(CASE WHEN (({a} * __x + {b}) % {MINHASH_P}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END) AS b{i}")
         for i, (a, b) in enumerate(SIMHASH_COEF)
     ])
-    fp = F.lit(0).cast("long")
-    for i in range(SIMHASH_BITS):
-        fp = fp.bitwiseOR(
-            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i))
-            .otherwise(F.lit(0).cast("long"))
-        )
-    return votes.select("doc_id", fp.alias("simhash"))
+    fp = " | ".join(
+        f"(CASE WHEN b{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return votes.selectExpr(
+        "doc_id", f"(CAST(0 AS BIGINT) | {fp}) AS simhash")
 
 
 # ---------------------------------------------------------------------------
@@ -2124,7 +2132,10 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # hash partitioning, so every round's edges⋈labels join reuses it
     # and only the (much smaller) labels side re-exchanges per round —
     # the edge set, the bulk of the data, shuffles exactly once.
-    edges = edges.repartition("dst").localCheckpoint()
+    # Lazy (r12): the seed-sum action below materializes edges and the
+    # seed labels in ONE job instead of an up-front edge job plus the
+    # seed job — the pair-generation plan still runs exactly once.
+    edges = edges.repartition("dst").localCheckpoint(eager=False)
     # Seed each node with min(itself, direct neighbors) — one grouped
     # aggregate that both enumerates the nodes and completes round 1 of
     # propagation (pair/star components, the common dup shape, are
@@ -3840,7 +3851,13 @@ def bm25_scores(documents: DataFrame, query_terms: list[str] | None = None,
     terms = list(dict.fromkeys(
         query_terms if query_terms is not None else ["spark", "hash", "join"]))
     toks = documents.select("doc_id", F.explode(tokens_col()).alias("tok"))
-    n_docs = documents.count()
+    # r12: n_docs rides the plan as a broadcast one-row aggregate
+    # instead of a build-time count() — one fewer serial job before
+    # the real query runs. cast("double") of an exact count equals the
+    # old float(n_docs) literal bit-for-bit (counts < 2^53), so idf
+    # and every score are unchanged.
+    nd = F.broadcast(documents.agg(
+        F.count(F.lit(1)).cast("double").alias("__nd")))
     tf_lanes = [
         F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"__tf{i}")
         for i, t in enumerate(terms)
@@ -3861,14 +3878,15 @@ def bm25_scores(documents: DataFrame, query_terms: list[str] | None = None,
     tf = (stats.selectExpr(
         "doc_id", "dl", f"stack({len(terms)}, {melt}) AS (tok, tf)")
         .where(F.col("tf") > 0))
-    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")) \
+        .crossJoin(nd)
+    idf = F.log(F.lit(1.0) + (F.col("__nd") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     term_score = (
         F.col("idf") * F.col("tf") * (k1 + 1)
         / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
     )
     return (
-        tf.join(F.broadcast(df_.withColumn("idf", idf)), "tok")
+        tf.join(F.broadcast(df_.withColumn("idf", idf).drop("__nd")), "tok")
         .crossJoin(F.broadcast(avgdl))
         .withColumn("term_score", F.round(term_score, 6))
         .groupBy("doc_id")
@@ -4170,8 +4188,8 @@ def near_admit(new_docs: DataFrame,
         exact_fresh.select(id_col, text_col), slots).localCheckpoint(eager=False)
     bband = batch_bands if batch_bands is not None \
         else _minhash_banded(bsigs, slots, bands)
-    agree = F.size(F.filter(
-        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+    agree = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))")
 
     def _confirmed(cand, sa, sb):
         return (

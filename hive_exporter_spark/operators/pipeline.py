@@ -1863,7 +1863,6 @@ def curation_funnel_report(documents: DataFrame,
     Stages report the SEQUENTIAL funnel (each applied after the
     previous), matching what the composed pipeline actually keeps.
     """
-    total = documents.count()
     q = (gopher_quality_signals(documents)
          .where(F.col("passes_quality")).select("doc_id"))
     s = (train_val_test_split(documents)
@@ -1871,10 +1870,30 @@ def curation_funnel_report(documents: DataFrame,
     c = (ngram_contamination(documents)
          .where(F.col("contamination_rate") <= max_contamination)
          .select("doc_id"))
-    after_q = documents.select("doc_id").join(q, "doc_id")
-    after_s = after_q.join(s, "doc_id")
-    after_c = after_s.join(c, "doc_id")
-    n_q, n_s, n_c = after_q.count(), after_s.count(), after_c.count()
+    # r12: ONE aggregate pass instead of four serial count() actions.
+    # Each stage set holds at most one row per doc_id, so left-joining
+    # the three id sets as presence flags and summing nested indicator
+    # conjunctions yields the IDENTICAL exact integer funnel counts
+    # (|docs⋈q|, |docs⋈q⋈s|, |docs⋈q⋈s⋈c|) the sequential joins
+    # produced — in one job whose stage subplans run concurrently
+    # instead of four serial driver round-trips.
+    flags = (
+        documents.select("doc_id")
+        .join(q.withColumn("__fq", F.lit(True)), "doc_id", "left")
+        .join(s.withColumn("__fs", F.lit(True)), "doc_id", "left")
+        .join(c.withColumn("__fc", F.lit(True)), "doc_id", "left")
+    )
+    fq = F.col("__fq").isNotNull()
+    fs = fq & F.col("__fs").isNotNull()
+    fc = fs & F.col("__fc").isNotNull()
+    counts = flags.agg(
+        F.count(F.lit(1)).alias("__t"),
+        F.sum(fq.cast("long")).alias("__nq"),
+        F.sum(fs.cast("long")).alias("__ns"),
+        F.sum(fc.cast("long")).alias("__nc"),
+    ).first()
+    total, n_q, n_s, n_c = (counts["__t"], counts["__nq"] or 0,
+                            counts["__ns"] or 0, counts["__nc"] or 0)
     spark = documents.sparkSession
     rows = [
         (1, "input", total, total),
@@ -2319,11 +2338,28 @@ def quality_classifier_train(documents: DataFrame,
     from pyspark.ml.functions import array_to_vector
 
     lab = _qc_label() if label is None else label
+    n_parts = None
     if train_sample_cap:
         n = documents.count()
         if n > train_sample_cap:
             documents = documents.sample(
                 fraction=min(1.0, train_sample_cap / n), seed=seed)
+        # r12: size the vector partitioning from the KNOWN (capped)
+        # training-set size — dense dim·8 B rows, ~128 MB per
+        # partition. The default inherited ~cores partitions, so at
+        # bench scale every one of LBFGS's ~17 serial treeAggregate
+        # jobs scheduled 32 near-empty tasks (and the Arrow scatter
+        # spun one Python worker per core for a few hundred rows
+        # each); at the 100k cap the same formula yields ~7 x 128 MB
+        # partitions. Gradient partial sums regroup, so model
+        # coefficients can move in the last ulps — the report's
+        # verdict booleans (the only model-derived outputs) are
+        # threshold checks with wide margins, verified unchanged at
+        # every fixture SF (they already had to survive the driver's
+        # varying-core-count runs, which regroup the same sums).
+        n_parts = max(1, min(64,
+                             (min(n, train_sample_cap) * dim * 8)
+                             // (128 << 20) + 1))
     fc = hashed_token_counts(documents, dim)
     pairs = fc.groupBy("doc_id").agg(
         F.collect_list(F.struct("feat", "cnt")).alias("__pairs"))
@@ -2343,9 +2379,12 @@ def quality_classifier_train(documents: DataFrame,
             yield pd.DataFrame({"label": pdf["label"],
                                 "features": out})
 
+    joined = (documents.select("doc_id", lab.cast("double").alias("label"))
+              .join(pairs, "doc_id"))
+    if n_parts is not None:
+        joined = joined.coalesce(n_parts)
     vecs = (
-        documents.select("doc_id", lab.cast("double").alias("label"))
-        .join(pairs, "doc_id")
+        joined
         .mapInPandas(scatter, "label double, features array<double>")
         .select("label", array_to_vector("features").alias("features"))
         .persist())

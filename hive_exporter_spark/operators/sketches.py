@@ -973,20 +973,30 @@ def ams_sums_from_counts(wc: DataFrame, key_col: str,
     checkpoint it, and feed both consumers."""
     gcols = list(group_cols)
     wc = wc.withColumn("__x", _cms_base28(F.col(key_col).cast("string")))
-    branch = F.explode(F.array(*[
-        F.struct(
-            F.lit(i).alias("i"),
-            (F.lit(1) - F.lit(2)
-             * (((F.lit(a) * F.col("__x") + F.lit(b)) % CMS_P) % 2)
-             ).alias("sgn"),
-        )
+    # r12: ONE wide aggregate (r sum columns), not explode-r-rows-then-
+    # groupBy. The explode shape pushed r x |wc| rows through the
+    # aggregate hash map (r hash probes per wordcount row) to produce
+    # the same r sums the wide form accumulates with ONE probe per row;
+    # the post-agg posexplode back to (i, xi) runs on group-count-sized
+    # data. Each xi is the identical exact-int64 sum of the identical
+    # sgn*cnt terms (integer addition — order-free), so downstream
+    # means/medians and every hash-checked consumer are bit-unchanged.
+    sums = wc.groupBy(*gcols).agg(*[
+        F.sum((F.lit(1) - F.lit(2)
+               * (((F.lit(a) * F.col("__x") + F.lit(b)) % CMS_P) % 2))
+              * F.col("__cnt")).alias(f"__xi{i}")
         for i, (a, b) in enumerate(AMS_COEF[:r])
-    ]))
-    return (
-        wc.select(*gcols, "__cnt", branch.alias("b"))
-        .groupBy(*gcols, F.col("b.i").alias("i"))
-        .agg(F.sum(F.col("b.sgn") * F.col("__cnt")).alias("xi"))
-    )
+    ])
+    # NULL guard: a global (no-group-cols) aggregate over an EMPTY
+    # wordcount emits one all-NULL row where the old explode shape
+    # emitted none; xi is never NULL for any real group (sum of >= 1
+    # non-null ints), so the filter only restores the empty-input
+    # contract.
+    return sums.select(
+        *gcols,
+        F.posexplode(F.array(*[F.col(f"__xi{i}") for i in range(r)]))
+        .alias("i", "xi"),
+    ).where(F.col("xi").isNotNull())
 
 
 def ams_estimate(sums: DataFrame, group_cols: Sequence[str],
