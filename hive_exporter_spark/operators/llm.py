@@ -3503,8 +3503,10 @@ def hybrid_rrf_three(documents: DataFrame,
     # (`topk_cosine` / `topk_cosine_pq_fixed`), so the fused output —
     # which consumes only the ranks — hashes identically; the oracle
     # is unchanged.
-    qs = (embeddings.where(F.col("vec_id") < n_queries)
-          .localCheckpoint(eager=False))
+    # r12: no checkpoint on the query side — it has exactly ONE
+    # consumer (the broadcast below), so the lazy localCheckpoint only
+    # bought an extra eager planning pass at build time.
+    qs = embeddings.where(F.col("vec_id") < n_queries)
     books = _portable_codebooks(42, PQ_M, PQF_K, 2)
     enc = _pqf_assign(embeddings, books, "vec_id", "embedding",
                       keep_vec=True)
@@ -3535,16 +3537,49 @@ def hybrid_rrf_three(documents: DataFrame,
         F.col("score_vec").desc(), F.col("neighbor_id"))
     wp = Window.partitionBy("query_id").orderBy(
         F.col("score_pqf").desc(), F.col("neighbor_id"))
+    # r12: fuse DIRECTLY from the two-rank frame. The previous shape
+    # split `both` into vec/pqf arms and handed them to `rrf_fuse`,
+    # whose full_outer chain re-joined the frame with itself (plus a
+    # lazy checkpoint to keep the split from duplicating the dense
+    # plan) — one self-join, one checkpoint planning pass, and one
+    # duplicated window subtree, all avoidable. `both` filtered to
+    # (rank_vec<=k | rank_pqf<=k) with each rank NULLed past k IS the
+    # row set and rank content of full_outer(vec, pqf), so joining it
+    # once with the lexical arm and summing the three coalesce terms
+    # in the same lex+vec+pqf IEEE order reproduces rrf_fuse's output
+    # bit-for-bit (same window, same tiebreak, same rounding) —
+    # oracle-hash-verified.
     both = (scored.withColumn("rank_vec", F.row_number().over(wv))
             .withColumn("rank_pqf", F.row_number().over(wp))
             .where((F.col("rank_vec") <= k) | (F.col("rank_pqf") <= k))
-            .localCheckpoint(eager=False))
-    vec = both.where(F.col("rank_vec") <= k).select(
-        "query_id", "neighbor_id", F.col("rank_vec").alias("rank"))
-    pqf = both.where(F.col("rank_pqf") <= k).select(
-        "query_id", "neighbor_id", F.col("rank_pqf").alias("rank"))
-    return rrf_fuse([("lex", lex), ("vec", vec), ("pqf", pqf)],
-                    k, rrf_k)
+            .select(
+                "query_id", "neighbor_id",
+                F.when(F.col("rank_vec") <= k, F.col("rank_vec"))
+                .alias("__vec_rank"),
+                F.when(F.col("rank_pqf") <= k, F.col("rank_pqf"))
+                .alias("__pqf_rank")))
+    fused = lex.select(
+        "query_id", "neighbor_id",
+        F.col("rank").alias("__lex_rank"),
+    ).join(both, ["query_id", "neighbor_id"], "full_outer")
+    score = None
+    for name in ("lex", "vec", "pqf"):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col(f"__{name}_rank")),
+            F.lit(0.0))
+        score = term if score is None else score + term
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("__rrf").desc(), F.col("neighbor_id"))
+    return (
+        fused.withColumn("__rrf", score)
+        .withColumn("fused_rank", F.row_number().over(wf))
+        .where(F.col("fused_rank") <= k)
+        .select("query_id", "neighbor_id",
+                *[F.coalesce(f"__{n}_rank", F.lit(0)).alias(f"{n}_rank")
+                  for n in ("lex", "vec", "pqf")],
+                "fused_rank",
+                F.round("__rrf", 6).alias("rrf_score"))
+    )
 
 
 def lexical_vector_agreement(documents: DataFrame,

@@ -981,10 +981,15 @@ def ams_sums_from_counts(wc: DataFrame, key_col: str,
     # data. Each xi is the identical exact-int64 sum of the identical
     # sgn*cnt terms (integer addition — order-free), so downstream
     # means/medians and every hash-checked consumer are bit-unchanged.
+    # The 64 sum aggregates arrive as parsed SQL strings (r12, the
+    # `minhash_signatures` treatment): the Column-object form cost
+    # several py4j round-trips per coefficient per call site; each
+    # parsed sum is the identical integer arithmetic on the identical
+    # longs (integer literals round-trip exactly), so every xi is
+    # bit-unchanged.
     sums = wc.groupBy(*gcols).agg(*[
-        F.sum((F.lit(1) - F.lit(2)
-               * (((F.lit(a) * F.col("__x") + F.lit(b)) % CMS_P) % 2))
-              * F.col("__cnt")).alias(f"__xi{i}")
+        F.expr(f"sum((1 - 2 * ((({a} * __x + {b}) % {CMS_P}) % 2))"
+               f" * __cnt) AS __xi{i}")
         for i, (a, b) in enumerate(AMS_COEF[:r])
     ])
     # NULL guard: a global (no-group-cols) aggregate over an EMPTY
@@ -992,10 +997,10 @@ def ams_sums_from_counts(wc: DataFrame, key_col: str,
     # emitted none; xi is never NULL for any real group (sum of >= 1
     # non-null ints), so the filter only restores the empty-input
     # contract.
+    arr = ", ".join(f"__xi{i}" for i in range(r))
     return sums.select(
         *gcols,
-        F.posexplode(F.array(*[F.col(f"__xi{i}") for i in range(r)]))
-        .alias("i", "xi"),
+        F.posexplode(F.expr(f"array({arr})")).alias("i", "xi"),
     ).where(F.col("xi").isNotNull())
 
 
