@@ -3606,13 +3606,22 @@ def lexical_vector_agreement(documents: DataFrame,
     all-pairs); the vector side is the broadcast brute-force pass;
     everything after is (queries x k)-sized.
     """
+    # r12: ONE checkpoint over the tagged union of the two (queries×k)
+    # arms instead of one per arm — the arms are independent, so the
+    # union materializes both in a single job (their subplans run
+    # concurrently) where two checkpoints serialized two build-time
+    # materializations. The three consumers filter the tag back out;
+    # counts and the overlap join are unchanged row-for-row.
     lex = (lexical_topk(documents, k, n_queries, shingle_k)
-           .select("query_id", "neighbor_id")
-           .localCheckpoint(eager=False))
+           .select("query_id", "neighbor_id"))
     vec = (topk_cosine(embeddings,
                        embeddings.where(F.col("vec_id") < n_queries), k)
-           .select("query_id", "neighbor_id")
-           .localCheckpoint(eager=False))
+           .select("query_id", "neighbor_id"))
+    both = (lex.withColumn("__arm", F.lit("l"))
+            .unionByName(vec.withColumn("__arm", F.lit("v")))
+            .localCheckpoint(eager=False))
+    lex = both.where(F.col("__arm") == "l").drop("__arm")
+    vec = both.where(F.col("__arm") == "v").drop("__arm")
     nv = vec.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_vec"))
     nl = lex.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_lex"))
     nc = (vec.join(lex, ["query_id", "neighbor_id"])
@@ -7153,36 +7162,74 @@ def bpe_apply(documents: DataFrame, merges: DataFrame,
 
     The scale trick is the dictionary decomposition every production
     tokenizer uses: merges apply to the DISTINCT-word vocabulary (one
-    vocab-sized fold per merge, lineage checkpointed every few
-    rounds), and the corpus only ever
+    codegen'd replace-chain projection — see the r12 comment below —
+    with the exact interpreted fold kept as fallback for exotic merge
+    tables), and the corpus only ever
     does a broadcast join token→piece-count — the data-sized pass
     never executes a merge. Words outside the merge table's vocabulary
     fall back to character pieces (len+1 with the end marker), so the
     encoder is total over new corpora.
     """
     ranked = merges.orderBy("rank").select("left", "right").collect()
-    # Lazy checkpoints (r12): only the strategy-deciding count below
-    # ever materializes — the intermediate every-4-rounds checkpoints
-    # exist to truncate the fold lineage, which eager=False does just
-    # as well, without spending a serial job each.
     vocab = (
         documents.select(F.explode(tokens_col()).alias("w")).distinct()
-        .select("w", F.concat(F.split("w", ""),
-                              F.array(F.lit(BPE_END))).alias("syms"))
         .localCheckpoint(eager=False)
     )
-    for i, m in enumerate(ranked):
-        vocab = vocab.select(
-            "w", _bpe_merge_fold(m["left"], m["right"]).alias("syms"))
-        if (i + 1) % BPE_APPLY_CHECKPOINT_EVERY == 0:
-            vocab = vocab.localCheckpoint(eager=False)
-    # Final materialization point: the strategy-deciding count below
-    # and the corpus join both read this, so the tail merge folds run
-    # once (the count() is the job that materializes the whole chain).
-    vocab = vocab.localCheckpoint(eager=False)
-    enc = vocab.select("w", F.size("syms").alias("__pieces"))
+    # r12 (guide §4.1, built-ins over interpreted lambdas): the merge
+    # loop is a chain of codegen'd string replace()s over a
+    # one-char-per-symbol string form, not N interpreted
+    # aggregate-lambda folds over a symbol array. Every base symbol is
+    # one character (tokens are single chars; BPE_END and each fused
+    # symbol get a fresh private-use placeholder), and leftmost
+    # non-overlapping replace() IS `_bpe_merge_fold`'s merge rule —
+    # the SAME equivalence the hash-checked `bpe_fertility_report`
+    # oracle (`bpe_audit_encode_sql`) already replays in DuckDB, and
+    # the Python-replay encode test pins for learned tables. Symbols
+    # of equal TEXT are indistinguishable to the fold, so a re-derived
+    # text reuses its existing placeholder. piece count = string
+    # length. Tables whose merge inputs are neither single chars nor
+    # previously fused text (impossible for `bpe_train` output, whose
+    # symbols only exist via prior merges) fall back to the exact
+    # fold, as does a vocabulary that could collide with the
+    # private-use plane.
+    encoded = None
+    if len(ranked) < 0x700:
+        rep = {BPE_END: "\ue7ff"}
+        try:
+            def _ch(sym: str) -> str:
+                if sym in rep:
+                    return rep[sym]
+                if len(sym) == 1:
+                    if "\ue000" <= sym <= "\ue7ff":
+                        raise ValueError("vocabulary collides with "
+                                         "placeholder plane")
+                    return sym
+                raise ValueError(f"merge input {sym!r} is neither a "
+                                 "single char nor previously fused")
+
+            encoded = F.concat("w", F.lit(rep[BPE_END]))
+            for i, m in enumerate(ranked):
+                pattern = _ch(m["left"]) + _ch(m["right"])
+                fused = rep.setdefault(m["left"] + m["right"],
+                                       chr(0xE000 + i))
+                encoded = F.replace(encoded, F.lit(pattern),
+                                    F.lit(fused))
+        except ValueError:
+            encoded = None
+    if encoded is not None:
+        enc = vocab.select("w", F.length(encoded).alias("__pieces"))
+    else:
+        syms = F.concat(F.split("w", ""), F.array(F.lit(BPE_END)))
+        folded = vocab.select("w", syms.alias("syms"))
+        for i, m in enumerate(ranked):
+            folded = folded.select(
+                "w", _bpe_merge_fold(m["left"], m["right"]).alias("syms"))
+            if (i + 1) % BPE_APPLY_CHECKPOINT_EVERY == 0:
+                folded = folded.localCheckpoint(eager=False)
+        folded = folded.localCheckpoint(eager=False)
+        enc = folded.select("w", F.size("syms").alias("__pieces"))
     # The vocab is checkpointed, so this count re-scans a materialized
-    # RDD, not the merge-fold lineage — one cheap job that decides the
+    # RDD, not the tokenize lineage — one cheap job that decides the
     # join strategy instead of betting the executors on a hint.
     if vocab.count() <= broadcast_vocab_max:
         enc = F.broadcast(enc)
