@@ -889,7 +889,7 @@ def _rp_buckets(vec_col: str, tables: list[list[list[float]]]) -> F.Column:
     terms blew the expression tree up to a 2.2 MiB task binary and
     OOMed codegen. Literal weights ride through CAST('<repr>' AS
     DOUBLE) so the parsed double round-trips exactly (the
-    `_pqf_assign` convention)."""
+    `_pqf_recon` convention)."""
 
     def d(v: float) -> str:
         return f"CAST('{v!r}' AS DOUBLE)"
@@ -2925,30 +2925,17 @@ def _portable_codebooks(seed: int = 42, m: int = PQ_M, k: int = PQF_K,
              for c in range(k)] for j in range(m)]
 
 
-def _pqf_assign(embeddings: DataFrame, books: list[list[list[float]]],
-                id_col: str, vec_col: str,
-                keep_vec: bool = False) -> DataFrame:
-    """Column-algebra PQ encode against literal codebooks: one struct
-    column `__s{j}` per subspace holding the winning (dist, c, r0, r1)
-    — `array_min` over structs is lexicographic, i.e. argmin by
-    distance with the code id as deterministic tiebreak, and the
-    winner carries its reconstruction values so the gather is free.
-
-    Built as SQL text, not Column objects: 32 subspaces x 16 codes of
-    `F.struct(...)` arithmetic is ~4000 py4j round-trips (~10 s of
-    driver time per call); the equivalent selectExpr strings parse
-    JVM-side in one hop. Codebook literals go through
-    CAST('<repr>' AS DOUBLE) so the parsed double is the bit-exact
-    Python value at any magnitude (repr round-trips; a bare decimal
-    literal would parse as DECIMAL). Normalized components index the
-    RAW stored array and divide by the fold-norm per use — division
-    is deterministic, and element_at over a computed transform()
-    column would re-run the lambda per reference (the repo's standing
-    HOF gotcha)."""
+def _pqf_base(embeddings: DataFrame, books: list[list[list[float]]],
+              id_col: str, vec_col: str,
+              keep_vec: bool = False) -> DataFrame:
+    """Shared first stage of the column-algebra PQ encode: project the
+    normalized subspace components `__e{j}_{k}`. Built as SQL text,
+    not Column objects (the py4j round-trip economy documented on
+    `_pqf_recon`). Normalized components index the RAW stored array
+    and divide by the fold-norm per use — division is deterministic,
+    and element_at over a computed transform() column would re-run
+    the lambda per reference (the repo's standing HOF gotcha)."""
     from hive_exporter_spark.functions.vectors import l2_norm
-
-    def d(v: float) -> str:
-        return f"CAST('{v!r}' AS DOUBLE)"
 
     base = (embeddings.select(id_col, vec_col)
             .withColumn("__norm", l2_norm(F.col(vec_col))))
@@ -2958,33 +2945,85 @@ def _pqf_assign(embeddings: DataFrame, books: list[list[list[float]]],
         f" AS __e{j}_{k}"
         for j in range(len(books)) for k in (0, 1)
     ]
-    base = base.selectExpr(id_col, *keep, *comps)
-    subs = []
-    # r12: the codes of each subspace live in TWO constant-folded
-    # literal arrays (one per component) indexed by a transform() over
-    # sequence(0, k-1), instead of k inline named_structs per
-    # subspace. The old inline form put m × k × ~12 literal-laden
-    # nodes in the tree — 0.6 s of planning and a 1.5–1.9 MiB task
-    # binary per query at m=32, k=16. Every distance is the identical
-    # (e−r)·(e−r) sum on the identical doubles (element_at of a folded
-    # literal array == the inline literal), the struct field order and
-    # types match, and array_min's lexicographic argmin (dist, then
-    # code id) is unchanged — assignments, reconstructions, and every
-    # hash-checked consumer are bit-identical.
+    return base.selectExpr(id_col, *keep, *comps)
+
+
+def _pqf_dists_sql(j: int, book: list[list[float]]) -> tuple[str, str, str]:
+    """Per-subspace SQL pieces: (r0s, r1s, dists) where r0s/r1s are the
+    constant-folded codebook component arrays and dists is the
+    16-element PRIMITIVE double array of squared distances. Codebook
+    literals go through CAST('<repr>' AS DOUBLE) so the parsed double
+    is the bit-exact Python value at any magnitude (repr round-trips;
+    a bare decimal literal would parse as DECIMAL)."""
+    def d(v: float) -> str:
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    r0s = "array(" + ", ".join(d(r0) for r0, _ in book) + ")"
+    r1s = "array(" + ", ".join(d(r1) for _, r1 in book) + ")"
+    dists = (f"transform(sequence(0, {len(book) - 1}), c -> "
+             f"(__e{j}_0 - element_at({r0s}, c + 1))"
+             f" * (__e{j}_0 - element_at({r0s}, c + 1))"
+             f" + (__e{j}_1 - element_at({r1s}, c + 1))"
+             f" * (__e{j}_1 - element_at({r1s}, c + 1)))")
+    return r0s, r1s, dists
+
+
+def _pqf_recon(embeddings: DataFrame, books: list[list[list[float]]],
+               id_col: str, vec_col: str,
+               keep_vec: bool = False) -> DataFrame:
+    """Column-algebra PQ encode+reconstruct against literal codebooks:
+    returns (id[, vec], recon) where recon is the 2m-element
+    reconstruction of the normalized vector.
+
+    Built as SQL text, not Column objects: 32 subspaces x 16 codes of
+    `F.struct(...)` arithmetic is ~4000 py4j round-trips (~10 s of
+    driver time per call); the equivalent selectExpr strings parse
+    JVM-side in one hop.
+
+    r12b: the per-subspace argmin runs over a PRIMITIVE double array —
+    `array_position(ds, array_min(ds))` — instead of `array_min` over
+    16 named_structs. HOFs are interpreted (no codegen), so the 16
+    4-field struct allocations per subspace per row were the dominant
+    encode cost (measured: full `topk_cosine_pq_fixed` 2.2 s -> 1.65 s
+    at sf0.1). Equivalence is exact: array_min returns the same
+    minimal double the lexicographic struct argmin found, and
+    array_position returns the FIRST index holding it — the identical
+    lowest-code-id tiebreak — so the gathered (r0, r1) and every
+    downstream hash are bit-identical (oracle-verified). The winning
+    distance array is lambda-bound (`transform(array(dists), ds ->
+    ...)`) so it is evaluated once, not once per reference."""
+    base = _pqf_base(embeddings, books, id_col, vec_col, keep_vec)
+    keep = [vec_col] if keep_vec else []
+    pieces = []
     for j, book in enumerate(books):
-        r0s = "array(" + ", ".join(d(r0) for r0, _ in book) + ")"
-        r1s = "array(" + ", ".join(d(r1) for _, r1 in book) + ")"
-        subs.append(
-            f"array_min(transform(sequence(0, {len(book) - 1}), c -> "
-            f"named_struct("
-            f"'dist', (__e{j}_0 - element_at({r0s}, c + 1))"
-            f" * (__e{j}_0 - element_at({r0s}, c + 1))"
-            f" + (__e{j}_1 - element_at({r1s}, c + 1))"
-            f" * (__e{j}_1 - element_at({r1s}, c + 1)), "
-            f"'c', c, "
-            f"'r0', element_at({r0s}, c + 1), "
-            f"'r1', element_at({r1s}, c + 1)))) AS __s{j}")
-    return base.selectExpr(id_col, *keep, *subs)
+        r0s, r1s, dists = _pqf_dists_sql(j, book)
+        pieces.append(
+            f"element_at(transform(array({dists}), ds -> "
+            f"element_at(transform(array(array_position(ds, array_min(ds))),"
+            f" p -> array(element_at({r0s}, CAST(p AS INT)),"
+            f" element_at({r1s}, CAST(p AS INT)))), 1)), 1)")
+    recon = "flatten(array(" + ", ".join(pieces) + ")) AS recon"
+    return base.selectExpr(id_col, *keep, recon)
+
+
+def _pqf_codes_pairs(embeddings: DataFrame,
+                     books: list[list[list[float]]],
+                     id_col: str, vec_col: str) -> DataFrame:
+    """The fixed-codebook assignment alone: (id, subspace, code) rows.
+    Same primitive-array argmin as `_pqf_recon` (array_position is
+    1-based, so code = position - 1); identical distances, identical
+    first-minimum tiebreak, so the assignments match the old struct
+    argmin bit-for-bit."""
+    base = _pqf_base(embeddings, books, id_col, vec_col)
+    pieces = []
+    for j, book in enumerate(books):
+        _, _, dists = _pqf_dists_sql(j, book)
+        code = (f"element_at(transform(array({dists}), ds -> "
+                f"CAST(array_position(ds, array_min(ds)) AS INT) - 1), 1)")
+        pieces.append(f"named_struct('subspace', {j}, 'code', {code})")
+    return (base.selectExpr(
+        id_col, "explode(array(" + ", ".join(pieces) + ")) AS p")
+        .select(id_col, "p.subspace", "p.code"))
 
 
 def topk_cosine_pq_fixed(embeddings: DataFrame, queries: DataFrame,
@@ -3009,20 +3048,17 @@ def topk_cosine_pq_fixed(embeddings: DataFrame, queries: DataFrame,
 
     Plan shape (and the 100 TB story) is identical to the trained
     variant: encode+reconstruct is map-only over the corpus (the
-    argmin is a literal-struct `array_min`, no shuffle, no Python),
+    argmin is `array_position(ds, array_min(ds))` over a primitive
+    literal-codebook distance array, no shuffle, no Python),
     queries broadcast, one window rank. Recall is below the trained
     codebooks' — use this as the verification anchor, the trained
     path in production."""
-    from hive_exporter_spark.functions.vectors import cosine_similarity
-
     books = _portable_codebooks(seed, m, n_codes, 2)
-    enc = _pqf_assign(embeddings, books, id_col, vec_col)
-    recon = "array(" + ", ".join(
-        f"__s{j}.r0, __s{j}.r1" for j in range(m)) + ") AS recon"
     # Reconstruction norm hoisted to the corpus side (r12): one fold
     # per corpus ROW instead of one per (query × corpus) pair;
     # dot/(qn·rn) is bit-identical to cosine_similarity.
-    corpus = (enc.selectExpr(f"{id_col} AS neighbor_id", recon)
+    corpus = (_pqf_recon(embeddings, books, id_col, vec_col)
+              .select(F.col(id_col).alias("neighbor_id"), "recon")
               .withColumn("__rn", l2_norm(F.col("recon"))))
     q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
                                    F.col(vec_col).alias("qvec"),
@@ -3048,15 +3084,8 @@ def pq_fixed_codes(embeddings: DataFrame, m: int = PQ_M,
     the column-algebra encode that `test_pq_fixed_codes_match_numpy`
     compares against the numpy `_pq_assign` kernel, one row per
     (vector, subspace) so the comparison needs no array handling."""
-    from hive_exporter_spark.functions.vectors import l2_norm
-
     books = _portable_codebooks(seed, m, n_codes, 2)
-    enc = _pqf_assign(embeddings, books, id_col, vec_col)
-    pairs = "explode(array(" + ", ".join(
-        f"named_struct('subspace', {j}, 'code', __s{j}.c)"
-        for j in range(len(books))) + ")) AS p"
-    return (enc.selectExpr(id_col, pairs)
-            .select(id_col, "p.subspace", "p.code"))
+    return _pqf_codes_pairs(embeddings, books, id_col, vec_col)
 
 
 def ann_recall_report(embeddings: DataFrame,
@@ -3508,17 +3537,15 @@ def hybrid_rrf_three(documents: DataFrame,
     # bought an extra eager planning pass at build time.
     qs = embeddings.where(F.col("vec_id") < n_queries)
     books = _portable_codebooks(42, PQ_M, PQF_K, 2)
-    enc = _pqf_assign(embeddings, books, "vec_id", "embedding",
-                      keep_vec=True)
-    recon = "array(" + ", ".join(
-        f"__s{j}.r0, __s{j}.r1" for j in range(PQ_M)) + ") AS recon"
     # Both per-corpus-row norms (raw vector + reconstruction) hoisted
     # out of the Q×N join (r12), as in `topk_cosine` /
     # `topk_cosine_pq_fixed`: dot/(qn·nn) and dot/(qn·rn) are
     # bit-identical to the cosine_similarity they replace, and the
     # per-pair cost drops from six HOF folds to two.
-    corpus = (enc.selectExpr("vec_id AS neighbor_id",
-                             "embedding AS nvec", recon)
+    corpus = (_pqf_recon(embeddings, books, "vec_id", "embedding",
+                         keep_vec=True)
+              .select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").alias("nvec"), "recon")
               .withColumn("__nn", l2_norm(F.col("nvec")))
               .withColumn("__rn", l2_norm(F.col("recon"))))
     q = F.broadcast(qs.select(F.col("vec_id").alias("query_id"),

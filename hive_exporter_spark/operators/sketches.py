@@ -591,8 +591,7 @@ def theta_overlap(df: DataFrame, key_col: str, group_col: str,
     per pair. Deterministic integer/hash math end-to-end: the DuckDB
     oracle reproduces every estimate bit-for-bit.
     """
-    kept = kmv_kept(df, key_col, [group_col], k).localCheckpoint(
-        eager=False)
+    kept = kmv_kept(df, key_col, [group_col], k).localCheckpoint(eager=False)
     stats = kept.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("__n"), F.max("__h").alias("__kth"))
     th = stats.select(
