@@ -305,8 +305,52 @@ def main() -> None:
         "headline22_total": round(sum(h22.values()), 3),
         "total_sec": total,
     }
-    print(json.dumps(payload))
-    # The driver archives only the LAST 2000 chars of the line above,
+    repo = os.path.dirname(os.path.abspath(__file__))
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd is None:
+        import glob
+        import re as _re
+        ns = [int(m.group(1))
+              for f in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+              for m in [_re.search(r"BENCH_r(\d+)\.json$", f)] if m]
+        rnd = (max(ns) if ns else 0) + 1
+    # Drift-normalized round-over-round summary, embedded in the
+    # artifact itself (additions-only; VERDICT r12 item 5): the r12
+    # PERF comparison read a 1.77x box-drift round as 115 raw
+    # regressions. Best-effort — a missing/foreign prev artifact must
+    # never break the bench contract. Inserted between `calibration`
+    # and `headline22` so the gate numbers keep their tail position.
+    try:
+        sys.path.insert(0, os.path.join(repo, "tools"))
+        import math
+
+        from compare_bench import compare, load_bench
+        prev_path = os.path.join(repo, f"BENCH_LOCAL_r{int(rnd) - 1:02d}.json")
+        prev = load_bench(prev_path)
+        cmp_now = {"queries": timings, "calibration": calibration,
+                   "shuffle_bytes": shuffle_bytes}
+        r = compare(prev, cmp_now)
+        logs = [math.log(timings[q] / prev["queries"][q])
+                for q in prev["queries"]
+                if q in timings and prev["queries"][q] > 0 and timings[q] > 0]
+        gm_raw = math.exp(sum(logs) / len(logs)) if logs else None
+        payload["vs_prev"] = {
+            "prev": os.path.basename(prev_path),
+            "drift": round(r["drift"], 3),
+            "drift_source": r["drift_source"],
+            "n_common": r["n_common"],
+            "geomean_raw": round(gm_raw, 3) if gm_raw else None,
+            "geomean_drift_normalized":
+                round(gm_raw / r["drift"], 3) if gm_raw else None,
+            "n_time_regressions_normalized": len(r["time_regressions"]),
+            "n_byte_regressions": len(r["byte_regressions"]),
+        }
+        # Re-insert the gate keys after vs_prev so they stay last.
+        for key in ("headline22", "headline22_total", "total_sec"):
+            payload[key] = payload.pop(key)
+    except Exception as exc:  # noqa: BLE001 — bench must not die here
+        print(f"# vs_prev comparison skipped: {exc}", file=sys.stderr)
+    # The driver archives only the LAST 2000 chars of the JSON line,
     # which eats shuffle_bytes and ~40 per-query timings — so
     # compare_bench's byte gate can never fire between driver
     # artifacts (VERDICT r7 item 3). Persist the UNTRUNCATED payload
@@ -314,22 +358,19 @@ def main() -> None:
     # about to record; compare_bench prefers the local file when
     # present. Only written for the driver's sf (0.1) so a quick
     # sf0.01 iteration loop can't clobber the committed artifact.
+    # The artifact note prints BEFORE the JSON line and stderr is
+    # flushed first (VERDICT r12 item 2): with stdout+stderr merged
+    # into one stream, a trailing stderr note could land after the
+    # JSON and break last-line parsing — the r12 driver's entire
+    # round-over-round PERF comparison was nulled exactly that way.
     if abs(sf - 0.1) < 1e-9 or os.environ.get("SPARK_GRAFT_ROUND"):
-        rnd = os.environ.get("SPARK_GRAFT_ROUND")
-        if rnd is None:
-            import glob
-            import re as _re
-            repo = os.path.dirname(os.path.abspath(__file__))
-            ns = [int(m.group(1))
-                  for f in glob.glob(os.path.join(repo, "BENCH_r*.json"))
-                  for m in [_re.search(r"BENCH_r(\d+)\.json$", f)] if m]
-            rnd = (max(ns) if ns else 0) + 1
-        local = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             f"BENCH_LOCAL_r{int(rnd):02d}.json")
+        local = os.path.join(repo, f"BENCH_LOCAL_r{int(rnd):02d}.json")
         with open(local, "w") as fh:
             json.dump(payload, fh, indent=1)
             fh.write("\n")
         print(f"# full artifact -> {local}", file=sys.stderr)
+    sys.stderr.flush()
+    print(json.dumps(payload), flush=True)
 
 
 if __name__ == "__main__":

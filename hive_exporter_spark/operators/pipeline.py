@@ -2346,20 +2346,24 @@ def quality_classifier_train(documents: DataFrame,
                 fraction=min(1.0, train_sample_cap / n), seed=seed)
         # r12: size the vector partitioning from the KNOWN (capped)
         # training-set size — dense dim·8 B rows, ~128 MB per
-        # partition. The default inherited ~cores partitions, so at
-        # bench scale every one of LBFGS's ~17 serial treeAggregate
-        # jobs scheduled 32 near-empty tasks (and the Arrow scatter
-        # spun one Python worker per core for a few hundred rows
-        # each); at the 100k cap the same formula yields ~7 x 128 MB
-        # partitions. Gradient partial sums regroup, so model
-        # coefficients can move in the last ulps — the report's
-        # verdict booleans (the only model-derived outputs) are
-        # threshold checks with wide margins, verified unchanged at
-        # every fixture SF (they already had to survive the driver's
-        # varying-core-count runs, which regroup the same sums).
-        n_parts = max(1, min(64,
-                             (min(n, train_sample_cap) * dim * 8)
-                             // (128 << 20) + 1))
+        # partition. r13 (VERDICT r12 item 1): the bytes-only formula
+        # yielded 1 partition at bench scale and <=7 at the 100k cap,
+        # serializing a CPU-bound LBFGS treeAggregate on any cluster
+        # wider than that (driver ground truth: 5.2->11.1 s wall, the
+        # 8-core run 2.3x FASTER than 32-core). The fit is gradient
+        # compute, not I/O, so the floor is the cluster's
+        # defaultParallelism — every core gets a task — and the bytes
+        # formula only takes over when the sample is big enough that
+        # 128 MB partitions need MORE than that (still capped at 64).
+        # Gradient partial sums regroup, so model coefficients can
+        # move in the last ulps — the report's verdict booleans (the
+        # only model-derived outputs) are threshold checks with wide
+        # margins, verified unchanged at every fixture SF (they
+        # already had to survive the driver's varying-core-count
+        # runs, which regroup the same sums).
+        n_parts = min(64, max(
+            documents.sparkSession.sparkContext.defaultParallelism,
+            (min(n, train_sample_cap) * dim * 8) // (128 << 20) + 1))
     fc = hashed_token_counts(documents, dim)
     pairs = fc.groupBy("doc_id").agg(
         F.collect_list(F.struct("feat", "cnt")).alias("__pairs"))

@@ -9,16 +9,18 @@ Accepts either a raw `bench.py` output line or a driver BENCH_r0N.json
 wrapper (whose `tail` string embeds the line).
 
 Drift normalization (r6 lesson: the tool cried regression three times
-on untouched code because the BOX, not the plan, was 1.6-1.7x slower):
-every new-side timing is divided by a drift factor before the
-thresholds apply. The factor is the median ratio of the fixed-cost
-`calibration` probes both artifacts carry (pure range-shuffle +
-parquet scan-agg — machine speed, no operator code); artifacts from
-before the probes existed fall back to the 75th-percentile per-query
+on untouched code because the BOX, not the plan, was 1.6-1.7x slower;
+r12 lesson: the calibration probes alone moved ~1.07x while untouched
+plan-identical queries slowed ~1.77x — contention drift lives in
+scheduling overhead the tight probes never feel): every new-side
+timing is divided by a drift factor before the thresholds apply. The
+factor is the MAX of the median ratio of the fixed-cost `calibration`
+probes both artifacts carry (pure range-shuffle + parquet scan-agg —
+machine speed, no operator code) and the 75th-percentile per-query
 ratio across ALL shared queries (p75, not the median — see
-drift_factor's docstring for why), which absorbs uniform box drift
-but — by construction — cannot flag a change that slowed every query
-equally (the calibration probes exist precisely to close that gap).
+drift_factor's docstring for why); the shuffle-byte gate stays raw
+and box-independent, so normalization can never hide a plan that
+genuinely picked up a fatter exchange.
 
 Given a driver artifact path BENCH_rNN.json, the loader prefers a
 sibling BENCH_LOCAL_rNN.json (the untruncated payload bench.py
@@ -104,30 +106,51 @@ def _median(xs: list[float]) -> float:
 
 
 def drift_factor(old: dict, new: dict) -> tuple[float, str]:
-    """Median new/old ratio of the calibration probes; artifacts that
-    predate the probes fall back to the 75th-percentile per-query
-    ratio. The fallback is deliberately conservative AGAINST false
-    positives: box speed varies DURING a 40-minute sweep, so a single
-    median under-corrects queries that happened to run in a slow
-    phase, while p75 only masks a real regression if more than a
-    quarter of all shared queries regressed at once — at which point
-    the summary line's faster-or-equal count collapses and says so."""
+    """Box-drift estimate: the LARGER of (a) the median new/old ratio
+    of the calibration probes and (b) the 75th-percentile per-query
+    ratio across all shared queries. Either alone has a proven blind
+    spot:
+
+    - Probes alone under-correct (r12 ground truth: probes moved
+      ~1.07x while 115/128 plan-identical queries slowed ~1.77x with
+      BYTE-IDENTICAL per-query shuffle bytes — the drift lived in
+      scheduling/driver contention that two tight fixed-cost jobs
+      never feel, and the driver's raw comparison read it as 115
+      regressions).
+    - p75 alone is just "the slowest one" over a handful of queries
+      and would normalize away a real regression, so it only applies
+      when >= MIN_FALLBACK_QUERIES queries are shared.
+
+    Taking the max is deliberately conservative AGAINST false
+    positives: masking is bounded — p75 hides a real slowdown only if
+    more than a quarter of all shared queries regressed at once (the
+    summary's faster-or-equal count collapses and says so), and the
+    shuffle-byte gate below is box-independent and never normalized,
+    so a plan that picked up a fatter exchange is flagged regardless
+    of what the time gate was normalized by."""
     shared_cal = sorted(set(old["calibration"]) & set(new["calibration"]))
+    cal = None
     if shared_cal:
-        return (_median([new["calibration"][k] / old["calibration"][k]
-                         for k in shared_cal if old["calibration"][k] > 0]),
-                f"calibration probes ({', '.join(shared_cal)})")
+        cal = _median([new["calibration"][k] / old["calibration"][k]
+                       for k in shared_cal if old["calibration"][k] > 0])
     shared_q = [k for k in set(old["queries"]) & set(new["queries"])
                 if old["queries"][k] > 0]
-    # A p75 over a handful of queries is just "the slowest one" and
-    # would normalize away a real regression — only estimate drift
-    # from a population where outliers can't dominate the quartile.
+    p75 = None
     if len(shared_q) >= MIN_FALLBACK_QUERIES:
         ratios = sorted(new["queries"][k] / old["queries"][k]
                         for k in shared_q)
         p75 = ratios[min(len(ratios) - 1, (len(ratios) * 3) // 4)]
-        return (p75,
-                f"p75 of {len(shared_q)} shared query ratios "
+    if cal is not None and p75 is not None:
+        if p75 > cal:
+            return (p75, f"p75 of {len(shared_q)} shared query ratios "
+                    f"(exceeds calibration-probe median {cal:.3f} — "
+                    "scheduling-level drift the probes don't feel)")
+        return (cal, f"calibration probes ({', '.join(shared_cal)}; "
+                f"p75 of shared queries was lower, {p75:.3f})")
+    if cal is not None:
+        return cal, f"calibration probes ({', '.join(shared_cal)})"
+    if p75 is not None:
+        return (p75, f"p75 of {len(shared_q)} shared query ratios "
                 "(no calibration probes in one artifact)")
     return 1.0, (f"none (fewer than {MIN_FALLBACK_QUERIES} shared "
                  "queries and no calibration probes — raw comparison)")
