@@ -7069,8 +7069,13 @@ def source_overlap_matrix(documents: DataFrame) -> DataFrame:
     pairs = minhash_lsh_pairs(documents).localCheckpoint(eager=False)
     ids = pairs.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
+    # The restricted label table is PAIR-sized; the lazy checkpoint
+    # pins its corpus scan to exactly one execution (measured: without
+    # it neither static exchange reuse nor AQE stage reuse deduplicates
+    # the two broadcast builds' subtrees, and the corpus label
+    # projection scans twice).
     lab = (documents.join(F.broadcast(ids), "doc_id", "left_semi")
-           .select("doc_id", "source"))
+           .select("doc_id", "source").localCheckpoint(eager=False))
     la = lab.select(F.col("doc_id").alias("doc_a"),
                     F.col("source").alias("__sa"))
     lb = lab.select(F.col("doc_id").alias("doc_b"),
